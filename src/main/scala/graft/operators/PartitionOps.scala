@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Partition and catalog maintenance (O-26/O-27/O-28; reference:
+ * lambda/add_partition.py:17-71, stacks/centralized_resources.py:47-65).
+ */
+object PartitionOps {
+
+  /**
+   * O-26: parse an object key into (table, partition values)
+   * (add_partition.py:17-33). Metrics keys have one extra level
+   * (`metrics/{freq}/...`); SLA-style keys start at the table name.
+   * Returns columns: table, region, year, month, day, hour.
+   */
+  def parseKey(key: Column): Column = {
+    val parts = split(key, "/")
+    val isMetrics = element_at(parts, 1) === "metrics"
+    struct(
+      when(isMetrics, concat_ws("_", element_at(parts, 1), element_at(parts, 2)))
+        .otherwise(element_at(parts, 1)).as("table"),
+      when(isMetrics, element_at(parts, 3)).otherwise(element_at(parts, 2)).as("region"),
+      when(isMetrics, element_at(parts, 4)).otherwise(element_at(parts, 3))
+        .cast("smallint").as("year"),
+      when(isMetrics, element_at(parts, 5)).otherwise(element_at(parts, 4))
+        .cast("smallint").as("month"),
+      when(isMetrics, element_at(parts, 6)).otherwise(element_at(parts, 5))
+        .cast("smallint").as("day"),
+      when(isMetrics, element_at(parts, 7)).otherwise(element_at(parts, 6))
+        .cast("smallint").as("hour"))
+  }
+
+  /** O-27: idempotent partition registration for an external catalog.
+    * partitionBy writes self-register locally; for a Hive-style
+    * external table this is the ADD IF NOT EXISTS form
+    * (add_partition.py:56-71's existence-check + create collapses into
+    * one idempotent DDL). */
+  def addPartition(spark: SparkSession, table: String, region: String,
+      year: Int, month: Int, day: Int, hour: Int, location: String): Unit =
+    spark.sql(
+      s"ALTER TABLE $table ADD IF NOT EXISTS PARTITION " +
+      s"(region='$region', year=$year, month=$month, day=$day, hour=$hour) " +
+      s"LOCATION '$location'")
+
+  /** Retention TTLs by frequency (centralized_resources.py:47-65). */
+  val retentionDays: Map[String, Int] = Map("minute" -> 2, "hour" -> 30, "day" -> 90)
+
+  /**
+   * O-28: partition-age retention — keep rows whose partition date is
+   * within `ttlDays` of `asOf` (epoch seconds). Operates purely on
+   * partition columns so Catalyst prunes expired partitions at scan
+   * time instead of reading data files.
+   */
+  def retain(records: DataFrame, ttlDays: Int, asOfEpoch: Long): DataFrame = {
+    val partDate = to_date(concat_ws("-", col("year"), col("month"), col("day")))
+    val cutoff = date_sub(to_date(timestamp_seconds(lit(asOfEpoch))), ttlDays)
+    records.filter(partDate >= cutoff)
+  }
+
+  /** The complement: partitions an expiry job would drop. */
+  def expired(records: DataFrame, ttlDays: Int, asOfEpoch: Long): DataFrame = {
+    val partDate = to_date(concat_ws("-", col("year"), col("month"), col("day")))
+    val cutoff = date_sub(to_date(timestamp_seconds(lit(asOfEpoch))), ttlDays)
+    records.select("region", "year", "month", "day", "hour").distinct()
+      .filter(partDate < cutoff)
+  }
+}
