@@ -1,0 +1,93 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis functions for large-scale training-data pipelines:
+ * tokenization, token counting, language-ID heuristic, quality
+ * scoring, fingerprinting, and word n-grams. All are compositions of
+ * codegen'd built-ins (no UDFs) and all are deterministic, so results
+ * are independent of partitioning — the property that makes them safe
+ * at 100 TB and lets a SQL oracle replicate them exactly.
+ */
+object TextFns {
+
+  /** Whitespace tokens, empties dropped (leading/trailing whitespace
+    * would otherwise produce "" tokens). */
+  def tokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => t =!= "")
+
+  /** Token count on whitespace tokens. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish token count: letter runs, digit runs, and single
+    * non-alphanumeric marks each count as one token — the usual cheap
+    * stand-in for a byte-pair-encoded length estimate. */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Normalized form used by fingerprints: lowercase, all non-word
+    * characters removed. */
+  def normalized(text: Column): Column =
+    lower(regexp_replace(text, "\\W+", ""))
+
+  /** Document fingerprint: md5 of the normalized text — byte-stable
+    * across engines and partitions. */
+  def fingerprint(text: Column): Column = md5(normalized(text))
+
+  /** Word n-grams as space-joined strings (the shingles for MinHash /
+    * Jaccard dedup). Empty when the document has fewer than n tokens. */
+  def wordNgrams(text: Column, n: Int): Column = {
+    val w = tokens(text)
+    transform(sequence(lit(1), greatest(size(w) - (n - 1), lit(0))),
+      i => array_join(slice(w, i, lit(n)), " "))
+  }
+
+  /** Rolling-hash-style shingle fingerprint: the minimum md5 over the
+    * document's word n-grams (a 1-hash MinHash), null for very short
+    * docs. */
+  def shingleFingerprint(text: Column, n: Int = 3): Column =
+    array_min(transform(wordNgrams(text, n), s => md5(s)))
+
+  private def countIn(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words.map(_.asInstanceOf[Any]): _*)))
+
+  /** Marker stopwords per language for the n-gram/stopword language-ID
+    * heuristic. Deliberately tiny: language ID at pipeline scale is a
+    * cheap first-pass router, not a classifier. */
+  val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "fr" -> Seq("le", "la", "les", "et", "des"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "es" -> Seq("el", "los", "las", "y", "es"))
+
+  /** Language-ID heuristic: CJK characters → "zh"; otherwise the
+    * language with the most marker-stopword hits (ties broken by the
+    * fixed order en→fr→de→es); no hits at all → "und". */
+  def langId(text: Column): Column = {
+    val toks = tokens(lower(text))
+    val order = Seq("en", "fr", "de", "es")
+    val counts = order.map(l => l -> countIn(toks, langMarkers(l)))
+    val maxCount = greatest(counts.map(_._2): _*)
+    // foldRight so the first language in `order` wins ties.
+    val pick = counts.foldRight(lit("und")) { case ((l, c), acc) =>
+      when(c === maxCount && c > 0, l).otherwise(acc) }
+    when(regexp_count(text, lit("[\\x{4e00}-\\x{9fff}]")) > 0, "zh").otherwise(pick)
+  }
+
+  /** Quality score in [0,1]: average of a length score (chars/500
+    * capped at 1), an alpha ratio, and a stopword-presence score.
+    * Integer counts + one final division keep it bit-identical across
+    * engines. */
+  def qualityScore(text: Column): Column = {
+    val chars = length(text).cast("double")
+    val lenScore = least(chars / 500.0, lit(1.0))
+    val alpha = regexp_count(text, lit("[A-Za-z]")).cast("double")
+    val alphaRatio = when(chars > 0, alpha / chars).otherwise(0.0)
+    val toks = tokens(lower(text))
+    val stop = countIn(toks, langMarkers.values.flatten.toSeq.distinct).cast("double")
+    val stopScore = least(stop * 10.0 / greatest(size(toks), lit(1)).cast("double"), lit(1.0))
+    round((lenScore + alphaRatio + stopScore) / 3.0, 6)
+  }
+}

@@ -1,0 +1,201 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.{TextFns, VectorFns}
+
+/**
+ * Deduplication operators for training-data pipelines. Every variant
+ * is bucketed: candidate pairs come from equi-joins on derived keys
+ * (hash groups, MinHash bands, SimHash bands, shared n-grams, LSH
+ * buckets) — never an all-pairs crossJoin, so the shuffle volume is
+ * O(data × constant), not O(n²), and the plans hold at 100 TB.
+ *
+ * Hash functions are md5-based where an external oracle must replicate
+ * results byte-for-byte, xxhash64 where only internal stability
+ * matters (xxhash64 is ~10× cheaper; md5 keeps DuckDB parity).
+ */
+object Dedup {
+
+  /** Exact duplicate groups: hash-groupBy on content (md5 keeps the
+    * shuffle key at 32 bytes regardless of document size). Returns one
+    * row per duplicated content value. */
+  def exactGroups(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(count("*").as("n_docs"), min(col(idCol)).as("keep_id"))
+      .filter(col("n_docs") > 1)
+
+  /** Exact dedup: keep the lowest-id document per distinct content.
+    * Aggregation-based (min over the full row key) rather than
+    * window+filter — one shuffle, no sort. */
+  def exactDedup(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val keep = docs.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as(idCol))
+    docs.join(keep, Seq(idCol), "left_semi")
+  }
+
+  /**
+   * MinHash signatures: k independent min-hashes over word-n-gram
+   * shingles. hash_i(shingle) = md5(i:shingle); the signature entry is
+   * the lexicographic min — identical in any engine with md5, which is
+   * what lets a SQL oracle verify this operator exactly.
+   * Output: (idCol, shingles:array<string>, sig:array<string> size k).
+   */
+  def minhashSignatures(docs: DataFrame, textCol: String, idCol: String,
+      shingleN: Int, k: Int): DataFrame = {
+    val shingles = array_distinct(TextFns.wordNgrams(col(textCol), shingleN))
+    val sig = transform(sequence(lit(0), lit(k - 1)),
+      i => array_min(transform(col("shingles"),
+        s => md5(concat(i.cast("string"), lit(":"), s)))))
+    docs.select(col(idCol), shingles.as("shingles"))
+      .filter(size(col("shingles")) > 0)
+      .withColumn("sig", sig)
+  }
+
+  /**
+   * MinHash+LSH near-duplicate pairs: band the signature (bands ×
+   * rowsPerBand = k), explode to (band, bandKey), self-join on the
+   * band key (equi-join → hash shuffle on band values, never
+   * all-pairs), dedupe candidates, then verify with exact Jaccard on
+   * the shingle sets. Classic banding: a pair sharing ANY band is a
+   * candidate.
+   *
+   * @return (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold
+   */
+  def minhashNearDupPairs(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", shingleN: Int = 3, k: Int = 12,
+      bands: Int = 4, threshold: Double = 0.5): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val rows = k / bands
+    val signed = minhashSignatures(docs, textCol, idCol, shingleN, k)
+
+    val banded = signed.select(col(idCol), col("shingles"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => md5(array_join(slice(col("sig"), b * rows + 1, lit(rows)), "|")))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
+
+    val a = banded.select(col(idCol).as("id_a"), col("band"), col("band_key"))
+    val b = banded.select(col(idCol).as("id_b"), col("band"), col("band_key"))
+
+    // Dedupe candidates on the 16-byte id pair BEFORE rejoining the
+    // shingle arrays — at scale, shuffling arrays through distinct()
+    // would dominate the stage.
+    val candidates = a.join(b, Seq("band", "band_key"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+
+    val shingleSets = signed.select(col(idCol), col("shingles"))
+    val jaccard = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+      size(array_union(col("sh_a"), col("sh_b"))).cast("double")
+
+    candidates
+      .join(shingleSets.select(col(idCol).as("id_a"), col("shingles").as("sh_a")), Seq("id_a"))
+      .join(shingleSets.select(col(idCol).as("id_b"), col("shingles").as("sh_b")), Seq("id_b"))
+      .withColumn("jaccard", jaccard)
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** 64-bit SimHash from an array of 64-bit token hashes: per bit, sum
+    * +1/−1 token votes by that bit of each hash; the fingerprint packs
+    * the 64 majority signs. Pure higher-order functions → codegen, no
+    * UDF, deterministic. */
+  def simhashFromHashes(hashes: Column): Column = {
+    val bits = transform(sequence(lit(0), lit(63)), i =>
+      when(aggregate(hashes, lit(0),
+        (acc, h) => acc + when(call_function("shiftright", h, i).bitwiseAND(1) === 1, 1)
+          .otherwise(-1)) > 0, lit(1L)).otherwise(lit(0L)))
+    // pack: OR of bit_i << i
+    aggregate(zip_with(bits, sequence(lit(0), lit(63)),
+      (b, i) => call_function("shiftleft", b, i)), lit(0L), (acc, v) => acc.bitwiseOR(v))
+  }
+
+  /** SimHash fingerprints over whitespace tokens (binds the token-hash
+    * array once so it isn't recomputed 64×). */
+  def simhashDf(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs.select(col(idCol),
+        transform(TextFns.tokens(col(textCol)), t => xxhash64(t)).as("__h"))
+      .select(col(idCol), simhashFromHashes(col("__h")).as("simhash"))
+
+  /** SimHash near-dup candidates: split the 64-bit fingerprint into 4
+    * 16-bit bands; pairs sharing any band are candidates (Hamming
+    * distance ≤ 3 guarantees ≥ 1 shared band); verify by exact Hamming
+    * distance ≤ maxHamming. */
+  def simhashNearDupPairs(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", maxHamming: Int = 3): DataFrame = {
+    val fp = simhashDf(docs, textCol, idCol)
+    val banded = fp.select(col(idCol), col("simhash"),
+      posexplode(transform(sequence(lit(0), lit(3)),
+        b => call_function("shiftright", col("simhash"), b * 16).bitwiseAND(0xFFFFL))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
+    val a = banded.select(col(idCol).as("id_a"), col("simhash").as("h_a"),
+      col("band"), col("band_key"))
+    val b = banded.select(col(idCol).as("id_b"), col("simhash").as("h_b"),
+      col("band"), col("band_key"))
+    val hamming = bit_count(col("h_a").bitwiseXOR(col("h_b")))
+    a.join(b, Seq("band", "band_key"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "h_a", "h_b").distinct()
+      .withColumn("hamming", hamming)
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  /**
+   * N-gram Jaccard near-dup pairs without MinHash: candidates share at
+   * least one (rare) shingle. Blocking on the shingle itself explodes
+   * hot shingles, so shingles appearing in more than `maxDf` docs are
+   * dropped from blocking (they only generate candidates that other,
+   * rarer shingles also generate for genuinely similar pairs).
+   */
+  def ngramJaccardPairs(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", shingleN: Int = 4, threshold: Double = 0.4,
+      maxDf: Int = 50): DataFrame = {
+    val withShingles = docs.select(col(idCol),
+      array_distinct(TextFns.wordNgrams(col(textCol), shingleN)).as("shingles"))
+      .filter(size(col("shingles")) > 0)
+    val posting = withShingles.select(col(idCol), explode(col("shingles")).as("shingle"))
+    val rare = posting.groupBy("shingle").agg(count("*").as("df"))
+      .filter(col("df") <= maxDf && col("df") > 1)
+    val blocked = posting.join(rare.select("shingle"), Seq("shingle"))
+    val pairs = blocked.as("x").join(blocked.as("y"), Seq("shingle"))
+      .filter(col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b")).distinct()
+    val jaccard = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+      size(array_union(col("sh_a"), col("sh_b"))).cast("double")
+    pairs
+      .join(withShingles.select(col(idCol).as("id_a"), col("shingles").as("sh_a")), Seq("id_a"))
+      .join(withShingles.select(col(idCol).as("id_b"), col("shingles").as("sh_b")), Seq("id_b"))
+      .withColumn("jaccard", jaccard)
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /**
+   * Embedding-cosine near-duplicates, LSH-bucketed: sign-random-
+   * projection bands generate candidates (equi-join), exact cosine
+   * verifies. The scale path for "are these two documents semantically
+   * identical" at 100 TB.
+   */
+  def embeddingNearDupPairs(vecs: DataFrame, vecCol: String = "embedding",
+      idCol: String = "vec_id", threshold: Double = 0.95,
+      bits: Int = 16, bands: Int = 4): DataFrame = {
+    val sig = vecs.select(col(idCol), col(vecCol),
+      VectorFns.srpSignature(col(vecCol), bits).as("sig"))
+    val banded = sig.select(col(idCol), col(vecCol),
+      explode(VectorFns.srpBands(col("sig"), bands, bits)).as("bk"))
+      .select(col(idCol), col(vecCol), col("bk.band").as("band"), col("bk.key").as("band_key"))
+    val a = banded.select(col(idCol).as("id_a"), col(vecCol).as("v_a"),
+      col("band"), col("band_key"))
+    val b = banded.select(col(idCol).as("id_b"), col(vecCol).as("v_b"),
+      col("band"), col("band_key"))
+    a.join(b, Seq("band", "band_key"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "v_a", "v_b").distinct()
+      .withColumn("cosine", VectorFns.cosine(col("v_a"), col("v_b")))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+}

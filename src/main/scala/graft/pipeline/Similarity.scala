@@ -1,0 +1,76 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFns
+
+/**
+ * Similarity search over embedding columns (Array[Float]).
+ *
+ * Two paths, same contract:
+ *  - [[bruteForceTopK]]: exact cosine top-k. The query set is
+ *    broadcast; the corpus streams partition-parallel through a
+ *    BroadcastNestedLoopJoin — the correct "brute force" shape on a
+ *    cluster (corpus never shuffles, no CartesianProduct of two big
+ *    sides). Cost O(|corpus|·|queries|); the baseline and the
+ *    verifier for the approximate path.
+ *  - [[lshTopK]]: sign-random-projection bucketed candidates, exact
+ *    cosine re-rank. Cost O(candidates); the 100 TB path. Recall is
+ *    tunable via bits/bands.
+ */
+object Similarity {
+
+  /** Exact top-k neighbors per query. `queries` must be small enough
+    * to broadcast (the usual batch-of-probes shape).
+    * @return (query_id, neighbor_id, cosine, rank) rank 1..k */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("v_c"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("v_q"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", VectorFns.cosine(col("v_q"), col("v_c")))
+    rank(scored, k)
+  }
+
+  /** Approximate top-k: candidates share at least one SRP band with
+    * the query; exact cosine re-ranks candidates. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      vecCol: String = "embedding", idCol: String = "vec_id",
+      bits: Int = 16, bands: Int = 8): DataFrame = {
+    def banded(df: DataFrame, id: String, v: String) =
+      df.select(col(idCol).as(id), col(vecCol).as(v),
+          explode(VectorFns.srpBands(
+            VectorFns.srpSignature(col(vecCol), bits), bands, bits)).as("bk"))
+        .select(col(id), col(v), col("bk.band").as("band"), col("bk.key").as("band_key"))
+    val c = banded(corpus, "neighbor_id", "v_c")
+    val q = banded(queries, "query_id", "v_q")
+    val candidates = c.join(broadcast(q), Seq("band", "band_key"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id", "v_q", "v_c").distinct()
+    rank(candidates.withColumn("cosine", VectorFns.cosine(col("v_q"), col("v_c"))), k)
+  }
+
+  private def rank(scored: DataFrame, k: Int): DataFrame = {
+    // rank window is per-query — partitions by query_id, so the sort is
+    // k-bounded per group, not global. Ties broken by neighbor_id for
+    // full determinism.
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
+  /** Centroid of each labeled group — the IVF coarse quantizer built
+    * from data (k-means step collapsed to one assignment pass when
+    * labels exist). Element-wise mean via posexplode + groupBy. */
+  def centroids(vecs: DataFrame, vecCol: String = "embedding",
+      labelCol: String = "label"): DataFrame =
+    vecs.select(col(labelCol), posexplode(col(vecCol)))
+      .groupBy(col(labelCol), col("pos"))
+      .agg(avg("col").as("c"))
+      .groupBy(col(labelCol))
+      .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
+      .select(col(labelCol), transform(col("pc"), p => p.getField("c")).as("centroid"))
+}
