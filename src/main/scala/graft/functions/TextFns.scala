@@ -40,8 +40,12 @@ object TextFns {
     * Jaccard dedup). Empty when the document has fewer than n tokens. */
   def wordNgrams(text: Column, n: Int): Column = {
     val w = tokens(text)
-    transform(sequence(lit(1), greatest(size(w) - (n - 1), lit(0))),
-      i => array_join(slice(w, i, lit(n)), " "))
+    // guard: sequence(1, 0) would generate a DESCENDING sequence in
+    // Spark, so short docs return an empty array explicitly.
+    when(size(w) >= n,
+      transform(sequence(lit(1), size(w) - (n - 1)),
+        i => array_join(slice(w, i, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
   }
 
   /** Rolling-hash-style shingle fingerprint: the minimum md5 over the

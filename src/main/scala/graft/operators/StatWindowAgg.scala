@@ -73,8 +73,11 @@ object StatWindowAgg {
         windowStart.as("window_start"))
       .agg(baseAggs.head, (baseAggs.tail ++ pAggs): _*)
 
+    // Average divides AFTER casting the exact decimal sum to double so
+    // the result doesn't depend on engine-specific decimal-division
+    // scale rules (double ÷ long is IEEE-deterministic everywhere).
     val standard = when(col("statistic") === "Average",
-        (col("_sum") / col("_count")).cast("double"))
+        col("_sum").cast("double") / col("_count"))
       .when(col("statistic") === "Sum", col("_sum").cast("double"))
       .when(col("statistic") === "Minimum", col("_min"))
       .when(col("statistic") === "Maximum", col("_max"))
@@ -95,7 +98,7 @@ object StatWindowAgg {
       (floor(unix_timestamp(col(tsCol)) / periodSeconds) * periodSeconds).cast("long")
     val dec = col(valueCol).cast("decimal(28,8)")
     val agg: Column = statistic match {
-      case "Average"     => (sum(dec) / count(col(valueCol))).cast("double")
+      case "Average"     => sum(dec).cast("double") / count(col(valueCol))
       case "Sum"         => sum(dec).cast("double")
       case "Minimum"     => min(col(valueCol))
       case "Maximum"     => max(col(valueCol))
