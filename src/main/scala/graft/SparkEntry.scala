@@ -63,7 +63,8 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     MetricsJob.run(spark, "/root/testdata/sf0.001").orderBy("name")
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Map[String, (SparkSession, String) => DataFrame](
     // O-1/7/15/16/19: business metrics — SQL → scalar → publish rows.
     "bm_published" -> ((s, dir) => MetricsJob.run(s, dir).orderBy("name")),
 
@@ -193,6 +194,203 @@ object SparkEntry {
       val dups = base.filter(col("doc_id") % 7 === 0)
         .withColumn("doc_id", col("doc_id") + 10000)
       Dedup.exactDedup(base.unionByName(dups)).select("doc_id").orderBy("doc_id")
+    }
+  ) ++ queries2
+
+  /** Corpus with injected near-duplicates (append a short tail to
+    * every 11th doc) — used by the near-dup operators. */
+  private def nearDupCorpus(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir).select("doc_id", "text")
+    base.unionByName(base.filter(col("doc_id") % 11 === 0)
+      .select((col("doc_id") + 20000).as("doc_id"),
+        concat(col("text"), lit(" extra near dup tail")).as("text")))
+  }
+  private val nearDupCorpusSql =
+    """all_docs AS (SELECT doc_id, text FROM documents UNION ALL
+      |SELECT doc_id + 20000, text || ' extra near dup tail' FROM documents
+      |WHERE doc_id % 11 = 0)""".stripMargin
+
+  /** SLA config rows for the alarm state machine. */
+  private def slasDf(s: SparkSession): DataFrame = {
+    import s.implicits._
+    reg.defaultDefinition.allSlas.map { sla =>
+      (sla.metric.uniqueId, sla.metric.period, sla.threshold,
+        sla.comparisonOperator.name, sla.datapointsToAlarm,
+        sla.evaluationPeriods, sla.treatMissingData.name)
+    }.toDF("series_id", "period", "threshold", "comparison_operator",
+      "datapoints_to_alarm", "evaluation_periods", "treat_missing_data")
+  }
+
+  private def lastDimValue(m: MetricLike): String =
+    m.dimensions.filterNot(_.name.endsWith("Bucket")).lastOption
+      .map(_.value).getOrElse("")
+
+  private def queries2: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // O-23: alarm state machine, batch variant over hourly windows.
+    "q_alarm_batch" -> { (s, dir) =>
+      val series = StatWindowAgg.aggregate(datapoints(s, dir), seriesKeysDf(s), "hour")
+        .select("series_id", "window_start", "metricvalue")
+      AlarmStateMachine.evaluate(series, slasDf(s))
+        .select("series_id", "window_start", "metricvalue", "breaching",
+          "statevalue", "prev_state", "transitioned")
+        .orderBy("series_id", "window_start")
+    },
+
+    // O-21 + O-24: alarm snapshot enrichment via the derived-key
+    // broadcast join, projected to the slas record shape.
+    "q_sla_snapshot" -> { (s, dir) =>
+      import s.implicits._
+      val alarms = reg.defaultDefinition.allSlas.map { sla =>
+        val m = sla.metric
+        (s"arn:local:alarm/${m.alarmUniqueId}", m.alarmName(reg.DefaultRegion),
+          sla.threshold, sla.comparisonOperator.name, sla.treatMissingData.name,
+          "OK", "Threshold not crossed")
+      }.toDF("alarmarn", "alarmname", "threshold", "comparisonoperator",
+        "treatmissingdata", "statevalue", "statereason")
+      val enriched = EnrichmentJoins.enrichAlarms(alarms, seriesKeysDf(s))
+      Incidents.toSlaRecords(enriched, reg.DefaultAccount, 0L).orderBy("alarmname")
+    },
+
+    // O-22 + O-25: alarm → SLA membership resolution → incident rows.
+    "q_incidents" -> { (s, dir) =>
+      import s.implicits._
+      val alarms = reg.defaultDefinition.allSlas.map { sla =>
+        (sla.metric.alarmName(reg.DefaultRegion), "ALARM: breach detected")
+      }.toDF("alarmname", "subject")
+      val slaDefs = reg.defaultDefinition.allSlas.map { sla =>
+        val m = sla.metric
+        (m.name, m.frequency.name, lastDimValue(m), sla.details,
+          sla.shortDescription, sla.severity, sla.snsEnabled, m.metadata)
+      }.toDF("metric_name", "frequency", "dimension_value", "details",
+        "short_description", "severity", "sns_enabled", "metadata_entries")
+      val resolved = EnrichmentJoins.resolveSlas(alarms, slaDefs)
+        .withColumn("reference_id", Incidents.referenceId(col("metadata_entries")))
+      Incidents.toIncidents(resolved).orderBy("unique_id")
+    },
+
+    // O-12/20/33/34/35 + O-9 shape: full enriched metrics_* records.
+    "q_metrics_records" -> { (s, dir) =>
+      val agg = StatWindowAgg.aggregate(datapoints(s, dir), seriesKeysDf(s))
+        .drop("statistic", "period")
+      val results = agg.withColumnRenamed("series_id", "id")
+      val enriched = EnrichmentJoins.enrichResults(results, seriesKeysDf(s))
+        .withColumnRenamed("id", "series_id")
+      RecordShape.toMetricsRecords(enriched, reg.DefaultAccount,
+        reg.DefaultRegion, 0L).orderBy("id", "window_start")
+    },
+
+    // O-26: object-key → partition values parser.
+    "q_partition_parse" -> { (s, dir) =>
+      val key = concat_ws("/", lit("metrics"), col("event_type"),
+        concat(lit("r"), pmod(col("user_id"), lit(3))),
+        date_format(col("ts"), "yyyy"), date_format(col("ts"), "MM"),
+        date_format(col("ts"), "dd"), date_format(col("ts"), "HH"),
+        lit("part-000.parquet"))
+      ev(s, dir).select(PartitionOps.parseKey(key).as("p"))
+        .select(col("p.table").as("table_name"), col("p.region"),
+          col("p.year"), col("p.month"), col("p.day"), col("p.hour"))
+        .distinct()
+        .orderBy("table_name", "region", "year", "month", "day", "hour")
+    },
+
+    // O-28: partition-age retention relative to the newest data.
+    "q_retention" -> { (s, dir) =>
+      val o = Tables.read(s, dir, "orders")
+      val asOf = o.agg(max(unix_timestamp(col("o_orderdate")))).first().getLong(0)
+      val parts = o.select(lit("r0").as("region"),
+        year(col("o_orderdate")).as("year"), month(col("o_orderdate")).as("month"),
+        dayofmonth(col("o_orderdate")).as("day"), lit(0).as("hour"))
+      PartitionOps.retain(parts, 90, asOf)
+        .groupBy("year", "month", "day").agg(count(lit(1)).as("n_rows"))
+        .orderBy("year", "month", "day")
+    },
+
+    // O-36: dashboard dedup + grouping over derived widget titles.
+    "q_dashboard" -> { (s, dir) =>
+      import s.implicits._
+      val rows = reg.allAccounts.flatMap(_.metricSets).flatMap(_.metrics)
+        .map(m => (m.dashboard.dashboardName, m.name, m.frequency.name,
+          m.dimensions.filterNot(_.name.endsWith("Bucket")).map(_.value).mkString))
+        .toDF("dashboard", "name", "frequency", "dimvalues")
+      val titled = rows.select(col("dashboard"),
+        KeyFns.widgetTitle(col("name"), col("frequency"), col("dimvalues"))
+          .as("widget_title"))
+      Dashboards.group(titled)
+        .select(col("dashboard"), array_join(col("widgets"), "|").as("widgets_str"),
+          col("n_widgets"))
+        .orderBy("dashboard")
+    },
+
+    // O-11 / O-5: definition metadata tables.
+    "q_defs_metrics" -> { (s, dir) =>
+      DefinitionExport.metricDefs(s, reg.allAccounts)
+        .orderBy("namespace", "name", "frequency")
+    },
+    "q_defs_slas" -> { (s, dir) =>
+      DefinitionExport.slaDefs(s, reg.allAccounts)
+        .orderBy("metric_namespace", "metric_name")
+    },
+
+    // Exact percentile statistic variant of O-12 (p50 over hourly
+    // windows per event type).
+    "q_stat_p50" -> { (s, dir) =>
+      val dp = ev(s, dir).select(col("event_type").as("series_id"), col("ts"),
+        col("value"))
+      dp.groupBy(col("series_id"),
+          (floor(unix_timestamp(col("ts")) / 3600) * 3600).cast("long")
+            .as("window_start"))
+        .agg(expr("percentile(value, 0.5)").as("p50"))
+        .orderBy("series_id", "window_start")
+    },
+
+    // MinHash + LSH near-dup (fully oracle-replicable via md5 minhash).
+    "q_dedup_minhash" -> { (s, dir) =>
+      Dedup.minhashNearDupPairs(nearDupCorpus(s, dir), shingleN = 3, k = 12,
+        bands = 4, threshold = 0.5).orderBy("id_a", "id_b")
+    },
+
+    // N-gram Jaccard with rare-shingle blocking.
+    "q_ngram_jaccard" -> { (s, dir) =>
+      Dedup.ngramJaccardPairs(nearDupCorpus(s, dir), shingleN = 4,
+        threshold = 0.4, maxDf = 50).orderBy("id_a", "id_b")
+    },
+
+    // SimHash near-dup (xxhash64-based — no external oracle; rows-only).
+    "q_dedup_simhash" -> { (s, dir) =>
+      Dedup.simhashNearDupPairs(nearDupCorpus(s, dir), maxHamming = 6)
+        .orderBy("id_a", "id_b")
+    },
+
+    // Embedding cosine near-dup, SRP-bucketed, over a corpus with
+    // injected duplicate vectors (rows-only).
+    "q_embed_neardup" -> { (s, dir) =>
+      val e = Tables.read(s, dir, "embeddings")
+      val withDups = e.unionByName(e.filter(col("vec_id") % 20 === 0)
+        .withColumn("vec_id", col("vec_id") + 10000))
+      Dedup.embeddingNearDupPairs(withDups, threshold = 0.9, bits = 16, bands = 4)
+        .select("id_a", "id_b").orderBy("id_a", "id_b")
+    },
+
+    // Brute-force cosine top-k (exact ANN baseline).
+    "q_ann_topk" -> { (s, dir) =>
+      val e = Tables.read(s, dir, "embeddings")
+      Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 10), k = 5)
+        .select("query_id", "neighbor_id", "rank").orderBy("query_id", "rank")
+    },
+
+    // LSH-bucketed approximate top-k (rows-only; recall vs exact is
+    // asserted in tests).
+    "q_ann_lsh" -> { (s, dir) =>
+      val e = Tables.read(s, dir, "embeddings")
+      Similarity.lshTopK(e, e.filter(col("vec_id") < 10), k = 5)
+        .select("query_id", "neighbor_id", "rank").orderBy("query_id", "rank")
+    },
+
+    // Multimodal plumbing: partition-batched (stub) decode features.
+    "q_media_features" -> { (s, dir) =>
+      Multimodal.extractFeatures(Multimodal.syntheticMedia(docs(s, dir)))
+        .toDF().select("media_id", "kind", "n_bytes", "frames_sampled")
+        .orderBy("media_id")
     }
   )
 
@@ -336,5 +534,292 @@ object SparkEntry {
         |UNION ALL SELECT doc_id + 10000, text FROM documents WHERE doc_id % 7 = 0),
         |keep AS (SELECT md5(text) AS h, MIN(doc_id) AS doc_id FROM all_docs GROUP BY md5(text))
         |SELECT doc_id FROM keep ORDER BY doc_id""".stripMargin
+  ) ++ oracles2
+
+  private def sq(s: String): String = s.replace("'", "''")
+
+  private def statAggSql(statistic: String): String = statistic match {
+    case "Sum" => "CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE)"
+    case "Average" => "CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE)/COUNT(value)"
+    case "Maximum" => "MAX(value)"
+    case "Minimum" => "MIN(value)"
+    case "SampleCount" => "CAST(COUNT(value) AS DOUBLE)"
+  }
+
+  /** Alarm-machine oracle: one CTE chain per SLA replicating densify →
+    * vote → M-of-N window → state/lag, generated from the registry. */
+  private def alarmBatchOracle: String = {
+    val slas = reg.defaultDefinition.allSlas.zipWithIndex
+    val ctes = slas.flatMap { case (sla, i) =>
+      val m = sla.metric
+      val et = m.dimensions.find(_.name == "EventType").get.value
+      val p = m.period
+      val op = sla.comparisonOperator match {
+        case ComparisonOperator.GreaterThanThreshold => ">"
+        case ComparisonOperator.GreaterThanOrEqualToThreshold => ">="
+        case ComparisonOperator.LessThanThreshold => "<"
+        case ComparisonOperator.LessThanOrEqualToThreshold => "<="
+      }
+      val missingVote = sla.treatMissingData match {
+        case TreatMissingData.NotBreaching => "FALSE"
+        case TreatMissingData.Breaching => "TRUE"
+        case _ => "CAST(NULL AS BOOLEAN)"
+      }
+      val n = sla.evaluationPeriods
+      val mm = sla.datapointsToAlarm
+      Seq(
+        s"dp_$i AS (SELECT CAST(floor(epoch(ts)/$p)*$p AS BIGINT) AS ws, ${statAggSql(m.statistic)} AS v FROM events WHERE event_type = '$et' GROUP BY 1)",
+        s"b_$i AS (SELECT min(ws) AS lo, max(ws) AS hi FROM dp_$i)",
+        s"slots_$i AS (SELECT unnest(generate_series(lo, hi, $p)) AS ws FROM b_$i)",
+        s"dense_$i AS (SELECT s.ws, d.v FROM slots_$i s LEFT JOIN dp_$i d USING (ws))",
+        s"eval_$i AS (SELECT ws, v, CASE WHEN v IS NOT NULL THEN v $op ${sla.threshold} ELSE $missingVote END AS vote FROM dense_$i)",
+        s"win_$i AS (SELECT ws, v, vote, SUM(CASE WHEN vote THEN 1 ELSE 0 END) OVER (ORDER BY ws ROWS BETWEEN ${n - 1} PRECEDING AND CURRENT ROW) AS bc FROM eval_$i)",
+        s"st_$i AS (SELECT ws, v, vote, CASE WHEN bc >= $mm THEN 'ALARM' ELSE 'OK' END AS state FROM win_$i)",
+        s"fin_$i AS (SELECT '${m.uniqueId}' AS series_id, ws AS window_start, v AS metricvalue, coalesce(vote, FALSE) AS breaching, state AS statevalue, lag(state) OVER (ORDER BY ws) AS prev_state FROM st_$i)")
+    }
+    val union = slas.map { case (_, i) =>
+      s"SELECT series_id, window_start, metricvalue, breaching, statevalue, prev_state, (prev_state IS NOT NULL AND prev_state <> statevalue) AS transitioned FROM fin_$i"
+    }.mkString(" UNION ALL ")
+    s"WITH ${ctes.mkString(", ")} $union ORDER BY series_id, window_start"
+  }
+
+  private def metadataJsonLit(m: MetricLike): String = {
+    if (m.metadata.isEmpty) "CAST(NULL AS VARCHAR)"
+    else s"'${sq(DefinitionExport.jsonObject(m.metadata.map(x => x.name -> x.value)))}'"
+  }
+  private def dimensionsJsonLit(m: MetricLike): String = {
+    if (m.dimensions.isEmpty) "CAST(NULL AS VARCHAR)"
+    else s"'${sq(DefinitionExport.jsonObject(m.dimensions.map(x => x.name -> x.value)))}'"
+  }
+
+  private def slaSnapshotOracle: String = {
+    val rows = reg.defaultDefinition.allSlas.sortBy(_.metric.alarmName(reg.DefaultRegion))
+      .map { sla =>
+        val m = sla.metric
+        s"SELECT '1970-01-01T00:00:00' AS collectiontime, " +
+          s"'arn:local:alarm/${m.alarmUniqueId}' AS alarmarn, " +
+          s"'${m.alarmName(reg.DefaultRegion)}' AS alarmname, " +
+          s"'${m.namespace}' AS metricnamespace, '${m.name}' AS metricname, " +
+          s"CAST(${m.period} AS INTEGER) AS metricperiod, " +
+          s"'${m.frequency.name}' AS metricfrequency, '${m.statistic}' AS metricstatistic, " +
+          s"CAST(${sla.threshold} AS REAL) AS threshold, " +
+          s"'${sla.comparisonOperator.name}' AS comparisonoperator, " +
+          s"'${sla.treatMissingData.name}' AS treatmissingdata, " +
+          s"'OK' AS statevalue, 'Threshold not crossed' AS statereason, " +
+          s"'${reg.DefaultAccount}' AS accountid, ${metadataJsonLit(m)} AS metadata"
+      }
+    rows.mkString("", " UNION ALL ", " ORDER BY alarmname")
+  }
+
+  /** Incidents oracle: model-side replication of sla_parse.py:26-78. */
+  private def incidentsOracle: String = {
+    val rows = reg.defaultDefinition.allSlas.flatMap { sla =>
+      val m = sla.metric
+      val alarmName = m.alarmName(reg.DefaultRegion)
+      val prefix = alarmName.substring(0, alarmName.indexOf("-SLA"))
+      val toks = prefix.split("-")
+      val derived = Seq(toks(3), toks(4), toks.drop(6).mkString("-"))
+      val dimValue = lastDimValue(m)
+      val matches = Seq(m.name.toLowerCase, m.frequency.name, dimValue.toLowerCase)
+        .forall(derived.contains)
+      if (!matches || !sla.snsEnabled) None
+      else {
+        val refId = m.metadata
+          .filter(md => Set("function", "dataset")(md.name.toLowerCase))
+          .lastOption.map(_.value).getOrElse("Unknown")
+        Some(s"SELECT '${sq(sla.details)}' AS details, " +
+          s"'${sq(sla.shortDescription)} caused by CloudWatch Alarm in ALARM state' AS short_description, " +
+          s"'${sla.severity}' AS impact, " +
+          s"'$dimValue-${m.name}-${m.frequency.name}' AS unique_id, " +
+          s"'Data Governance' AS alarm_origin, '$refId' AS reference_id")
+      }
+    }
+    rows.mkString("", " UNION ALL ", " ORDER BY unique_id")
+  }
+
+  /** Extended series-map VALUES incl. namespace/name/metadata/dims. */
+  private def seriesMapValuesFull: String =
+    opsSeries.map { case (et, m) =>
+      s"('$et', '${m.uniqueId}', '${m.statistic}', ${m.period}, " +
+        s"'${m.frequency.name}', '${m.namespace}', '${m.name}', " +
+        s"${metadataJsonLit(m)}, ${dimensionsJsonLit(m)})"
+    }.mkString(", ")
+
+  private def dashboardOracle: String = {
+    val grouped = reg.allAccounts.flatMap(_.metricSets).flatMap(_.metrics)
+      .groupBy(_.dashboard.dashboardName).toSeq.sortBy(_._1)
+    grouped.map { case (dash, ms) =>
+      val titles = ms.map(_.widgetTitle).distinct.sorted
+      s"SELECT '$dash' AS dashboard, '${sq(titles.mkString("|"))}' AS widgets_str, " +
+        s"CAST(${titles.size} AS BIGINT) AS n_widgets"
+    }.mkString("", " UNION ALL ", " ORDER BY dashboard")
+  }
+
+  private def defsMetricsOracle: String = {
+    val rows = for {
+      d <- reg.allAccounts
+      set <- d.metricSets
+      m <- set.metrics
+    } yield {
+      val (dataset, refs, query) = m match {
+        case bm: BusinessMetric =>
+          (s"'${sq(DefinitionExport.jsonObject(Seq("database" -> bm.dataset.database,
+            "table" -> bm.dataset.table, "catalog" -> bm.dataset.catalog,
+            "alias" -> bm.dataset.alias)))}'",
+            s"'${sq("[" + bm.referenceDatasets.map(t => DefinitionExport.jsonObject(
+              Seq("database" -> t.database, "table" -> t.table,
+                "catalog" -> t.catalog, "alias" -> t.alias))).mkString(", ") + "]")}'",
+            s"'${sq(bm.query)}'")
+        case dm: DataSetMetric =>
+          (s"'${sq(DefinitionExport.jsonObject(Seq("database" -> dm.dataset.database,
+            "table" -> dm.dataset.table, "catalog" -> dm.dataset.catalog,
+            "alias" -> dm.dataset.alias)))}'",
+            "CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)")
+        case _ => ("CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)")
+      }
+      s"SELECT '${m.namespace}' AS namespace, '${m.name}' AS name, " +
+        s"'${m.frequency.name}' AS frequency, CAST(${m.period} AS INTEGER) AS period, " +
+        s"'${m.statistic}' AS statistic, ${metadataJsonLit(m)} AS metadata, " +
+        s"${dimensionsJsonLit(m)} AS dimensions, '${set.name}' AS metric_set, " +
+        s"CAST(NULL AS VARCHAR) AS sla_set, '${m.dashboard.dashboardName}' AS dashboard, " +
+        s"'${d.account}' AS account, $dataset AS dataset, " +
+        s"$refs AS reference_datasets, $query AS query"
+    }
+    rows.mkString("", " UNION ALL ", " ORDER BY namespace, name, frequency")
+  }
+
+  private def defsSlasOracle: String = {
+    val rows = for {
+      d <- reg.allAccounts
+      set <- d.slaSets
+      sla <- set.slas
+    } yield {
+      val m = sla.metric
+      s"SELECT CAST(NULL AS VARCHAR) AS ticket, " +
+        s"CAST(${sla.threshold.toInt} AS INTEGER) AS threshold, " +
+        s"'${sla.comparisonOperator.name}' AS comparison_operator, " +
+        s"CAST(${sla.datapointsToAlarm} AS INTEGER) AS datapoints_to_alarm, " +
+        s"CAST(${sla.evaluationPeriods} AS INTEGER) AS evaluation_periods, " +
+        s"'${sla.treatMissingData.name}' AS treat_missing_data, " +
+        s"'${sla.severity}' AS severity, '${sq(sla.shortDescription)}' AS short_description, " +
+        s"'${sq(sla.details)}' AS details, '${m.namespace}' AS metric_namespace, " +
+        s"'${m.name}' AS metric_name, '${set.name}' AS metric_set, " +
+        s"${metadataJsonLit(m)} AS metric_metadata, " +
+        s"${dimensionsJsonLit(m)} AS metric_dimensions, '${d.account}' AS account"
+    }
+    rows.mkString("", " UNION ALL ", " ORDER BY metric_namespace, metric_name")
+  }
+
+  private def oracles2: Map[String, String] = Map(
+    "q_alarm_batch" -> alarmBatchOracle,
+    "q_sla_snapshot" -> slaSnapshotOracle,
+    "q_incidents" -> incidentsOracle,
+    "q_dashboard" -> dashboardOracle,
+    "q_defs_metrics" -> defsMetricsOracle,
+    "q_defs_slas" -> defsSlasOracle,
+
+    "q_metrics_records" ->
+      s"""WITH sm(event_type, series_id, statistic, period, frequency, namespace, name, metadata, dimensions) AS
+         |(VALUES $seriesMapValuesFull),
+         |dp AS (SELECT sm.*, CAST(floor(epoch(e.ts)/sm.period)*sm.period AS BIGINT) AS window_start, e.value
+         |FROM events e JOIN sm USING(event_type)),
+         |agg AS (SELECT series_id, statistic, period, frequency, namespace, name, metadata, dimensions, window_start,
+         |CASE statistic
+         |WHEN 'Sum' THEN CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE)
+         |WHEN 'Average' THEN CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE)/COUNT(value)
+         |WHEN 'Maximum' THEN MAX(value)
+         |WHEN 'Minimum' THEN MIN(value)
+         |WHEN 'SampleCount' THEN CAST(COUNT(value) AS DOUBLE) END AS metricvalue
+         |FROM dp GROUP BY series_id, statistic, period, frequency, namespace, name, metadata, dimensions, window_start)
+         |SELECT '1970-01-01T00:00:00' AS collectiontime, namespace, name,
+         |CAST(period AS INTEGER) AS period, frequency, statistic, metadata, dimensions,
+         |'${reg.DefaultAccount}' AS accountid,
+         |strftime(make_timestamp(window_start*1000000), '%Y-%m-%dT%H:%M:%S') AS metrictimestamp,
+         |CAST(metricvalue AS REAL) AS metricvalue, series_id AS id, name AS label,
+         |'${reg.DefaultRegion}' AS region,
+         |CAST(year(make_timestamp(window_start*1000000)) AS SMALLINT) AS year,
+         |CAST(month(make_timestamp(window_start*1000000)) AS SMALLINT) AS month,
+         |CAST(day(make_timestamp(window_start*1000000)) AS SMALLINT) AS day,
+         |CAST(hour(make_timestamp(window_start*1000000)) AS SMALLINT) AS hour
+         |FROM agg ORDER BY id, window_start""".stripMargin,
+
+    "q_partition_parse" ->
+      """WITH k AS (SELECT 'metrics/' || event_type || '/r' || CAST(user_id % 3 AS VARCHAR)
+        || '/' || strftime(ts, '%Y/%m/%d/%H') || '/part-000.parquet' AS key FROM events),
+        p AS (SELECT string_split(key, '/') AS t FROM k)
+        SELECT DISTINCT t[1] || '_' || t[2] AS table_name, t[3] AS region,
+        CAST(t[4] AS SMALLINT) AS year, CAST(t[5] AS SMALLINT) AS month,
+        CAST(t[6] AS SMALLINT) AS day, CAST(t[7] AS SMALLINT) AS hour
+        FROM p ORDER BY table_name, region, year, month, day, hour""",
+
+    "q_retention" ->
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS year,
+        CAST(month(o_orderdate) AS INTEGER) AS month,
+        CAST(day(o_orderdate) AS INTEGER) AS day, COUNT(*) AS n_rows
+        FROM orders
+        WHERE CAST(o_orderdate AS DATE) >=
+          (SELECT CAST(max(o_orderdate) AS DATE) FROM orders) - INTERVAL 90 DAY
+        GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+
+    "q_stat_p50" ->
+      """SELECT event_type AS series_id,
+        CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) AS window_start,
+        quantile_cont(value, 0.5) AS p50
+        FROM events GROUP BY 1, 2 ORDER BY series_id, window_start""",
+
+    "q_dedup_minhash" ->
+      s"""WITH $nearDupCorpusSql,
+         |w AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS w FROM all_docs),
+         |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(w) >= 3
+         |THEN list_transform(range(1, len(w)-1), i -> array_to_string(w[i:i+2], ' '))
+         |ELSE [] END) AS shingles FROM w),
+         |shf AS (SELECT * FROM sh WHERE len(shingles) > 0),
+         |sig AS (SELECT doc_id, shingles, list_transform(range(0, 12),
+         |i -> list_min(list_transform(shingles, s -> md5(CAST(i AS VARCHAR) || ':' || s)))) AS sig FROM shf),
+         |band AS (SELECT doc_id, t.b AS band, md5(array_to_string(sig[t.b*3+1:t.b*3+3], '|')) AS band_key
+         |FROM sig, range(0, 4) t(b)),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM band a
+         |JOIN band b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+         |j AS (SELECT id_a, id_b,
+         |CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE) /
+         |len(list_distinct(list_concat(x.shingles, y.shingles))) AS jaccard
+         |FROM cand JOIN shf x ON x.doc_id = id_a JOIN shf y ON y.doc_id = id_b)
+         |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_ngram_jaccard" ->
+      s"""WITH $nearDupCorpusSql,
+         |w AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS w FROM all_docs),
+         |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(w) >= 4
+         |THEN list_transform(range(1, len(w)-2), i -> array_to_string(w[i:i+3], ' '))
+         |ELSE [] END) AS shingles FROM w),
+         |shf AS (SELECT * FROM sh WHERE len(shingles) > 0),
+         |p AS (SELECT doc_id, unnest(shingles) AS shingle FROM shf),
+         |rare AS (SELECT shingle FROM p GROUP BY shingle HAVING COUNT(*) BETWEEN 2 AND 50),
+         |bl AS (SELECT p.doc_id, p.shingle FROM p JOIN rare USING (shingle)),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM bl a
+         |JOIN bl b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+         |j AS (SELECT id_a, id_b,
+         |CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE) /
+         |len(list_distinct(list_concat(x.shingles, y.shingles))) AS jaccard
+         |FROM cand JOIN shf x ON x.doc_id = id_a JOIN shf y ON y.doc_id = id_b)
+         |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.4
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_ann_topk" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
+        s AS (SELECT qid, vec_id AS nid,
+        list_cosine_similarity(qe, embedding) AS sim FROM q, embeddings WHERE vec_id <> qid),
+        r AS (SELECT qid AS query_id, nid AS neighbor_id,
+        row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank FROM s)
+        SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank FROM r WHERE rank <= 5
+        ORDER BY query_id, rank""",
+
+    "q_media_features" ->
+      """SELECT doc_id AS media_id,
+        CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        CAST(strlen(text) AS INTEGER) AS n_bytes,
+        CAST(((strlen(text) + 63) // 64 + 1) // 2 AS INTEGER) AS frames_sampled
+        FROM documents ORDER BY media_id""".stripMargin
   )
 }

@@ -39,12 +39,22 @@ object KeyFns {
       concat(name, lit(" per "), frequency, lit("-"), coalesce(dimValues, lit(""))),
       "/", ""))
 
-  /** O-32 (sla_stream_producer.py:68): alarm name → join key — tokens
-    * [3, len-5) hyphen-rejoined. `slice` is 1-based and clamps, so
-    * short names yield "" not an error. */
-  def alarmNameToKey(alarmName: Column): Column = {
+  /** O-32 (sla_stream_producer.py:68): alarm name → join key. Alarm
+    * names are "data-gov-<alarm_unique_id>SLA-Alarm-<region>"
+    * (cw_alarm.py:37), so the key = alarm_unique_id (sans trailing
+    * hyphen) is recovered by dropping the 2 leading tokens and the
+    * 2 + regionTokens trailing ones.
+    *
+    * Divergence from reference (intended semantics): the reference
+    * slices [3:-5], which assumes a 3-token region AND swallows the
+    * namespace token — for any 1-token namespace its alarms⋈defs join
+    * silently never matches (sla_stream_producer.py:66-70). We keep
+    * the namespace token so the join actually joins. */
+  def alarmNameToKey(alarmName: Column, regionTokens: Int = 2): Column = {
     val parts = split(alarmName, "-")
-    array_join(slice(parts, lit(4), greatest(size(parts) - lit(8), lit(0))), "-")
+    array_join(
+      slice(parts, lit(3), greatest(size(parts) - lit(4 + regionTokens), lit(0))),
+      "-")
   }
 
   /** O-32 (sla_parse.py:27-29): alarm name → the 3 derived match tokens

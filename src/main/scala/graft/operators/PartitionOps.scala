@@ -54,14 +54,14 @@ object PartitionOps {
    * time instead of reading data files.
    */
   def retain(records: DataFrame, ttlDays: Int, asOfEpoch: Long): DataFrame = {
-    val partDate = to_date(concat_ws("-", col("year"), col("month"), col("day")))
+    val partDate = make_date(col("year"), col("month"), col("day"))
     val cutoff = date_sub(to_date(timestamp_seconds(lit(asOfEpoch))), ttlDays)
     records.filter(partDate >= cutoff)
   }
 
   /** The complement: partitions an expiry job would drop. */
   def expired(records: DataFrame, ttlDays: Int, asOfEpoch: Long): DataFrame = {
-    val partDate = to_date(concat_ws("-", col("year"), col("month"), col("day")))
+    val partDate = make_date(col("year"), col("month"), col("day"))
     val cutoff = date_sub(to_date(timestamp_seconds(lit(asOfEpoch))), ttlDays)
     records.select("region", "year", "month", "day", "hour").distinct()
       .filter(partDate < cutoff)

@@ -27,10 +27,14 @@ oracle = json.load(open(f"{out}/oracle_sql.json"))
 todo = names or sorted(oracle.keys())
 
 def norm(v):
+    # sortable, type-tagged representation (None/float/str mix-safe);
+    # repr(float) is round-trip exact so equality is bit-exact.
+    if v is None: return ("0none",)
+    if isinstance(v, bool): return ("b", v)
     if isinstance(v, float):
-        if math.isnan(v): return "NaN"
-        return v
-    return v
+        return ("f", "NaN" if math.isnan(v) else repr(v))
+    if isinstance(v, int): return ("i", v)
+    return ("s", str(v))
 
 ok = fail = 0
 for name in todo:
