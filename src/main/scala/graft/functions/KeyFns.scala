@@ -65,8 +65,8 @@ object KeyFns {
       substring_index(alarmName, "-SLA", 1)).otherwise(alarmName)
     val parts = split(prefix, "-")
     array(
-      element_at(parts, 4),
-      element_at(parts, 5),
+      try_element_at(parts, lit(4)),
+      try_element_at(parts, lit(5)),
       array_join(slice(parts, lit(7), greatest(size(parts) - lit(6), lit(0))), "-"))
   }
 }

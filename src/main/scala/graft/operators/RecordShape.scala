@@ -22,7 +22,7 @@ object RecordShape {
   /** O-34: newest datapoint with null-safe fallback
     * (metric_stream_producer.py:127-128): CloudWatch returns values
     * newest-first, so element 1 is the newest; empty array → null. */
-  def arrayHead(arr: Column): Column = element_at(arr, 1)
+  def arrayHead(arr: Column): Column = try_element_at(arr, lit(1))
 
   /**
    * Project enriched window aggregates into the metrics_{freq} record

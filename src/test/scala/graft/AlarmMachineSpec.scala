@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import graft.operators.AlarmStateMachine
+import graft.streaming.AlarmStream
+import graft.streaming.AlarmStream.{AlarmState, SeriesPoint}
+
+/** Truth-table coverage of the M-of-N alarm machine (SURVEY §5.1):
+  * operators × missing-data policies × window configs, batch and
+  * streaming-core variants. */
+class AlarmMachineSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def seriesDf(values: Seq[(Long, Option[Double])]) =
+    values.map { case (ws, v) => ("s1", ws, v) }
+      .toDF("series_id", "window_start", "metricvalue")
+      .withColumn("metricvalue", col("metricvalue").cast("double"))
+
+  private def slaDf(threshold: Double, op: String, m: Int, n: Int,
+      missing: String = "NOT_BREACHING") =
+    Seq(("s1", 60, threshold, op, m, n, missing))
+      .toDF("series_id", "period", "threshold", "comparison_operator",
+        "datapoints_to_alarm", "evaluation_periods", "treat_missing_data")
+
+  private def states(series: Seq[(Long, Option[Double])],
+      threshold: Double, op: String, m: Int, n: Int,
+      missing: String = "NOT_BREACHING"): Seq[(Long, String)] =
+    AlarmStateMachine.evaluate(seriesDf(series), slaDf(threshold, op, m, n, missing))
+      .select("window_start", "statevalue").orderBy("window_start")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+
+  test("M-of-N: 2 of 3 breaching alarms, 1 of 3 does not") {
+    val s = Seq(0L -> Some(10.0), 60L -> Some(1.0), 120L -> Some(10.0))
+    // breach when value >= 5; windows: [10] [10,1] [10,1,10]
+    assert(states(s, 5.0, "GREATER_THAN_OR_EQUAL_TO_THRESHOLD", 2, 3)
+      == Seq(0L -> "OK", 60L -> "OK", 120L -> "ALARM"))
+  }
+
+  test("M=N=1 follows each datapoint") {
+    val s = Seq(0L -> Some(0.0), 60L -> Some(9.0), 120L -> Some(0.0))
+    assert(states(s, 5.0, "GREATER_THAN_THRESHOLD", 1, 1)
+      == Seq(0L -> "OK", 60L -> "ALARM", 120L -> "OK"))
+  }
+
+  test("missing slots NOT_BREACHING: gap votes non-breach") {
+    // slots 0,60,120 with 60 missing; M2 N2 LESS_THAN 5 → values 1 breach
+    val s = Seq(0L -> Some(1.0), 120L -> Some(1.0))
+    assert(states(s, 5.0, "LESS_THAN_THRESHOLD", 2, 2)
+      == Seq(0L -> "OK", 60L -> "OK", 120L -> "OK"))
+  }
+
+  test("missing slots BREACHING: gap votes breach") {
+    val s = Seq(0L -> Some(1.0), 120L -> Some(1.0))
+    assert(states(s, 5.0, "LESS_THAN_THRESHOLD", 2, 2, "BREACHING")
+      == Seq(0L -> "OK", 60L -> "ALARM", 120L -> "ALARM"))
+  }
+
+  test("IGNORE: window spans last N real datapoints across gaps") {
+    // values breach (<5): 1,1 with a gap between; M2 N2 IGNORE → the
+    // second real datapoint sees both real breaches → ALARM at 120.
+    val s = Seq(0L -> Some(1.0), 120L -> Some(1.0))
+    assert(states(s, 5.0, "LESS_THAN_THRESHOLD", 2, 2, "IGNORE")
+      == Seq(0L -> "OK", 60L -> "OK", 120L -> "ALARM"))
+  }
+
+  test("transition flags fire on change only") {
+    val s = Seq(0L -> Some(0.0), 60L -> Some(9.0), 120L -> Some(9.0), 180L -> Some(0.0))
+    val rows = AlarmStateMachine.evaluate(seriesDf(s),
+        slaDf(5.0, "GREATER_THAN_THRESHOLD", 1, 1))
+      .select("window_start", "transitioned").orderBy("window_start")
+      .collect().map(r => (r.getLong(0), r.getBoolean(1))).toSeq
+    assert(rows == Seq(0L -> false, 60L -> true, 120L -> false, 180L -> true))
+  }
+
+  test("streaming core: same truth table, incremental batches") {
+    def pt(ws: Long, v: Option[Double]) = SeriesPoint("s1", ws, v, 5.0,
+      "GREATER_THAN_OR_EQUAL_TO_THRESHOLD", 2, 3, "NOT_BREACHING")
+    val (st1, t1) = AlarmStream.advance(
+      Iterator(pt(0, Some(10.0)), pt(60, Some(1.0))),
+      AlarmState(Nil, "INSUFFICIENT_DATA"))
+    assert(t1.map(_.newState) == List("OK"))
+    val (st2, t2) = AlarmStream.advance(Iterator(pt(120, Some(10.0))), st1)
+    assert(t2.map(_.newState) == List("ALARM"))
+    val (_, t3) = AlarmStream.advance(
+      Iterator(pt(180, Some(1.0)), pt(240, Some(1.0))), st2)
+    assert(t3.map(_.newState) == List("OK"))
+  }
+
+  test("streaming core: MISSING policy yields INSUFFICIENT_DATA on empty window") {
+    def pt(ws: Long, v: Option[Double]) = SeriesPoint("s1", ws, v, 5.0,
+      "GREATER_THAN_THRESHOLD", 1, 2, "MISSING")
+    val (_, t) = AlarmStream.advance(
+      Iterator(pt(0, None), pt(60, None)), AlarmState(Nil, "OK"))
+    assert(t.map(_.newState) == List("INSUFFICIENT_DATA"))
+  }
+}

@@ -1,0 +1,129 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.functions.{KeyFns, TextFns, TimeFns}
+import graft.operators._
+import graft.registry.{DefinitionExport, DefinitionRegistry}
+
+class OperatorSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(epoch: Long) = new Timestamp(epoch * 1000)
+
+  test("StatWindowAgg dispatches every standard statistic (O-12)") {
+    val dp = Seq(
+      ("a", ts(10), 1.0), ("a", ts(20), 3.0), ("a", ts(70), 5.0),
+      ("b", ts(10), 2.0), ("b", ts(20), 4.0))
+      .toDF("series_id", "ts", "value")
+    def one(stat: String) =
+      StatWindowAgg.aggregateOne(dp, stat, 60)
+        .orderBy("series_id", "window_start")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(one("Sum") == Seq(("a", 0L, 4.0), ("a", 60L, 5.0), ("b", 0L, 6.0)))
+    assert(one("Average") == Seq(("a", 0L, 2.0), ("a", 60L, 5.0), ("b", 0L, 3.0)))
+    assert(one("Minimum") == Seq(("a", 0L, 1.0), ("a", 60L, 5.0), ("b", 0L, 2.0)))
+    assert(one("Maximum") == Seq(("a", 0L, 3.0), ("a", 60L, 5.0), ("b", 0L, 4.0)))
+    assert(one("SampleCount") == Seq(("a", 0L, 2.0), ("a", 60L, 1.0), ("b", 0L, 2.0)))
+    // percentile_approx returns a member datapoint (no interpolation)
+    assert(one("p50") == Seq(("a", 0L, 1.0), ("a", 60L, 5.0), ("b", 0L, 2.0)))
+  }
+
+  test("aggregate() filters frequency and joins defs broadcast (O-14/O-20)") {
+    val dp = Seq(("u1", ts(10), 1.0), ("u2", ts(10), 2.0))
+      .toDF("series_id", "ts", "value")
+    val defs = Seq(("u1", "Sum", 60, "minute"), ("u2", "Sum", 3600, "hour"))
+      .toDF("unique_id", "statistic", "period", "frequency")
+    val out = StatWindowAgg.aggregate(dp, defs, "minute").collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("u1"))
+    val plan = StatWindowAgg.aggregate(dp, defs, null).queryExecution
+      .executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"defs join must broadcast:\n$plan")
+  }
+
+  test("10-minute end alignment (O-13)") {
+    val df = Seq(ts(1234), ts(600), ts(599)).toDF("ts")
+    assert(df.select(TimeFns.alignEnd10MinEpoch(col("ts"))).as[Long].collect().toSet
+      == Set(1200L, 600L, 0L))
+  }
+
+  test("alarmNameToKey inverts alarmName for every registry metric (O-21/O-32)") {
+    val metrics = DefinitionRegistry.allAccounts.flatMap(_.metricSets).flatMap(_.metrics)
+    val df = metrics.map(m => (m.alarmName(DefinitionRegistry.DefaultRegion),
+      m.alarmUniqueId.dropRight(1))).toDF("alarmname", "expected")
+    val bad = df.filter(KeyFns.alarmNameToKey(col("alarmname"), 2) =!= col("expected"))
+    assert(bad.isEmpty, bad.collect().mkString(","))
+  }
+
+  test("alarmDerivedTokens matches sla_parse.py slices (O-32)") {
+    val df = Seq("data-gov-awslambda-invocations-day-functionname-hello_world-SLA-Alarm-us-east-1")
+      .toDF("alarmname")
+    val toks = df.select(KeyFns.alarmDerivedTokens(col("alarmname"))).as[Seq[String]]
+      .head()
+    assert(toks == Seq("invocations", "day", "hello_world"))
+  }
+
+  test("partition key parse: metrics vs sla key shapes (O-26)") {
+    val df = Seq(
+      "metrics/minute/us-east-1/2024/01/02/03/f.parquet",
+      "slas/us-east-1/2024/01/02/03/f.parquet").toDF("key")
+    val out = df.select(PartitionOps.parseKey(col("key")).as("p"))
+      .select("p.table", "p.region", "p.year", "p.hour")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getShort(2), r.getShort(3)))
+    assert(out.toSet == Set(
+      ("metrics_minute", "us-east-1", 2024.toShort, 3.toShort),
+      ("slas", "us-east-1", 2024.toShort, 3.toShort)))
+  }
+
+  test("retention TTLs match the reference lifecycle (O-28)") {
+    assert(PartitionOps.retentionDays == Map("minute" -> 2, "hour" -> 30, "day" -> 90))
+    val parts = Seq(("r", 2024.toShort, 1.toShort, 1.toShort, 0.toShort),
+      ("r", 2024.toShort, 3.toShort, 1.toShort, 0.toShort))
+      .toDF("region", "year", "month", "day", "hour")
+    val asOf = java.time.Instant.parse("2024-03-02T00:00:00Z").getEpochSecond
+    assert(PartitionOps.retain(parts, 30, asOf).count() == 1)
+    assert(PartitionOps.expired(parts, 30, asOf).count() == 1)
+  }
+
+  test("entriesToJson folds entry arrays like json.dumps (O-33)") {
+    val df = Seq(Seq(("a", "1"), ("b", "2"))).toDF("m")
+      .select(col("m").cast("array<struct<name:string,value:string>>").as("m"))
+    assert(df.select(RecordShape.entriesToJson(col("m"))).as[String].head()
+      == """{"a":"1","b":"2"}""")
+  }
+
+  test("arrayHead takes newest-first head with null fallback (O-34)") {
+    val df = Seq(Seq(9.0, 1.0), Seq.empty[Double]).toDF("v")
+    assert(df.select(RecordShape.arrayHead(col("v"))).as[Option[Double]]
+      .collect().toSeq == Seq(Some(9.0), None))
+  }
+
+  test("metrics records derive partition columns before write (O-9/O-26)") {
+    val enriched = Seq(("u1", "NS", "N", 3600, "hour", "Sum",
+        """{"k": "v"}""", null.asInstanceOf[String], 1704164400L, 7.5))
+      .toDF("series_id", "namespace", "name", "period", "frequency",
+        "statistic", "metadata", "dimensions", "window_start", "metricvalue")
+    val rec = RecordShape.toMetricsRecords(enriched, "acct", "eu-1", 0L).collect().head
+    assert(rec.getAs[String]("metrictimestamp") == "2024-01-02T03:00:00")
+    assert(rec.getAs[Short]("year") == 2024 && rec.getAs[Short]("hour") == 3)
+    assert(rec.getAs[String]("collectiontime") == "1970-01-01T00:00:00")
+    assert(rec.getAs[Float]("metricvalue") == 7.5f)
+  }
+
+  test("MetricsJob suppresses null scalars and publishes the rest (O-19/O-7)") {
+    val df = graft.metrics.MetricsJob.run(spark, sf0001)
+    val names = df.select("name").as[String].collect().toSet
+    assert(!names.contains("NeverPublished"))
+    assert(names.contains("TotalRevenue"))
+  }
+
+  test("definition export round-trips through JSON schema (O-11/O-5)") {
+    val out = java.nio.file.Files.createTempDirectory("defs").toString
+    DefinitionExport.dump(spark, DefinitionRegistry.allAccounts, out)
+    val back = spark.read.schema(graft.catalog.Schemas.metricDefs)
+      .json(s"$out/metrics")
+    assert(back.count() ==
+      DefinitionRegistry.allAccounts.flatMap(_.metricSets).flatMap(_.metrics).size)
+    assert(back.filter(col("query").isNotNull).count() == 5)
+  }
+}

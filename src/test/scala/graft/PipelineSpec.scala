@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.catalog.Tables
+import graft.functions.{TextFns, VectorFns}
+import graft.pipeline.{Dedup, Multimodal, Similarity}
+
+class PipelineSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def docsDf = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog tonight"),
+    (2L, "the quick brown fox jumps over the lazy dog tonight again"), // near-dup of 1
+    (3L, "completely different content about spark query engines here"),
+    (4L, "the quick brown fox jumps over the lazy dog tonight"),       // exact dup of 1
+    (5L, "short")).toDF("doc_id", "text")
+
+  test("exact dedup groups and keep-list") {
+    val g = Dedup.exactGroups(docsDf).collect()
+    assert(g.length == 1 && g.head.getAs[Long]("n_docs") == 2
+      && g.head.getAs[Long]("keep_id") == 1L)
+    assert(Dedup.exactDedup(docsDf).select("doc_id").as[Long].collect().toSet
+      == Set(1L, 2L, 3L, 5L))
+  }
+
+  test("minhash LSH finds near-dups, skips unrelated, no cartesian product") {
+    val pairs = Dedup.minhashNearDupPairs(docsDf, shingleN = 3, k = 12,
+      bands = 6, threshold = 0.3)
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"no all-pairs allowed:\n$plan")
+    val got = pairs.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got.contains((1L, 4L)) && got.contains((1L, 2L)))
+    assert(!got.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
+  test("simhash: identical docs share fingerprints; near-dups within hamming") {
+    val fp = Dedup.simhashDf(docsDf, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(1L) == fp(4L))
+    val pairs = Dedup.simhashNearDupPairs(docsDf, maxHamming = 16)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 4L)))
+  }
+
+  test("ngram jaccard pairs with blocking") {
+    val pairs = Dedup.ngramJaccardPairs(docsDf, shingleN = 3, threshold = 0.3,
+      maxDf = 10).select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 4L)) && pairs.contains((1L, 2L)))
+  }
+
+  test("embedding near-dup via SRP buckets finds injected duplicates") {
+    val e = Tables.read(spark, sf0001, "embeddings")
+    val dup = e.filter(col("vec_id") < 5).withColumn("vec_id", col("vec_id") + 1000)
+    val pairs = Dedup.embeddingNearDupPairs(e.unionByName(dup), threshold = 0.999)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    (0 until 5).foreach(i => assert(pairs.contains((i.toLong, i + 1000L)),
+      s"missing dup pair $i"))
+  }
+
+  test("LSH top-k recall vs brute force is reasonable") {
+    val e = Tables.read(spark, sf0001, "embeddings")
+    val q = e.filter(col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(e, q, 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.lshTopK(e, q, 5, bits = 16, bands = 8)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall $recall too low")
+  }
+
+  test("brute-force top-k is exact on a constructed case") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.0f, 1.0f)), (3L, Array(1.0f, 0.05f)))
+      .toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(vecs, vecs.filter(col("vec_id") === 0), 2)
+      .select("neighbor_id", "rank").as[(Long, Int)].collect().toSet
+    assert(top == Set((3L, 1), (1L, 2)))
+  }
+
+  test("cosine/dot are sequential-deterministic") {
+    val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(3.0f, 2.0f, 1.0f))).toDF("a", "b")
+    assert(df.select(VectorFns.dot(col("a"), col("b"))).as[Double].head() == 10.0)
+    val c = df.select(VectorFns.cosine(col("a"), col("a"))).as[Double].head()
+    assert(math.abs(c - 1.0) < 1e-12)
+  }
+
+  test("text functions: tokens, ngrams, langId edge cases") {
+    val t = Seq(("  hello   world  ", 1L)).toDF("text", "id")
+    assert(t.select(TextFns.tokenCount(col("text"))).as[Int].head() == 2)
+    assert(t.select(TextFns.wordNgrams(col("text"), 3)).as[Seq[String]].head().isEmpty)
+    val zh = Seq("你好 世界").toDF("text")
+    assert(zh.select(TextFns.langId(col("text"))).as[String].head() == "zh")
+    val und = Seq("zzz qqq").toDF("text")
+    assert(und.select(TextFns.langId(col("text"))).as[String].head() == "und")
+  }
+
+  test("multimodal: batch decode keeps schema, histogram normalized, resize clamps") {
+    val media = Multimodal.syntheticMedia(
+      Seq((1L, "abcd" * 40, "en", "s", 160L)).toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val feats = Multimodal.extractFeatures(media, frameStride = 2).collect()
+    assert(feats.length == 1)
+    val f = feats.head
+    assert(f.n_bytes == 160 && f.frames_sampled == 2) // ceil(160/64)=3 chunks → idx 0,2
+    assert(math.abs(f.histogram.sum - 1.0) < 1e-9)
+    val resized = Multimodal.resizePlan(media, 32)
+      .select("target_width", "target_height").as[(Int, Int)].head()
+    assert(resized._1 <= 32 && resized._2 <= 32)
+  }
+}

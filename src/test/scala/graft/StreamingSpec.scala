@@ -1,0 +1,67 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.streaming.{AlarmStream, LakeIngest}
+
+class StreamingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("lake ingest lands partitioned parquet + corrupt side-output (O-9)") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[String]
+    val out = Files.createTempDirectory("lake").toString
+    val err = Files.createTempDirectory("lakeerr").toString
+    val ckpt = Files.createTempDirectory("ckpt").toString
+
+    val good =
+      """{"collectiontime":"2024-01-02T03:00:00","namespace":"NS","name":"N",
+        |"period":3600,"frequency":"hour","statistic":"Sum","metadata":null,
+        |"dimensions":null,"accountid":"a","metrictimestamp":"2024-01-02T03:00:00",
+        |"metricvalue":7.5,"id":"u1","label":"N"}""".stripMargin.replace("\n", "")
+    mem.addData(good, "{ this is not json }")
+
+    val q = LakeIngest.start(mem.toDF(), out, err, ckpt,
+      trigger = Trigger.ProcessingTime("1 second"))
+    try { q.processAllAvailable() } finally q.stop()
+
+    val landed = spark.read.parquet(out)
+    assert(landed.count() == 1)
+    val row = landed.collect().head
+    assert(row.getAs[String]("region") == "local-1")
+    // partition cols come back as Int from directory-name inference
+    assert(row.getAs[Int]("year") == 2024 && row.getAs[Int]("hour") == 3)
+    // Hive-style partition dirs actually exist on disk
+    assert(new java.io.File(s"$out/region=local-1/year=2024/month=1/day=2/hour=3")
+      .exists())
+    assert(spark.read.text(err).count() == 1)
+  }
+
+  test("streaming alarm transitions via flatMapGroupsWithState (O-23)") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[AlarmStream.SeriesPoint]
+    val q = AlarmStream.transitions(mem.toDS())
+      .writeStream.format("memory").queryName("alarm_out")
+      .outputMode("append").start()
+    def pt(ws: Long, v: Double) = AlarmStream.SeriesPoint("s1", ws, Some(v),
+      5.0, "GREATER_THAN_THRESHOLD", 2, 3, "NOT_BREACHING")
+    try {
+      mem.addData(pt(0, 9.0), pt(60, 9.0))
+      q.processAllAvailable()
+      mem.addData(pt(120, 1.0), pt(180, 1.0), pt(240, 1.0))
+      q.processAllAvailable()
+      val out = spark.table("alarm_out")
+        .select("windowStart", "prevState", "newState")
+        .orderBy("windowStart")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+      // batch 1: first point settles to OK, second breach → ALARM;
+      // batch 2: breaches age out of the 3-window at ws=180 → OK.
+      assert(out == Seq(
+        (0L, "INSUFFICIENT_DATA", "OK"),
+        (60L, "OK", "ALARM"),
+        (180L, "ALARM", "OK")))
+    } finally q.stop()
+  }
+}
