@@ -197,13 +197,22 @@ object SparkEntry {
     }
   ) ++ queries2
 
+  /** The local test parquet files are single-row-group (unsplittable),
+    * so a scan is one task no matter how hot the downstream compute
+    * is. Hash/signature-heavy corpora are repartitioned across the
+    * session's cores right after the scan — on a real cluster the
+    * multi-row-group scan parallelizes by itself and this spread is a
+    * cheap narrow-input shuffle relative to the signature work. */
+  private def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   /** Corpus with injected near-duplicates (append a short tail to
     * every 11th doc) — used by the near-dup operators. */
   private def nearDupCorpus(s: SparkSession, dir: String): DataFrame = {
     val base = docs(s, dir).select("doc_id", "text")
-    base.unionByName(base.filter(col("doc_id") % 11 === 0)
+    spread(base.unionByName(base.filter(col("doc_id") % 11 === 0)
       .select((col("doc_id") + 20000).as("doc_id"),
-        concat(col("text"), lit(" extra near dup tail")).as("text")))
+        concat(col("text"), lit(" extra near dup tail")).as("text"))))
   }
   private val nearDupCorpusSql =
     """all_docs AS (SELECT doc_id, text FROM documents UNION ALL
@@ -365,15 +374,15 @@ object SparkEntry {
     // injected duplicate vectors (rows-only).
     "q_embed_neardup" -> { (s, dir) =>
       val e = Tables.read(s, dir, "embeddings")
-      val withDups = e.unionByName(e.filter(col("vec_id") % 20 === 0)
-        .withColumn("vec_id", col("vec_id") + 10000))
+      val withDups = spread(e.unionByName(e.filter(col("vec_id") % 20 === 0)
+        .withColumn("vec_id", col("vec_id") + 10000)))
       Dedup.embeddingNearDupPairs(withDups, threshold = 0.9, bits = 16, bands = 4)
         .select("id_a", "id_b").orderBy("id_a", "id_b")
     },
 
     // Brute-force cosine top-k (exact ANN baseline).
     "q_ann_topk" -> { (s, dir) =>
-      val e = Tables.read(s, dir, "embeddings")
+      val e = spread(Tables.read(s, dir, "embeddings"))
       Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 10), k = 5)
         .select("query_id", "neighbor_id", "rank").orderBy("query_id", "rank")
     },
@@ -381,14 +390,14 @@ object SparkEntry {
     // LSH-bucketed approximate top-k (rows-only; recall vs exact is
     // asserted in tests).
     "q_ann_lsh" -> { (s, dir) =>
-      val e = Tables.read(s, dir, "embeddings")
+      val e = spread(Tables.read(s, dir, "embeddings"))
       Similarity.lshTopK(e, e.filter(col("vec_id") < 10), k = 5)
         .select("query_id", "neighbor_id", "rank").orderBy("query_id", "rank")
     },
 
     // Multimodal plumbing: partition-batched (stub) decode features.
     "q_media_features" -> { (s, dir) =>
-      Multimodal.extractFeatures(Multimodal.syntheticMedia(docs(s, dir)))
+      Multimodal.extractFeatures(Multimodal.syntheticMedia(spread(docs(s, dir))))
         .toDF().select("media_id", "kind", "n_bytes", "frames_sampled")
         .orderBy("media_id")
     }

@@ -69,7 +69,10 @@ object Dedup {
       bands: Int = 4, threshold: Double = 0.5): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val rows = k / bands
-    val signed = minhashSignatures(docs, textCol, idCol, shingleN, k)
+    // the signature/shingle subtree fans out to the band explode and
+    // both sides of the candidate join — persist it once instead of
+    // recomputing tokenization + k*md5 per reference.
+    val signed = minhashSignatures(docs, textCol, idCol, shingleN, k).persist()
 
     val banded = signed.select(col(idCol), col("shingles"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
@@ -125,7 +128,8 @@ object Dedup {
     * distance ≤ maxHamming. */
   def simhashNearDupPairs(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", maxHamming: Int = 3): DataFrame = {
-    val fp = simhashDf(docs, textCol, idCol)
+    // 64-bit fingerprinting fans out to both join sides — compute once.
+    val fp = simhashDf(docs, textCol, idCol).persist()
     val banded = fp.select(col(idCol), col("simhash"),
       posexplode(transform(sequence(lit(0), lit(3)),
         b => call_function("shiftright", col("simhash"), b * 16).bitwiseAND(0xFFFFL))))
@@ -156,6 +160,7 @@ object Dedup {
     val withShingles = docs.select(col(idCol),
       array_distinct(TextFns.wordNgrams(col(textCol), shingleN)).as("shingles"))
       .filter(size(col("shingles")) > 0)
+      .persist() // referenced by the posting (×2 join sides) and both shingle rejoins
     val posting = withShingles.select(col(idCol), explode(col("shingles")).as("shingle"))
     val rare = posting.groupBy("shingle").agg(count("*").as("df"))
       .filter(col("df") <= maxDf && col("df") > 1)
@@ -187,6 +192,7 @@ object Dedup {
     val banded = sig.select(col(idCol), col(vecCol),
       explode(VectorFns.srpBands(col("sig"), bands, bits)).as("bk"))
       .select(col(idCol), col(vecCol), col("bk.band").as("band"), col("bk.key").as("band_key"))
+      .persist() // SRP signatures fan out to both candidate-join sides
     val a = banded.select(col(idCol).as("id_a"), col(vecCol).as("v_a"),
       col("band"), col("band_key"))
     val b = banded.select(col(idCol).as("id_b"), col(vecCol).as("v_b"),
