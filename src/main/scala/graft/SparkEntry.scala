@@ -395,6 +395,42 @@ object SparkEntry {
         .select("query_id", "neighbor_id", "rank").orderBy("query_id", "rank")
     },
 
+    // MinHash via the native XxMinHash Catalyst expression (codegen'd
+    // single-pass signatures; rows-only — hash family is internal).
+    "q_dedup_minhash_fast" -> { (s, dir) =>
+      Dedup.minhashNearDupPairsFast(nearDupCorpus(s, dir), shingleN = 3, k = 12,
+        bands = 4, threshold = 0.5).orderBy("id_a", "id_b")
+    },
+
+    // O-3: prefix-filtered alarm-state scan.
+    "q_alarm_scan" -> { (s, dir) =>
+      import s.implicits._
+      val names = reg.defaultDefinition.allSlas
+        .map(sla => sla.metric.alarmName(reg.DefaultRegion)) ++
+        Seq("unrelated-alarm-1", "third-party-xyz")
+      names.toDF("alarmname")
+        .filter(col("alarmname").startsWith("data-gov"))
+        .orderBy("alarmname")
+    },
+
+    // JSON property extraction from the events props column.
+    "q_props_parse" -> { (s, dir) =>
+      ev(s, dir)
+        .select(col("event_type"),
+          from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k INT")).getField("k").as("k"))
+        .groupBy("event_type")
+        .agg(sum(col("k")).as("sum_k"), count(col("k")).as("n"))
+        .orderBy("event_type")
+    },
+
+    // O-8: JSON-serialized record stream shape (Kinesis put_records
+    // payload stand-in).
+    "q_record_json" -> { (s, dir) =>
+      ev(s, dir).filter(col("event_id") < 100)
+        .select(to_json(struct(col("event_id"), col("event_type"))).as("payload"))
+        .orderBy("payload")
+    },
+
     // Multimodal plumbing: partition-batched (stub) decode features.
     "q_media_features" -> { (s, dir) =>
       Multimodal.extractFeatures(Multimodal.syntheticMedia(spread(docs(s, dir))))
@@ -719,7 +755,26 @@ object SparkEntry {
     rows.mkString("", " UNION ALL ", " ORDER BY metric_namespace, metric_name")
   }
 
+  private def alarmScanOracle: String = {
+    val rows = reg.defaultDefinition.allSlas
+      .map(sla => sla.metric.alarmName(reg.DefaultRegion)).sorted
+      .map(n => s"SELECT '$n' AS alarmname")
+    rows.mkString("", " UNION ALL ", " ORDER BY alarmname")
+  }
+
   private def oracles2: Map[String, String] = Map(
+    "q_alarm_scan" -> alarmScanOracle,
+
+    "q_props_parse" ->
+      """SELECT event_type,
+        |CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+        |COUNT(json_extract_string(props, '$.k')) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_record_json" ->
+      """SELECT to_json(struct_pack(event_id := event_id, event_type := event_type)) AS payload
+        |FROM events WHERE event_id < 100 ORDER BY payload""".stripMargin,
+
     "q_alarm_batch" -> alarmBatchOracle,
     "q_sla_snapshot" -> slaSnapshotOracle,
     "q_incidents" -> incidentsOracle,

@@ -101,6 +101,47 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /**
+   * Fast-path MinHash+LSH near-dup pairs using the native
+   * [[graft.plans.XxMinHash]] Catalyst expression (one pass, integer
+   * mixing, full codegen) instead of k×md5 — same banding + exact
+   * Jaccard verify as [[minhashNearDupPairs]]. Use this at scale; the
+   * md5 variant exists for external-oracle parity.
+   */
+  def minhashNearDupPairsFast(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", shingleN: Int = 3, k: Int = 12,
+      bands: Int = 4, threshold: Double = 0.5): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val rows = k / bands
+    graft.plans.XxMinHash.register(docs.sparkSession)
+    val signed = docs.select(col(idCol),
+        array_distinct(TextFns.wordNgrams(col(textCol), shingleN)).as("shingles"))
+      .filter(size(col("shingles")) > 0)
+      .withColumn("sig", graft.plans.XxMinHash.minhash(col("shingles"), k))
+      .persist()
+
+    val banded = signed.select(col(idCol),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows))))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
+
+    val a = banded.select(col(idCol).as("id_a"), col("band"), col("band_key"))
+    val b = banded.select(col(idCol).as("id_b"), col("band"), col("band_key"))
+    val candidates = a.join(b, Seq("band", "band_key"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+
+    val shingleSets = signed.select(col(idCol), col("shingles"))
+    val jaccard = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+      size(array_union(col("sh_a"), col("sh_b"))).cast("double")
+    candidates
+      .join(shingleSets.select(col(idCol).as("id_a"), col("shingles").as("sh_a")), Seq("id_a"))
+      .join(shingleSets.select(col(idCol).as("id_b"), col("shingles").as("sh_b")), Seq("id_b"))
+      .withColumn("jaccard", jaccard)
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
   /** 64-bit SimHash from an array of 64-bit token hashes: per bit, sum
     * +1/−1 token votes by that bit of each hash; the fingerprint packs
     * the 64 majority signs. Pure higher-order functions → codegen, no

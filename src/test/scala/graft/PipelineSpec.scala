@@ -85,6 +85,35 @@ class PipelineSpec extends SparkTestBase {
     assert(math.abs(c - 1.0) < 1e-12)
   }
 
+  test("XxMinHash expression: codegen path, determinism, banding finds dups") {
+    graft.plans.XxMinHash.register(spark)
+    val sig = docsDf.select(col("doc_id"),
+      graft.plans.XxMinHash.minhash(
+        graft.functions.TextFns.wordNgrams(col("text"), 3), 12).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sig(1L) == sig(4L))           // identical docs → identical signatures
+    assert(sig(1L) != sig(3L))
+    assert(sig(1L).size == 12)
+    val pairs = graft.pipeline.Dedup.minhashNearDupPairsFast(docsDf,
+      shingleN = 3, k = 12, bands = 6, threshold = 0.3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 4L)))
+    // assert codegen over a materialized shingle column from a real
+    // scan (higher-order shingle builders are CodegenFallback, and a
+    // local Seq collapses to LocalTableScan — either would mask the
+    // expression's own codegen)
+    val tmp = java.nio.file.Files.createTempDirectory("sh").toString
+    Tables.read(spark, sf0001, "documents")
+      .select(col("doc_id"),
+        graft.functions.TextFns.wordNgrams(col("text"), 3).as("shingles"))
+      .write.mode("overwrite").parquet(tmp)
+    val plan = spark.read.parquet(tmp)
+      .select(graft.plans.XxMinHash.minhash(col("shingles"), 12))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WholeStageCodegen") || plan.contains("*(1) Project"),
+      s"expression must stay codegen'd:\n$plan")
+  }
+
   test("text functions: tokens, ngrams, langId edge cases") {
     val t = Seq(("  hello   world  ", 1L)).toDF("text", "id")
     assert(t.select(TextFns.tokenCount(col("text"))).as[Int].head() == 2)
