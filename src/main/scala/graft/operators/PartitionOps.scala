@@ -59,6 +59,29 @@ object PartitionOps {
     records.filter(partDate >= cutoff)
   }
 
+  /** Executable retention enforcement: drop expired partition
+    * directories of a partitioned lake table (the engine-side form of
+    * the S3 lifecycle rules). Deletes ONLY paths under `lakeDir` that
+    * match the expired partition tuples. Returns the dropped paths. */
+  def enforceRetention(spark: SparkSession, lakeDir: String, ttlDays: Int,
+      asOfEpoch: Long): Seq[String] = {
+    val records = spark.read.parquet(lakeDir)
+      .select("region", "year", "month", "day", "hour")
+    val drop = expired(records, ttlDays, asOfEpoch).collect().map { r =>
+      s"$lakeDir/region=${r.getAs[Any]("region")}/year=${r.getAs[Any]("year")}" +
+        s"/month=${r.getAs[Any]("month")}/day=${r.getAs[Any]("day")}" +
+        s"/hour=${r.getAs[Any]("hour")}"
+    }.toSeq
+    drop.foreach { p =>
+      val dir = new java.io.File(p)
+      if (dir.isDirectory) {
+        dir.listFiles().foreach(f => { f.delete(); () })
+        dir.delete()
+      }
+    }
+    drop
+  }
+
   /** The complement: partitions an expiry job would drop. */
   def expired(records: DataFrame, ttlDays: Int, asOfEpoch: Long): DataFrame = {
     val partDate = make_date(col("year"), col("month"), col("day"))

@@ -117,6 +117,31 @@ class OperatorSpec extends SparkTestBase {
     assert(names.contains("TotalRevenue"))
   }
 
+  test("retention enforcement drops expired partition dirs (O-28)") {
+    import java.nio.file.Files
+    val lake = Files.createTempDirectory("ret").toString
+    val df = Seq(
+      ("r", 2024.toShort, 1.toShort, 1.toShort, 0.toShort, 1.0),
+      ("r", 2024.toShort, 3.toShort, 1.toShort, 0.toShort, 2.0))
+      .toDF("region", "year", "month", "day", "hour", "v")
+    df.write.mode("overwrite").partitionBy("region", "year", "month", "day", "hour").parquet(lake)
+    val asOf = java.time.Instant.parse("2024-03-02T00:00:00Z").getEpochSecond
+    val dropped = PartitionOps.enforceRetention(spark, lake, 30, asOf)
+    assert(dropped.size == 1 && dropped.head.contains("month=1"))
+    assert(!new java.io.File(s"$lake/region=r/year=2024/month=1").exists()
+      || new java.io.File(s"$lake/region=r/year=2024/month=1/day=1/hour=0").listFiles() == null
+      || spark.read.parquet(lake).count() == 1)
+    assert(spark.read.parquet(lake).select("month").distinct().count() == 1)
+  }
+
+  test("job entry scheduling maps (O-37/O-38)") {
+    import graft.metrics.MetricsMain
+    import graft.model.Frequency
+    assert(MetricsMain.cronFor(Frequency.Minute) == "cron(0/1 * * * ? *)")
+    assert(MetricsMain.cronFor(Frequency.Day) == "cron(0 0 * * ? *)")
+    assert(MetricsMain.triggerFor(Frequency.Minute).toString.contains("60000"))
+  }
+
   test("definition export round-trips through JSON schema (O-11/O-5)") {
     val out = java.nio.file.Files.createTempDirectory("defs").toString
     DefinitionExport.dump(spark, DefinitionRegistry.allAccounts, out)
