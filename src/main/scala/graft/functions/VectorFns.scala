@@ -27,23 +27,38 @@ object VectorFns {
     when(n > 0, d / n)
   }
 
+  /** Deterministic pseudo-random hyperplanes for SRP hashing —
+    * generated driver-side (splitmix64 stream) and shipped as a plan
+    * literal, so executors do zero hash work per element: each
+    * signature bit is one fused multiply-add pass over the vector. */
+  private[graft] def srpPlanes(bits: Int, dim: Int, seed: Long): Seq[Seq[Double]] = {
+    var x = seed
+    def next(): Long = { // splitmix64
+      x += 0x9E3779B97F4A7C15L
+      var z = x
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    Seq.fill(bits)(Seq.fill(dim)((next() % 1000L).toDouble / 1000.0))
+  }
+
   /**
    * Sign-random-projection LSH signature: `bits` hyperplane signs
    * packed into a string of '0'/'1'. Hyperplanes are pseudo-random but
-   * fully deterministic — component j of plane p is derived from
-   * xxhash64(seed, p, j) — so signatures are reproducible across runs
-   * and executors with no stored model.
+   * fully deterministic (no stored model); `dim` is the embedding
+   * width (vectors shorter than `dim` are zero-padded by zip_with
+   * null→0 semantics).
    */
-  def srpSignature(vec: Column, bits: Int, seed: Int = 42): Column = {
-    val planes = sequence(lit(0), lit(bits - 1))
-    val sig = transform(planes, p => {
-      val prods = zip_with(vec,
-        sequence(lit(0), size(vec) - 1),
-        (x, j) => x.cast("double") *
-          ((pmod(xxhash64(lit(seed), p, j), lit(2001)) - 1000).cast("double") / 1000.0))
+  def srpSignature(vec: Column, bits: Int, dim: Int = 64, seed: Long = 42L): Column = {
+    import org.apache.spark.sql.functions.typedlit
+    val planes = srpPlanes(bits, dim, seed)
+    val sig = planes.map { plane =>
+      val prods = zip_with(vec, typedlit(plane),
+        (x, w) => coalesce(x.cast("double") * w, lit(0.0)))
       when(aggregate(prods, lit(0.0), (acc, v) => acc + v) >= 0, "1").otherwise("0")
-    })
-    array_join(sig, "")
+    }
+    concat(sig: _*)
   }
 
   /** Split an SRP signature into `bands` equal substrings — the LSH

@@ -53,7 +53,14 @@ object MetricsJob {
     // O-16: distinct datasets across the set, registered once.
     Tables.registerDatasets(spark, sfDir, business.flatMap(_.allDatasets))
 
-    val published = business.flatMap { m =>
+    // Metrics in a set are independent — submit their jobs
+    // concurrently (the reference loops sequentially on a 5-DPU Glue
+    // job; Spark's scheduler interleaves the stages here). Result
+    // order stays definition order via Future.traverse.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val published = Await.result(Future.traverse(business) { m => Future {
       // O-19: scalar = first row, first column; limit(1) keeps the
       // driver fetch to a single row no matter what the query returns.
       val head = spark.sql(m.query).limit(1).collect().headOption
@@ -64,7 +71,7 @@ object MetricsJob {
       }
       // null result → suppress publish (business_metrics.py:46).
       value.map(v => Published(m, v))
-    }
+    }}, Duration.Inf).flatten
 
     toPublishedDf(spark, published, collectionTime)
   }

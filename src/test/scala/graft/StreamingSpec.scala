@@ -39,6 +39,29 @@ class StreamingSpec extends SparkTestBase {
     assert(spark.read.text(err).count() == 1)
   }
 
+  test("streaming stat agg: watermarked windows emit on watermark pass (O-12)") {
+    implicit val sq = spark.sqlContext
+    import java.sql.Timestamp
+    val mem = MemoryStream[(String, Timestamp, Double)]
+    val dp = mem.toDF().toDF("series_id", "ts", "value")
+    val agg = graft.streaming.StreamingStatAgg.aggregate(dp, "Sum", 60, "1 minute")
+    val q = agg.writeStream.format("memory").queryName("stat_out")
+      .outputMode("append").start()
+    def t(e: Long) = new Timestamp(e * 1000)
+    try {
+      mem.addData(("s1", t(10), 1.0), ("s1", t(20), 3.0))
+      q.processAllAvailable()
+      // advance watermark well past the first window
+      mem.addData(("s1", t(300), 5.0))
+      q.processAllAvailable()
+      mem.addData(("s1", t(600), 7.0))
+      q.processAllAvailable()
+      val out = spark.table("stat_out")
+        .collect().map(r => (r.getLong(1), r.getDouble(2))).toMap
+      assert(out.get(0L).contains(4.0)) // first window emitted after watermark passed
+    } finally q.stop()
+  }
+
   test("streaming alarm transitions via flatMapGroupsWithState (O-23)") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[AlarmStream.SeriesPoint]
