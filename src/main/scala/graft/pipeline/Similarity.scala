@@ -51,6 +51,36 @@ object Similarity {
     rank(candidates.withColumn("cosine", VectorFns.cosine(col("v_q"), col("v_c"))), k)
   }
 
+  /**
+   * IVF top-k: coarse-quantize the corpus to its nearest centroid cell
+   * (one broadcast pass over a small centroid set), probe each query's
+   * `nprobe` nearest cells, and re-rank candidates exactly. The
+   * centroid set comes from [[centroids]] (or any k-means); at 100 TB
+   * the corpus assignment is a single narrow pass and each query
+   * touches ~nprobe/|cells| of the data instead of all of it.
+   */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, cents: DataFrame,
+      k: Int, nprobe: Int = 3, vecCol: String = "embedding",
+      idCol: String = "vec_id", labelCol: String = "label"): DataFrame = {
+    val c = cents.select(col(labelCol).as("cell"), col("centroid"))
+
+    def assignCells(df: DataFrame, id: String, v: String, keep: Int) = {
+      val scored = df.select(col(idCol).as(id), col(vecCol).as(v))
+        .join(broadcast(c), lit(true))
+        .withColumn("__sim", VectorFns.cosine(col(v), col("centroid")))
+      val w = Window.partitionBy(id).orderBy(col("__sim").desc, col("cell"))
+      scored.withColumn("__r", row_number().over(w))
+        .filter(col("__r") <= keep)
+        .select(col(id), col(v), col("cell"))
+    }
+
+    val corpusCells = assignCells(corpus, "neighbor_id", "v_c", 1)
+    val queryCells = assignCells(queries, "query_id", "v_q", nprobe)
+    val candidates = corpusCells.join(broadcast(queryCells), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+    rank(candidates.withColumn("cosine", VectorFns.cosine(col("v_q"), col("v_c"))), k)
+  }
+
   private def rank(scored: DataFrame, k: Int): DataFrame = {
     // rank window is per-query — partitions by query_id, so the sort is
     // k-bounded per group, not global. Ties broken by neighbor_id for

@@ -62,6 +62,15 @@ object DefinitionRegistry {
         frequency = Frequency.Day, statistic = "Sum", dashboard = tpchDashboard,
         metadata = Seq(Metadata("dataset", "lineitem")),
         dimensions = Seq(Dimension("Table", "lineitem"))),
+      // Multi-table metric: the reference_datasets are registered as
+      // views before execution (O-16; glue/business_metrics.py:29-39).
+      BusinessMetric(
+        query = "SELECT COUNT(*) FROM lineitem JOIN part ON l_partkey = p_partkey WHERE p_size > 25",
+        dataset = t("lineitem"), referenceDatasets = Seq(t("part")),
+        namespace = "Lake/Business", name = "LargePartLines",
+        frequency = Frequency.Day, statistic = "Sum", dashboard = tpchDashboard,
+        metadata = Seq(Metadata("dataset", "lineitem")),
+        dimensions = Seq(Dimension("Table", "lineitem"))),
       // Null-result metric: publish must be suppressed (O-19 null guard,
       // glue/business_metrics.py:46).
       BusinessMetric(

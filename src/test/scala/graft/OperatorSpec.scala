@@ -149,6 +149,8 @@ class OperatorSpec extends SparkTestBase {
       .json(s"$out/metrics")
     assert(back.count() ==
       DefinitionRegistry.allAccounts.flatMap(_.metricSets).flatMap(_.metrics).size)
-    assert(back.filter(col("query").isNotNull).count() == 5)
+    val nBusiness = DefinitionRegistry.allAccounts.flatMap(_.metricSets)
+      .flatMap(_.metrics).count(_.isInstanceOf[graft.model.BusinessMetric])
+    assert(back.filter(col("query").isNotNull).count() == nBusiness)
   }
 }

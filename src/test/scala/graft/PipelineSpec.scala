@@ -68,6 +68,59 @@ class PipelineSpec extends SparkTestBase {
     assert(recall >= 0.5, s"recall $recall too low")
   }
 
+  test("IVF top-k routes through centroid cells with good recall") {
+    val e = Tables.read(spark, sf0001, "embeddings")
+    val cents = Similarity.centroids(e)
+    val q = e.filter(col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(e, q, 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(e, q, cents, 5, nprobe = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    // synthetic clusters overlap heavily; probing half the cells must
+    // recover well over half the exact neighbors
+    assert(recall >= 0.6, s"IVF recall $recall too low")
+  }
+
+  test("salted skew join matches plain join results") {
+    import graft.operators.SkewJoin
+    val fact = (1 to 1000).map(i => (if (i % 10 == 0) "hot" else s"k$i", i.toDouble))
+      .toDF("key", "v")
+    val dim = Seq(("hot", "H"), ("k1", "A"), ("k2", "B")).toDF("key", "label")
+    val plain = fact.join(dim, Seq("key")).groupBy("label").count()
+      .as[(String, Long)].collect().toSet
+    val salted = SkewJoin.saltedEquiJoin(fact, dim, "key", 8)
+      .groupBy("label").count().as[(String, Long)].collect().toSet
+    assert(salted == plain)
+  }
+
+  test("bucketed tables join without exchange") {
+    import graft.catalog.Bucketing
+    val o = Tables.read(spark, sf0001, "orders")
+    val l = Tables.read(spark, sf0001, "lineitem")
+      .withColumnRenamed("l_orderkey", "o_orderkey")
+    Seq("orders_b", "lineitem_b").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(s"spark-warehouse/$t")
+      if (loc.exists()) { loc.listFiles().foreach(_.delete()); loc.delete() }
+    }
+    Bucketing.writeBucketed(o, "orders_b", "o_orderkey", 4)
+    Bucketing.writeBucketed(l, "lineitem_b", "o_orderkey", 4)
+    // disable auto-broadcast: at test scale Catalyst would otherwise
+    // pick a broadcast join and skip the bucketed path entirely
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = Bucketing.coLocatedJoin(spark, "orders_b", "lineitem_b", "o_orderkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join must not shuffle:\n$plan")
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(joined.count() > 0)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    spark.sql("DROP TABLE orders_b"); spark.sql("DROP TABLE lineitem_b")
+  }
+
   test("brute-force top-k is exact on a constructed case") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)),
