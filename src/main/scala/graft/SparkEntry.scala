@@ -395,6 +395,14 @@ object SparkEntry {
         .select("query_id", "neighbor_id", "rank").orderBy("query_id", "rank")
     },
 
+    // Near-dup clusters: connected components over the MinHash pairs
+    // via distributed label propagation.
+    "q_dedup_clusters" -> { (s, dir) =>
+      val pairs = Dedup.minhashNearDupPairs(nearDupCorpus(s, dir), shingleN = 3,
+        k = 12, bands = 4, threshold = 0.5)
+      Dedup.nearDupClusters(pairs).orderBy("doc_id")
+    },
+
     // MinHash via the native XxMinHash Catalyst expression (codegen'd
     // single-pass signatures; rows-only — hash family is internal).
     "q_dedup_minhash_fast" -> { (s, dir) =>
@@ -830,6 +838,30 @@ object SparkEntry {
         CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) AS window_start,
         quantile_cont(value, 0.5) AS p50
         FROM events GROUP BY 1, 2 ORDER BY series_id, window_start""",
+
+    "q_dedup_clusters" ->
+      s"""WITH RECURSIVE $nearDupCorpusSql,
+         |w AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS w FROM all_docs),
+         |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(w) >= 3
+         |THEN list_transform(range(1, len(w)-1), i -> array_to_string(w[i:i+2], ' '))
+         |ELSE [] END) AS shingles FROM w),
+         |shf AS (SELECT * FROM sh WHERE len(shingles) > 0),
+         |sig AS (SELECT doc_id, shingles, list_transform(range(0, 12),
+         |i -> list_min(list_transform(shingles, s -> md5(CAST(i AS VARCHAR) || ':' || s)))) AS sig FROM shf),
+         |band AS (SELECT doc_id, t.b AS band, md5(array_to_string(sig[t.b*3+1:t.b*3+3], '|')) AS band_key
+         |FROM sig, range(0, 4) t(b)),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM band a
+         |JOIN band b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+         |j AS (SELECT id_a, id_b,
+         |CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE) /
+         |len(list_distinct(list_concat(x.shingles, y.shingles))) AS jaccard
+         |FROM cand JOIN shf x ON x.doc_id = id_a JOIN shf y ON y.doc_id = id_b),
+         |pairs AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.5),
+         |edges AS (SELECT id_a, id_b FROM pairs UNION SELECT id_b, id_a FROM pairs),
+         |reach(src, dst) AS (SELECT id_a, id_b FROM edges
+         |UNION SELECT r.src, e.id_b FROM reach r JOIN edges e ON r.dst = e.id_a)
+         |SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+         |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
 
     "q_dedup_minhash" ->
       s"""WITH $nearDupCorpusSql,

@@ -189,6 +189,50 @@ object Dedup {
   }
 
   /**
+   * Collapse near-dup pairs into duplicate clusters (connected
+   * components) by iterative min-label propagation: every doc starts
+   * labeled with its own id; each round both endpoints of a pair adopt
+   * the smaller label; converged when no label changes. Rounds needed
+   * = graph diameter (near-dup clusters are shallow — a handful of
+   * rounds), each round is one shuffle — the standard Spark CC pattern
+   * that scales where driver-side union-find cannot.
+   *
+   * @param pairs (id_a, id_b) near-dup edges
+   * @return (doc_id, cluster_id) for every doc appearing in an edge,
+   *         cluster_id = min doc id of its component
+   */
+  def nearDupClusters(pairs: DataFrame, maxIterations: Int = 10): DataFrame = {
+    val edges = pairs.select(col("id_a"), col("id_b"))
+      .union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+      .persist()
+    var labels = edges.select(col("id_a").as("doc_id"))
+      .union(edges.select(col("id_b").as("doc_id"))).distinct()
+      .withColumn("cluster_id", col("doc_id"))
+      .persist()
+    var changedCount = 1L
+    var i = 0
+    while (changedCount > 0 && i < maxIterations) {
+      // each node adopts min(own label, neighbors' labels)
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("doc_id", "id_b"), Seq("id_b"))
+        .groupBy(col("id_a").as("doc_id"))
+        .agg(min(col("cluster_id")).as("n_min"))
+      val next = labels.join(viaNeighbors, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("cluster_id"), coalesce(col("n_min"), col("cluster_id")))
+            .as("cluster_id"))
+        .persist()
+      changedCount = next.join(labels.withColumnRenamed("cluster_id", "old"),
+        Seq("doc_id")).filter(col("cluster_id") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      i += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /**
    * N-gram Jaccard near-dup pairs without MinHash: candidates share at
    * least one (rare) shingle. Blocking on the shingle itself explodes
    * hot shingles, so shingles appearing in more than `maxDf` docs are

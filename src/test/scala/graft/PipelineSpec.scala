@@ -121,6 +121,30 @@ class PipelineSpec extends SparkTestBase {
     spark.sql("DROP TABLE orders_b"); spark.sql("DROP TABLE lineitem_b")
   }
 
+  test("near-dup clusters: connected components via label propagation") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L), (22L, 23L))
+      .toDF("id_a", "id_b")
+    val clusters = Dedup.nearDupClusters(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(clusters(1L) == 1L && clusters(2L) == 1L && clusters(3L) == 1L)
+    assert(clusters(10L) == 10L && clusters(11L) == 10L)
+    assert(Set(20L, 21L, 22L, 23L).forall(clusters(_) == 20L))
+  }
+
+  test("definition loader round-trips the exported JSON tables") {
+    import graft.registry.{DefinitionExport, DefinitionLoader, DefinitionRegistry}
+    val out = java.nio.file.Files.createTempDirectory("defs2").toString
+    DefinitionExport.dump(spark, DefinitionRegistry.allAccounts, out)
+    val loaded = DefinitionLoader.loadMetricSets(spark, s"$out/metrics")
+    val loadedIds = loaded.flatMap(_._2.metrics).map(_.uniqueId).toSet
+    val origIds = DefinitionRegistry.allAccounts.flatMap(_.metricSets)
+      .flatMap(_.metrics).map(_.uniqueId).toSet
+    assert(loadedIds == origIds)
+    val loadedQueries = loaded.flatMap(_._2.metrics)
+      .collect { case bm: graft.model.BusinessMetric => bm.query }.toSet
+    assert(loadedQueries.exists(_.contains("l_extendedprice")))
+  }
+
   test("brute-force top-k is exact on a constructed case") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)),
