@@ -893,8 +893,9 @@ object SparkEntry {
          |p AS (SELECT doc_id, unnest(shingles) AS shingle FROM shf),
          |rare AS (SELECT shingle FROM p GROUP BY shingle HAVING COUNT(*) BETWEEN 2 AND 50),
          |bl AS (SELECT p.doc_id, p.shingle FROM p JOIN rare USING (shingle)),
-         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM bl a
-         |JOIN bl b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+         |cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM bl a
+         |JOIN bl b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |GROUP BY a.doc_id, b.doc_id HAVING COUNT(*) >= 2),
          |j AS (SELECT id_a, id_b,
          |CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE) /
          |len(list_distinct(list_concat(x.shingles, y.shingles))) AS jaccard

@@ -201,13 +201,57 @@ object Dedup {
    * @return (doc_id, cluster_id) for every doc appearing in an edge,
    *         cluster_id = min doc id of its component
    */
-  def nearDupClusters(pairs: DataFrame, maxIterations: Int = 10): DataFrame = {
-    val edges = pairs.select(col("id_a"), col("id_b"))
-      .union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+  def nearDupClusters(pairs: DataFrame, maxIterations: Int = 10,
+      smallGraphThreshold: Long = 5000000L): DataFrame = {
+    // materialize the (possibly expensive) pair pipeline ONCE before
+    // the union references it twice and the loop references it per
+    // round — without this the upstream LSH pipeline recomputes
+    // 2×(rounds+1) times.
+    val base = pairs.select(col("id_a"), col("id_b")).persist()
+    val nEdges = base.count()
+
+    // The duplicate graph is orders of magnitude smaller than the
+    // corpus (edges exist only between near-identical docs). Below the
+    // threshold a driver-side union-find finishes in milliseconds where
+    // the iterative job would pay several shuffle rounds of pure task
+    // overhead; above it, fall through to the distributed loop — the
+    // same size-based regime switch Spark applies to broadcast joins.
+    if (nEdges <= smallGraphThreshold) {
+      val spark = pairs.sparkSession
+      val edgeArr = base.collect().map(r => (r.getLong(0), r.getLong(1)))
+      base.unpersist()
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      edgeArr.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      import spark.implicits._
+      return parent.keys.toSeq.sorted.map(x => (x, find(x))).toDF("doc_id", "cluster_id")
+    }
+
+    // size the iteration's shuffles to the graph, not the session:
+    // the dup graph is orders of magnitude smaller than the corpus,
+    // and a fixed 32-partition shuffle per round is all task overhead.
+    val parts = math.max(2, math.min(
+      pairs.sparkSession.sparkContext.defaultParallelism,
+      (nEdges / 50000L).toInt + 1))
+    val edges = base
+      .union(base.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+      .repartition(parts, col("id_b"))
       .persist()
-    var labels = edges.select(col("id_a").as("doc_id"))
-      .union(edges.select(col("id_b").as("doc_id"))).distinct()
+    edges.count()
+    base.unpersist()
+    var labels = edges.select(col("id_a").as("doc_id")).distinct()
       .withColumn("cluster_id", col("doc_id"))
+      .repartition(parts, col("doc_id"))
       .persist()
     var changedCount = 1L
     var i = 0
@@ -250,9 +294,15 @@ object Dedup {
     val rare = posting.groupBy("shingle").agg(count("*").as("df"))
       .filter(col("df") <= maxDf && col("df") > 1)
     val blocked = posting.join(rare.select("shingle"), Seq("shingle"))
+    // candidate pairs must share >= 2 blocked shingles: a qualifying
+    // pair (threshold >= 0.4 over docs with >= 5 shingles) always
+    // shares several, and the prefilter prunes the long tail of
+    // single-collision pairs BEFORE the expensive array-verify joins.
     val pairs = blocked.as("x").join(blocked.as("y"), Seq("shingle"))
       .filter(col(s"x.$idCol") < col(s"y.$idCol"))
-      .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b")).distinct()
+      .groupBy(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"))
+      .agg(count(lit(1)).as("__shared"))
+      .filter(col("__shared") >= 2).drop("__shared")
     val jaccard = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
       size(array_union(col("sh_a"), col("sh_b"))).cast("double")
     pairs

@@ -124,11 +124,14 @@ class PipelineSpec extends SparkTestBase {
   test("near-dup clusters: connected components via label propagation") {
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L), (22L, 23L))
       .toDF("id_a", "id_b")
-    val clusters = Dedup.nearDupClusters(pairs)
-      .as[(Long, Long)].collect().toMap
-    assert(clusters(1L) == 1L && clusters(2L) == 1L && clusters(3L) == 1L)
-    assert(clusters(10L) == 10L && clusters(11L) == 10L)
-    assert(Set(20L, 21L, 22L, 23L).forall(clusters(_) == 20L))
+    // both regimes must agree: driver union-find and distributed loop
+    Seq(5000000L, 0L).foreach { threshold =>
+      val clusters = Dedup.nearDupClusters(pairs, smallGraphThreshold = threshold)
+        .as[(Long, Long)].collect().toMap
+      assert(clusters(1L) == 1L && clusters(2L) == 1L && clusters(3L) == 1L)
+      assert(clusters(10L) == 10L && clusters(11L) == 10L)
+      assert(Set(20L, 21L, 22L, 23L).forall(clusters(_) == 20L))
+    }
   }
 
   test("definition loader round-trips the exported JSON tables") {
