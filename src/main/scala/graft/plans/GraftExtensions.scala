@@ -1,0 +1,24 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/**
+ * Session-extension entry point: registers the engine's native
+ * expressions at session build time, so a deployment enables them with
+ * `spark.sql.extensions=graft.plans.GraftExtensions` (or
+ * `.withExtensions(new GraftExtensions)`) and every session — SQL or
+ * Column API — sees them without per-session registration calls.
+ */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("xx_minhash"),
+      new ExpressionInfo(classOf[XxMinHash].getName, "xx_minhash"),
+      (exprs: Seq[Expression]) => XxMinHash(exprs.head,
+        k = exprs(1).eval().asInstanceOf[Number].intValue(),
+        seed = exprs(2).eval().asInstanceOf[Number].longValue())))
+  }
+}

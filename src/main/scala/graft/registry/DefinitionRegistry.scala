@@ -123,8 +123,25 @@ object DefinitionRegistry {
   val defaultDefinition: AccountDefinition =
     AccountDefinition(DefaultAccount, Seq(businessMetricSet, opsMetricSet), Seq(slaSet))
 
+  /** Second account: exercises the per-account aggregation the
+    * reference drives from accounts/config.json (accounts.py:14-33)
+    * and multi-account definition export (definition.py:89-95). */
+  val SecondAccount = "000000000002"
+  val secondDefinition: AccountDefinition = AccountDefinition(
+    SecondAccount,
+    Seq(MetricSet("supplier_quality", Seq(
+      BusinessMetric(
+        query = "SELECT COUNT(*) FROM supplier WHERE s_acctbal < 0",
+        dataset = t("supplier"), referenceDatasets = Nil,
+        namespace = "Lake/Quality", name = "NegativeBalanceSuppliers",
+        frequency = Frequency.Day, statistic = "Sum",
+        dashboard = Widget("supplier_health", Some("lake_quality")),
+        metadata = Seq(Metadata("dataset", "supplier")),
+        dimensions = Seq(Dimension("Table", "supplier")))))),
+    Seq.empty)
+
   private val accounts: Map[String, AccountDefinition] =
-    Map(DefaultAccount -> defaultDefinition)
+    Map(DefaultAccount -> defaultDefinition, SecondAccount -> secondDefinition)
 
   /** Per-account lookup (definitions/definition.py:10-18 semantics). */
   def forAccount(account: String): AccountDefinition =

@@ -142,6 +142,31 @@ class OperatorSpec extends SparkTestBase {
     assert(MetricsMain.triggerFor(Frequency.Minute).toString.contains("60000"))
   }
 
+  test("GraftExtensions injects xx_minhash; SQL resolves it") {
+    // the extensions hook applies cleanly (builder-time wiring)...
+    new graft.plans.GraftExtensions()(
+      new org.apache.spark.sql.SparkSessionExtensions)
+    // ...and the same builder function resolves through the registry
+    // in SQL form
+    val s2 = spark.newSession()
+    graft.plans.XxMinHash.register(s2)
+    val out = s2.sql("SELECT xx_minhash(array('a','b'), 4, 42) AS sig")
+      .collect().head.getSeq[Long](0)
+    assert(out.size == 4)
+  }
+
+  test("multi-account definitions resolve independently (accounts config)") {
+    val d2 = DefinitionRegistry.forAccount(DefinitionRegistry.SecondAccount)
+    assert(d2.metricSets.map(_.name) == Seq("supplier_quality"))
+    val df = graft.metrics.MetricsJob.run(spark, sf0001,
+      DefinitionRegistry.SecondAccount, "supplier_quality")
+    assert(df.count() == 1)
+    assert(df.select("namespace").as[String].head() == "Lake/Quality")
+    intercept[NoSuchElementException] {
+      DefinitionRegistry.forAccount("999999999999")
+    }
+  }
+
   test("definition export round-trips through JSON schema (O-11/O-5)") {
     val out = java.nio.file.Files.createTempDirectory("defs").toString
     DefinitionExport.dump(spark, DefinitionRegistry.allAccounts, out)
