@@ -55,7 +55,17 @@ object AlarmStateMachine {
    *         (null when the slot was missing), breaching, statevalue,
    *         prev_state, transitioned
    */
+  /** Window-function lookback cap: rowsBetween needs a literal frame,
+    * so votes are collected over this many slots and sliced to the
+    * SLA's evaluation_periods. CloudWatch itself caps evaluation
+    * windows far below this; configs beyond it fail loudly in
+    * [[evaluate]] instead of silently truncating. */
+  val MaxLookback = 100
+
   def evaluate(series: DataFrame, slas: DataFrame): DataFrame = {
+    val tooWide = slas.filter(col("evaluation_periods") > MaxLookback).count()
+    require(tooWide == 0,
+      s"evaluation_periods beyond $MaxLookback unsupported by the batch window")
     val joined = series.join(broadcast(slas), Seq("series_id"), "inner")
 
     // Densify each series to one slot per period over its own span —
