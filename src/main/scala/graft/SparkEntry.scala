@@ -410,6 +410,56 @@ object SparkEntry {
         bands = 4, threshold = 0.5).orderBy("id_a", "id_b")
     },
 
+    // Delegated-SQL breadth (available to BusinessMetric queries):
+    // rollup aggregation with deterministic decimal sums.
+    "q_rollup_revenue" -> { (s, dir) =>
+      val li = Tables.read(s, dir, "lineitem")
+      val o = Tables.read(s, dir, "orders")
+      val c = Tables.read(s, dir, "customer")
+      val n = Tables.read(s, dir, "nation")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .rollup(col("n_name"), col("o_orderpriority"))
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,4)")).cast("double").as("revenue"))
+        .orderBy(col("n_name").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)
+    },
+
+    // Window analytics: per-customer order sequence + running spend.
+    "q_running_spend" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val o = Tables.read(s, dir, "orders")
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      o.select(col("o_custkey"), col("o_orderkey"),
+          row_number().over(w).as("order_seq"),
+          sum(col("o_totalprice").cast("decimal(18,4)"))
+            .over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .cast("double").as("running_spend"))
+        .filter(col("o_custkey") <= 20)
+        .orderBy("o_custkey", "order_seq")
+    },
+
+    // Set operations: customers with orders but no high-priority ones.
+    "q_set_ops" -> { (s, dir) =>
+      val o = Tables.read(s, dir, "orders")
+      o.select(col("o_custkey")).distinct()
+        .except(o.filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_custkey")).distinct())
+        .orderBy("o_custkey")
+    },
+
+    // Correlated-subquery shape via anti-join: parts with no sales in
+    // the final year (the shipdate filter pushes to the parquet scan).
+    "q_unsold_parts" -> { (s, dir) =>
+      val p = Tables.read(s, dir, "part")
+      val li = Tables.read(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("2001-01-01").cast("timestamp"))
+      p.join(li, p("p_partkey") === li("l_partkey"), "left_anti")
+        .select("p_partkey", "p_name").orderBy("p_partkey")
+    },
+
     // O-3: prefix-filtered alarm-state scan.
     "q_alarm_scan" -> { (s, dir) =>
       import s.implicits._
@@ -772,6 +822,36 @@ object SparkEntry {
 
   private def oracles2: Map[String, String] = Map(
     "q_alarm_scan" -> alarmScanOracle,
+
+    "q_rollup_revenue" ->
+      """SELECT n_name, o_orderpriority,
+        |CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY ROLLUP (n_name, o_orderpriority)
+        |ORDER BY n_name ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+
+    "q_running_spend" ->
+      """SELECT o_custkey, o_orderkey,
+        |CAST(row_number() OVER w AS INTEGER) AS order_seq,
+        |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+        |OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+        |FROM orders WHERE o_custkey <= 20
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, order_seq""".stripMargin,
+
+    "q_set_ops" ->
+      """SELECT DISTINCT o_custkey FROM orders
+        |EXCEPT
+        |SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |ORDER BY o_custkey""".stripMargin,
+
+    "q_unsold_parts" ->
+      """SELECT p_partkey, p_name FROM part
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey
+        |AND l_shipdate >= TIMESTAMP '2001-01-01')
+        |ORDER BY p_partkey""".stripMargin,
 
     "q_props_parse" ->
       """SELECT event_type,

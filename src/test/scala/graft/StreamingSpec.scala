@@ -62,6 +62,25 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming dedup drops repeated content within the watermark") {
+    implicit val sq = spark.sqlContext
+    import java.sql.Timestamp
+    val mem = MemoryStream[(Timestamp, String, Long)]
+    val df = mem.toDF().toDF("ts", "text", "doc_id")
+    val q = graft.streaming.StreamDedup.dedupStream(df)
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    def t(e: Long) = new Timestamp(e * 1000)
+    try {
+      mem.addData((t(10), "hello world", 1L), (t(20), "hello world", 2L),
+        (t(30), "other doc", 3L))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_out").select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(ids == Set(1L, 3L), s"got $ids")
+    } finally q.stop()
+  }
+
   test("streaming alarm transitions via flatMapGroupsWithState (O-23)") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[AlarmStream.SeriesPoint]
