@@ -432,12 +432,14 @@ object SparkEntry {
       import org.apache.spark.sql.expressions.Window
       val o = Tables.read(s, dir, "orders")
       val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-      o.select(col("o_custkey"), col("o_orderkey"),
+      // filter BEFORE the window: it commutes with the per-customer
+      // partition and pushes to the scan instead of sorting everyone
+      o.filter(col("o_custkey") <= 20)
+        .select(col("o_custkey"), col("o_orderkey"),
           row_number().over(w).as("order_seq"),
           sum(col("o_totalprice").cast("decimal(18,4)"))
             .over(w.rowsBetween(Window.unboundedPreceding, 0))
             .cast("double").as("running_spend"))
-        .filter(col("o_custkey") <= 20)
         .orderBy("o_custkey", "order_seq")
     },
 
