@@ -158,6 +158,18 @@ class PipelineSpec extends SparkTestBase {
     assert(top == Set((3L, 1), (1L, 2)))
   }
 
+  test("bounded-heap top-k aggregator matches window ranking exactly") {
+    val e = Tables.read(spark, sf0001, "embeddings")
+    val q = e.filter(col("vec_id") < 10)
+    val windowed = Similarity.bruteForceTopK(e, q, 5)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    val agged = Similarity.bruteForceTopKAgg(e, q, 5)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(agged == windowed)
+  }
+
   test("cosine/dot are sequential-deterministic") {
     val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(3.0f, 2.0f, 1.0f))).toDF("a", "b")
     assert(df.select(VectorFns.dot(col("a"), col("b"))).as[Double].head() == 10.0)
