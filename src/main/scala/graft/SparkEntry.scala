@@ -491,6 +491,36 @@ object SparkEntry {
         .orderBy("payload")
     },
 
+    // Corpus prep: token-window chunking with overlap.
+    "q_chunks" -> { (s, dir) =>
+      graft.pipeline.Corpus.chunk(docs(s, dir), chunkTokens = 20, overlapTokens = 5)
+        .orderBy("doc_id", "chunk_index")
+    },
+
+    // Corpus prep: deterministic stratified sampling for data mixing.
+    "q_sample" -> { (s, dir) =>
+      graft.pipeline.Corpus.stratifiedSample(docs(s, dir), "lang",
+        Map("en" -> 50, "fr" -> 30, "de" -> 20))
+        .select("doc_id", "lang").orderBy("doc_id")
+    },
+
+    // Corpus prep: int8 embedding quantization (summarized per vector).
+    "q_quantize" -> { (s, dir) =>
+      val e = Tables.read(s, dir, "embeddings")
+      val q = graft.pipeline.Corpus.quantize(col("embedding"))
+      e.select(col("vec_id"), q.as("q"))
+        .select(col("vec_id"),
+          aggregate(col("q.codes"), lit(0L), (acc, c) => acc + c).as("code_sum"),
+          round(col("q.vmin"), 6).as("vmin"), round(col("q.vmax"), 6).as("vmax"))
+        .orderBy("vec_id")
+    },
+
+    // Corpus prep: composed filter → dedup → per-language stats.
+    "q_corpus_prep" -> { (s, dir) =>
+      graft.pipeline.Corpus.prepare(docs(s, dir), Seq("en", "fr"), 0.5)
+        .orderBy("lang")
+    },
+
     // Multimodal plumbing: partition-batched (stub) decode features.
     "q_media_features" -> { (s, dir) =>
       Multimodal.extractFeatures(Multimodal.syntheticMedia(spread(docs(s, dir))))
@@ -864,6 +894,54 @@ object SparkEntry {
     "q_record_json" ->
       """SELECT to_json(struct_pack(event_id := event_id, event_type := event_type)) AS payload
         |FROM events WHERE event_id < 100 ORDER BY payload""".stripMargin,
+
+    "q_chunks" ->
+      """WITH t AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks FROM documents),
+        |tf AS (SELECT * FROM t WHERE len(toks) > 0),
+        |n AS (SELECT doc_id, toks,
+        |greatest(CAST(ceil(CAST(len(toks) - 5 AS DOUBLE) / 15) AS INTEGER), 1) AS nc FROM tf),
+        |idx AS (SELECT doc_id, toks, unnest(generate_series(0, nc - 1)) AS i FROM n)
+        |SELECT doc_id, CAST(i AS INTEGER) AS chunk_index,
+        |array_to_string(list_slice(toks, i*15 + 1, i*15 + 20), ' ') AS chunk_text,
+        |CAST(len(list_slice(toks, i*15 + 1, i*15 + 20)) AS BIGINT) AS n_chunk_tokens
+        |FROM idx ORDER BY doc_id, chunk_index""".stripMargin,
+
+    "q_sample" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE (ascii(substr(md5(text), 1, 1)) * 29791 +
+        |ascii(substr(md5(text), 2, 1)) * 961 +
+        |ascii(substr(md5(text), 3, 1)) * 31 +
+        |ascii(substr(md5(text), 4, 1))) % 100 <
+        |CASE lang WHEN 'en' THEN 50 WHEN 'fr' THEN 30 WHEN 'de' THEN 20 ELSE 0 END
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_quantize" ->
+      """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |b AS (SELECT vec_id, v, list_min(v) AS lo, list_max(v) AS hi FROM v),
+        |s AS (SELECT vec_id, v, lo, hi,
+        |CASE WHEN hi > lo THEN (hi - lo) / 255.0 ELSE 1.0 END AS scale FROM b)
+        |SELECT vec_id,
+        |CAST(list_sum(list_transform(v, x -> CAST(round((x - lo) / scale) AS BIGINT))) AS BIGINT) AS code_sum,
+        |round(lo, 6) AS vmin, round(hi, 6) AS vmax
+        |FROM s ORDER BY vec_id""".stripMargin,
+
+    "q_corpus_prep" ->
+      """WITH t AS (SELECT doc_id, text, lang,
+        |list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS toks FROM documents),
+        |q AS (SELECT doc_id, text, lang,
+        |(least(CAST(length(text) AS DOUBLE)/500.0, 1.0) +
+        |(CASE WHEN length(text) > 0 THEN CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE)/length(text) ELSE 0.0 END) +
+        |least(CAST(len(list_filter(toks, x -> list_contains(
+        |['the','a','of','and','is','le','la','les','et','des','der','die','und','das','ist','el','los','las','y','es'], x))) AS DOUBLE)
+        |*10.0/CAST(greatest(len(toks),1) AS DOUBLE), 1.0)) / 3.0 AS quality,
+        |len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS ntok
+        |FROM t),
+        |f AS (SELECT * FROM q WHERE lang IN ('en','fr') AND round(quality, 6) >= 0.5),
+        |keep AS (SELECT md5(text) AS h, MIN(doc_id) AS doc_id FROM f GROUP BY md5(text)),
+        |d AS (SELECT f.* FROM f JOIN keep ON f.doc_id = keep.doc_id)
+        |SELECT lang, COUNT(*) AS n_docs, CAST(SUM(ntok) AS BIGINT) AS n_tokens,
+        |CAST(floor(avg(length(text))) AS BIGINT) AS avg_chars
+        |FROM d GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q_alarm_batch" -> alarmBatchOracle,
     "q_sla_snapshot" -> slaSnapshotOracle,

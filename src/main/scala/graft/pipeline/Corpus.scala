@@ -1,0 +1,107 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFns
+
+/**
+ * Corpus-preparation operators for training-data pipelines: chunking,
+ * deterministic stratified sampling, embedding quantization, and the
+ * composed filter→dedup→stats flow. Everything is a narrow columnar
+ * pass or a hash-bucket decision — deterministic, partition-order
+ * independent, and oracle-replicable (md5-based buckets, integer
+ * arithmetic).
+ */
+object Corpus {
+
+  /**
+   * Split documents into token-window chunks with overlap — the
+   * standard prep for fixed-context training. One output row per
+   * chunk: (idCol, chunk_index, chunk_text, n_chunk_tokens).
+   * Stride = chunkTokens - overlapTokens; the last window keeps its
+   * tail remainder.
+   */
+  def chunk(docs: DataFrame, chunkTokens: Int, overlapTokens: Int,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(overlapTokens < chunkTokens, "overlap must be below chunk size")
+    val stride = chunkTokens - overlapTokens
+    val toks = TextFns.tokens(col(textCol))
+    val nChunks = greatest(
+      ceil((size(col("__toks")) - lit(overlapTokens)).cast("double") / stride)
+        .cast("int"), lit(1))
+    docs.select(col(idCol), toks.as("__toks"))
+      .filter(size(col("__toks")) > 0)
+      .select(col(idCol),
+        posexplode(transform(sequence(lit(0), nChunks - 1),
+          i => slice(col("__toks"), i * stride + 1, lit(chunkTokens)))))
+      .select(col(idCol), col("pos").as("chunk_index"),
+        array_join(col("col"), " ").as("chunk_text"),
+        size(col("col")).cast("long").as("n_chunk_tokens"))
+  }
+
+  /** Deterministic content-hash bucket in [0, 100): the ascii codes of
+    * the first four md5 hex chars folded mod 100 — replicable in any
+    * engine with md5, unlike rand()/xxhash sampling. */
+  def hashBucket(c: Column): Column = {
+    val h = md5(c)
+    (ascii(substring(h, 1, 1)) * 31 * 31 * 31 +
+      ascii(substring(h, 2, 1)) * 31 * 31 +
+      ascii(substring(h, 3, 1)) * 31 +
+      ascii(substring(h, 4, 1))) % 100
+  }
+
+  /**
+   * Stratified sampling for data mixing: per-stratum keep-percentages
+   * (e.g. lang → %), decided by the content-hash bucket so the sample
+   * is stable across runs, partitions, and engines — rand() sampling
+   * is not reproducible and not oracle-checkable.
+   */
+  def stratifiedSample(docs: DataFrame, strataCol: String,
+      quotas: Map[String, Int], textCol: String = "text"): DataFrame = {
+    val quota = quotas.foldLeft(lit(0)) { case (acc, (k, pct)) =>
+      when(col(strataCol) === k, pct).otherwise(acc) }
+    docs.filter(hashBucket(col(textCol)) < quota)
+  }
+
+  /** Scalar-quantize an embedding to int8-range ints with per-vector
+    * min/max (the usual 4× storage cut for ANN corpora). Returns
+    * (codes:array<int>, vmin, vmax) for reconstruction. */
+  def quantize(vec: Column): Column = {
+    val v = transform(vec, x => x.cast("double"))
+    val lo = array_min(v)
+    val hi = array_max(v)
+    val scale = when(hi > lo, (hi - lo) / 255.0).otherwise(lit(1.0))
+    struct(
+      transform(v, x => round((x - lo) / scale).cast("int")).as("codes"),
+      lo.as("vmin"), hi.as("vmax"))
+  }
+
+  /** Reconstruct a quantized embedding (array<double>). */
+  def dequantize(q: Column): Column = {
+    val lo = q.getField("vmin")
+    val hi = q.getField("vmax")
+    val scale = when(hi > lo, (hi - lo) / 255.0).otherwise(lit(1.0))
+    transform(q.getField("codes"), c => lo + c.cast("double") * scale)
+  }
+
+  /**
+   * Composed corpus-prep flow: language allowlist → minimum quality →
+   * exact dedup → per-language stats. The shape every training-data
+   * pipeline ends with; one narrow pass + one dedup shuffle + one
+   * stats shuffle.
+   */
+  def prepare(docs: DataFrame, langs: Seq[String], minQuality: Double,
+      textCol: String = "text", idCol: String = "doc_id",
+      langCol: String = "lang"): DataFrame = {
+    val filtered = docs
+      .filter(col(langCol).isin(langs.map(_.asInstanceOf[Any]): _*))
+      .filter(TextFns.qualityScore(col(textCol)) >= minQuality)
+    val deduped = Dedup.exactDedup(filtered, textCol, idCol)
+    deduped.groupBy(col(langCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextFns.tokenCount(col(textCol)).cast("long")).as("n_tokens"),
+        // explicit floor: double→long CAST truncates in Spark but
+        // rounds in other engines — floor is unambiguous everywhere
+        floor(avg(length(col(textCol)))).cast("long").as("avg_chars"))
+  }
+}

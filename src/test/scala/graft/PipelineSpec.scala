@@ -170,6 +170,45 @@ class PipelineSpec extends SparkTestBase {
     assert(agged == windowed)
   }
 
+  test("corpus chunking: boundaries, overlap, remainder") {
+    import graft.pipeline.Corpus
+    val d = Seq((1L, (1 to 35).map(i => s"w$i").mkString(" "))).toDF("doc_id", "text")
+    val chunks = Corpus.chunk(d, chunkTokens = 20, overlapTokens = 5)
+      .orderBy("chunk_index")
+      .select("chunk_index", "n_chunk_tokens").as[(Int, Long)].collect().toSeq
+    // 35 tokens, stride 15 → chunks at 1-20, 16-35 → sizes 20, 20
+    assert(chunks == Seq((0, 20L), (1, 20L)))
+    val first = Corpus.chunk(d, 20, 5).orderBy("chunk_index")
+      .select("chunk_text").as[String].collect()
+    assert(first(0).startsWith("w1 ") && first(1).startsWith("w16 "))
+  }
+
+  test("stratified sampling is deterministic and respects quotas") {
+    import graft.pipeline.Corpus
+    val d = Tables.read(spark, sf0001, "documents")
+    val s1 = Corpus.stratifiedSample(d, "lang", Map("en" -> 50))
+      .select("doc_id").as[Long].collect().toSet
+    val s2 = Corpus.stratifiedSample(d, "lang", Map("en" -> 50))
+      .select("doc_id").as[Long].collect().toSet
+    assert(s1 == s2 && s1.nonEmpty)
+    // zero-quota strata drop out entirely
+    assert(Corpus.stratifiedSample(d, "lang", Map("zz" -> 100)).count() == 0)
+  }
+
+  test("embedding quantization reconstructs within half a step") {
+    import graft.pipeline.Corpus
+    val e = Tables.read(spark, sf0001, "embeddings").limit(50)
+    val rt = e.select(col("vec_id"), col("embedding"),
+        Corpus.dequantize(Corpus.quantize(col("embedding"))).as("recon"))
+      .select(array_max(transform(
+        zip_with(col("embedding"), col("recon"),
+          (a, b) => abs(a.cast("double") - b)), x => x)).as("max_err"),
+        ((array_max(transform(col("embedding"), x => x.cast("double"))) -
+          array_min(transform(col("embedding"), x => x.cast("double")))) / 255.0 / 2.0 + 1e-12)
+          .as("bound"))
+    assert(rt.filter(col("max_err") > col("bound")).count() == 0)
+  }
+
   test("cosine/dot are sequential-deterministic") {
     val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(3.0f, 2.0f, 1.0f))).toDF("a", "b")
     assert(df.select(VectorFns.dot(col("a"), col("b"))).as[Double].head() == 10.0)
