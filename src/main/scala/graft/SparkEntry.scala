@@ -491,6 +491,25 @@ object SparkEntry {
         .orderBy("payload")
     },
 
+    // Text quality signals (Gopher-style repetition/shape stats).
+    "q_doc_signals" -> { (s, dir) =>
+      docs(s, dir).select(col("doc_id"), TextFns.docSignals(col("text")).as("sig"))
+        .select(col("doc_id"), col("sig.rep_ratio"), col("sig.mean_word_len"),
+          col("sig.symbol_ratio"))
+        .orderBy("doc_id")
+    },
+
+    // PII-style redaction over a corpus with injected contact strings.
+    "q_redact" -> { (s, dir) =>
+      val withPii = docs(s, dir).select(col("doc_id"),
+        when(col("doc_id") % 13 === 0,
+          concat(col("text"), lit(" contact me at user@example.com or 12345678901")))
+          .otherwise(col("text")).as("text"))
+      withPii.select(col("doc_id"), TextFns.redact(col("text")).as("clean"))
+        .filter(col("clean").contains("<EMAIL>") || col("clean").contains("<NUM>"))
+        .orderBy("doc_id")
+    },
+
     // Corpus prep: token-window chunking with overlap.
     "q_chunks" -> { (s, dir) =>
       graft.pipeline.Corpus.chunk(docs(s, dir), chunkTokens = 20, overlapTokens = 5)
@@ -894,6 +913,33 @@ object SparkEntry {
     "q_record_json" ->
       """SELECT to_json(struct_pack(event_id := event_id, event_type := event_type)) AS payload
         |FROM events WHERE event_id < 100 ORDER BY payload""".stripMargin,
+
+    "q_doc_signals" ->
+      """WITH t AS (SELECT doc_id, text,
+        |list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks FROM documents),
+        |g AS (SELECT doc_id, text, toks,
+        |CASE WHEN len(toks) >= 2 THEN list_transform(range(1, len(toks)),
+        |i -> array_to_string(toks[i:i+1], ' ')) ELSE [] END AS grams FROM t)
+        |SELECT doc_id,
+        |round(CASE WHEN len(grams) > 0
+        |THEN 1.0 - CAST(len(list_distinct(grams)) AS DOUBLE)/len(grams) ELSE 0.0 END, 6) AS rep_ratio,
+        |round(CASE WHEN len(toks) > 0
+        |THEN CAST(list_sum(list_transform(toks, x -> CAST(length(x) AS BIGINT))) AS DOUBLE)/len(toks)
+        |ELSE 0.0 END, 6) AS mean_word_len,
+        |round(CAST(len(regexp_extract_all(text, '[#@/\\{}\[\]<>|~^]')) AS DOUBLE) /
+        |CAST(greatest(len(toks), 1) AS DOUBLE), 6) AS symbol_ratio
+        |FROM g ORDER BY doc_id""".stripMargin,
+
+    "q_redact" ->
+      """WITH p AS (SELECT doc_id, CASE WHEN doc_id % 13 = 0
+        |THEN text || ' contact me at user@example.com or 12345678901'
+        |ELSE text END AS text FROM documents),
+        |r AS (SELECT doc_id, regexp_replace(
+        |regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |'\d{7,}', '<NUM>', 'g') AS clean FROM p)
+        |SELECT doc_id, clean FROM r
+        |WHERE clean LIKE '%<EMAIL>%' OR clean LIKE '%<NUM>%'
+        |ORDER BY doc_id""".stripMargin,
 
     "q_chunks" ->
       """WITH t AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks FROM documents),

@@ -80,6 +80,34 @@ object TextFns {
     when(regexp_count(text, lit("[\\x{4e00}-\\x{9fff}]")) > 0, "zh").otherwise(pick)
   }
 
+  /** Gopher-style repetition/shape signals (public Gopher &
+    * RefinedWeb-era filtering rules): repeated-n-gram ratio, mean word
+    * length, symbol-to-word ratio. Integer counts + single divisions →
+    * deterministic and oracle-replicable. */
+  def docSignals(text: Column, n: Int = 2): Column = {
+    val toks = tokens(text)
+    val grams = wordNgrams(text, n)
+    val rep = when(size(grams) > 0,
+      lit(1.0) - size(array_distinct(grams)).cast("double") / size(grams))
+      .otherwise(0.0)
+    val meanLen = when(size(toks) > 0,
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") /
+        size(toks)).otherwise(0.0)
+    val symbols = regexp_count(text, lit("[#@/\\\\{}\\[\\]<>|~^]")).cast("double")
+    val symbolRatio = symbols / greatest(size(toks), lit(1)).cast("double")
+    struct(round(rep, 6).as("rep_ratio"),
+      round(meanLen, 6).as("mean_word_len"),
+      round(symbolRatio, 6).as("symbol_ratio"))
+  }
+
+  /** PII-style redaction: mask email addresses and long digit runs —
+    * the standard pre-training scrub pass, pure regexp_replace chain. */
+  def redact(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text,
+        "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+      "\\d{7,}", "<NUM>")
+
   /** Quality score in [0,1]: average of a length score (chars/500
     * capped at 1), an alpha ratio, and a stopword-presence score.
     * Integer counts + one final division keep it bit-identical across
