@@ -534,6 +534,20 @@ object SparkEntry {
         .orderBy("vec_id")
     },
 
+    // Corpus prep: benchmark decontamination (n-gram leakage guard).
+    // The "benchmark" is docs 0-4 plus a near-copy corpus member, so
+    // both exact and partial overlap are exercised.
+    "q_decontaminate" -> { (s, dir) =>
+      val d = docs(s, dir).select("doc_id", "text")
+      val bench = d.filter(col("doc_id") < 5)
+      // corpus includes leaked benchmark copies (id+30000) that the
+      // guard must remove
+      val corpus = d.filter(col("doc_id") >= 5)
+        .unionByName(bench.withColumn("doc_id", col("doc_id") + 30000))
+      graft.pipeline.Corpus.decontaminate(corpus, bench, n = 8)
+        .select("doc_id").orderBy("doc_id")
+    },
+
     // Corpus prep: composed filter → dedup → per-language stats.
     "q_corpus_prep" -> { (s, dir) =>
       graft.pipeline.Corpus.prepare(docs(s, dir), Seq("en", "fr"), 0.5)
@@ -970,6 +984,19 @@ object SparkEntry {
         |CAST(list_sum(list_transform(v, x -> CAST(round((x - lo) / scale) AS BIGINT))) AS BIGINT) AS code_sum,
         |round(lo, 6) AS vmin, round(hi, 6) AS vmax
         |FROM s ORDER BY vec_id""".stripMargin,
+
+    "q_decontaminate" ->
+      """WITH t AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w FROM documents),
+        |g AS (SELECT doc_id, CASE WHEN len(w) >= 8
+        |THEN list_transform(range(1, len(w)-6), i -> array_to_string(w[i:i+7], ' '))
+        |ELSE [] END AS grams FROM t),
+        |gc AS (SELECT doc_id, grams FROM g WHERE doc_id >= 5
+        |UNION ALL SELECT doc_id + 30000, grams FROM g WHERE doc_id < 5),
+        |bench AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id < 5),
+        |corp AS (SELECT doc_id, unnest(grams) AS gram FROM gc),
+        |bad AS (SELECT DISTINCT c.doc_id FROM corp c JOIN bench b ON c.gram = b.gram)
+        |SELECT doc_id FROM gc WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+        |ORDER BY doc_id""".stripMargin,
 
     "q_corpus_prep" ->
       """WITH t AS (SELECT doc_id, text, lang,

@@ -85,6 +85,27 @@ object Corpus {
   }
 
   /**
+   * Benchmark decontamination: drop training documents that share any
+   * word n-gram with a benchmark/eval set — the standard leakage guard
+   * before training. The benchmark side collapses to a distinct set of
+   * 16-byte gram hashes (tiny → broadcast); the corpus side is one
+   * explode + anti-join, so the cost is linear in corpus tokens no
+   * matter how large the training side is.
+   */
+  def decontaminate(docs: DataFrame, benchmark: DataFrame, n: Int = 8,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val benchGrams = benchmark
+      .select(explode(TextFns.wordNgrams(col(textCol), n)).as("g"))
+      .select(md5(col("g")).as("gh")).distinct()
+    val contaminated = docs
+      .select(col(idCol), explode(TextFns.wordNgrams(col(textCol), n)).as("g"))
+      .select(col(idCol), md5(col("g")).as("gh"))
+      .join(broadcast(benchGrams), Seq("gh"), "left_semi")
+      .select(idCol).distinct()
+    docs.join(contaminated, Seq(idCol), "left_anti")
+  }
+
+  /**
    * Composed corpus-prep flow: language allowlist → minimum quality →
    * exact dedup → per-language stats. The shape every training-data
    * pipeline ends with; one narrow pass + one dedup shuffle + one
