@@ -110,6 +110,15 @@ class OperatorSpec extends SparkTestBase {
     assert(rec.getAs[Float]("metricvalue") == 7.5f)
   }
 
+  test("driver contract: entry() yields rows; queries and oracles align") {
+    assert(SparkEntry.entry(spark).count() > 0)
+    // every oracle key must have a query, and names stay stable
+    val qs = SparkEntry.queries.keySet
+    val os = SparkEntry.oracleSql.keySet
+    assert(os.subsetOf(qs), s"oracles without queries: ${os -- qs}")
+    assert(qs.size >= 45 && os.size >= 42)
+  }
+
   test("MetricsJob suppresses null scalars and publishes the rest (O-19/O-7)") {
     val df = graft.metrics.MetricsJob.run(spark, sf0001)
     val names = df.select("name").as[String].collect().toSet
