@@ -64,9 +64,10 @@ object MetricsJob {
       // O-19: scalar = first row, first column; limit(1) keeps the
       // driver fetch to a single row no matter what the query returns.
       val head = spark.sql(m.query).limit(1).collect().headOption
+      // scala.math.BigDecimal extends java.lang.Number, so one case
+      // covers every numeric scalar a query can produce
       val value = head.flatMap(r => Option(r.get(0))).map {
         case n: java.lang.Number => n.doubleValue()
-        case b: scala.math.BigDecimal => b.toDouble
         case other => other.toString.toDouble
       }
       // null result → suppress publish (business_metrics.py:46).
