@@ -100,7 +100,14 @@ object AlarmStateMachine {
       .when(col("treat_missing_data") === "NOT_BREACHING", lit(false))
       .otherwise(lit(null).cast("boolean")) // IGNORE / MISSING: slot doesn't vote
 
-    val w = Window.partitionBy("series_id").orderBy("window_start")
+    // partition by the FULL SLA config, not just the series: a series
+    // may carry several SLAs (warning + critical threshold), and mixing
+    // their rows in one window would interleave vote streams and lag()
+    // states across configs.
+    val w = Window.partitionBy("series_id", "threshold",
+        "comparison_operator", "datapoints_to_alarm", "evaluation_periods",
+        "treat_missing_data")
+      .orderBy("window_start")
     def lastN(c: Column, n: Column): Column = {
       // rowsBetween needs a literal frame; evaluation_periods is small
       // (CW caps at 100ish) so we sum flags over a max lookback and

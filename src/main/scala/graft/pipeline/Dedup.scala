@@ -163,17 +163,23 @@ object Dedup {
         transform(TextFns.tokens(col(textCol)), t => xxhash64(t)).as("__h"))
       .select(col(idCol), simhashFromHashes(col("__h")).as("simhash"))
 
-  /** SimHash near-dup candidates: split the 64-bit fingerprint into 4
-    * 16-bit bands; pairs sharing any band are candidates (Hamming
-    * distance ≤ 3 guarantees ≥ 1 shared band); verify by exact Hamming
-    * distance ≤ maxHamming. */
+  /** SimHash near-dup candidates: split the 64-bit fingerprint into
+    * enough bands that any pair within maxHamming differing bits must
+    * share at least one band (pigeonhole: bands > maxHamming), then
+    * verify by exact Hamming distance. bands is the smallest
+    * power-of-two divisor of 64 above maxHamming (≤ 16 → supports
+    * maxHamming ≤ 15 with full recall). */
   def simhashNearDupPairs(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 15, "maxHamming above 15 would need >16 bands")
+    val bands = Seq(2, 4, 8, 16).find(_ > maxHamming).get
+    val width = 64 / bands
+    val mask = (1L << width) - 1
     // 64-bit fingerprinting fans out to both join sides — compute once.
     val fp = simhashDf(docs, textCol, idCol).persist()
     val banded = fp.select(col(idCol), col("simhash"),
-      posexplode(transform(sequence(lit(0), lit(3)),
-        b => call_function("shiftright", col("simhash"), b * 16).bitwiseAND(0xFFFFL))))
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => call_function("shiftright", col("simhash"), b * width).bitwiseAND(mask))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
     val a = banded.select(col(idCol).as("id_a"), col("simhash").as("h_a"),
       col("band"), col("band_key"))
@@ -202,7 +208,7 @@ object Dedup {
    *         cluster_id = min doc id of its component
    */
   def nearDupClusters(pairs: DataFrame, maxIterations: Int = 10,
-      smallGraphThreshold: Long = 5000000L): DataFrame = {
+      smallGraphThreshold: Long = 500000L): DataFrame = {
     // materialize the (possibly expensive) pair pipeline ONCE before
     // the union references it twice and the loop references it per
     // round — without this the upstream LSH pipeline recomputes
@@ -272,6 +278,11 @@ object Dedup {
       labels = next
       i += 1
     }
+    // fail loudly rather than return silently-wrong labels: an
+    // unconverged component would let duplicates through downstream
+    if (changedCount > 0) throw new IllegalStateException(
+      s"label propagation did not converge in $maxIterations rounds " +
+        "(component diameter too large) — raise maxIterations")
     edges.unpersist()
     labels
   }

@@ -60,6 +60,7 @@ case class XxMinHash(child: Expression, k: Int, seed: Long)
          |java.util.Arrays.fill($mins, Long.MAX_VALUE);
          |for (int $j = 0; $j < $c.numElements(); $j++) {
          |  UTF8String $s = $c.getUTF8String($j);
+         |  if ($s == null) continue; // null shingles don't vote
          |  long $h1 = org.apache.spark.sql.catalyst.expressions.XXH64
          |    .hashUnsafeBytes($s.getBaseObject(), $s.getBaseOffset(), $s.numBytes(), ${seed}L);
          |  long $h2 = org.apache.spark.sql.catalyst.expressions.XXH64
@@ -83,6 +84,7 @@ object XxMinHash {
     var j = 0
     while (j < arr.numElements()) {
       val s = arr.getUTF8String(j)
+      if (s == null) { j += 1 } else {
       val h1 = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, seed)
       val h2 = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes,
         seed ^ 0x9E3779B97F4A7C15L)
@@ -94,6 +96,7 @@ object XxMinHash {
         i += 1
       }
       j += 1
+      }
     }
     mins
   }

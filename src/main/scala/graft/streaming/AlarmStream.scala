@@ -24,36 +24,50 @@ object AlarmStream {
       datapointsToAlarm: Int, evaluationPeriods: Int,
       treatMissingData: String)
 
-  final case class AlarmState(votes: List[Option[Boolean]], state: String)
+  /** Per-series machine state, mirroring the batch variant's two
+    * views of history: `slotVotes` = last N slots (missing slots as
+    * None — drives MISSING insufficiency and the NB/B policies);
+    * `realVotes` = last N breach flags of REAL datapoints (drives
+    * IGNORE/MISSING vote counting, where missing slots don't vote). */
+  final case class AlarmState(
+      slotVotes: List[Option[Boolean]], realVotes: List[Boolean], state: String)
 
   final case class Transition(
       seriesId: String, windowStart: Long, prevState: String,
       newState: String)
 
   /** Advance one series' machine over a batch of points (ordered by
-    * window). Pure function — unit-testable without Spark. */
+    * window). Pure function — unit-testable without Spark; semantics
+    * match graft.operators.AlarmStateMachine.evaluate. */
   private[graft] def advance(
       points: Iterator[SeriesPoint],
       st: AlarmState): (AlarmState, List[Transition]) =
     points.toSeq.sortBy(_.windowStart).foldLeft((st, List.empty[Transition])) {
       case ((s, out), p) =>
         val op = ComparisonOperator.fromName(p.comparisonOperator)
-        val vote: Option[Boolean] = p.value match {
-          case Some(v) => Some(op.breaches(v, p.threshold))
-          case None => TreatMissingData.fromName(p.treatMissingData) match {
-            case TreatMissingData.NotBreaching => Some(false)
-            case TreatMissingData.Breaching => Some(true)
-            case _ => None // IGNORE / MISSING: slot doesn't vote
-          }
+        val n = math.max(p.evaluationPeriods, 1)
+        val policy = TreatMissingData.fromName(p.treatMissingData)
+        val realBreach = p.value.map(v => op.breaches(v, p.threshold))
+        val slotVote: Option[Boolean] = realBreach.orElse(policy match {
+          case TreatMissingData.NotBreaching => Some(false)
+          case TreatMissingData.Breaching => Some(true)
+          case _ => None // IGNORE / MISSING: slot doesn't vote
+        })
+        val slotVotes = (s.slotVotes :+ slotVote).takeRight(n)
+        val realVotes = (s.realVotes ++ realBreach).takeRight(n)
+        val counted = policy match {
+          case TreatMissingData.Ignore | TreatMissingData.Missing =>
+            realVotes // last N real datapoints, gaps skipped
+          case _ => slotVotes.flatten // last N slots (all voted)
         }
-        val votes = (s.votes :+ vote).takeRight(math.max(p.evaluationPeriods, 1))
-        val real = votes.flatten
+        // MISSING: insufficient iff no real datapoint in the last N
+        // slots — same trigger as the batch variant.
         val newState =
-          if (p.treatMissingData == TreatMissingData.Missing.name && real.isEmpty)
+          if (policy == TreatMissingData.Missing && !slotVotes.exists(_.isDefined))
             "INSUFFICIENT_DATA"
-          else if (real.count(identity) >= p.datapointsToAlarm) "ALARM"
+          else if (counted.count(identity) >= p.datapointsToAlarm) "ALARM"
           else "OK"
-        val next = AlarmState(votes, newState)
+        val next = AlarmState(slotVotes, realVotes, newState)
         val out2 = if (newState != s.state)
           Transition(p.seriesId, p.windowStart, s.state, newState) :: out
         else out
@@ -67,7 +81,7 @@ object AlarmStream {
     points.groupByKey(_.seriesId)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         (key: String, it: Iterator[SeriesPoint], gs: GroupState[AlarmState]) => {
-          val st = gs.getOption.getOrElse(AlarmState(Nil, "INSUFFICIENT_DATA"))
+          val st = gs.getOption.getOrElse(AlarmState(Nil, Nil, "INSUFFICIENT_DATA"))
           val (next, out) = advance(it, st)
           gs.update(next)
           out.iterator

@@ -78,7 +78,7 @@ class AlarmMachineSpec extends SparkTestBase {
       "GREATER_THAN_OR_EQUAL_TO_THRESHOLD", 2, 3, "NOT_BREACHING")
     val (st1, t1) = AlarmStream.advance(
       Iterator(pt(0, Some(10.0)), pt(60, Some(1.0))),
-      AlarmState(Nil, "INSUFFICIENT_DATA"))
+      AlarmState(Nil, Nil, "INSUFFICIENT_DATA"))
     assert(t1.map(_.newState) == List("OK"))
     val (st2, t2) = AlarmStream.advance(Iterator(pt(120, Some(10.0))), st1)
     assert(t2.map(_.newState) == List("ALARM"))
@@ -91,7 +91,7 @@ class AlarmMachineSpec extends SparkTestBase {
     def pt(ws: Long, v: Option[Double]) = SeriesPoint("s1", ws, v, 5.0,
       "GREATER_THAN_THRESHOLD", 1, 2, "MISSING")
     val (_, t) = AlarmStream.advance(
-      Iterator(pt(0, None), pt(60, None)), AlarmState(Nil, "OK"))
+      Iterator(pt(0, None), pt(60, None)), AlarmState(Nil, Nil, "OK"))
     assert(t.map(_.newState) == List("INSUFFICIENT_DATA"))
   }
 }

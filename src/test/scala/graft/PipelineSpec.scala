@@ -37,7 +37,7 @@ class PipelineSpec extends SparkTestBase {
     val fp = Dedup.simhashDf(docsDf, "text", "doc_id")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(fp(1L) == fp(4L))
-    val pairs = Dedup.simhashNearDupPairs(docsDf, maxHamming = 16)
+    val pairs = Dedup.simhashNearDupPairs(docsDf, maxHamming = 15)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(pairs.contains((1L, 4L)))
   }

@@ -56,7 +56,7 @@ class PropertySpec extends AnyFunSuite {
         val pts = values.zipWithIndex.map { case (v, i) =>
           SeriesPoint("s", i * 60L, Some(v), 5.0,
             "GREATER_THAN_THRESHOLD", m, n, "NOT_BREACHING") }
-        AlarmStream.advance(pts.iterator, AlarmState(Nil, "OK"))._1.state
+        AlarmStream.advance(pts.iterator, AlarmState(Nil, Nil, "OK"))._1.state
       }
       val base = run(vs)
       // raise every value above threshold → breach count can only grow
