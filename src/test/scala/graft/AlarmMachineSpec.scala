@@ -64,6 +64,33 @@ class AlarmMachineSpec extends SparkTestBase {
       == Seq(0L -> "OK", 60L -> "OK", 120L -> "ALARM"))
   }
 
+  test("two SLAs on one series evaluate independently") {
+    // warning (>=5, M1N1) and critical (>=9, M1N1) on the same series
+    val series = seriesDf(Seq(0L -> Some(6.0), 60L -> Some(9.5), 120L -> Some(1.0)))
+    val slas = Seq(
+      ("s1", 60, 5.0, "GREATER_THAN_OR_EQUAL_TO_THRESHOLD", 1, 1, "NOT_BREACHING"),
+      ("s1", 60, 9.0, "GREATER_THAN_OR_EQUAL_TO_THRESHOLD", 1, 1, "NOT_BREACHING"))
+      .toDF("series_id", "period", "threshold", "comparison_operator",
+        "datapoints_to_alarm", "evaluation_periods", "treat_missing_data")
+    val out = AlarmStateMachine.evaluate(series, slas)
+      .select("threshold", "window_start", "statevalue")
+      .collect().map(r => (r.getDouble(0), r.getLong(1), r.getString(2))).toSet
+    assert(out == Set(
+      (5.0, 0L, "ALARM"), (5.0, 60L, "ALARM"), (5.0, 120L, "OK"),
+      (9.0, 0L, "OK"), (9.0, 60L, "ALARM"), (9.0, 120L, "OK")))
+  }
+
+  test("streaming IGNORE matches batch across gaps") {
+    def pt(ws: Long, v: Option[Double]) = SeriesPoint("s1", ws, v, 5.0,
+      "LESS_THAN_THRESHOLD", 2, 2, "IGNORE")
+    // batch asserts ALARM at the second real breach despite the gap
+    val (st, t) = AlarmStream.advance(
+      Iterator(pt(0, Some(1.0)), pt(60, None), pt(120, Some(1.0))),
+      AlarmState(Nil, Nil, "OK"))
+    assert(st.state == "ALARM", s"streaming IGNORE diverged: $st")
+    assert(t.map(_.newState) == List("ALARM"))
+  }
+
   test("transition flags fire on change only") {
     val s = Seq(0L -> Some(0.0), 60L -> Some(9.0), 120L -> Some(9.0), 180L -> Some(0.0))
     val rows = AlarmStateMachine.evaluate(seriesDf(s),
