@@ -74,6 +74,22 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("metrics records survive to_json -> from_json round-trip") {
+    // the ingest contract: a record serialized by the producer parses
+    // back against the fixed schema with no field loss
+    val spark = SparkTestBase.session
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, from_json, to_json, struct}
+    val df = Seq(("2024-01-02T03:00:00", "NS", "N", 3600, "hour", "Sum",
+        """{"k": "v"}""", null.asInstanceOf[String], "acct",
+        "2024-01-02T03:00:00", 7.5f, "u1", "N"))
+      .toDF(graft.catalog.Schemas.metrics.fieldNames: _*)
+    val back = df.select(from_json(to_json(struct(df.columns.map(col): _*)),
+      graft.catalog.Schemas.metrics).as("r")).select("r.*")
+    assert(back.collect().head == df.collect().head)
+    assert(back.schema == graft.catalog.Schemas.metrics)
+  }
+
   test("frequency round-trips by name") {
     forAll(Gen.oneOf(Frequency.all)) { f =>
       assert(Frequency.fromName(f.name) == f)

@@ -62,6 +62,30 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("lake ingest resumes from checkpoint without duplicating rows (O-9)") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[String]
+    val out = Files.createTempDirectory("lake2").toString
+    val err = Files.createTempDirectory("lakeerr2").toString
+    val ckpt = Files.createTempDirectory("ckpt2").toString
+    def rec(id: String) =
+      s"""{"collectiontime":"2024-01-02T03:00:00","namespace":"NS","name":"N","period":3600,"frequency":"hour","statistic":"Sum","metadata":null,"dimensions":null,"accountid":"a","metrictimestamp":"2024-01-02T03:00:00","metricvalue":7.5,"id":"$id","label":"N"}"""
+    mem.addData(rec("u1"), rec("u2"))
+    val q1 = LakeIngest.start(mem.toDF(), out, err, ckpt,
+      trigger = Trigger.ProcessingTime("1 second"))
+    try { q1.processAllAvailable() } finally q1.stop()
+    assert(spark.read.parquet(out).count() == 2)
+    // restart on the SAME checkpoint: already-committed batches must
+    // not land again; the new record must.
+    mem.addData(rec("u3"))
+    val q2 = LakeIngest.start(mem.toDF(), out, err, ckpt,
+      trigger = Trigger.ProcessingTime("1 second"))
+    try { q2.processAllAvailable() } finally q2.stop()
+    val ids = spark.read.parquet(out).select("id")
+      .collect().map(_.getString(0)).toSeq.sorted
+    assert(ids == Seq("u1", "u2", "u3"), s"got $ids")
+  }
+
   test("streaming dedup drops repeated content within the watermark") {
     implicit val sq = spark.sqlContext
     import java.sql.Timestamp
