@@ -541,16 +541,16 @@ object SparkEntry {
       val d = docs(s, dir).select("doc_id", "text")
       val bench = d.filter(col("doc_id") < 5)
       // corpus includes leaked benchmark copies (id+30000) that the
-      // guard must remove
-      val corpus = d.filter(col("doc_id") >= 5)
-        .unionByName(bench.withColumn("doc_id", col("doc_id") + 30000))
+      // guard must remove; spread the 8-gram explode across cores
+      val corpus = spread(d.filter(col("doc_id") >= 5)
+        .unionByName(bench.withColumn("doc_id", col("doc_id") + 30000)))
       graft.pipeline.Corpus.decontaminate(corpus, bench, n = 8)
         .select("doc_id").orderBy("doc_id")
     },
 
     // Corpus prep: composed filter → dedup → per-language stats.
     "q_corpus_prep" -> { (s, dir) =>
-      graft.pipeline.Corpus.prepare(docs(s, dir), Seq("en", "fr"), 0.5)
+      graft.pipeline.Corpus.prepare(spread(docs(s, dir)), Seq("en", "fr"), 0.5)
         .orderBy("lang")
     },
 

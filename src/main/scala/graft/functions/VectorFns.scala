@@ -12,8 +12,17 @@ import org.apache.spark.sql.functions._
  */
 object VectorFns {
 
-  /** Sequential dot product of two vectors (double accumulation). */
-  def dot(a: Column, b: Column): Column =
+  /** Sequential dot product of two vectors (double accumulation), via
+    * the native [[graft.plans.VecDot]] expression — the composed
+    * aggregate/zip_with form ([[foldDot]]) computes the identical
+    * left-to-right fold but pays interpreted lambda dispatch per
+    * element (higher-order functions are CodegenFallback), and the
+    * re-rank hot path evaluates three folds per candidate pair. */
+  def dot(a: Column, b: Column): Column = graft.plans.VecDot(a, b)
+
+  /** Reference implementation of [[dot]]; the PipelineSpec cross-check
+    * asserts the native expression is bit-identical. */
+  private[graft] def foldDot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 
@@ -53,10 +62,11 @@ object VectorFns {
   def srpSignature(vec: Column, bits: Int, dim: Int = 64, seed: Long = 42L): Column = {
     import org.apache.spark.sql.functions.typedlit
     val planes = srpPlanes(bits, dim, seed)
+    // vec_dot's min-length fold equals the zip_with null→0 padding the
+    // composed form used: a missing element contributed +0.0 to the
+    // running double sum, which is an exact identity.
     val sig = planes.map { plane =>
-      val prods = zip_with(vec, typedlit(plane),
-        (x, w) => coalesce(x.cast("double") * w, lit(0.0)))
-      when(aggregate(prods, lit(0.0), (acc, v) => acc + v) >= 0, "1").otherwise("0")
+      when(graft.plans.VecDot(vec, typedlit(plane)) >= 0, "1").otherwise("0")
     }
     concat(sig: _*)
   }

@@ -40,18 +40,19 @@ object Dedup {
    * MinHash signatures: k independent min-hashes over word-n-gram
    * shingles. hash_i(shingle) = md5(i:shingle); the signature entry is
    * the lexicographic min — identical in any engine with md5, which is
-   * what lets a SQL oracle verify this operator exactly.
+   * what lets a SQL oracle verify this operator exactly. Computed by
+   * the native [[graft.plans.Md5MinHash]] expression (one compiled
+   * pass; the equivalent transform/array_min composition is
+   * CodegenFallback and ~10× slower at the same results).
    * Output: (idCol, shingles:array<string>, sig:array<string> size k).
    */
   def minhashSignatures(docs: DataFrame, textCol: String, idCol: String,
       shingleN: Int, k: Int): DataFrame = {
+    graft.plans.NativeFns.register(docs.sparkSession)
     val shingles = array_distinct(TextFns.wordNgrams(col(textCol), shingleN))
-    val sig = transform(sequence(lit(0), lit(k - 1)),
-      i => array_min(transform(col("shingles"),
-        s => md5(concat(i.cast("string"), lit(":"), s)))))
     docs.select(col(idCol), shingles.as("shingles"))
       .filter(size(col("shingles")) > 0)
-      .withColumn("sig", sig)
+      .withColumn("sig", graft.plans.Md5MinHash.minhash(col("shingles"), k))
   }
 
   /**
@@ -113,7 +114,7 @@ object Dedup {
       bands: Int = 4, threshold: Double = 0.5): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val rows = k / bands
-    graft.plans.XxMinHash.register(docs.sparkSession)
+    graft.plans.NativeFns.register(docs.sparkSession)
     val signed = docs.select(col(idCol),
         array_distinct(TextFns.wordNgrams(col(textCol), shingleN)).as("shingles"))
       .filter(size(col("shingles")) > 0)
@@ -156,12 +157,15 @@ object Dedup {
       (b, i) => call_function("shiftleft", b, i)), lit(0L), (acc, v) => acc.bitwiseOR(v))
   }
 
-  /** SimHash fingerprints over whitespace tokens (binds the token-hash
-    * array once so it isn't recomputed 64×). */
-  def simhashDf(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+  /** SimHash fingerprints over whitespace tokens via the native
+    * [[graft.plans.SimHash64]] expression (same xxhash64-seed-42 token
+    * hash family and majority packing as [[simhashFromHashes]], which
+    * the test suite cross-checks, in one compiled pass). */
+  def simhashDf(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    graft.plans.NativeFns.register(docs.sparkSession)
     docs.select(col(idCol),
-        transform(TextFns.tokens(col(textCol)), t => xxhash64(t)).as("__h"))
-      .select(col(idCol), simhashFromHashes(col("__h")).as("simhash"))
+      graft.plans.SimHash64.simhash(TextFns.tokens(col(textCol))).as("simhash"))
+  }
 
   /** SimHash near-dup candidates: split the 64-bit fingerprint into
     * enough bands that any pair within maxHamming differing bits must

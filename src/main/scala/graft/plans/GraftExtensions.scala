@@ -20,5 +20,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => XxMinHash(exprs.head,
         k = exprs(1).eval().asInstanceOf[Number].intValue(),
         seed = exprs(2).eval().asInstanceOf[Number].longValue())))
+    ext.injectFunction((
+      new FunctionIdentifier("md5_minhash"),
+      new ExpressionInfo(classOf[Md5MinHash].getName, "md5_minhash"),
+      (exprs: Seq[Expression]) => Md5MinHash(exprs.head,
+        k = exprs(1).eval().asInstanceOf[Number].intValue())))
+    ext.injectFunction((
+      new FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (exprs: Seq[Expression]) => SimHash64(exprs.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
+      (exprs: Seq[Expression]) => VecDot(exprs.head, exprs(1))))
   }
 }

@@ -245,6 +245,38 @@ class PipelineSpec extends SparkTestBase {
       s"expression must stay codegen'd:\n$plan")
   }
 
+  test("native Md5MinHash/SimHash64/VecDot are bit-identical to composed forms") {
+    val docs = Tables.read(spark, sf0001, "documents").limit(200)
+
+    // Md5MinHash vs the transform/array_min md5 composition (the form
+    // a SQL oracle replicates)
+    val withShingles = docs.select(col("doc_id"),
+      array_distinct(graft.functions.TextFns.wordNgrams(col("text"), 3)).as("s"))
+      .filter(size(col("s")) > 0)
+    val composedSig = transform(sequence(lit(0), lit(11)),
+      i => array_min(transform(col("s"), sh => md5(concat(i.cast("string"), lit(":"), sh)))))
+    val mismatchMinhash = withShingles
+      .select(composedSig.as("a"), graft.plans.Md5MinHash.minhash(col("s"), 12).as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(mismatchMinhash == 0)
+
+    // SimHash64 vs simhashFromHashes over xxhash64 token hashes
+    val toks = graft.functions.TextFns.tokens(col("text"))
+    val mismatchSimhash = docs
+      .select(Dedup.simhashFromHashes(transform(toks, t => xxhash64(t))).as("a"),
+        graft.plans.SimHash64.simhash(toks).as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(mismatchSimhash == 0)
+
+    // VecDot vs the aggregate/zip_with fold on real float vectors
+    val e = Tables.read(spark, sf0001, "embeddings").limit(100)
+    val mismatchDot = e.select(
+        VectorFns.foldDot(col("embedding"), col("embedding")).as("a"),
+        VectorFns.dot(col("embedding"), col("embedding")).as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(mismatchDot == 0)
+  }
+
   test("text functions: tokens, ngrams, langId edge cases") {
     val t = Seq(("  hello   world  ", 1L)).toDF("text", "id")
     assert(t.select(TextFns.tokenCount(col("text"))).as[Int].head() == 2)
