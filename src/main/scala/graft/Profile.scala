@@ -4,10 +4,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.catalog.Tables
 import graft.functions.TextFns
+import graft.pipeline.Dedup
 
-/** Ad-hoc profiling: time primitive sub-operations of the heavy dedup
-  * queries to locate the actual hot spot. Not part of the driver
-  * contract. */
+/** Ad-hoc profiling: time sub-stages of the heavy dedup queries to
+  * locate the actual hot spot. Not part of the driver contract. */
 object Profile {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -26,24 +26,71 @@ object Profile {
       println(f"PROFILE $name%-34s ${(System.nanoTime() - t0) / 1e9}%6.2f s  n=$n")
     }
 
-    val docs = Tables.read(spark, sfDir, "documents").select("doc_id", "text")
-    val spread = docs.repartition(32).persist()
-    spread.count()
+    val base = Tables.read(spark, sfDir, "documents").select("doc_id", "text")
+    val corpus = base.unionByName(base.filter(col("doc_id") % 11 === 0)
+      .select((col("doc_id") + 20000).as("doc_id"),
+        concat(col("text"), lit(" extra near dup tail")).as("text")))
+      .repartition(32).persist()
+    corpus.count()
 
     for (_ <- 1 to 2) {
-      t("read+count")(docs.count())
-      t("tokens")(spread.select(TextFns.tokens(col("text")).as("t")).select(sum(size(col("t")))).first().getLong(0))
-      t("shingles3")(spread.select(array_distinct(TextFns.wordNgrams(col("text"), 3)).as("s")).select(sum(size(col("s")))).first().getLong(0))
-      t("explode8grams")(spread.select(explode(TextFns.wordNgrams(col("text"), 8)).as("g")).count())
-      t("explode8grams+md5+distinct")(spread.select(explode(TextFns.wordNgrams(col("text"), 8)).as("g")).select(md5(col("g")).as("h")).distinct().count())
-      val sig = transform(sequence(lit(0), lit(11)),
-        i => array_min(transform(col("s"), s => md5(concat(i.cast("string"), lit(":"), s)))))
-      t("minhash12_md5")(spread.select(array_distinct(TextFns.wordNgrams(col("text"), 3)).as("s"))
-        .filter(size(col("s")) > 0).select(sig.as("sig")).select(sum(size(col("sig")))).first().getLong(0))
-      graft.plans.NativeFns.register(spark)
-      t("minhash12_xx")(spread.select(array_distinct(TextFns.wordNgrams(col("text"), 3)).as("s"))
-        .filter(size(col("s")) > 0)
-        .select(graft.plans.XxMinHash.minhash(col("s"), 12).as("sig")).select(sum(size(col("sig")))).first().getLong(0))
+      // --- minhash pipeline stages
+      val signed = Dedup.minhashSignatures(corpus, "text", "doc_id", 3, 12)
+      t("mh: signatures")(signed.select(sum(size(col("sig")))).first().getLong(0))
+      val s2 = signed.persist()
+      s2.count()
+      val rows = 3
+      val banded = s2.select(col("doc_id"), col("shingles"),
+        posexplode(transform(sequence(lit(0), lit(3)),
+          b => md5(array_join(slice(col("sig"), b * rows + 1, lit(rows)), "|")))))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
+      val a = banded.select(col("doc_id").as("id_a"), col("band"), col("band_key"))
+      val b = banded.select(col("doc_id").as("id_b"), col("band"), col("band_key"))
+      val candidates = a.join(b, Seq("band", "band_key"))
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b").distinct().persist()
+      t("mh: band join -> candidates")(candidates.count())
+      val shingleSets = s2.select(col("doc_id"), col("shingles"))
+      val jac = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+        size(array_union(col("sh_a"), col("sh_b"))).cast("double")
+      t("mh: verify joins")(candidates
+        .join(shingleSets.select(col("doc_id").as("id_a"), col("shingles").as("sh_a")), Seq("id_a"))
+        .join(shingleSets.select(col("doc_id").as("id_b"), col("shingles").as("sh_b")), Seq("id_b"))
+        .withColumn("jaccard", jac).filter(col("jaccard") >= 0.5).count())
+      candidates.unpersist(); s2.unpersist()
+      t("mh: full pipeline")(Dedup.minhashNearDupPairs(corpus, shingleN = 3,
+        k = 12, bands = 4, threshold = 0.5).count())
+
+      // --- ngram jaccard stages
+      val withShingles = corpus.select(col("doc_id"),
+        array_distinct(TextFns.wordNgrams(col("text"), 4)).as("shingles"))
+        .filter(size(col("shingles")) > 0).persist()
+      t("nj: shingles")(withShingles.count())
+      val posting = withShingles.select(col("doc_id"), explode(col("shingles")).as("shingle"))
+      t("nj: posting explode")(posting.count())
+      val rare = posting.groupBy("shingle").agg(count("*").as("df"))
+        .filter(col("df") <= 50 && col("df") > 1)
+      t("nj: rare df")(rare.count())
+      val blocked = posting.join(rare.select("shingle"), Seq("shingle")).persist()
+      t("nj: blocked")(blocked.count())
+      val pairs = blocked.as("x").join(blocked.as("y"), Seq("shingle"))
+        .filter(col("x.doc_id") < col("y.doc_id"))
+        .groupBy(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+        .agg(count(lit(1)).as("__shared"))
+        .filter(col("__shared") >= 2).drop("__shared").persist()
+      t("nj: pair self-join")(pairs.count())
+      t("nj: verify joins")(pairs
+        .join(withShingles.select(col("doc_id").as("id_a"), col("shingles").as("sh_a")), Seq("id_a"))
+        .join(withShingles.select(col("doc_id").as("id_b"), col("shingles").as("sh_b")), Seq("id_b"))
+        .withColumn("jaccard", jac).filter(col("jaccard") >= 0.4).count())
+      pairs.unpersist(); blocked.unpersist(); withShingles.unpersist()
+      t("nj: full pipeline")(Dedup.ngramJaccardPairs(corpus, shingleN = 4,
+        threshold = 0.4, maxDf = 50).count())
+
+      // --- cluster pipeline
+      t("cc: clusters full")(Dedup.nearDupClusters(
+        Dedup.minhashNearDupPairs(corpus, shingleN = 3, k = 12, bands = 4,
+          threshold = 0.5)).count())
     }
     spark.stop()
   }

@@ -306,16 +306,25 @@ object Dedup {
       .filter(size(col("shingles")) > 0)
       .persist() // referenced by the posting (×2 join sides) and both shingle rejoins
     val posting = withShingles.select(col(idCol), explode(col("shingles")).as("shingle"))
-    val rare = posting.groupBy("shingle").agg(count("*").as("df"))
-      .filter(col("df") <= maxDf && col("df") > 1)
-    val blocked = posting.join(rare.select("shingle"), Seq("shingle"))
+    // One exchange does blocking AND pair generation: group the posting
+    // by shingle, df-filter on the collected group size (bounded by
+    // maxDf, so the id arrays stay small by construction), and emit the
+    // ordered id pairs per group — the equivalent posting self-join
+    // shuffles the full posting list twice more for the same pair
+    // multiset.
+    val ids = col("ids")
+    val pairsPerShingle = flatten(transform(sequence(lit(0), size(ids) - 2),
+      i => transform(slice(ids, i + 2, size(ids)),
+        b => struct(element_at(ids, i + 1).as("id_a"), b.as("id_b")))))
     // candidate pairs must share >= 2 blocked shingles: a qualifying
     // pair (threshold >= 0.4 over docs with >= 5 shingles) always
     // shares several, and the prefilter prunes the long tail of
     // single-collision pairs BEFORE the expensive array-verify joins.
-    val pairs = blocked.as("x").join(blocked.as("y"), Seq("shingle"))
-      .filter(col(s"x.$idCol") < col(s"y.$idCol"))
-      .groupBy(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"))
+    val pairs = posting.groupBy("shingle")
+      .agg(array_sort(collect_list(col(idCol))).as("ids"))
+      .filter(size(ids) <= maxDf && size(ids) > 1)
+      .select(explode(pairsPerShingle).as("p"))
+      .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .agg(count(lit(1)).as("__shared"))
       .filter(col("__shared") >= 2).drop("__shared")
     val jaccard = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
