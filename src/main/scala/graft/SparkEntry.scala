@@ -589,8 +589,57 @@ object SparkEntry {
     rows.mkString("", " UNION ALL ", "")
   }
 
+  /** Exact ordered-fold dot product in DuckDB SQL — bit-identical to
+    * [[graft.plans.VecDot]] (both accumulate double products left to
+    * right, and decimal literals parse to the same doubles). */
+  private def dotSql(a: String, b: String): String =
+    s"list_sum(list_transform(range(1,65), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+
+  private def cosineSql(a: String, b: String): String =
+    s"(CASE WHEN sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}) > 0 THEN " +
+      s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})) END)"
+
+  /** DuckDB replication of [[VectorFns.srpSignature]]: the hyperplanes
+    * are deterministic plan literals, so the oracle inlines the same
+    * values and reproduces every sign bit-exactly (verified 500/500 at
+    * sf0.01). */
+  private def srpSigSql(vecExpr: String, bits: Int): String =
+    VectorFns.srpPlanes(bits, 64, 42L).map { plane =>
+      val lits = plane.mkString("[", ",", "]")
+      s"(CASE WHEN list_sum(list_transform(range(1,65), i -> " +
+        s"coalesce(CAST($vecExpr[i] AS DOUBLE) * ($lits::DOUBLE[])[i], 0.0))) >= 0 " +
+        "THEN '1' ELSE '0' END)"
+    }.mkString("(", " || ", ")")
+
   def oracleSql: Map[String, String] = Map(
     "bm_published" -> bmPublishedOracle,
+
+    "q_embed_neardup" ->
+      s"""WITH wd AS (SELECT vec_id, embedding FROM embeddings
+         |UNION ALL SELECT vec_id + 10000 AS vec_id, embedding FROM embeddings WHERE vec_id % 20 = 0),
+         |sig AS (SELECT vec_id, embedding, ${srpSigSql("embedding", 16)} AS sig FROM wd),
+         |banded AS (SELECT vec_id, embedding, band, substr(sig, band*4 + 1, 4) AS band_key
+         |FROM sig CROSS JOIN (SELECT unnest(range(0,4)) AS band) bs),
+         |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+         |a.embedding AS v_a, b.embedding AS v_b
+         |FROM banded a JOIN banded b ON a.band = b.band AND a.band_key = b.band_key
+         |WHERE a.vec_id < b.vec_id)
+         |SELECT id_a, id_b FROM cand WHERE ${cosineSql("v_a", "v_b")} >= 0.9
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_ann_lsh" ->
+      s"""WITH sigc AS (SELECT vec_id, embedding, ${srpSigSql("embedding", 16)} AS sig FROM embeddings),
+         |bc AS (SELECT vec_id, embedding, band, substr(sig, band*2 + 1, 2) AS band_key
+         |FROM sigc CROSS JOIN (SELECT unnest(range(0,8)) AS band) bs),
+         |cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |q.embedding AS v_q, c.embedding AS v_c
+         |FROM bc c JOIN bc q ON c.band = q.band AND c.band_key = q.band_key
+         |WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id),
+         |r AS (SELECT query_id, neighbor_id,
+         |row_number() OVER (PARTITION BY query_id ORDER BY ${cosineSql("v_q", "v_c")} DESC, neighbor_id) AS rank
+         |FROM cand)
+         |SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank FROM r WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin,
 
     "q_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
