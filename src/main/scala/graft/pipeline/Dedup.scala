@@ -311,7 +311,11 @@ object Dedup {
     // maxDf, so the id arrays stay small by construction), and emit the
     // ordered id pairs per group — the equivalent posting self-join
     // shuffles the full posting list twice more for the same pair
-    // multiset.
+    // multiset. This grouped form is safe ONLY because maxDf bounds the
+    // per-group pair array; the MinHash/SimHash band joins keep the
+    // streaming self-join shape instead, because band-group sizes are
+    // unbounded and a hot band must stream its g² pairs, not
+    // materialize them in one row.
     val ids = col("ids")
     val pairsPerShingle = flatten(transform(sequence(lit(0), size(ids) - 2),
       i => transform(slice(ids, i + 2, size(ids)),
