@@ -387,11 +387,21 @@ object SparkEntry {
         .select("query_id", "neighbor_id", "rank").orderBy("query_id", "rank")
     },
 
-    // LSH-bucketed approximate top-k (rows-only; recall vs exact is
-    // asserted in tests).
+    // LSH-bucketed approximate top-k.
     "q_ann_lsh" -> { (s, dir) =>
       val e = spread(Tables.read(s, dir, "embeddings"))
       Similarity.lshTopK(e, e.filter(col("vec_id") < 10), k = 5)
+        .select("query_id", "neighbor_id", "rank").orderBy("query_id", "rank")
+    },
+
+    // IVF cell-routed approximate top-k over label-derived centroids
+    // (rows-only: centroid averages are merge-order-dependent floats no
+    // external engine replicates bit-for-bit; recall vs exact is
+    // asserted in tests).
+    "q_ann_ivf" -> { (s, dir) =>
+      val e = spread(Tables.read(s, dir, "embeddings"))
+      Similarity.ivfTopK(e, e.filter(col("vec_id") < 10),
+          Similarity.centroids(e), k = 5, nprobe = 3)
         .select("query_id", "neighbor_id", "rank").orderBy("query_id", "rank")
     },
 
