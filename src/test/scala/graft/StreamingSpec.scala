@@ -105,6 +105,30 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming near-dup flags minhash-band matches across batches") {
+    implicit val sq = spark.sqlContext
+    import java.sql.Timestamp
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val df = mem.toDF().toDF("ts", "doc_id", "text")
+    val q = graft.streaming.StreamNearDup.candidateStream(df, threshold = 0.3)
+      .writeStream.format("memory").queryName("neardup_out")
+      .outputMode("append").start()
+    def t(e: Long) = new Timestamp(e * 1000)
+    val body = "the quick brown fox jumps over the lazy dog again and again today"
+    try {
+      mem.addData((t(10), 1L, body),
+        (t(20), 2L, "completely unrelated text about spark physical plans and shuffles"))
+      q.processAllAvailable()
+      // near-copy arrives in a LATER batch: must match doc 1 from state
+      mem.addData((t(30), 3L, body + " extra tail"))
+      q.processAllAvailable()
+      val pairs = spark.table("neardup_out").select("id_a", "id_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs.contains((1L, 3L)), s"got $pairs")
+      assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L), s"got $pairs")
+    } finally q.stop()
+  }
+
   test("streaming alarm transitions via flatMapGroupsWithState (O-23)") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[AlarmStream.SeriesPoint]
