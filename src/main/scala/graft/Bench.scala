@@ -25,16 +25,20 @@ object Bench {
     // cluster job actually runs in. Falls back to no warm-up if the
     // small fixture isn't present.
     val warmDir = new java.io.File(new java.io.File(sfDir).getParentFile, "sf0.001")
-    if (warmDir.isDirectory && warmDir.getPath != new java.io.File(sfDir).getPath) {
+    val warmupWanted = sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") != "0"
+    val warmedUp = warmupWanted && warmDir.isDirectory &&
+      warmDir.getPath != new java.io.File(sfDir).getPath
+    if (warmedUp) {
       SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
-        try fn(spark, warmDir.getPath).count() catch { case _: Throwable => () }
+        try fn(spark, warmDir.getPath).count()
+        catch { case scala.util.control.NonFatal(_) => () }
         spark.catalog.clearCache()
       }
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true }
-        catch { case _: Throwable => false }
+        catch { case scala.util.control.NonFatal(_) => false }
       // caches persisted inside operators are per-query working sets —
       // clear them so a 45-query run doesn't accumulate session storage
       spark.catalog.clearCache()
@@ -47,7 +51,10 @@ object Bench {
     val errors = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, true) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}""")
+    // "warmup" records whether the untimed warm-up pass ran, so
+    // cross-round deltas stay attributable (warm vs cold JIT numbers
+    // are not comparable).
+    println(s"""{"metric":"total","value":$total,"unit":"sec","warmup":$warmedUp,"queries":$qs,"errors":$errors,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

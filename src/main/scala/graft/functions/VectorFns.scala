@@ -62,11 +62,11 @@ object VectorFns {
   def srpSignature(vec: Column, bits: Int, dim: Int = 64, seed: Long = 42L): Column = {
     import org.apache.spark.sql.functions.typedlit
     val planes = srpPlanes(bits, dim, seed)
-    // vec_dot's min-length fold equals the zip_with null→0 padding the
-    // composed form used: a missing element contributed +0.0 to the
-    // running double sum, which is an exact identity.
+    // padded mode keeps the zero-pad identity of the composed form: a
+    // vector shorter than the literal plane contributes +0.0 per
+    // missing element to the running double sum.
     val sig = planes.map { plane =>
-      when(graft.plans.VecDot(vec, typedlit(plane)) >= 0, "1").otherwise("0")
+      when(graft.plans.VecDot.padded(vec, typedlit(plane)) >= 0, "1").otherwise("0")
     }
     concat(sig: _*)
   }

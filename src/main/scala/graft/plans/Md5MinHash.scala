@@ -36,7 +36,10 @@ case class Md5MinHash(child: Expression, k: Int)
     case other => TypeCheckResult.TypeCheckFailure(
       s"md5_minhash requires array<string> input and k > 0, got $other / k=$k")
   }
-  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  // containsNull: a slot with no contributing shingle (empty array, or
+  // all elements NULL) is NULL, exactly like array_min over an empty
+  // transform in the composed form
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
   override def prettyName: String = "md5_minhash"
 
   override protected def withNewChildInternal(newChild: Expression): Md5MinHash =
@@ -98,20 +101,20 @@ object Md5MinHash {
     val out = new Array[Any](k)
     var i = 0
     while (i < k) {
-      val d = mins(i)
-      // all-null input slot: empty-array callers are filtered upstream,
-      // but degrade to the digest of the bare prefix rather than NPE
-      val bytes = if (d == null) {
-        md.reset(); md.update(prefixes(i)); md.digest()
-      } else d
-      val hex = new Array[Byte](32)
-      var b = 0
-      while (b < 16) {
-        hex(2 * b) = hexChars((bytes(b) >> 4) & 0xf)
-        hex(2 * b + 1) = hexChars(bytes(b) & 0xf)
-        b += 1
+      val bytes = mins(i)
+      // no contributing shingle (empty array / all-null elements):
+      // NULL slot, byte-for-byte the composed array_min-over-empty form
+      if (bytes == null) out(i) = null
+      else {
+        val hex = new Array[Byte](32)
+        var b = 0
+        while (b < 16) {
+          hex(2 * b) = hexChars((bytes(b) >> 4) & 0xf)
+          hex(2 * b + 1) = hexChars(bytes(b) & 0xf)
+          b += 1
+        }
+        out(i) = UTF8String.fromBytes(hex)
       }
-      out(i) = UTF8String.fromBytes(hex)
       i += 1
     }
     new GenericArrayData(out)

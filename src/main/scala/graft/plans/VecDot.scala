@@ -20,7 +20,7 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
  * (zip_with/aggregate are CodegenFallback); candidate re-ranking calls
  * three folds per pair (dot + two norms), so this is the ANN hot path.
  */
-case class VecDot(left: Expression, right: Expression)
+case class VecDot(left: Expression, right: Expression, pad: Boolean = false)
   extends BinaryExpression {
 
   private def isVec(dt: DataType) = dt match {
@@ -38,26 +38,44 @@ case class VecDot(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "vec_dot"
 
+  // strict mode can produce NULL from non-null children (length
+  // mismatch), exactly like the zip_with null-poisoned fold
+  override def nullable: Boolean = !pad || super.nullable
+
   override protected def withNewChildrenInternal(newLeft: Expression,
       newRight: Expression): VecDot = copy(left = newLeft, right = newRight)
 
   private def isFloat(e: Expression) =
     e.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
-  override def nullSafeEval(a: Any, b: Any): Any =
-    VecDot.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
-      isFloat(left), isFloat(right))
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val av = a.asInstanceOf[ArrayData]
+    val bv = b.asInstanceOf[ArrayData]
+    if (!pad && av.numElements() != bv.numElements()) null
+    else VecDot.dot(av, bv, isFloat(left), isFloat(right))
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) =>
-      s"graft.plans.VecDot.dot($a, $b, ${isFloat(left)}, ${isFloat(right)})")
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val call =
+        s"${ev.value} = graft.plans.VecDot.dot($a, $b, ${isFloat(left)}, ${isFloat(right)});"
+      if (pad) call
+      else s"""
+        if ($a.numElements() != $b.numElements()) { ${ev.isNull} = true; }
+        else { $call }"""
+    })
 }
 
 object VecDot {
 
-  /** Left-to-right double fold, identical to aggregate(zip_with(...)).
-    * Lengths must match (zip_with would null-pad and null-poison the
-    * sum; vectors in one column family share a width by construction). */
+  /** Left-to-right double fold, identical to aggregate(zip_with(...))
+    * on equal-length vectors. Length handling lives in the expression:
+    * strict mode (default) returns NULL on mismatch — the zip_with
+    * form null-pads the short side and null-poisons the sum, so a
+    * malformed vector yields NULL, never a plausible partial product —
+    * while pad mode keeps the zero-pad identity (missing element
+    * contributes +0.0), which srpSignature relies on when the stored
+    * vector is shorter than the literal hyperplane. */
   def dot(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Double = {
     val n = math.min(a.numElements(), b.numElements())
     var acc = 0.0
@@ -73,7 +91,12 @@ object VecDot {
 
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "vec_dot", exprs => VecDot(exprs.head, exprs(1)), "built-in")
+      "vec_dot", exprs => VecDot(exprs.head, exprs(1),
+        pad = exprs.lift(2).exists(_.eval() == true)), "built-in")
 
   def apply(a: Column, b: Column): Column = call_function("vec_dot", a, b)
+
+  /** Zero-padding variant (min-length fold) for literal-plane SRP. */
+  def padded(a: Column, b: Column): Column =
+    call_function("vec_dot", a, b, org.apache.spark.sql.functions.lit(true))
 }

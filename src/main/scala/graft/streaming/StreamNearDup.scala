@@ -85,17 +85,23 @@ object StreamNearDup {
             // deterministic comparison order within the batch
             it.toSeq.sortBy(r => (r._4.getTime, r._3)).foreach {
               case (_, _, id, ts, sig) =>
-                val arr = sig.toArray
-                entries.foreach { e =>
-                  if (e.id != id) {
-                    var m = 0; var i = 0
-                    while (i < k) { if (arr(i) == e.sig(i)) m += 1; i += 1 }
-                    val est = m.toDouble / k
-                    if (est >= threshold)
-                      hits += Hit(math.min(id, e.id), math.max(id, e.id), est)
+                // at-least-once upstream delivery can replay a doc_id:
+                // an id already in the bucket is a replay, not a new
+                // document — skip it so state stays bounded and no
+                // duplicate candidate pair is re-emitted
+                if (!entries.exists(_.id == id)) {
+                  val arr = sig.toArray
+                  entries.foreach { e =>
+                    if (e.id != id) {
+                      var m = 0; var i = 0
+                      while (i < k) { if (arr(i) == e.sig(i)) m += 1; i += 1 }
+                      val est = m.toDouble / k
+                      if (est >= threshold)
+                        hits += Hit(math.min(id, e.id), math.max(id, e.id), est)
+                    }
                   }
+                  entries = Entry(id, arr, ts.getTime) :: entries
                 }
-                entries = Entry(id, arr, ts.getTime) :: entries
             }
             state.update(entries)
             // bucket dies once nothing newer than the horizon remains

@@ -277,6 +277,37 @@ class PipelineSpec extends SparkTestBase {
     assert(mismatchDot == 0)
   }
 
+  test("native expression edge semantics: all-null minhash slots, vec_dot length mismatch") {
+    // empty / all-null shingle arrays: every signature slot is NULL,
+    // matching array_min over an empty transform in the composed form
+    val edge = Seq(Seq.empty[String], Seq(null.asInstanceOf[String]))
+      .toDF("s")
+    val sigs = edge
+      .select(graft.plans.Md5MinHash.minhash(col("s"), 4).as("sig"),
+        transform(sequence(lit(0), lit(3)),
+          i => array_min(transform(col("s"),
+            sh => md5(concat(i.cast("string"), lit(":"), sh))))).as("composed"))
+      .collect()
+    sigs.foreach { r =>
+      val native = r.getSeq[String](0)
+      val composed = r.getSeq[String](1)
+      assert(native == composed, s"native=$native composed=$composed")
+      assert(native.forall(_ == null))
+    }
+
+    // strict vec_dot: length mismatch → NULL (zip_with null-poison
+    // parity), never a partial dot product
+    val vecs = Seq((Seq(1.0f, 2.0f, 3.0f), Seq(1.0f, 1.0f))).toDF("a", "b")
+    val strictRow = vecs.select(
+      VectorFns.dot(col("a"), col("b")).as("native"),
+      VectorFns.foldDot(col("a"), col("b")).as("composed")).head()
+    assert(strictRow.isNullAt(0) && strictRow.isNullAt(1))
+    // padded vec_dot: min-length fold (zero-pad identity for SRP planes)
+    val padRow = vecs.select(
+      graft.plans.VecDot.padded(col("a"), col("b")).as("d")).head()
+    assert(padRow.getDouble(0) == 3.0)
+  }
+
   test("text functions: tokens, ngrams, langId edge cases") {
     val t = Seq(("  hello   world  ", 1L)).toDF("text", "id")
     assert(t.select(TextFns.tokenCount(col("text"))).as[Int].head() == 2)

@@ -126,6 +126,13 @@ class StreamingSpec extends SparkTestBase {
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(pairs.contains((1L, 3L)), s"got $pairs")
       assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L), s"got $pairs")
+      // at-least-once replay: doc 3 delivered again must not re-emit
+      // the (1,3) pair or inflate bucket state
+      val before = spark.table("neardup_out").count()
+      mem.addData((t(31), 3L, body + " extra tail"))
+      q.processAllAvailable()
+      assert(spark.table("neardup_out").count() == before,
+        "replayed doc_id re-emitted candidate pairs")
     } finally q.stop()
   }
 
