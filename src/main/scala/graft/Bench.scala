@@ -24,10 +24,15 @@ object Bench {
     // numbers measure steady-state throughput — the regime a long-lived
     // cluster job actually runs in. Falls back to no warm-up if the
     // small fixture isn't present.
-    val warmDir = new java.io.File(new java.io.File(sfDir).getParentFile, "sf0.001")
+    // sf0.01 (not sf0.001) so the row counts are high enough to trigger
+    // JIT compilation of every hot loop — a 50-row fixture leaves the
+    // interpreter paths cold and the first timed text query pays them.
+    val warmDir = Seq("sf0.01", "sf0.001")
+      .map(n => new java.io.File(new java.io.File(sfDir).getParentFile, n))
+      .find(d => d.isDirectory && d.getPath != new java.io.File(sfDir).getPath)
+      .getOrElse(new java.io.File("/nonexistent"))
     val warmupWanted = sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") != "0"
-    val warmedUp = warmupWanted && warmDir.isDirectory &&
-      warmDir.getPath != new java.io.File(sfDir).getPath
+    val warmedUp = warmupWanted && warmDir.isDirectory
     if (warmedUp) {
       SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
         try fn(spark, warmDir.getPath).count()

@@ -26,6 +26,58 @@ object Profile {
       println(f"PROFILE $name%-34s ${(System.nanoTime() - t0) / 1e9}%6.2f s  n=$n")
     }
 
+    // reproduce the bench harness: one untimed warm-up pass of every
+    // query at sf0.01, then time the heavy dedup queries at the target
+    // scale in the same order/conditions the bench uses
+    val warmDir = new java.io.File(new java.io.File(sfDir).getParentFile, "sf0.01").getPath
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+      try fn(spark, warmDir).count() catch { case scala.util.control.NonFatal(_) => () }
+      spark.catalog.clearCache()
+    }
+    Seq("q_dedup_minhash", "q_dedup_minhash_fast", "q_ngram_jaccard",
+        "q_dedup_clusters", "q_dedup_simhash", "q_embed_neardup").foreach { name =>
+      t(s"bench-replica: $name")(SparkEntry.queries(name)(spark, sfDir).count())
+      spark.catalog.clearCache()
+      t(s"bench-replica2: $name")(SparkEntry.queries(name)(spark, sfDir).count())
+      spark.catalog.clearCache()
+    }
+    // bisect: corpus persisted vs not, orderBy vs not
+    locally {
+      val b0 = Tables.read(spark, sfDir, "documents").select("doc_id", "text")
+      val rawCorpus = b0.unionByName(b0.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 20000).as("doc_id"),
+          concat(col("text"), lit(" extra near dup tail")).as("text")))
+        .repartition(32)
+      t("bisect: raw corpus count")(rawCorpus.count())
+      t("bisect: sig pass on raw 1")(Dedup.minhashSignatures(rawCorpus,
+        "text", "doc_id", 3, 12).count())
+      t("bisect: sig pass on raw 2")(Dedup.minhashSignatures(rawCorpus,
+        "text", "doc_id", 3, 12).count())
+      t("bisect: shingles only on raw")(rawCorpus.select(
+        array_distinct(TextFns.wordNgrams(col("text"), 3)).as("sh"))
+        .filter(size(col("sh")) > 0).count())
+      val pc0 = rawCorpus.persist(); pc0.count()
+      t("bisect: sig pass on cached")(Dedup.minhashSignatures(pc0,
+        "text", "doc_id", 3, 12).count())
+      t("bisect: shingles only on cached")(pc0.select(
+        array_distinct(TextFns.wordNgrams(col("text"), 3)).as("sh"))
+        .filter(size(col("sh")) > 0).count())
+      pc0.unpersist()
+      t("bisect: noPersist noOrder")(Dedup.minhashNearDupPairs(rawCorpus,
+        shingleN = 3, k = 12, bands = 4, threshold = 0.5).count())
+      spark.catalog.clearCache()
+      t("bisect: noPersist withOrder")(Dedup.minhashNearDupPairs(rawCorpus,
+        shingleN = 3, k = 12, bands = 4, threshold = 0.5)
+        .orderBy("id_a", "id_b").count())
+      spark.catalog.clearCache()
+      val pc = rawCorpus.persist(); pc.count()
+      t("bisect: persist withOrder")(Dedup.minhashNearDupPairs(pc,
+        shingleN = 3, k = 12, bands = 4, threshold = 0.5)
+        .orderBy("id_a", "id_b").count())
+      pc.unpersist()
+      spark.catalog.clearCache()
+    }
+
     val base = Tables.read(spark, sfDir, "documents").select("doc_id", "text")
     val corpus = base.unionByName(base.filter(col("doc_id") % 11 === 0)
       .select((col("doc_id") + 20000).as("doc_id"),
@@ -91,6 +143,22 @@ object Profile {
       t("cc: clusters full")(Dedup.nearDupClusters(
         Dedup.minhashNearDupPairs(corpus, shingleN = 3, k = 12, bands = 4,
           threshold = 0.5)).count())
+
+      // --- corpus prep stages (bench-slowest query)
+      val docsAll = Tables.read(spark, sfDir, "documents")
+      t("cp: read+count")(docsAll.count())
+      val spreadDocs = docsAll.repartition(32)
+      val filtered = spreadDocs
+        .filter(col("lang").isin("en", "fr"))
+        .filter(TextFns.qualityScore(col("text")) >= 0.5)
+      t("cp: lang+quality filter")(filtered.count())
+      val dd = Dedup.exactDedup(filtered, "text", "doc_id")
+      t("cp: exact dedup")(dd.count())
+      t("cp: full prepare")(graft.pipeline.Corpus.prepare(
+        spreadDocs, Seq("en", "fr"), 0.5).count())
+      t("cp: via SparkEntry")(SparkEntry.queries("q_corpus_prep")(spark, sfDir).count())
+      spark.catalog.clearCache()
+      t("cp: via SparkEntry post-clear")(SparkEntry.queries("q_corpus_prep")(spark, sfDir).count())
     }
     spark.stop()
   }

@@ -24,8 +24,9 @@ object Corpus {
   def chunk(docs: DataFrame, chunkTokens: Int, overlapTokens: Int,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     require(overlapTokens < chunkTokens, "overlap must be below chunk size")
+    graft.plans.NativeFns.register(docs.sparkSession)
     val stride = chunkTokens - overlapTokens
-    val toks = TextFns.tokens(col(textCol))
+    val toks = graft.plans.WordShingles.shingles(col(textCol), 1)
     val nChunks = greatest(
       ceil((size(col("__toks")) - lit(overlapTokens)).cast("double") / stride)
         .cast("int"), lit(1))
@@ -94,11 +95,12 @@ object Corpus {
    */
   def decontaminate(docs: DataFrame, benchmark: DataFrame, n: Int = 8,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    graft.plans.NativeFns.register(docs.sparkSession)
     val benchGrams = benchmark
-      .select(explode(TextFns.wordNgrams(col(textCol), n)).as("g"))
+      .select(explode(graft.plans.WordShingles.shingles(col(textCol), n)).as("g"))
       .select(md5(col("g")).as("gh")).distinct()
     val contaminated = docs
-      .select(col(idCol), explode(TextFns.wordNgrams(col(textCol), n)).as("g"))
+      .select(col(idCol), explode(graft.plans.WordShingles.shingles(col(textCol), n)).as("g"))
       .select(col(idCol), md5(col("g")).as("gh"))
       .join(broadcast(benchGrams), Seq("gh"), "left_semi")
       .select(idCol).distinct()

@@ -49,7 +49,11 @@ object Dedup {
   def minhashSignatures(docs: DataFrame, textCol: String, idCol: String,
       shingleN: Int, k: Int): DataFrame = {
     graft.plans.NativeFns.register(docs.sparkSession)
-    val shingles = array_distinct(TextFns.wordNgrams(col(textCol), shingleN))
+    // native single-pass shingling: byte-identical to
+    // array_distinct(TextFns.wordNgrams(...)) — the composed form the
+    // oracle replicates — without the five CodegenFallback hops
+    val shingles = graft.plans.WordShingles.shingles(col(textCol), shingleN,
+      distinct = true)
     docs.select(col(idCol), shingles.as("shingles"))
       .filter(size(col("shingles")) > 0)
       .withColumn("sig", graft.plans.Md5MinHash.minhash(col("shingles"), k))
@@ -72,8 +76,12 @@ object Dedup {
     val rows = k / bands
     // the signature/shingle subtree fans out to the band explode and
     // both sides of the candidate join — persist it once instead of
-    // recomputing tokenization + k*md5 per reference.
+    // recomputing tokenization + k*md5 per reference. Materialize
+    // EAGERLY: the fan-out stages are submitted concurrently, and a
+    // lazily-populated cache lets them race, each recomputing the full
+    // signature pass before the cache exists.
     val signed = minhashSignatures(docs, textCol, idCol, shingleN, k).persist()
+    signed.count()
 
     val banded = signed.select(col(idCol), col("shingles"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
@@ -116,10 +124,12 @@ object Dedup {
     val rows = k / bands
     graft.plans.NativeFns.register(docs.sparkSession)
     val signed = docs.select(col(idCol),
-        array_distinct(TextFns.wordNgrams(col(textCol), shingleN)).as("shingles"))
+        graft.plans.WordShingles.shingles(col(textCol), shingleN,
+          distinct = true).as("shingles"))
       .filter(size(col("shingles")) > 0)
       .withColumn("sig", graft.plans.XxMinHash.minhash(col("shingles"), k))
       .persist()
+    signed.count() // eager: see minhashNearDupPairs
 
     val banded = signed.select(col(idCol),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
@@ -164,7 +174,8 @@ object Dedup {
   def simhashDf(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
     graft.plans.NativeFns.register(docs.sparkSession)
     docs.select(col(idCol),
-      graft.plans.SimHash64.simhash(TextFns.tokens(col(textCol))).as("simhash"))
+      graft.plans.SimHash64.simhash(
+        graft.plans.WordShingles.shingles(col(textCol), 1)).as("simhash"))
   }
 
   /** SimHash near-dup candidates: split the 64-bit fingerprint into
@@ -179,8 +190,10 @@ object Dedup {
     val bands = Seq(2, 4, 8, 16).find(_ > maxHamming).get
     val width = 64 / bands
     val mask = (1L << width) - 1
-    // 64-bit fingerprinting fans out to both join sides — compute once.
+    // 64-bit fingerprinting fans out to both join sides — compute once,
+    // eagerly (concurrent join-side stages would race a lazy cache).
     val fp = simhashDf(docs, textCol, idCol).persist()
+    fp.count()
     val banded = fp.select(col(idCol), col("simhash"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => call_function("shiftright", col("simhash"), b * width).bitwiseAND(mask))))
@@ -301,10 +314,13 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", shingleN: Int = 4, threshold: Double = 0.4,
       maxDf: Int = 50): DataFrame = {
+    graft.plans.NativeFns.register(docs.sparkSession)
     val withShingles = docs.select(col(idCol),
-      array_distinct(TextFns.wordNgrams(col(textCol), shingleN)).as("shingles"))
+      graft.plans.WordShingles.shingles(col(textCol), shingleN,
+        distinct = true).as("shingles"))
       .filter(size(col("shingles")) > 0)
       .persist() // referenced by the posting (×2 join sides) and both shingle rejoins
+      .transform { df => df.count(); df } // eager: fan-out stages race a lazy cache
     val posting = withShingles.select(col(idCol), explode(col("shingles")).as("shingle"))
     // One exchange does blocking AND pair generation: group the posting
     // by shingle, df-filter on the collected group size (bounded by
@@ -356,6 +372,7 @@ object Dedup {
       explode(VectorFns.srpBands(col("sig"), bands, bits)).as("bk"))
       .select(col(idCol), col(vecCol), col("bk.band").as("band"), col("bk.key").as("band_key"))
       .persist() // SRP signatures fan out to both candidate-join sides
+      .transform { df => df.count(); df } // eager: fan-out stages race a lazy cache
     val a = banded.select(col(idCol).as("id_a"), col(vecCol).as("v_a"),
       col("band"), col("band_key"))
     val b = banded.select(col(idCol).as("id_b"), col(vecCol).as("v_b"),

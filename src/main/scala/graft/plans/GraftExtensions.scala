@@ -34,5 +34,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
       (exprs: Seq[Expression]) => VecDot(exprs.head, exprs(1),
         pad = exprs.lift(2).exists(_.eval() == true))))
+    ext.injectFunction((
+      new FunctionIdentifier("word_shingles"),
+      new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
+      (exprs: Seq[Expression]) => WordShingles(exprs.head,
+        n = exprs(1).eval().asInstanceOf[Number].intValue(),
+        distinct = exprs.lift(2).exists(_.eval() == true))))
   }
 }

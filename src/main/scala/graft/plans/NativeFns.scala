@@ -21,5 +21,6 @@ object NativeFns {
       Md5MinHash.register(spark)
       SimHash64.register(spark)
       VecDot.register(spark)
+      WordShingles.register(spark)
     }
 }

@@ -58,7 +58,8 @@ object StreamNearDup {
     val signed = docs
       .withWatermark("ts", s"$horizonMin minutes")
       .select(col(idCol), col("ts"),
-        array_distinct(TextFns.wordNgrams(col(textCol), shingleN)).as("shingles"))
+        graft.plans.WordShingles.shingles(col(textCol), shingleN,
+          distinct = true).as("shingles"))
       .filter(size(col("shingles")) > 0)
       .select(col(idCol), col("ts"),
         graft.plans.XxMinHash.minhash(col("shingles"), k).as("sig"))

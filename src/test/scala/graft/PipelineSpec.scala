@@ -277,6 +277,30 @@ class PipelineSpec extends SparkTestBase {
     assert(mismatchDot == 0)
   }
 
+  test("native WordShingles is bit-identical to the composed split/slice/join form") {
+    graft.plans.NativeFns.register(spark)
+    // real corpus text plus crafted whitespace edge cases
+    val crafted = Seq("", " ", "a", "a b", "  a  b  ", "a\tb\nc d",
+      "x \t\n y", "one two three four", "dup dup dup dup",
+      "tab\tsep\ttokens here", "你好 世界 你好 世界 你好").toDF("text")
+    val docsTxt = Tables.read(spark, sf0001, "documents").select("text").limit(200)
+    for (df <- Seq(crafted, docsTxt); n <- Seq(1, 3, 4)) {
+      val mismatch = df.select(
+          graft.plans.WordShingles.shingles(col("text"), n).as("a"),
+          graft.functions.TextFns.wordNgrams(col("text"), n).as("b"),
+          graft.plans.WordShingles.shingles(col("text"), n, distinct = true).as("da"),
+          array_distinct(graft.functions.TextFns.wordNgrams(col("text"), n)).as("db"))
+        .filter(col("a") =!= col("b") || col("da") =!= col("db")).count()
+      assert(mismatch == 0, s"n=$n")
+    }
+    // n = 1 equals the tokens primitive
+    val tokMismatch = crafted.select(
+        graft.plans.WordShingles.shingles(col("text"), 1).as("a"),
+        graft.functions.TextFns.tokens(col("text")).as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(tokMismatch == 0)
+  }
+
   test("native expression edge semantics: all-null minhash slots, vec_dot length mismatch") {
     // empty / all-null shingle arrays: every signature slot is NULL,
     // matching array_min over an empty transform in the composed form
