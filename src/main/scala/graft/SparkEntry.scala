@@ -569,6 +569,50 @@ object SparkEntry {
       Multimodal.extractFeatures(Multimodal.syntheticMedia(spread(docs(s, dir))))
         .toDF().select("media_id", "kind", "n_bytes", "frames_sampled")
         .orderBy("media_id")
+    },
+
+    // Point-in-time (as-of) join: for sampled probe events, the latest
+    // per-type value at or before the probe time — union + one sorted
+    // window pass per key, no range join, no per-probe subquery.
+    "q_asof" -> { (s, dir) =>
+      val e = ev(s, dir)
+      val probes = e.filter(col("event_id") % 97 === 0)
+        .select(col("event_id"), col("event_type"), col("ts"))
+      val quotes = AsOfJoin.latestQuotePerTs(e, "event_type", "ts", "value")
+      AsOfJoin.asOf(probes, quotes, "event_type", "ts", "value")
+        .select(col("event_id"), col("event_type"),
+          unix_timestamp(col("ts")).as("ts_epoch"),
+          col("asof_value"))
+        .orderBy("event_id")
+    },
+
+    // Gap-based sessionization over the event stream (30-min gap).
+    "q_sessions" -> { (s, dir) =>
+      Sessionize.sessions(ev(s, dir), "user_id", "ts", "event_id", 1800L)
+        .orderBy("user_id", "session_index")
+    },
+
+    // Binned interval join: events falling inside deterministic
+    // maintenance windows spawned by every 53rd event — hash equi-join
+    // on time bins instead of the quadratic theta join.
+    "q_range_join" -> { (s, dir) =>
+      val e = ev(s, dir)
+      val points = e.select(col("event_id").as("point_id"),
+        unix_timestamp(col("ts")).as("pts"))
+      val iv = e.filter(col("event_id") % 53 === 0)
+        .select(col("event_id").as("interval_id"),
+          unix_timestamp(col("ts")).as("s"),
+          (unix_timestamp(col("ts")) + (col("event_id") % 7 + 1) * 600).as("e"))
+      RangeJoin.binned(points, iv, "pts", "s", "e", binWidth = 3600L)
+        .groupBy(col("interval_id"))
+        .agg(count(lit(1)).as("n_points"))
+        .orderBy("interval_id")
+    },
+
+    // Integer-arithmetic TF-IDF: top-3 terms per sampled document.
+    "q_tfidf" -> { (s, dir) =>
+      graft.pipeline.TfIdf.topTerms(docs(s, dir).filter(col("doc_id") % 7 === 0), 3)
+        .orderBy("doc_id", "rank")
     }
   )
 
@@ -1209,6 +1253,53 @@ object SparkEntry {
         CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
         CAST(strlen(text) AS INTEGER) AS n_bytes,
         CAST(((strlen(text) + 63) // 64 + 1) // 2 AS INTEGER) AS frames_sampled
-        FROM documents ORDER BY media_id""".stripMargin
+        FROM documents ORDER BY media_id""".stripMargin,
+
+    "q_asof" ->
+      """WITH q AS (SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS ts,
+        |max(value) AS v FROM events GROUP BY 1, 2),
+        |p AS (SELECT event_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS ts
+        |FROM events WHERE event_id % 97 = 0)
+        |SELECT p.event_id, p.event_type, p.ts AS ts_epoch,
+        |(SELECT q.v FROM q WHERE q.event_type = p.event_type AND q.ts <= p.ts
+        | ORDER BY q.ts DESC LIMIT 1) AS asof_value
+        |FROM p ORDER BY event_id""".stripMargin,
+
+    "q_sessions" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |CAST(floor(epoch(ts)) AS BIGINT) AS ts FROM events),
+        |l AS (SELECT user_id, event_id, ts,
+        |lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM e),
+        |f AS (SELECT user_id, event_id, ts,
+        |CASE WHEN prev IS NULL OR ts - prev > 1800 THEN 1 ELSE 0 END AS is_new FROM l),
+        |s AS (SELECT user_id, ts, CAST(SUM(is_new) OVER (PARTITION BY user_id
+        |ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_index FROM f)
+        |SELECT user_id, session_index, MIN(ts) AS start_epoch, MAX(ts) AS end_epoch,
+        |COUNT(*) AS n_events, MAX(ts) - MIN(ts) AS duration_sec
+        |FROM s GROUP BY 1, 2 ORDER BY user_id, session_index""".stripMargin,
+
+    "q_range_join" ->
+      """WITH p AS (SELECT event_id AS point_id,
+        |CAST(floor(epoch(ts)) AS BIGINT) AS pts FROM events),
+        |iv AS (SELECT event_id AS interval_id,
+        |CAST(floor(epoch(ts)) AS BIGINT) AS s,
+        |CAST(floor(epoch(ts)) AS BIGINT) + (event_id % 7 + 1) * 600 AS e
+        |FROM events WHERE event_id % 53 = 0)
+        |SELECT iv.interval_id, COUNT(*) AS n_points
+        |FROM iv JOIN p ON p.pts BETWEEN iv.s AND iv.e
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_tfidf" ->
+      """WITH dd AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 = 0),
+        |t AS (SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '\s+'),
+        |x -> x <> '')) AS term FROM dd),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+        |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |sc AS (SELECT doc_id, term, tf, df, (tf * 1000000) // df AS score
+        |FROM tf JOIN df USING (term)),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |ORDER BY score DESC, term) AS rank FROM sc)
+        |SELECT doc_id, term, tf, df, score, CAST(rank AS INTEGER) AS rank
+        |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
   )
 }

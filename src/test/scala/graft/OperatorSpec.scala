@@ -176,6 +176,68 @@ class OperatorSpec extends SparkTestBase {
     }
   }
 
+  test("as-of join: inclusive ties, carry-forward, null before first quote") {
+    import java.sql.Timestamp
+    def t(sec: Long) = new Timestamp(sec * 1000)
+    val quotes = Seq(("a", t(10), 1.0), ("a", t(20), 2.0), ("b", t(15), 9.0))
+      .toDF("k", "ts", "v")
+    val probes = Seq(("a", t(5), 100L), ("a", t(10), 101L), ("a", t(25), 102L),
+      ("b", t(14), 103L), ("c", t(50), 104L))
+      .toDF("k", "ts", "probe_id")
+    val out = graft.operators.AsOfJoin.asOf(probes, quotes, "k", "ts", "v")
+      .select("probe_id", "asof_v").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+    assert(out(100L).isEmpty)          // before any quote
+    assert(out(101L).contains(1.0))    // quote at exactly probe ts is visible
+    assert(out(102L).contains(2.0))    // carry latest forward
+    assert(out(103L).isEmpty)          // other key's quote not visible
+    assert(out(104L).isEmpty)          // key with no quotes at all
+  }
+
+  test("sessionize: gap boundary is exclusive, ties ordered by tiebreak") {
+    import java.sql.Timestamp
+    def t(sec: Long) = new Timestamp(sec * 1000)
+    // gaps: 1800 exactly (same session), 1801 (new session)
+    val e = Seq((1L, t(0), 1L), (1L, t(1800), 2L), (1L, t(3601), 3L),
+      (2L, t(100), 4L)).toDF("user_id", "ts", "event_id")
+    val s = graft.operators.Sessionize.sessions(e, "user_id", "ts", "event_id", 1800L)
+      .orderBy("user_id", "session_index")
+      .select("user_id", "session_index", "n_events", "duration_sec")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(s.toSeq == Seq((1L, 1L, 2L, 1800L), (1L, 2L, 1L, 0L), (2L, 1L, 1L, 0L)))
+  }
+
+  test("binned range join matches the naive theta join, no duplicate pairs") {
+    val points = (0L to 200L by 3).toDF("p").withColumn("point_id", col("p"))
+    val ivs = Seq((1L, 0L, 10L), (2L, 5L, 5L), (3L, 9L, 120L), (4L, 150L, 40L))
+      .toDF("interval_id", "s", "e") // (4) has s > e → dropped
+    val binned = graft.operators.RangeJoin.binned(points, ivs, "p", "s", "e", 7L)
+      .select("point_id", "interval_id")
+      .as[(Long, Long)].collect().toSeq.sorted
+    val naive = points.crossJoin(ivs)
+      .filter(col("p") >= col("s") && col("p") <= col("e"))
+      .select("point_id", "interval_id")
+      .as[(Long, Long)].collect().toSeq.sorted
+    assert(binned == naive)
+    assert(binned.size == binned.distinct.size)
+    assert(naive.nonEmpty && !naive.exists(_._2 == 4L))
+  }
+
+  test("tf-idf: integer scores, deterministic top-k tie-breaks") {
+    val d = Seq((1L, "apple apple banana"), (2L, "banana cherry"),
+      (3L, "cherry cherry cherry")).toDF("doc_id", "text")
+    val scores = graft.pipeline.TfIdf.termScores(d)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map { case (term, id, tf, df, score) => (id, term) -> (tf, df, score) }.toMap
+    assert(scores((1L, "apple")) == (2L, 1L, 2000000L))   // tf=2, df=1
+    assert(scores((1L, "banana")) == (1L, 2L, 500000L))   // tf=1, df=2
+    assert(scores((3L, "cherry")) == (3L, 2L, 1500000L))
+    val top1 = graft.pipeline.TfIdf.topTerms(d, 1)
+      .select("doc_id", "term").as[(Long, String)].collect().toMap
+    assert(top1(1L) == "apple" && top1(2L) == "banana" && top1(3L) == "cherry")
+  }
+
   test("definition export round-trips through JSON schema (O-11/O-5)") {
     val out = java.nio.file.Files.createTempDirectory("defs").toString
     DefinitionExport.dump(spark, DefinitionRegistry.allAccounts, out)
