@@ -613,6 +613,40 @@ object SparkEntry {
     "q_tfidf" -> { (s, dir) =>
       graft.pipeline.TfIdf.topTerms(docs(s, dir).filter(col("doc_id") % 7 === 0), 3)
         .orderBy("doc_id", "rank")
+    },
+
+    // HLL sketch property check: the oracle pins the exact distinct
+    // count AND asserts (as a hash-checked literal-true column) that
+    // the HLL++ estimate lands within 5% — if the sketch drifts, the
+    // hash compare goes red.
+    "q_approx_distinct" -> { (s, dir) =>
+      ev(s, dir).groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("exact_users"),
+          approx_count_distinct(col("user_id"), rsd = 0.02).as("__approx"))
+        .select(col("event_type"), col("exact_users"),
+          (abs(col("__approx") - col("exact_users")) <=
+            col("exact_users") * 0.05).as("hll_within_5pct"))
+        .orderBy("event_type")
+    },
+
+    // Quantile sketch property check: exact interpolated percentiles
+    // (bit-equal to DuckDB quantile_cont) plus hash-checked assertions
+    // that approx_percentile stays inside the ±1-percentile band.
+    "q_sketch_quantile" -> { (s, dir) =>
+      ev(s, dir).groupBy("event_type")
+        .agg(expr("percentile(value, array(0.49D, 0.50D, 0.51D, 0.94D, 0.95D, 0.96D))").as("q"),
+          expr("approx_percentile(value, array(0.50D, 0.95D), 10000)").as("a"))
+        .select(col("event_type"),
+          col("q")(1).as("p50_exact"), col("q")(4).as("p95_exact"),
+          col("a")(0).between(col("q")(0), col("q")(2)).as("p50_in_band"),
+          col("a")(1).between(col("q")(3), col("q")(5)).as("p95_in_band"))
+        .orderBy("event_type")
+    },
+
+    // Token-stream sequence packing (two-phase distributed prefix sum).
+    "q_packs" -> { (s, dir) =>
+      graft.pipeline.Packing.streamPacks(docs(s, dir), 2048L)
+        .orderBy("doc_id")
     }
   )
 
@@ -1300,6 +1334,28 @@ object SparkEntry {
         |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
         |ORDER BY score DESC, term) AS rank FROM sc)
         |SELECT doc_id, term, tf, df, score, CAST(rank AS INTEGER) AS rank
-        |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
+        |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    "q_approx_distinct" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
+        |true AS hll_within_5pct
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    "q_sketch_quantile" ->
+      """SELECT event_type,
+        |quantile_cont(value, 0.50) AS p50_exact,
+        |quantile_cont(value, 0.95) AS p95_exact,
+        |true AS p50_in_band, true AS p95_in_band
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    "q_packs" ->
+      """WITH t AS (SELECT doc_id,
+        |CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
+        |FROM documents),
+        |c AS (SELECT doc_id, n_tokens,
+        |SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens AS before
+        |FROM t)
+        |SELECT doc_id, n_tokens, before // 2048 AS pack_id
+        |FROM c ORDER BY doc_id""".stripMargin
   )
 }

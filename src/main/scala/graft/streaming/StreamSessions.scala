@@ -1,0 +1,32 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Streaming gap-based sessionization over the event stream —
+ * Structured Streaming's native `session_window` (dynamic-gap window
+ * merge in the state store) rather than a hand-rolled
+ * flatMapGroupsWithState: Spark merges overlapping session windows
+ * per key and emits a session once the watermark passes its close,
+ * which is exactly gap semantics with bounded state. The batch twin is
+ * [[graft.operators.Sessionize]]; the StreamingSpec asserts both
+ * produce the same sessions for the same event sequence.
+ */
+object StreamSessions {
+
+  /** One output row per closed session: (userCol, session_start,
+    * session_end, n_events, sum_value). */
+  def sessionStats(events: DataFrame, userCol: String = "user_id",
+      tsCol: String = "ts", gap: String = "30 minutes",
+      watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(col(userCol), session_window(col(tsCol), gap).as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value")).as("sum_value"))
+      .select(col(userCol),
+        unix_timestamp(col("w.start")).as("session_start"),
+        unix_timestamp(col("w.end")).as("session_end"),
+        col("n_events"), col("sum_value"))
+}

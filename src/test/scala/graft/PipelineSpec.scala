@@ -332,6 +332,31 @@ class PipelineSpec extends SparkTestBase {
     assert(padRow.getDouble(0) == 3.0)
   }
 
+  test("sequence packing: two-phase prefix scan equals global window; next-fit properties") {
+    val docs = Tables.read(spark, sf0001, "documents").select("doc_id", "text")
+    val packed = graft.pipeline.Packing.streamPacks(docs, 512L)
+    // reference: the single-window global cumsum formulation
+    val w = org.apache.spark.sql.expressions.Window.orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val ref = docs.select(col("doc_id"),
+        size(graft.functions.TextFns.tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("pack_id",
+        expr("(sum(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) div 512"))
+    assert(packed.orderBy("doc_id").collect().toSeq ==
+      ref.orderBy("doc_id").collect().toSeq)
+    // pack ids are contiguous from 0 and non-decreasing in doc order
+    val ids = packed.orderBy("doc_id").select("pack_id").as[Long].collect()
+    assert(ids.head == 0L && ids.sliding(2).forall(p => p(1) >= p(0)))
+
+    // next-fit: no pack exceeds capacity unless it holds one oversized doc
+    val nf = graft.pipeline.Packing.nextFit(docs, 512L, shards = 4).collect()
+    val byPack = nf.groupBy(_.pack_id)
+    assert(byPack.values.forall(ds => ds.map(_.n_tokens).sum <= 512L || ds.length == 1))
+    // every doc appears exactly once
+    assert(nf.map(_.doc_id).distinct.length == docs.count())
+  }
+
   test("text functions: tokens, ngrams, langId edge cases") {
     val t = Seq(("  hello   world  ", 1L)).toDF("text", "id")
     assert(t.select(TextFns.tokenCount(col("text"))).as[Int].head() == 2)

@@ -136,6 +136,40 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming session_window matches batch sessionization on closed sessions") {
+    implicit val sq = spark.sqlContext
+    import java.sql.Timestamp
+    val mem = MemoryStream[(Timestamp, Long, Long, Double)]
+    val df = mem.toDF().toDF("ts", "user_id", "event_id", "value")
+    val q = graft.streaming.StreamSessions.sessionStats(df,
+        gap = "10 minutes", watermark = "1 minute")
+      .writeStream.format("memory").queryName("sessions_out")
+      .outputMode("append").start()
+    def t(sec: Long) = new Timestamp(sec * 1000)
+    try {
+      // user 1: two events 5 min apart (one session), then a 20-min gap
+      // (new session); user 2: one event
+      mem.addData((t(0), 1L, 1L, 1.0), (t(300), 1L, 2L, 2.0),
+        (t(100), 2L, 3L, 5.0))
+      q.processAllAvailable()
+      // advance the watermark far past everything so sessions close
+      mem.addData((t(100000), 9L, 99L, 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("sessions_out")
+        .select("user_id", "session_start", "n_events", "sum_value")
+        .as[(Long, Long, Long, Double)].collect().toSet
+      assert(rows.contains((1L, 0L, 2L, 3.0)), s"got $rows")
+      assert(rows.contains((2L, 100L, 1L, 5.0)), s"got $rows")
+      // batch twin agrees on the same events
+      val batch = graft.operators.Sessionize.sessions(
+        Seq((t(0), 1L, 1L), (t(300), 1L, 2L), (t(100), 2L, 3L))
+          .toDF("ts", "user_id", "event_id"),
+        "user_id", "ts", "event_id", 600L)
+        .select("user_id", "n_events").as[(Long, Long)].collect().toSet
+      assert(batch == Set((1L, 2L), (2L, 1L)))
+    } finally q.stop()
+  }
+
   test("streaming alarm transitions via flatMapGroupsWithState (O-23)") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[AlarmStream.SeriesPoint]
