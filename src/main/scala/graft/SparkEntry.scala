@@ -647,6 +647,30 @@ object SparkEntry {
     "q_packs" -> { (s, dir) =>
       graft.pipeline.Packing.streamPacks(docs(s, dir), 2048L)
         .orderBy("doc_id")
+    },
+
+    // Incremental near-dup: a new batch (every 5th doc + injected
+    // near-copies of existing docs) against the precomputed signature
+    // index of the existing corpus — no existing×existing re-pairing.
+    "q_dedup_incr" -> { (s, dir) =>
+      val d = docs(s, dir).select("doc_id", "text")
+      val existing = spread(d.filter(col("doc_id") % 5 =!= 0))
+      val newBatch = spread(d.filter(col("doc_id") % 5 === 0)
+        .unionByName(d.filter(col("doc_id") % 5 === 1)
+          .select((col("doc_id") + 20000).as("doc_id"),
+            concat(col("text"), lit(" extra near dup tail")).as("text"))))
+      val index = Dedup.minhashSignatures(existing, "text", "doc_id", 3, 12)
+      Dedup.minhashIncrementalPairs(index, newBatch)
+        .orderBy("id_a", "id_b")
+    },
+
+    // Trailing-window z-score anomalies per event series (integer
+    // arithmetic, division-free — bit-identical across engines).
+    "q_anomaly" -> { (s, dir) =>
+      Anomaly.zScoreFlags(ev(s, dir), "event_type", "ts", "event_id", "value")
+        .filter(col("is_anomaly"))
+        .select(col("event_id"), col("event_type"), col("n_hist"))
+        .orderBy("event_id")
     }
   )
 
@@ -1356,6 +1380,43 @@ object SparkEntry {
         |SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens AS before
         |FROM t)
         |SELECT doc_id, n_tokens, before // 2048 AS pack_id
-        |FROM c ORDER BY doc_id""".stripMargin
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_incr" ->
+      """WITH all_docs AS (SELECT doc_id, text FROM documents UNION ALL
+        |SELECT doc_id + 20000, text || ' extra near dup tail' FROM documents WHERE doc_id % 5 = 1),
+        |w AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w FROM all_docs),
+        |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(w) >= 3
+        |THEN list_transform(range(1, len(w)-1), i -> array_to_string(w[i:i+2], ' '))
+        |ELSE [] END) AS shingles FROM w),
+        |shf AS (SELECT * FROM sh WHERE len(shingles) > 0),
+        |sig AS (SELECT doc_id, shingles, list_transform(range(0, 12),
+        |i -> list_min(list_transform(shingles, s -> md5(CAST(i AS VARCHAR) || ':' || s)))) AS sig FROM shf),
+        |band AS (SELECT doc_id, t.b AS band, md5(array_to_string(sig[t.b*3+1:t.b*3+3], '|')) AS band_key
+        |FROM sig, range(0, 4) t(b)),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM band a
+        |JOIN band b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+        |WHERE NOT (a.doc_id < 20000 AND a.doc_id % 5 <> 0
+        |       AND b.doc_id < 20000 AND b.doc_id % 5 <> 0)),
+        |j AS (SELECT id_a, id_b,
+        |CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE) /
+        |len(list_distinct(list_concat(x.shingles, y.shingles))) AS jaccard
+        |FROM cand JOIN shf x ON x.doc_id = id_a JOIN shf y ON y.doc_id = id_b)
+        |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_anomaly" ->
+      """WITH e AS (SELECT event_id, event_type,
+        |CAST(floor(value * 100) AS BIGINT) AS x,
+        |CAST(floor(epoch(ts)) AS BIGINT) AS ts FROM events),
+        |w AS (SELECT event_id, event_type, x,
+        |COUNT(*) OVER win AS n_hist,
+        |SUM(x) OVER win AS s, SUM(x*x) OVER win AS sq
+        |FROM e WINDOW win AS (PARTITION BY event_type ORDER BY ts, event_id
+        |ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
+        |SELECT event_id, event_type, n_hist FROM w
+        |WHERE n_hist >= 10
+        |AND (n_hist*x - s)*(n_hist*x - s) > 9*(n_hist*sq - s*s)
+        |ORDER BY event_id""".stripMargin
   )
 }

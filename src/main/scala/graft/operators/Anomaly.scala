@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Trailing-window z-score anomaly flagging over metric series — the
+ * detection layer the reference's threshold alarms (O-23) stop short
+ * of: "is this datapoint ≥ 3σ from its own recent history" instead of
+ * a fixed threshold
+ * (`/root/reference/dataquality/sla.py:14-33` only compares against a
+ * constant).
+ *
+ * All arithmetic is integer (values scaled to cents), and the z-score
+ * test is algebraically cleared of divisions:
+ *   |x − μ| > z·σ  ⇔  (n·x − Σ)² > z²·(n·Σx² − Σ²)
+ * so the flag is bit-identical in any engine — no float mean/stddev
+ * whose rounding could flip an edge case between implementations.
+ * One shuffle on the series key; the trailing frame is a bounded
+ * running window per series.
+ */
+object Anomaly {
+
+  /** @param events  (seriesCol, tsCol, tieCol, valueCol)
+    * @param lookback trailing window size in rows (excluding current)
+    * @param z        threshold in sigmas
+    * @param minN     minimum history rows before flagging
+    * @return events + n_hist + is_anomaly */
+  def zScoreFlags(events: DataFrame, seriesCol: String, tsCol: String,
+      tieCol: String, valueCol: String, lookback: Int = 20, z: Int = 3,
+      minN: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(seriesCol).orderBy(col(tsCol), col(tieCol))
+      .rowsBetween(-lookback, -1)
+    val x = floor(col(valueCol) * 100).cast("long") // cents: exact integers
+    val n = count(lit(1)).over(w)
+    val s = sum(x).over(w)
+    val sq = sum(x * x).over(w)
+    events
+      .withColumn("__x", x)
+      .withColumn("n_hist", n)
+      .withColumn("is_anomaly",
+        when(col("n_hist") < minN, lit(false)).otherwise(
+          pow2(col("n_hist") * col("__x") - s) >
+            lit(z.toLong * z) * (col("n_hist") * sq - pow2(s))))
+      .drop("__x")
+  }
+
+  private def pow2(c: org.apache.spark.sql.Column) = c * c
+}

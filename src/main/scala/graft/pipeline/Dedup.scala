@@ -153,6 +153,62 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /**
+   * Incremental MinHash near-dup: pair an incoming document batch
+   * against an existing corpus WITHOUT re-pairing the corpus with
+   * itself — the daily-ingest path at 100 TB. The existing side
+   * arrives as a precomputed signature index (the exact output of
+   * [[minhashSignatures]], maintained as a lake table by prior runs),
+   * so each increment costs O(batch) signature work plus band
+   * equi-joins of the batch against the index: new×new and
+   * new×existing collisions only, never existing×existing.
+   *
+   * @param index   (idCol, shingles, sig) for the existing corpus
+   * @param newDocs incoming batch (idCol, textCol); ids must be
+   *                disjoint from the index
+   * @return (id_a, id_b, jaccard) pairs with at least one new id,
+   *         id_a < id_b, jaccard ≥ threshold
+   */
+  def minhashIncrementalPairs(index: DataFrame, newDocs: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id", shingleN: Int = 3,
+      k: Int = 12, bands: Int = 4, threshold: Double = 0.5): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val rows = k / bands
+    val newSigs = minhashSignatures(newDocs, textCol, idCol, shingleN, k).persist()
+    newSigs.count() // eager: fans out to banding and the verify joins
+
+    def banded(signed: DataFrame) = signed.select(col(idCol),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => md5(array_join(slice(col("sig"), b * rows + 1, lit(rows)), "|")))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
+
+    val bn = banded(newSigs)
+    val bo = banded(index)
+    // new×existing collisions + new×new collisions; normalize id order
+    val newOld = bn.select(col(idCol).as("id_n"), col("band"), col("band_key"))
+      .join(bo.select(col(idCol).as("id_o"), col("band"), col("band_key")),
+        Seq("band", "band_key"))
+      .select(least(col("id_n"), col("id_o")).as("id_a"),
+        greatest(col("id_n"), col("id_o")).as("id_b"))
+    val newNew = bn.select(col(idCol).as("id_a"), col("band"), col("band_key"))
+      .join(bn.select(col(idCol).as("id_b"), col("band"), col("band_key")),
+        Seq("band", "band_key"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+    val candidates = newOld.unionByName(newNew).distinct()
+
+    val shingleSets = index.select(col(idCol), col("shingles"))
+      .unionByName(newSigs.select(col(idCol), col("shingles")))
+    val jaccard = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+      size(array_union(col("sh_a"), col("sh_b"))).cast("double")
+    candidates
+      .join(shingleSets.select(col(idCol).as("id_a"), col("shingles").as("sh_a")), Seq("id_a"))
+      .join(shingleSets.select(col(idCol).as("id_b"), col("shingles").as("sh_b")), Seq("id_b"))
+      .withColumn("jaccard", jaccard)
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
   /** 64-bit SimHash from an array of 64-bit token hashes: per bit, sum
     * +1/−1 token votes by that bit of each hash; the fingerprint packs
     * the 64 majority signs. Pure higher-order functions → codegen, no

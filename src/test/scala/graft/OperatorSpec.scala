@@ -224,6 +224,30 @@ class OperatorSpec extends SparkTestBase {
     assert(naive.nonEmpty && !naive.exists(_._2 == 4L))
   }
 
+  test("anomaly z-score: flags a spike, respects min history, stable series quiet") {
+    import java.sql.Timestamp
+    def t(sec: Long) = new Timestamp(sec * 1000)
+    // series 'a': 20 points at 10.0 then a spike at 100.0; series 'b':
+    // too short to ever flag
+    val rows = (1L to 20L).map(i => ("a", t(i * 60), i, 10.0)) :+
+      ("a", t(21 * 60), 21L, 100.0) :+ ("b", t(60), 50L, 999.0)
+    val df = rows.toDF("event_type", "ts", "event_id", "value")
+    val out = graft.operators.Anomaly.zScoreFlags(df, "event_type", "ts",
+        "event_id", "value")
+      .select("event_id", "is_anomaly").as[(Long, Boolean)].collect().toMap
+    assert(out(21L), "spike not flagged")
+    assert((1L to 20L).forall(i => !out(i)), "stable history flagged")
+    assert(!out(50L), "flag without min history")
+    // constant-history spike: variance 0 → any deviation flags, and
+    // the division-free test cannot divide by zero
+    val const = ((1L to 15L).map(i => ("c", t(i * 60), i, 5.0)) :+
+      ("c", t(16 * 60), 16L, 5.01)).toDF("event_type", "ts", "event_id", "value")
+    val cOut = graft.operators.Anomaly.zScoreFlags(const, "event_type", "ts",
+        "event_id", "value")
+      .select("event_id", "is_anomaly").as[(Long, Boolean)].collect().toMap
+    assert(cOut(16L))
+  }
+
   test("tf-idf: integer scores, deterministic top-k tie-breaks") {
     val d = Seq((1L, "apple apple banana"), (2L, "banana cherry"),
       (3L, "cherry cherry cherry")).toDF("doc_id", "text")

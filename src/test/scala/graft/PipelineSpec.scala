@@ -332,6 +332,28 @@ class PipelineSpec extends SparkTestBase {
     assert(padRow.getDouble(0) == 3.0)
   }
 
+  test("incremental minhash dedup: exactly the full-run pairs touching a new id") {
+    val base = Tables.read(spark, sf0001, "documents").select("doc_id", "text")
+    val existing = base.filter(col("doc_id") % 5 =!= 0)
+    val newBatch = base.filter(col("doc_id") % 5 === 0)
+      .unionByName(base.filter(col("doc_id") % 5 === 1)
+        .select((col("doc_id") + 20000).as("doc_id"),
+          concat(col("text"), lit(" near dup tail")).as("text")))
+    val index = Dedup.minhashSignatures(existing, "text", "doc_id", 3, 12)
+    val incr = graft.pipeline.Dedup.minhashIncrementalPairs(index, newBatch)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // reference: full-corpus pairing, restricted to pairs with a new id
+    def isNew(id: Long) = id >= 20000 || id % 5 == 0
+    val full = Dedup.minhashNearDupPairs(existing.unionByName(newBatch),
+        shingleN = 3, k = 12, bands = 4, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(incr == full.filter(p => isNew(p._1) || isNew(p._2)))
+    // injected near-copies of EXISTING docs are found (new×old path)
+    assert(incr.exists { case (a, b) => isNew(a) ^ isNew(b) }, s"got $incr")
+    // never an existing×existing pair
+    assert(incr.forall { case (a, b) => isNew(a) || isNew(b) })
+  }
+
   test("sequence packing: two-phase prefix scan equals global window; next-fit properties") {
     val docs = Tables.read(spark, sf0001, "documents").select("doc_id", "text")
     val packed = graft.pipeline.Packing.streamPacks(docs, 512L)
