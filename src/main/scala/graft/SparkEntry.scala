@@ -671,6 +671,23 @@ object SparkEntry {
         .filter(col("is_anomaly"))
         .select(col("event_id"), col("event_type"), col("n_hist"))
         .orderBy("event_id")
+    },
+
+    // Backfill planner: hourly partition gaps per series (O-26/O-27
+    // companion — what a missed landing looks like to the scheduler).
+    "q_partition_gaps" -> { (s, dir) =>
+      PartitionOps.hourlyGaps(ev(s, dir), "event_type", "ts")
+        .orderBy("series", "missing_hour_epoch")
+    },
+
+    // Z-order (Morton) values over a (user, event) grid — the
+    // data-skipping layout key, pure shift/mask/add arithmetic.
+    "q_zorder" -> { (s, dir) =>
+      val e = ev(s, dir).filter(col("event_id") % 101 === 0)
+      e.select(col("event_id"),
+          ZOrder.zValue2(pmod(col("user_id"), lit(1024L)),
+            pmod(col("event_id"), lit(1024L)), bits = 10).as("z"))
+        .orderBy("event_id")
     }
   )
 
@@ -1417,6 +1434,25 @@ object SparkEntry {
         |SELECT event_id, event_type, n_hist FROM w
         |WHERE n_hist >= 10
         |AND (n_hist*x - s)*(n_hist*x - s) > 9*(n_hist*sq - s*s)
-        |ORDER BY event_id""".stripMargin
+        |ORDER BY event_id""".stripMargin,
+
+    "q_partition_gaps" ->
+      """WITH pres AS (SELECT DISTINCT event_type AS series,
+        |CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) AS h FROM events),
+        |sp AS (SELECT series, MIN(h) AS h0, MAX(h) AS h1 FROM pres GROUP BY 1),
+        |allh AS (SELECT series, unnest(generate_series(h0, h1, 3600)) AS h FROM sp)
+        |SELECT series, h AS missing_hour_epoch FROM allh
+        |WHERE NOT EXISTS (SELECT 1 FROM pres p
+        |WHERE p.series = allh.series AND p.h = allh.h)
+        |ORDER BY series, missing_hour_epoch""".stripMargin,
+
+    "q_zorder" -> {
+      val terms = (0 until 10).map { i =>
+        s"(((user_id % 1024) >> $i) & 1) * ${1L << (2 * i)} + " +
+          s"(((event_id % 1024) >> $i) & 1) * ${1L << (2 * i + 1)}"
+      }.mkString(" + ")
+      s"""SELECT event_id, $terms AS z
+         |FROM events WHERE event_id % 101 = 0 ORDER BY event_id""".stripMargin
+    }
   )
 }

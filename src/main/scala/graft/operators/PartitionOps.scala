@@ -83,6 +83,58 @@ object PartitionOps {
   }
 
   /** The complement: partitions an expiry job would drop. */
+  /**
+   * Backfill planner: hourly partitions that SHOULD exist between each
+   * series' first and last observed hour but hold no data — the gap
+   * list a scheduler (O-37) would re-scrape. The reference registers
+   * partitions as objects land (`lambda/add_partition.py:17-71`) but
+   * has nothing that notices a missed landing; this closes that gap.
+   * Per-series sequence() is bounded by the series' own span, and the
+   * anti-join is an aggregated-key join — no full-table theta join.
+   */
+  def hourlyGaps(records: DataFrame, seriesCol: String, tsCol: String): DataFrame = {
+    val hour = (floor(unix_timestamp(col(tsCol)) / 3600) * 3600).cast("long")
+    val present = records.select(col(seriesCol).as("series"), hour.as("h")).distinct()
+    val spans = present.groupBy("series").agg(min("h").as("h0"), max("h").as("h1"))
+    spans
+      .select(col("series"),
+        explode(sequence(col("h0"), col("h1"), lit(3600L))).as("h"))
+      .join(present, Seq("series", "h"), "left_anti")
+      .select(col("series"), col("h").as("missing_hour_epoch"))
+  }
+
+  /**
+   * Small-file compaction for one lake partition directory: rewrite
+   * its parquet files into ceil(bytes / targetBytes) files. The
+   * operational fix for streaming sinks that land a file per
+   * micro-batch (O-9 writes every 60 s → 1,440 files/day/partition);
+   * scan tasks, file-listing latency, and name-node pressure all track
+   * file count at 100 TB. Rewrites into a staging dir then swaps, so
+   * a failure mid-compaction never loses the partition.
+   */
+  def compactPartition(spark: SparkSession, partitionDir: String,
+      targetBytes: Long = 128L * 1024 * 1024): Long = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import scala.jdk.CollectionConverters._
+    val dir = Paths.get(partitionDir)
+    val parquets = Files.list(dir).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+    if (parquets.size <= 1) return parquets.size.toLong
+    val bytes = parquets.map(Files.size).sum
+    val nFiles = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    val staging = dir.resolveSibling(dir.getFileName.toString + ".__compact__")
+    spark.read.parquet(partitionDir).repartition(nFiles)
+      .write.mode("overwrite").parquet(staging.toString)
+    parquets.foreach(Files.delete)
+    Files.list(staging).iterator().asScala
+      .filter(p => !p.getFileName.toString.startsWith("_"))
+      .foreach(p => Files.move(p, dir.resolve(p.getFileName),
+        StandardCopyOption.ATOMIC_MOVE))
+    Files.list(staging).iterator().asScala.foreach(Files.delete)
+    Files.delete(staging)
+    nFiles.toLong
+  }
+
   def expired(records: DataFrame, ttlDays: Int, asOfEpoch: Long): DataFrame = {
     val partDate = make_date(col("year"), col("month"), col("day"))
     val cutoff = date_sub(to_date(timestamp_seconds(lit(asOfEpoch))), ttlDays)

@@ -73,4 +73,55 @@ class LakeLayoutSpec extends SparkTestBase {
     assert(spark.table("metrics_ext").count() == 1)
     spark.sql("DROP TABLE metrics_ext")
   }
+
+  test("small-file compaction: fewer files, identical rows, staging swap") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("compact").toString + "/hour=0"
+    // simulate a streaming sink landing one file per micro-batch
+    (1 to 12).foreach { i =>
+      Seq((i.toLong, s"v$i")).toDF("id", "v")
+        .coalesce(1).write.mode("append").parquet(dir)
+    }
+    val before = spark.read.parquet(dir).orderBy("id").collect().toSeq
+    val filesBefore = new java.io.File(dir).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(filesBefore == 12)
+    PartitionOps.compactPartition(spark, dir)
+    val filesAfter = new java.io.File(dir).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(filesAfter == 1, s"expected 1 file, got $filesAfter")
+    assert(spark.read.parquet(dir).orderBy("id").collect().toSeq == before)
+    assert(!new java.io.File(dir + ".__compact__").exists())
+  }
+
+  test("z-order layout: rectangle queries touch a fraction of the files") {
+    import spark.implicits._
+    import graft.operators.ZOrder
+    val n = 1 << 14
+    val data = (0 until n)
+      .map(i => ((i * 2654435761L) % 1024, (i * 40503L) % 1024, i.toLong))
+      .toDF("x", "y", "id")
+    val files = 16
+    def filesTouched(dir: String): Long = {
+      val hit = spark.read.parquet(dir)
+        .filter(col("x") < 64 && col("y") < 64) // 1/256 of the grid
+      assert(hit.count() > 0)
+      hit.select(input_file_name()).distinct().count()
+    }
+    val zDir = Files.createTempDirectory("zorder").toString
+    ZOrder.cluster(data, "x", "y", files, bits = 10)
+      .write.mode("overwrite").parquet(zDir)
+    val flatDir = Files.createTempDirectory("flat").toString
+    data.repartition(files).write.mode("overwrite").parquet(flatDir)
+    val zTouched = filesTouched(zDir)
+    val flatTouched = filesTouched(flatDir)
+    // hash layout scatters the rectangle across every file; z-order
+    // confines it to a compact z-range
+    assert(flatTouched == files, s"flat layout touched $flatTouched")
+    assert(zTouched <= files / 4, s"z-order touched $zTouched of $files files")
+    // z-values round-trip: monotone interleave of both dimensions
+    val z = ZOrder.zValue2(lit(3L), lit(5L), 4)
+    // x=0b0011 → positions 0,2 (1+4); y=0b0101 → positions 1,5 (2+32)
+    assert(data.sparkSession.range(1).select(z).as[Long].head() == 39L)
+  }
 }
