@@ -688,6 +688,34 @@ object SparkEntry {
           ZOrder.zValue2(pmod(col("user_id"), lit(1024L)),
             pmod(col("event_id"), lit(1024L)), bits = 10).as("z"))
         .orderBy("event_id")
+    },
+
+    // Incremental rollup: merge the partial day-state of two disjoint
+    // halves of the stream — must equal a full re-aggregation (which
+    // is what the oracle computes).
+    "q_rollup_incr" -> { (s, dir) =>
+      val e = ev(s, dir)
+      val older = Rollups.dayState(e.filter(col("event_id") % 3 =!= 0),
+        "event_type", "ts", "value")
+      val delta = Rollups.dayState(e.filter(col("event_id") % 3 === 0),
+        "event_type", "ts", "value")
+      Rollups.finalize(Rollups.merge(older, delta))
+        .orderBy("series", "day")
+    },
+
+    // Per-series first derivative (CloudWatch RATE(m1) analogue).
+    "q_rate" -> { (s, dir) =>
+      SeriesMath.rate(ev(s, dir).filter(col("event_id") % 11 === 0),
+          "event_type", "ts", "event_id", "value")
+        .select(col("event_id"), col("event_type"), col("rate_per_sec"))
+        .orderBy("event_id")
+    },
+
+    // Time-weighted average per series-day (integer-exact).
+    "q_twa" -> { (s, dir) =>
+      SeriesMath.timeWeightedAvg(ev(s, dir), "event_type", "ts", "event_id",
+          "value")
+        .orderBy("series", "day")
     }
   )
 
@@ -1453,6 +1481,41 @@ object SparkEntry {
       }.mkString(" + ")
       s"""SELECT event_id, $terms AS z
          |FROM events WHERE event_id % 101 = 0 ORDER BY event_id""".stripMargin
-    }
+    },
+
+    "q_rollup_incr" ->
+      """SELECT event_type AS series,
+        |CAST(floor(epoch(ts)/86400)*86400 AS BIGINT) AS day,
+        |CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE)/COUNT(value) AS avg_value,
+        |CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE) AS sum_value,
+        |MIN(value) AS min_value, MAX(value) AS max_value,
+        |COUNT(*) AS n_points
+        |FROM events GROUP BY 1, 2 ORDER BY series, day""".stripMargin,
+
+    "q_rate" ->
+      """WITH e AS (SELECT event_id, event_type, value,
+        |CAST(floor(epoch(ts)) AS BIGINT) AS t FROM events WHERE event_id % 11 = 0),
+        |l AS (SELECT event_id, event_type, value, t,
+        |lag(value) OVER w AS pv, lag(t) OVER w AS pt FROM e
+        |WINDOW w AS (PARTITION BY event_type ORDER BY t, event_id))
+        |SELECT event_id, event_type, (value - pv) / (t - pt) AS rate_per_sec
+        |FROM l WHERE pt IS NOT NULL AND t - pt > 0
+        |ORDER BY event_id""".stripMargin,
+
+    "q_twa" ->
+      """WITH e AS (SELECT event_type, event_id,
+        |CAST(floor(epoch(ts)) AS BIGINT) AS t,
+        |CAST(floor(value * 100) AS BIGINT) AS cents FROM events),
+        |d AS (SELECT event_type, event_id, t, cents,
+        |CAST(floor(t/86400)*86400 AS BIGINT) AS day FROM e),
+        |l AS (SELECT event_type, day, cents,
+        |lead(t) OVER w AS nt, lead(day) OVER w AS nday, t FROM d
+        |WINDOW w AS (PARTITION BY event_type ORDER BY t, event_id)),
+        |g AS (SELECT event_type AS series, day, cents,
+        |CASE WHEN nday = day THEN nt - t ELSE 0 END AS wt FROM l)
+        |SELECT series, day, SUM(cents * wt) AS twa_num, SUM(wt) AS twa_den,
+        |SUM(cents * wt) // SUM(wt) AS twa_cents
+        |FROM g GROUP BY 1, 2 HAVING SUM(wt) > 0
+        |ORDER BY series, day""".stripMargin
   )
 }

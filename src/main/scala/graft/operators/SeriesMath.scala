@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Per-series time-series math beyond plain statistics — the RATE /
+ * time-weighted-average layer of a metrics engine (CloudWatch metric
+ * math's RATE(m1) and trapezoid-free TWA), computed with one shuffle
+ * on the series key and a sorted window per series.
+ *
+ * Determinism: RATE is a per-row double division of neighboring
+ * points (no accumulation → IEEE-identical everywhere). TWA stays in
+ * integer arithmetic (values as cents × whole-second gaps), so the
+ * accumulated numerator is exact and engine-independent.
+ */
+object SeriesMath {
+
+  /** First derivative per series: (v − v_prev) / (t − t_prev) in
+    * units/second; rows with no predecessor or a zero gap are dropped
+    * (a zero gap means duplicate-timestamp points — rate undefined). */
+  def rate(dp: DataFrame, seriesCol: String, tsCol: String, tieCol: String,
+      valueCol: String): DataFrame = {
+    val w = Window.partitionBy(seriesCol).orderBy(col(tsCol), col(tieCol))
+    val t = unix_timestamp(col(tsCol))
+    dp.withColumn("__pv", lag(col(valueCol), 1).over(w))
+      .withColumn("__pt", lag(t, 1).over(w))
+      .withColumn("__dt", t - col("__pt"))
+      .filter(col("__pt").isNotNull && col("__dt") > 0)
+      .withColumn("rate_per_sec", (col(valueCol) - col("__pv")) / col("__dt"))
+      .drop("__pv", "__pt", "__dt")
+  }
+
+  /**
+   * Time-weighted average per (series, UTC day): each point's value
+   * (scaled to integer cents) is weighted by the whole-second gap to
+   * the NEXT point of the same series within the day — last point of
+   * the day carries no weight. Output keeps the exact integer
+   * numerator/denominator plus their integer quotient, so any engine
+   * reproduces it bit-for-bit.
+   */
+  def timeWeightedAvg(dp: DataFrame, seriesCol: String, tsCol: String,
+      tieCol: String, valueCol: String): DataFrame = {
+    val w = Window.partitionBy(seriesCol).orderBy(col(tsCol), col(tieCol))
+    val t = unix_timestamp(col(tsCol))
+    val day = (floor(t / 86400) * 86400).cast("long")
+    dp.withColumn("__day", day)
+      .withColumn("__cents", floor(col(valueCol) * 100).cast("long"))
+      .withColumn("__nt", lead(t, 1).over(w))
+      .withColumn("__nday", lead(day, 1).over(w))
+      // weight = gap to next point, only while the next point is the
+      // same series AND the same day
+      .withColumn("__wt",
+        when(col("__nday") === col("__day"), col("__nt") - t).otherwise(lit(0L)))
+      .groupBy(col(seriesCol).as("series"), col("__day").as("day"))
+      .agg(sum(col("__cents") * col("__wt")).as("twa_num"),
+        sum(col("__wt")).as("twa_den"))
+      .filter(col("twa_den") > 0)
+      .withColumn("twa_cents", expr("twa_num div twa_den"))
+  }
+}

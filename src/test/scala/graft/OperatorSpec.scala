@@ -224,6 +224,50 @@ class OperatorSpec extends SparkTestBase {
     assert(naive.nonEmpty && !naive.exists(_._2 == 4L))
   }
 
+  test("rollup state merges to the full aggregation regardless of split or order") {
+    val e = graft.catalog.Tables.read(spark, sf0001, "events")
+    val full = graft.operators.Rollups.finalize(
+      graft.operators.Rollups.dayState(e, "event_type", "ts", "value"))
+      .orderBy("series", "day").collect().toSeq
+    val a = graft.operators.Rollups.dayState(
+      e.filter(col("event_id") % 3 === 0), "event_type", "ts", "value")
+    val b = graft.operators.Rollups.dayState(
+      e.filter(col("event_id") % 3 === 1), "event_type", "ts", "value")
+    val c = graft.operators.Rollups.dayState(
+      e.filter(col("event_id") % 3 === 2), "event_type", "ts", "value")
+    val m1 = graft.operators.Rollups.finalize(graft.operators.Rollups.merge(a, b, c))
+      .orderBy("series", "day").collect().toSeq
+    val m2 = graft.operators.Rollups.finalize(graft.operators.Rollups.merge(
+      graft.operators.Rollups.merge(c, a), b))
+      .orderBy("series", "day").collect().toSeq
+    assert(m1 == full && m2 == full)
+  }
+
+  test("series math: rate between neighbors, integer-exact TWA weights") {
+    import java.sql.Timestamp
+    def t(sec: Long) = new Timestamp(sec * 1000)
+    val dp = Seq(("a", t(0), 1L, 10.0), ("a", t(10), 2L, 30.0),
+      ("a", t(10), 3L, 30.0), // duplicate ts → zero gap, dropped by rate
+      ("a", t(40), 4L, 15.0), ("b", t(5), 5L, 1.0))
+      .toDF("event_type", "ts", "event_id", "value")
+    val rates = graft.operators.SeriesMath.rate(dp, "event_type", "ts",
+        "event_id", "value")
+      .select("event_id", "rate_per_sec").as[(Long, Double)].collect().toMap
+    assert(rates(2L) == 2.0)            // (30-10)/10
+    assert(rates(4L) == -0.5)           // (15-30)/30
+    assert(!rates.contains(3L) && !rates.contains(1L) && !rates.contains(5L))
+
+    // TWA: values 10.0 (weight 10s), 30.0 (0s, dup ts), 30.0 (30s),
+    // 15.0 (last point, no weight) → num = 1000*10 + 3000*30 = 100000,
+    // den = 40, twa = 2500 cents
+    val twa = graft.operators.SeriesMath.timeWeightedAvg(dp, "event_type",
+        "ts", "event_id", "value")
+      .filter(col("series") === "a")
+      .select("twa_num", "twa_den", "twa_cents")
+      .as[(Long, Long, Long)].head()
+    assert(twa == ((100000L, 40L, 2500L)))
+  }
+
   test("anomaly z-score: flags a spike, respects min history, stable series quiet") {
     import java.sql.Timestamp
     def t(sec: Long) = new Timestamp(sec * 1000)
