@@ -716,6 +716,61 @@ object SparkEntry {
       SeriesMath.timeWeightedAvg(ev(s, dir), "event_type", "ts", "event_id",
           "value")
         .orderBy("series", "day")
+    },
+
+    // Pivot: per-user event counts, one column per event type.
+    "q_pivot" -> { (s, dir) =>
+      ev(s, dir).filter(col("user_id") % 17 === 0)
+        .groupBy("user_id")
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy("user_id")
+    },
+
+    // CDC latest-wins compaction: one surviving row per (user, type) —
+    // max over the (epoch, event_id) struct, no window sort.
+    "q_upsert" -> { (s, dir) =>
+      ev(s, dir)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(max(struct(unix_timestamp(col("ts")).as("e"),
+          col("event_id").as("i"), col("value").as("v"))).as("r"))
+        .select(col("user_id"), col("event_type"), col("r.e").as("last_epoch"),
+          col("r.i").as("last_event_id"), col("r.v").as("last_value"))
+        .orderBy("user_id", "event_type")
+    },
+
+    // SCD2 validity intervals: each event's state holds until the
+    // user's next event (open interval → null valid_to).
+    "q_scd2" -> { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("valid_from"), col("event_id"))
+      ev(s, dir).filter(col("user_id") % 29 === 0)
+        .select(col("user_id"), col("event_id"),
+          unix_timestamp(col("ts")).as("valid_from"))
+        .withColumn("valid_to", lead(col("valid_from"), 1).over(w))
+        .orderBy("user_id", "valid_from", "event_id")
+    },
+
+    // Custom bounded-heap Aggregator as a query surface: top-3 spenders
+    // per event type (map-side combinable, no per-group sort).
+    "q_topk_agg" -> { (s, dir) =>
+      import s.implicits._
+      val cents = ev(s, dir)
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(sum(floor(col("value") * 100).cast("long")).as("cents"))
+        .select(col("event_type"), col("user_id"), col("cents"))
+        .as[(String, Long, Long)]
+      val agg = new graft.plans.TopKAggregator(3).toColumn
+      cents.groupByKey(_._1)
+        .mapValues(r => graft.plans.ScoredId(r._2, r._3.toDouble))
+        .agg(agg.name("top"))
+        .flatMap { case (et, top) =>
+          top.zipWithIndex.map { case (s2, i) =>
+            (et, s2.id, s2.score.toLong, i + 1) }
+        }
+        .toDF("event_type", "user_id", "cents", "rank")
+        .orderBy("event_type", "rank")
     }
   )
 
@@ -1516,6 +1571,43 @@ object SparkEntry {
         |SELECT series, day, SUM(cents * wt) AS twa_num, SUM(wt) AS twa_den,
         |SUM(cents * wt) // SUM(wt) AS twa_cents
         |FROM g GROUP BY 1, 2 HAVING SUM(wt) > 0
-        |ORDER BY series, day""".stripMargin
+        |ORDER BY series, day""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT user_id,
+        |COUNT(*) FILTER (event_type = 'click') AS click,
+        |COUNT(*) FILTER (event_type = 'error') AS error,
+        |COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+        |COUNT(*) FILTER (event_type = 'signup') AS signup,
+        |COUNT(*) FILTER (event_type = 'view') AS view
+        |FROM events WHERE user_id % 17 = 0
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_upsert" ->
+      """WITH e AS (SELECT user_id, event_type, event_id, value,
+        |CAST(floor(epoch(ts)) AS BIGINT) AS t FROM events),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+        |ORDER BY t DESC, event_id DESC) AS rn FROM e)
+        |SELECT user_id, event_type, t AS last_epoch,
+        |event_id AS last_event_id, value AS last_value
+        |FROM r WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+
+    "q_scd2" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |CAST(floor(epoch(ts)) AS BIGINT) AS valid_from
+        |FROM events WHERE user_id % 29 = 0)
+        |SELECT user_id, event_id, valid_from,
+        |lead(valid_from) OVER (PARTITION BY user_id
+        |ORDER BY valid_from, event_id) AS valid_to
+        |FROM e ORDER BY user_id, valid_from, event_id""".stripMargin,
+
+    "q_topk_agg" ->
+      """WITH c AS (SELECT event_type, user_id,
+        |CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM events GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+        |ORDER BY cents DESC, user_id) AS rank FROM c)
+        |SELECT event_type, user_id, cents, CAST(rank AS INTEGER) AS rank
+        |FROM r WHERE rank <= 3 ORDER BY event_type, rank""".stripMargin
   )
 }
