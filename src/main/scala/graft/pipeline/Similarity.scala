@@ -68,10 +68,20 @@ object Similarity {
       val scored = df.select(col(idCol).as(id), col(vecCol).as(v))
         .join(broadcast(c), lit(true))
         .withColumn("__sim", VectorFns.cosine(col(v), col("centroid")))
-      val w = Window.partitionBy(id).orderBy(col("__sim").desc, col("cell"))
-      scored.withColumn("__r", row_number().over(w))
-        .filter(col("__r") <= keep)
-        .select(col(id), col(v), col("cell"))
+      if (keep == 1) {
+        // the corpus-side hot path: struct-max aggregation (map-side
+        // combinable, no per-vector sort) — max on (sim, -cell) is
+        // "highest sim, then lowest cell", the window's tie order
+        scored.groupBy(col(id))
+          .agg(max(struct(col("__sim"), (-col("cell")).as("nc"),
+            col(v).as("vv"))).as("r"))
+          .select(col(id), col("r.vv").as(v), (-col("r.nc")).as("cell"))
+      } else {
+        val w = Window.partitionBy(id).orderBy(col("__sim").desc, col("cell"))
+        scored.withColumn("__r", row_number().over(w))
+          .filter(col("__r") <= keep)
+          .select(col(id), col(v), col("cell"))
+      }
     }
 
     val corpusCells = assignCells(corpus, "neighbor_id", "v_c", 1)
