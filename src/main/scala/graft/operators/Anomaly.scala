@@ -32,17 +32,22 @@ object Anomaly {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(seriesCol).orderBy(col(tsCol), col(tieCol))
       .rowsBetween(-lookback, -1)
-    val x = floor(col(valueCol) * 100).cast("long") // cents: exact integers
-    val n = count(lit(1)).over(w)
-    val s = sum(x).over(w)
-    val sq = sum(x * x).over(w)
+    // cents as DECIMAL(38,0): the squared terms reach x²·n² — Long
+    // overflows for values beyond ~7e6, and DuckDB's HUGEINT would not,
+    // so wide decimals keep the flag exact AND engine-identical at any
+    // plausible metric magnitude (the output is only a boolean, so no
+    // decimal ever reaches the result schema)
+    val x = floor(col(valueCol) * 100).cast("decimal(38,0)")
+    val n = count(lit(1)).over(w).cast("decimal(38,0)")
+    val s = sum(x).over(w).cast("decimal(38,0)")
+    val sq = sum((x * x).cast("decimal(38,0)")).over(w).cast("decimal(38,0)")
     events
       .withColumn("__x", x)
-      .withColumn("n_hist", n)
+      .withColumn("n_hist", count(lit(1)).over(w))
       .withColumn("is_anomaly",
         when(col("n_hist") < minN, lit(false)).otherwise(
-          pow2(col("n_hist") * col("__x") - s) >
-            lit(z.toLong * z) * (col("n_hist") * sq - pow2(s))))
+          pow2(n * col("__x") - s) >
+            lit(z.toLong * z) * (n * sq - pow2(s))))
       .drop("__x")
   }
 

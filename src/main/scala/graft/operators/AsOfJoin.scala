@@ -33,22 +33,28 @@ object AsOfJoin {
     * @return probes + `asof_<valueCol>` (null when no quote precedes) */
   def asOf(probes: DataFrame, quotes: DataFrame, keyCol: String,
       tsCol: String, valueCol: String): DataFrame = {
-    val valueType = quotes.schema(valueCol).dataType
     val packed = probes.withColumn("__row",
       struct(probes.columns.map(col): _*))
     val rowType = packed.schema("__row").dataType
+    // the quote value rides inside a one-field struct: the struct is
+    // non-null for every quote row even when the VALUE is null, so
+    // last(ignoreNulls) skips probe rows only — a newest quote whose
+    // value is legitimately NULL propagates as NULL instead of
+    // resurrecting an older non-null value
+    val wrapType = quotes.select(struct(col(valueCol).as("v")).as("q"))
+      .schema("q").dataType
     val pSide = packed.select(col(keyCol).as("__k"), col(tsCol).as("__ts"),
-      lit(null).cast(valueType).as("__v"), lit(1).as("__p"), col("__row"))
+      lit(null).cast(wrapType).as("__q"), lit(1).as("__p"), col("__row"))
     val qSide = quotes.select(col(keyCol).as("__k"), col(tsCol).as("__ts"),
-      col(valueCol).as("__v"), lit(0).as("__p"),
+      struct(col(valueCol).as("v")).as("__q"), lit(0).as("__p"),
       lit(null).cast(rowType).as("__row"))
     // quote rows (__p=0) sort before probe rows at equal ts → inclusive
     val w = Window.partitionBy("__k").orderBy(col("__ts"), col("__p"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     qSide.unionByName(pSide)
-      .withColumn("__asof", last(col("__v"), ignoreNulls = true).over(w))
+      .withColumn("__asof", last(col("__q"), ignoreNulls = true).over(w))
       .filter(col("__p") === 1)
-      .select(col("__row.*"), col("__asof").as(s"asof_$valueCol"))
+      .select(col("__row.*"), col("__asof.v").as(s"asof_$valueCol"))
   }
 
   /** Collapse a quote side to one row per (key, ts) — max value wins —

@@ -38,11 +38,17 @@ object PartitionOps {
     * (add_partition.py:56-71's existence-check + create collapses into
     * one idempotent DDL). */
   def addPartition(spark: SparkSession, table: String, region: String,
-      year: Int, month: Int, day: Int, hour: Int, location: String): Unit =
+      year: Int, month: Int, day: Int, hour: Int, location: String): Unit = {
+    // backtick-quote the identifier and escape string literals — the
+    // region/location values come from object-key parsing (O-26), so
+    // an unexpected quote must not become DDL
+    def lit(s: String) = s.replace("'", "''")
+    val tbl = "`" + table.replace("`", "``").replace(".", "`.`") + "`"
     spark.sql(
-      s"ALTER TABLE $table ADD IF NOT EXISTS PARTITION " +
-      s"(region='$region', year=$year, month=$month, day=$day, hour=$hour) " +
-      s"LOCATION '$location'")
+      s"ALTER TABLE $tbl ADD IF NOT EXISTS PARTITION " +
+      s"(region='${lit(region)}', year=$year, month=$month, day=$day, hour=$hour) " +
+      s"LOCATION '${lit(location)}'")
+  }
 
   /** Retention TTLs by frequency (centralized_resources.py:47-65). */
   val retentionDays: Map[String, Int] = Map("minute" -> 2, "hour" -> 30, "day" -> 90)
@@ -72,14 +78,13 @@ object PartitionOps {
         s"/month=${r.getAs[Any]("month")}/day=${r.getAs[Any]("day")}" +
         s"/hour=${r.getAs[Any]("hour")}"
     }.toSeq
-    drop.foreach { p =>
+    // recursive delete, and report only what was actually removed —
+    // a path that survives a failed delete must not be recorded as
+    // purged or retention silently stops being enforced there
+    drop.filter { p =>
       val dir = new java.io.File(p)
-      if (dir.isDirectory) {
-        dir.listFiles().foreach(f => { f.delete(); () })
-        dir.delete()
-      }
+      !dir.exists() || deleteRecursively(dir)
     }
-    drop
   }
 
   /** The complement: partitions an expiry job would drop. */
@@ -103,35 +108,52 @@ object PartitionOps {
       .select(col("series"), col("h").as("missing_hour_epoch"))
   }
 
+  private def deleteRecursively(f: java.io.File): Boolean = {
+    if (f.isDirectory)
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete()
+  }
+
   /**
    * Small-file compaction for one lake partition directory: rewrite
    * its parquet files into ceil(bytes / targetBytes) files. The
    * operational fix for streaming sinks that land a file per
    * micro-batch (O-9 writes every 60 s → 1,440 files/day/partition);
    * scan tasks, file-listing latency, and name-node pressure all track
-   * file count at 100 TB. Rewrites into a staging dir then swaps, so
-   * a failure mid-compaction never loses the partition.
+   * file count at 100 TB.
+   *
+   * Swap protocol: write to `<dir>.__compact__`, rename `dir` →
+   * `<dir>.__old__`, staging → `dir`, drop old. The partition is a
+   * fully-formed directory at every point except the instant between
+   * the two renames, and a crash anywhere is repaired by the recovery
+   * branch on the next call — the original data is never deleted
+   * before the compacted copy is in place.
    */
   def compactPartition(spark: SparkSession, partitionDir: String,
       targetBytes: Long = 128L * 1024 * 1024): Long = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
-    import scala.jdk.CollectionConverters._
-    val dir = Paths.get(partitionDir)
-    val parquets = Files.list(dir).iterator().asScala
-      .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
-    if (parquets.size <= 1) return parquets.size.toLong
-    val bytes = parquets.map(Files.size).sum
+    val dir = new java.io.File(partitionDir)
+    val staging = new java.io.File(dir.getParent, dir.getName + ".__compact__")
+    val old = new java.io.File(dir.getParent, dir.getName + ".__old__")
+    // recovery from a previous crash, in swap order: complete a rename
+    // that lost its second half, then clear leftovers
+    if (!dir.exists() && staging.exists() && !staging.renameTo(dir))
+      throw new java.io.IOException(s"cannot recover $staging -> $dir")
+    if (old.exists()) deleteRecursively(old)
+    if (staging.exists()) deleteRecursively(staging) // incomplete write
+    val parquets = Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".parquet"))
+    if (parquets.length <= 1) return parquets.length.toLong
+    val bytes = parquets.map(_.length()).sum
     val nFiles = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
-    val staging = dir.resolveSibling(dir.getFileName.toString + ".__compact__")
     spark.read.parquet(partitionDir).repartition(nFiles)
-      .write.mode("overwrite").parquet(staging.toString)
-    parquets.foreach(Files.delete)
-    Files.list(staging).iterator().asScala
-      .filter(p => !p.getFileName.toString.startsWith("_"))
-      .foreach(p => Files.move(p, dir.resolve(p.getFileName),
-        StandardCopyOption.ATOMIC_MOVE))
-    Files.list(staging).iterator().asScala.foreach(Files.delete)
-    Files.delete(staging)
+      .write.mode("overwrite").parquet(staging.getPath)
+    if (!dir.renameTo(old))
+      throw new java.io.IOException(s"cannot stage out $dir")
+    if (!staging.renameTo(dir)) {
+      old.renameTo(dir) // roll back; original data untouched
+      throw new java.io.IOException(s"cannot swap in $staging")
+    }
+    deleteRecursively(old)
     nFiles.toLong
   }
 

@@ -54,7 +54,12 @@ object SeriesMath {
       .withColumn("__wt",
         when(col("__nday") === col("__day"), col("__nt") - t).otherwise(lit(0L)))
       .groupBy(col(seriesCol).as("series"), col("__day").as("day"))
-      .agg(sum(col("__cents") * col("__wt")).as("twa_num"),
+      // accumulate in DECIMAL(38,0) so the sum itself cannot wrap; the
+      // final cast back to long is range-checked (ANSI) — values past
+      // ~1e12 fail loudly instead of flipping sign silently. Callers in
+      // that regime should take the decimal sum directly.
+      .agg(sum((col("__cents") * col("__wt")).cast("decimal(38,0)"))
+          .cast("decimal(38,0)").cast("long").as("twa_num"),
         sum(col("__wt")).as("twa_den"))
       .filter(col("twa_den") > 0)
       .withColumn("twa_cents", expr("twa_num div twa_den"))

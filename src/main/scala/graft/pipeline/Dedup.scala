@@ -168,6 +168,9 @@ object Dedup {
    *                disjoint from the index
    * @return (id_a, id_b, jaccard) pairs with at least one new id,
    *         id_a < id_b, jaccard ≥ threshold
+   * @note caches the batch signatures for the lifetime of the returned
+   *       plan (they feed banding and both verify joins); long-lived
+   *       drivers should `clearCache()` between increments
    */
   def minhashIncrementalPairs(index: DataFrame, newDocs: DataFrame,
       textCol: String = "text", idCol: String = "doc_id", shingleN: Int = 3,

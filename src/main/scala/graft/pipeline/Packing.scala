@@ -36,7 +36,12 @@ object Packing {
     * back as offsets, then a per-partition window — NOT as a single
     * `Window.orderBy` with no partition key, which would funnel the
     * whole corpus through one task. Output is identical; only the
-    * parallelism differs. */
+    * parallelism differs.
+    *
+    * Caches the sized/range-partitioned input for the lifetime of the
+    * returned plan (both phases must see one physical partitioning);
+    * batch drivers running many packings per session should
+    * `spark.catalog.clearCache()` between runs. */
   def streamPacks(docs: DataFrame, capacity: Long, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
     require(capacity > 0, "capacity must be positive")
@@ -102,7 +107,9 @@ object Packing {
       docsSorted.map { case (_, id, n) =>
         if (used > 0 && used + n > capacity) { packIdx += 1; used = 0 }
         used += n
-        PackedDoc(shard, id, n, shard * 1000000L + packIdx)
+        // interleaved numbering (idx*shards + shard) is collision-free
+        // for ANY per-shard pack count, unlike a fixed per-shard offset
+        PackedDoc(shard, id, n, packIdx * shards + shard)
       }
     }
   }

@@ -12,6 +12,14 @@ import org.apache.spark.sql.functions._
  * which is exactly gap semantics with bounded state. The batch twin is
  * [[graft.operators.Sessionize]]; the StreamingSpec asserts both
  * produce the same sessions for the same event sequence.
+ *
+ * Boundary divergence (documented, not hidden): `session_window`
+ * merges events whose gap is STRICTLY below the gap length (windows
+ * [t, t+gap) must overlap), while the batch operator keeps events at
+ * exactly `gapSec` apart in one session (`dt > gapSec` opens a new
+ * one). Events spaced exactly at the gap therefore split here and
+ * merge in batch. For whole-second data, passing `gap` one second
+ * longer than the batch `gapSec` makes the membership identical.
  */
 object StreamSessions {
 

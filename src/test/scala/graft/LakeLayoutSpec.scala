@@ -92,6 +92,19 @@ class LakeLayoutSpec extends SparkTestBase {
     assert(filesAfter == 1, s"expected 1 file, got $filesAfter")
     assert(spark.read.parquet(dir).orderBy("id").collect().toSeq == before)
     assert(!new java.io.File(dir + ".__compact__").exists())
+    assert(!new java.io.File(dir + ".__old__").exists())
+
+    // crash recovery: simulate dying between the two swap renames
+    // (partition renamed away, staging fully written) — the next call
+    // must restore the partition from staging
+    val d2 = new java.io.File(dir)
+    val staging = new java.io.File(dir + ".__compact__")
+    spark.read.parquet(dir).write.mode("overwrite").parquet(staging.getPath)
+    val old = new java.io.File(dir + ".__old__")
+    assert(d2.renameTo(old))
+    PartitionOps.compactPartition(spark, dir)
+    assert(d2.exists() && !staging.exists() && !old.exists())
+    assert(spark.read.parquet(dir).orderBy("id").collect().toSeq == before)
   }
 
   test("z-order layout: rectangle queries touch a fraction of the files") {

@@ -179,10 +179,11 @@ class OperatorSpec extends SparkTestBase {
   test("as-of join: inclusive ties, carry-forward, null before first quote") {
     import java.sql.Timestamp
     def t(sec: Long) = new Timestamp(sec * 1000)
-    val quotes = Seq(("a", t(10), 1.0), ("a", t(20), 2.0), ("b", t(15), 9.0))
+    val quotes = Seq(("a", t(10), Some(1.0)), ("a", t(20), Some(2.0)),
+      ("a", t(30), None), ("b", t(15), Some(9.0)))
       .toDF("k", "ts", "v")
     val probes = Seq(("a", t(5), 100L), ("a", t(10), 101L), ("a", t(25), 102L),
-      ("b", t(14), 103L), ("c", t(50), 104L))
+      ("b", t(14), 103L), ("c", t(50), 104L), ("a", t(35), 105L))
       .toDF("k", "ts", "probe_id")
     val out = graft.operators.AsOfJoin.asOf(probes, quotes, "k", "ts", "v")
       .select("probe_id", "asof_v").collect()
@@ -193,6 +194,9 @@ class OperatorSpec extends SparkTestBase {
     assert(out(102L).contains(2.0))    // carry latest forward
     assert(out(103L).isEmpty)          // other key's quote not visible
     assert(out(104L).isEmpty)          // key with no quotes at all
+    // the newest quote has a NULL value: it must NOT be skipped in
+    // favor of the older non-null quote
+    assert(out(105L).isEmpty)
   }
 
   test("sessionize: gap boundary is exclusive, ties ordered by tiebreak") {
