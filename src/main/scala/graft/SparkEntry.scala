@@ -667,7 +667,10 @@ object SparkEntry {
     // Trailing-window z-score anomalies per event series (integer
     // arithmetic, division-free — bit-identical across engines).
     "q_anomaly" -> { (s, dir) =>
-      Anomaly.zScoreFlags(ev(s, dir), "event_type", "ts", "event_id", "value")
+      // events.value ≤ ~561 (cents ≤ 6e4) — far inside the Long-safe
+      // envelope, so the cheap path is exact here
+      Anomaly.zScoreFlags(ev(s, dir), "event_type", "ts", "event_id", "value",
+          wide = false)
         .filter(col("is_anomaly"))
         .select(col("event_id"), col("event_type"), col("n_hist"))
         .orderBy("event_id")

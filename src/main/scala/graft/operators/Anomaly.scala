@@ -25,22 +25,25 @@ object Anomaly {
     * @param lookback trailing window size in rows (excluding current)
     * @param z        threshold in sigmas
     * @param minN     minimum history rows before flagging
+    * @param wide     compute in DECIMAL(38,0) (default): the squared
+    *                 terms reach x²·n², which overflows Long for
+    *                 values beyond ~7e6 while DuckDB's HUGEINT does
+    *                 not. Callers whose value envelope is known to be
+    *                 below that can pass false for the ~2× cheaper
+    *                 Long window sums — identical flags within the
+    *                 safe envelope.
     * @return events + n_hist + is_anomaly */
   def zScoreFlags(events: DataFrame, seriesCol: String, tsCol: String,
       tieCol: String, valueCol: String, lookback: Int = 20, z: Int = 3,
-      minN: Int = 10): DataFrame = {
+      minN: Int = 10, wide: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(seriesCol).orderBy(col(tsCol), col(tieCol))
       .rowsBetween(-lookback, -1)
-    // cents as DECIMAL(38,0): the squared terms reach x²·n² — Long
-    // overflows for values beyond ~7e6, and DuckDB's HUGEINT would not,
-    // so wide decimals keep the flag exact AND engine-identical at any
-    // plausible metric magnitude (the output is only a boolean, so no
-    // decimal ever reaches the result schema)
-    val x = floor(col(valueCol) * 100).cast("decimal(38,0)")
-    val n = count(lit(1)).over(w).cast("decimal(38,0)")
-    val s = sum(x).over(w).cast("decimal(38,0)")
-    val sq = sum((x * x).cast("decimal(38,0)")).over(w).cast("decimal(38,0)")
+    val numType = if (wide) "decimal(38,0)" else "long"
+    val x = floor(col(valueCol) * 100).cast(numType)
+    val n = count(lit(1)).over(w).cast(numType)
+    val s = sum(x).over(w).cast(numType)
+    val sq = sum((x * x).cast(numType)).over(w).cast(numType)
     events
       .withColumn("__x", x)
       .withColumn("n_hist", count(lit(1)).over(w))

@@ -294,6 +294,21 @@ class OperatorSpec extends SparkTestBase {
         "event_id", "value")
       .select("event_id", "is_anomaly").as[(Long, Boolean)].collect().toMap
     assert(cOut(16L))
+    // wide and long paths agree within the Long-safe envelope
+    val both = Seq(true, false).map { wide =>
+      graft.operators.Anomaly.zScoreFlags(df, "event_type", "ts",
+          "event_id", "value", wide = wide)
+        .select("event_id", "is_anomaly").as[(Long, Boolean)]
+        .collect().toSeq.sorted
+    }
+    assert(both(0) == both(1))
+    // the wide path survives magnitudes where Long arithmetic overflows
+    val big = ((1L to 15L).map(i => ("d", t(i * 60), i, 2.0e7)) :+
+      ("d", t(16 * 60), 16L, 9.0e7)).toDF("event_type", "ts", "event_id", "value")
+    val wideOut = graft.operators.Anomaly.zScoreFlags(big, "event_type", "ts",
+        "event_id", "value")
+      .select("event_id", "is_anomaly").as[(Long, Boolean)].collect().toMap
+    assert(wideOut(16L))
   }
 
   test("tf-idf: integer scores, deterministic top-k tie-breaks") {
