@@ -755,6 +755,22 @@ object SparkEntry {
         .orderBy("user_id", "valid_from", "event_id")
     },
 
+    // Dedup-key text normalization (accent fold + case + punctuation
+    // collapse) and the exact-dup groups it exposes that raw md5 missed.
+    "q_normalize" -> { (s, dir) =>
+      val d = docs(s, dir).select("doc_id", "text")
+      val extra = d.filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 40000).as("doc_id"),
+          concat(upper(col("text")), lit("  !!")).as("text"))
+      d.unionByName(extra)
+        .select(col("doc_id"),
+          md5(TextFns.normalizeForDedup(col("text"))).as("norm_key"))
+        .groupBy("norm_key").agg(count(lit(1)).as("n_docs"),
+          min("doc_id").as("keep_id"))
+        .filter(col("n_docs") > 1)
+        .orderBy("keep_id")
+    },
+
     // Custom bounded-heap Aggregator as a query surface: top-3 spenders
     // per event type (map-side combinable, no per-group sort).
     "q_topk_agg" -> { (s, dir) =>
@@ -1603,6 +1619,16 @@ object SparkEntry {
         |lead(valid_from) OVER (PARTITION BY user_id
         |ORDER BY valid_from, event_id) AS valid_to
         |FROM e ORDER BY user_id, valid_from, event_id""".stripMargin,
+
+    "q_normalize" ->
+      """WITH all_docs AS (SELECT doc_id, text FROM documents UNION ALL
+        |SELECT doc_id + 40000, upper(text) || '  !!' FROM documents WHERE doc_id % 13 = 0),
+        |k AS (SELECT doc_id, md5(trim(regexp_replace(
+        |translate(lower(text), 'áàâäãåéèêëíìîïóòôöõúùûüçñý', 'aaaaaaeeeeiiiiooooouuuucny'),
+        |'[^a-z0-9]+', ' ', 'g'))) AS norm_key FROM all_docs)
+        |SELECT norm_key, COUNT(*) AS n_docs, MIN(doc_id) AS keep_id
+        |FROM k GROUP BY 1 HAVING COUNT(*) > 1
+        |ORDER BY keep_id""".stripMargin,
 
     "q_topk_agg" ->
       """WITH c AS (SELECT event_type, user_id,

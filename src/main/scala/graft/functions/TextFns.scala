@@ -36,6 +36,19 @@ object TextFns {
     * across engines and partitions. */
   def fingerprint(text: Column): Column = md5(normalized(text))
 
+  private val accentSrc = "áàâäãåéèêëíìîïóòôöõúùûüçñý"
+  private val accentDst = "aaaaaaeeeeiiiiooooouuuucny"
+
+  /** Dedup-key normalization: lowercase, fold common Latin accents via
+    * an explicit translate table (deterministic and replicable in any
+    * engine, unlike locale/ICU-dependent folding), collapse every
+    * non-alphanumeric run to one space, trim. The precursor that turns
+    * "Crème  Brûlée!" and "creme brulee" into the same exact-dedup
+    * key. */
+  def normalizeForDedup(text: Column): Column =
+    trim(regexp_replace(translate(lower(text), accentSrc, accentDst),
+      "[^a-z0-9]+", " "))
+
   /** Word n-grams as space-joined strings (the shingles for MinHash /
     * Jaccard dedup). Empty when the document has fewer than n tokens. */
   def wordNgrams(text: Column, n: Int): Column = {

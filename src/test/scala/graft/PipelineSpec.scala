@@ -379,6 +379,15 @@ class PipelineSpec extends SparkTestBase {
     assert(nf.map(_.doc_id).distinct.length == docs.count())
   }
 
+  test("normalizeForDedup folds accents, case, and punctuation runs") {
+    val t = Seq("Crème  Brûlée!", "creme brulee", "  A--B__9  ", "ÉTÉ été")
+      .toDF("text")
+    val out = t.select(TextFns.normalizeForDedup(col("text"))).as[String].collect()
+    assert(out(0) == "creme brulee" && out(0) == out(1))
+    assert(out(2) == "a b 9")
+    assert(out(3) == "ete ete")
+  }
+
   test("text functions: tokens, ngrams, langId edge cases") {
     val t = Seq(("  hello   world  ", 1L)).toDF("text", "id")
     assert(t.select(TextFns.tokenCount(col("text"))).as[Int].head() == 2)
