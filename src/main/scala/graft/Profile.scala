@@ -34,6 +34,21 @@ object Profile {
       try fn(spark, warmDir).count() catch { case scala.util.control.NonFatal(_) => () }
       spark.catalog.clearCache()
     }
+    locally {
+      val corpus0 = SparkEntry.queries("q_dedup_simhash")
+      val base0 = Tables.read(spark, sfDir, "documents").select("doc_id", "text")
+      val c0 = base0.unionByName(base0.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 20000).as("doc_id"),
+          concat(col("text"), lit(" extra near dup tail")).as("text")))
+        .repartition(32)
+      val fp = Dedup.simhashDf(c0, "text", "doc_id").persist()
+      t("sh: fingerprints")(fp.count())
+      t("sh: full pairs")(Dedup.simhashNearDupPairs(c0, maxHamming = 6).count())
+      fp.unpersist()
+      spark.catalog.clearCache()
+      t("sh: query incl orderBy")(corpus0(spark, sfDir).count())
+      spark.catalog.clearCache()
+    }
     Seq("q_dedup_minhash", "q_dedup_minhash_fast", "q_ngram_jaccard",
         "q_dedup_clusters", "q_dedup_simhash", "q_embed_neardup").foreach { name =>
       t(s"bench-replica: $name")(SparkEntry.queries(name)(spark, sfDir).count())

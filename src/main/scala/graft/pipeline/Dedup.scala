@@ -262,9 +262,20 @@ object Dedup {
     val b = banded.select(col(idCol).as("id_b"), col("simhash").as("h_b"),
       col("band"), col("band_key"))
     val hamming = bit_count(col("h_a").bitwiseXOR(col("h_b")))
+    // pigeonhole, sharpened: ≤ maxHamming damaged bits damage at most
+    // maxHamming of the `bands` bands, so a TRUE pair shares at least
+    // bands − maxHamming clean bands. Narrow band keys (64/bands bits)
+    // collide by chance at rate 2^-width per band; requiring the full
+    // clean-band quota instead of ≥1 cuts those false candidates
+    // polynomially with zero recall loss — the difference between
+    // verifying Θ(N²/2^width) and Θ(N²/2^(q·width)) pairs at corpus
+    // scale.
+    val minShared = math.max(1, bands - maxHamming)
     a.join(b, Seq("band", "band_key"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "h_a", "h_b").distinct()
+      .groupBy("id_a", "id_b", "h_a", "h_b")
+      .agg(count(lit(1)).as("__shared"))
+      .filter(col("__shared") >= minShared)
       .withColumn("hamming", hamming)
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
