@@ -379,6 +379,41 @@ class PipelineSpec extends SparkTestBase {
     assert(nf.map(_.doc_id).distinct.length == docs.count())
   }
 
+  test("end-to-end corpus pipeline: normalize → dedup → decontaminate → chunk → pack") {
+    val raw = Tables.read(spark, sf0001, "documents").select("doc_id", "text", "lang")
+    // inject case/punct variants that only normalization can catch
+    val corpus = raw.unionByName(raw.filter(col("doc_id") % 9 === 0)
+      .select((col("doc_id") + 50000).as("doc_id"),
+        concat(upper(col("text")), lit(" !!")).as("text"), col("lang")))
+    val n0 = corpus.count()
+
+    // 1. exact dedup on the normalized key
+    val keyed = corpus.withColumn("__key",
+      graft.functions.TextFns.normalizeForDedup(col("text")))
+    val deduped = Dedup.exactDedup(keyed, "__key", "doc_id")
+    assert(deduped.count() == raw.count(), "every injected variant deduped")
+
+    // 2. decontaminate against a benchmark slice of itself
+    val bench = raw.filter(col("doc_id") % 25 === 0).select("doc_id", "text")
+    val clean = graft.pipeline.Corpus.decontaminate(
+      deduped.select("doc_id", "text"), bench, n = 8)
+    val cleanN = clean.count()
+    assert(cleanN < raw.count() && cleanN > 0)
+
+    // 3. chunk → every chunk within budget; 4. pack the chunks
+    val chunks = graft.pipeline.Corpus.chunk(clean, chunkTokens = 64,
+      overlapTokens = 8)
+    assert(chunks.agg(max("n_chunk_tokens")).as[Long].head() <= 64)
+    val packed = graft.pipeline.Packing.streamPacks(
+      chunks.select(col("chunk_text").as("text"),
+        monotonically_increasing_id().as("doc_id")), 512L)
+    // conservation: packed token total equals chunk token total
+    assert(packed.agg(sum("n_tokens")).as[Long].head() ==
+      chunks.agg(sum("n_chunk_tokens")).as[Long].head())
+    assert(packed.select(max("pack_id")).as[Long].head() > 0, "multiple packs")
+    assert(n0 > raw.count()) // sanity: injection actually happened
+  }
+
   test("normalizeForDedup folds accents, case, and punctuation runs") {
     val t = Seq("Crème  Brûlée!", "creme brulee", "  A--B__9  ", "ÉTÉ été")
       .toDF("text")
