@@ -1620,6 +1620,35 @@ object SparkEntry {
         |ORDER BY valid_from, event_id) AS valid_to
         |FROM e ORDER BY user_id, valid_from, event_id""".stripMargin,
 
+    "q_ann_ivf" ->
+      """WITH cent AS (SELECT label, pos,
+        |CAST(SUM(CAST(v AS DECIMAL(28,8))) AS DOUBLE)/COUNT(*) AS c
+        |FROM (SELECT label, unnest(embedding) AS v,
+        |generate_subscripts(embedding, 1) AS pos FROM embeddings)
+        |GROUP BY 1, 2),
+        |cvec AS (SELECT label AS cell, array_agg(c ORDER BY pos) AS centroid
+        |FROM cent GROUP BY 1),
+        |cs AS (SELECT e.vec_id, e.embedding, cv.cell,
+        |list_dot_product(e.embedding::DOUBLE[], cv.centroid) /
+        |(sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+        | sqrt(list_dot_product(cv.centroid, cv.centroid))) AS sim
+        |FROM embeddings e, cvec cv),
+        |corp AS (SELECT vec_id AS neighbor_id, embedding AS v_c, cell FROM
+        |(SELECT *, row_number() OVER (PARTITION BY vec_id
+        |ORDER BY sim DESC, cell) AS r FROM cs) WHERE r = 1),
+        |qc AS (SELECT vec_id AS query_id, embedding AS v_q, cell FROM
+        |(SELECT *, row_number() OVER (PARTITION BY vec_id
+        |ORDER BY sim DESC, cell) AS r FROM cs WHERE vec_id < 10) WHERE r <= 3),
+        |cand AS (SELECT query_id, neighbor_id,
+        |list_dot_product(v_q::DOUBLE[], v_c::DOUBLE[]) /
+        |(sqrt(list_dot_product(v_q::DOUBLE[], v_q::DOUBLE[])) *
+        | sqrt(list_dot_product(v_c::DOUBLE[], v_c::DOUBLE[]))) AS cosine
+        |FROM corp JOIN qc USING (cell) WHERE query_id <> neighbor_id),
+        |r AS (SELECT query_id, neighbor_id, row_number() OVER
+        |(PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank FROM cand)
+        |SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank
+        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
     "q_normalize" ->
       """WITH all_docs AS (SELECT doc_id, text FROM documents UNION ALL
         |SELECT doc_id + 40000, upper(text) || '  !!' FROM documents WHERE doc_id % 13 = 0),

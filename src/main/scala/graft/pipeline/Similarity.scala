@@ -132,8 +132,13 @@ object Similarity {
   def centroids(vecs: DataFrame, vecCol: String = "embedding",
       labelCol: String = "label"): DataFrame =
     vecs.select(col(labelCol), posexplode(col(vecCol)))
+      // DECIMAL sums make the per-dimension mean independent of merge
+      // order (float avg is not associative), so centroids — and
+      // everything routed through them — are deterministic and
+      // externally replicable
       .groupBy(col(labelCol), col("pos"))
-      .agg(avg("col").as("c"))
+      .agg((sum(col("col").cast("decimal(28,8)")).cast("double") /
+        count(lit(1))).as("c"))
       .groupBy(col(labelCol))
       .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
       .select(col(labelCol), transform(col("pc"), p => p.getField("c")).as("centroid"))
