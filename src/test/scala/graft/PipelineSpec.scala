@@ -299,6 +299,13 @@ class PipelineSpec extends SparkTestBase {
         graft.functions.TextFns.tokens(col("text")).as("b"))
       .filter(col("a") =!= col("b")).count()
     assert(tokMismatch == 0)
+    // and the expression stays inside WholeStageCodegen (the whole
+    // point of replacing the CodegenFallback higher-order chain)
+    val plan = docsTxt
+      .select(graft.plans.WordShingles.shingles(col("text"), 3, distinct = true))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WholeStageCodegen") || plan.contains("*(1)"),
+      s"word_shingles must stay codegen'd:\n$plan")
   }
 
   test("native expression edge semantics: all-null minhash slots, vec_dot length mismatch") {
