@@ -330,6 +330,24 @@ object SparkEntry {
         .orderBy("dashboard")
     },
 
+    // O-36 completion: the rendered-widget layer — per-metric graph
+    // widgets plus category dashboards' markdown link widgets
+    // (metrics_streamer.py:345-415), as one dashboards table.
+    "q_dashboard_widgets" -> { (s, dir) =>
+      import s.implicits._
+      val rows = reg.allAccounts.flatMap(_.metricSets).flatMap(_.metrics)
+        .map(m => (m.dashboard.dashboardName, m.dashboard.dashboardCategory,
+          m.name, m.frequency.name,
+          m.dimensions.filterNot(_.name.endsWith("Bucket")).map(_.value).mkString))
+        .toDF("dashboard", "category", "name", "frequency", "dimvalues")
+      val titled = rows.withColumn("widget_title",
+        KeyFns.widgetTitle(col("name"), col("frequency"), col("dimvalues")))
+      Dashboards.graphWidgets(titled, reg.DefaultRegion)
+        .unionByName(Dashboards.categoryTextWidgets(rows, reg.DefaultRegion,
+          reg.DefaultAccount))
+        .orderBy("dashboard_name", "widget_type", "content")
+    },
+
     // O-11 / O-5: definition metadata tables.
     "q_defs_metrics" -> { (s, dir) =>
       DefinitionExport.metricDefs(s, reg.allAccounts)
@@ -364,9 +382,38 @@ object SparkEntry {
         threshold = 0.4, maxDf = 50).orderBy("id_a", "id_b")
     },
 
-    // SimHash near-dup (xxhash64-based — no external oracle; rows-only).
+    // SimHash near-dup. The xxhash64 fingerprint family has no external
+    // oracle, so the hash-checked contract is: (a) every injected
+    // ground-truth EXACT duplicate (externally enumerable from the
+    // corpus construction; identical text → hamming 0 → recovery is
+    // guaranteed by the banding pigeonhole, not empirical) is recovered
+    // by the simhash path run over a corpus that also carries the
+    // tail-perturbed near-dups as realistic noise, and (b) the native
+    // SimHash64 expression stays bit-identical to the composed
+    // xxhash64 + majority-packing form over the whole corpus. Either
+    // property breaking flips a pinned-true column → hash red.
     "q_dedup_simhash" -> { (s, dir) =>
-      Dedup.simhashNearDupPairs(nearDupCorpus(s, dir), maxHamming = 6)
+      val base = docs(s, dir).select("doc_id", "text")
+      val corpus = nearDupCorpus(s, dir).unionByName(
+        base.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 40000).as("doc_id"), col("text")))
+      val pairs = Dedup.simhashNearDupPairs(corpus, maxHamming = 6)
+      val truth = base
+        .filter(col("doc_id") % 7 === 0 &&
+          size(graft.plans.WordShingles.shingles(col("text"), 1)) > 0)
+        .select(col("doc_id").as("id_a"), (col("doc_id") + 40000).as("id_b"))
+      val found = truth.join(
+        pairs.select(col("id_a"), col("id_b"), lit(true).as("__f")),
+        Seq("id_a", "id_b"), "left")
+      val toks = graft.functions.TextFns.tokens(col("text"))
+      val ident = corpus.select(
+          Dedup.simhashFromHashes(transform(toks, t => xxhash64(t))).as("a"),
+          graft.plans.SimHash64.simhash(toks).as("b"))
+        .agg(bool_and(col("a") <=> col("b")).as("__ok"))
+      found.crossJoin(ident)
+        .select(col("id_a"), col("id_b"),
+          coalesce(col("__f"), lit(false)).as("found_by_simhash"),
+          col("__ok").as("native_matches_composed"))
         .orderBy("id_a", "id_b")
     },
 
@@ -414,10 +461,36 @@ object SparkEntry {
     },
 
     // MinHash via the native XxMinHash Catalyst expression (codegen'd
-    // single-pass signatures; rows-only — hash family is internal).
+    // single-pass signatures). The seeded Kirsch–Mitzenmacher xxhash64
+    // family has no external oracle (and band recall is
+    // family-dependent, so pair-set equality with the md5 family is
+    // NOT an invariant — they diverge on borderline near-dups). The
+    // hash-checked contract instead: rows = the md5-path pair set over
+    // a corpus extended with EXACT duplicates (replicated by SQL), plus
+    // a pinned-true column asserting the fast path recovers every
+    // injected exact duplicate — identical text → identical signature
+    // → all bands shared → candidate, so recovery is guaranteed by
+    // construction, and any signature/banding drift flips the flag.
     "q_dedup_minhash_fast" -> { (s, dir) =>
-      Dedup.minhashNearDupPairsFast(nearDupCorpus(s, dir), shingleN = 3, k = 12,
-        bands = 4, threshold = 0.5).orderBy("id_a", "id_b")
+      val base = docs(s, dir).select("doc_id", "text")
+      val corpus = nearDupCorpus(s, dir).unionByName(
+        base.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 40000).as("doc_id"), col("text")))
+      val fast = Dedup.minhashNearDupPairsFast(corpus, shingleN = 3, k = 12,
+        bands = 4, threshold = 0.5).select("id_a", "id_b")
+      val md5p = Dedup.minhashNearDupPairs(corpus, shingleN = 3, k = 12,
+        bands = 4, threshold = 0.5)
+      val truth = base
+        .filter(col("doc_id") % 7 === 0 &&
+          size(graft.plans.WordShingles.shingles(col("text"), 3,
+            distinct = true)) > 0)
+        .select(col("doc_id").as("id_a"), (col("doc_id") + 40000).as("id_b"))
+      val missed = truth.join(fast, Seq("id_a", "id_b"), "left_anti")
+        .agg(count(lit(1)).as("__n"))
+      md5p.crossJoin(missed)
+        .select(col("id_a"), col("id_b"), col("jaccard"),
+          (col("__n") === 0).as("fast_finds_exact_dups"))
+        .orderBy("id_a", "id_b")
     },
 
     // Delegated-SQL breadth (available to BusinessMetric queries):
@@ -565,9 +638,15 @@ object SparkEntry {
     },
 
     // Multimodal plumbing: partition-batched (stub) decode features.
+    // Real JDK codec round-trip: fixture PNG/WAV payloads are encoded
+    // with ImageIO / javax.sound.sampled and decoded back by
+    // extractFeatures; every output value is a codec-produced fact the
+    // oracle predicts from the doc_id-derived encoding parameters.
     "q_media_features" -> { (s, dir) =>
       Multimodal.extractFeatures(Multimodal.syntheticMedia(spread(docs(s, dir))))
-        .toDF().select("media_id", "kind", "n_bytes", "frames_sampled")
+        .toDF().select("media_id", "kind", "width_px", "height_px",
+          "dominant_bin", "dominant_frac", "sample_rate_hz", "n_samples",
+          "peak", "frames_sampled")
         .orderBy("media_id")
     },
 
@@ -1103,6 +1182,34 @@ object SparkEntry {
     }.mkString("", " UNION ALL ", " ORDER BY dashboard")
   }
 
+  /** Model-side replication of the rendered widget table
+    * (metrics_streamer.py:345-415). */
+  private def dashboardWidgetsOracle: String = {
+    val region = reg.DefaultRegion
+    val account = reg.DefaultAccount
+    val metrics = reg.allAccounts.flatMap(_.metricSets).flatMap(_.metrics)
+    val graph = metrics
+      .map(m => (s"${m.dashboard.dashboardName}-$region", "graph",
+        m.widgetTitle, 10, 6)).distinct
+    def md(dash: String): String = {
+      val db = s"$dash-$region"
+      s"## Navigate to **$db** dashboard:\n\n*Click here for " +
+        s"[button:primary:$db](https://$region.console.aws.amazon.com/" +
+        s"cloudwatch/home?region=$region#dashboards:name=$db;" +
+        s"accountId=$account) dashboard*"
+    }
+    val text = metrics
+      .flatMap(m => m.dashboard.dashboardCategory.map(cat =>
+        (s"$cat-$region", "text", md(m.dashboard.dashboardName), 12, 3)))
+      .distinct
+    (graph ++ text).sorted.map { case (db, tpe, content, w, h) =>
+      s"SELECT '${sq(db)}' AS dashboard_name, '$tpe' AS widget_type, " +
+        s"'${sq(content)}' AS content, CAST($w AS INTEGER) AS width, " +
+        s"CAST($h AS INTEGER) AS height"
+    }.mkString("", " UNION ALL ",
+      " ORDER BY dashboard_name, widget_type, content")
+  }
+
   private def defsMetricsOracle: String = {
     val rows = for {
       d <- reg.allAccounts
@@ -1300,6 +1407,7 @@ object SparkEntry {
     "q_sla_snapshot" -> slaSnapshotOracle,
     "q_incidents" -> incidentsOracle,
     "q_dashboard" -> dashboardOracle,
+    "q_dashboard_widgets" -> dashboardWidgetsOracle,
     "q_defs_metrics" -> defsMetricsOracle,
     "q_defs_slas" -> defsSlasOracle,
 
@@ -1396,6 +1504,44 @@ object SparkEntry {
          |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.5
          |ORDER BY id_a, id_b""".stripMargin,
 
+    // Same md5-banding pipeline as q_dedup_minhash over the corpus
+    // extended with exact duplicates; the fast xxhash64 path is pinned
+    // by the literal-true exact-dup-recovery column.
+    "q_dedup_minhash_fast" ->
+      s"""WITH $nearDupCorpusSql,
+         |corpus AS (SELECT * FROM all_docs UNION ALL
+         |SELECT doc_id + 40000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0),
+         |w AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS w FROM corpus),
+         |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(w) >= 3
+         |THEN list_transform(range(1, len(w)-1), i -> array_to_string(w[i:i+2], ' '))
+         |ELSE [] END) AS shingles FROM w),
+         |shf AS (SELECT * FROM sh WHERE len(shingles) > 0),
+         |sig AS (SELECT doc_id, shingles, list_transform(range(0, 12),
+         |i -> list_min(list_transform(shingles, s -> md5(CAST(i AS VARCHAR) || ':' || s)))) AS sig FROM shf),
+         |band AS (SELECT doc_id, t.b AS band, md5(array_to_string(sig[t.b*3+1:t.b*3+3], '|')) AS band_key
+         |FROM sig, range(0, 4) t(b)),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM band a
+         |JOIN band b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+         |j AS (SELECT id_a, id_b,
+         |CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE) /
+         |len(list_distinct(list_concat(x.shingles, y.shingles))) AS jaccard
+         |FROM cand JOIN shf x ON x.doc_id = id_a JOIN shf y ON y.doc_id = id_b)
+         |SELECT id_a, id_b, jaccard, true AS fast_finds_exact_dups
+         |FROM j WHERE jaccard >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // Ground-truth injected exact-duplicate pairs; the simhash path's
+    // guaranteed recovery of hamming-0 pairs and the native
+    // expression's composed-form identity are pinned by the
+    // literal-true columns.
+    "q_dedup_simhash" ->
+      """SELECT doc_id AS id_a, doc_id + 40000 AS id_b,
+        |true AS found_by_simhash, true AS native_matches_composed
+        |FROM documents
+        |WHERE doc_id % 7 = 0
+        |AND len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) > 0
+        |ORDER BY id_a, id_b""".stripMargin,
+
     "q_ngram_jaccard" ->
       s"""WITH $nearDupCorpusSql,
          |w AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS w FROM all_docs),
@@ -1428,8 +1574,14 @@ object SparkEntry {
     "q_media_features" ->
       """SELECT doc_id AS media_id,
         CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-        CAST(strlen(text) AS INTEGER) AS n_bytes,
-        CAST(((strlen(text) + 63) // 64 + 1) // 2 AS INTEGER) AS frames_sampled
+        CASE WHEN doc_id % 3 = 0 THEN CAST(doc_id % 64 + 1 AS INTEGER) END AS width_px,
+        CASE WHEN doc_id % 3 = 0 THEN CAST(doc_id % 48 + 1 AS INTEGER) END AS height_px,
+        CASE WHEN doc_id % 3 = 0 THEN CAST((doc_id % 256) // 16 AS INTEGER) END AS dominant_bin,
+        CASE WHEN doc_id % 3 = 0 THEN CAST(1.0 AS DOUBLE) END AS dominant_frac,
+        CASE WHEN doc_id % 3 = 1 THEN CAST(16000 AS INTEGER) END AS sample_rate_hz,
+        CASE WHEN doc_id % 3 = 1 THEN CAST(doc_id % 100 + 10 AS BIGINT) END AS n_samples,
+        CASE WHEN doc_id % 3 = 1 THEN CAST(doc_id % 1000 AS INTEGER) END AS peak,
+        CASE WHEN doc_id % 3 = 2 THEN CAST((doc_id % 30 + 2) // 2 AS INTEGER) END AS frames_sampled
         FROM documents ORDER BY media_id""".stripMargin,
 
     "q_asof" ->
@@ -1496,9 +1648,9 @@ object SparkEntry {
         |CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
         |FROM documents),
         |c AS (SELECT doc_id, n_tokens,
-        |SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens AS before
+        |CAST(SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_tokens AS before
         |FROM t)
-        |SELECT doc_id, n_tokens, before // 2048 AS pack_id
+        |SELECT doc_id, n_tokens, CAST(before // 2048 AS BIGINT) AS pack_id
         |FROM c ORDER BY doc_id""".stripMargin,
 
     "q_dedup_incr" ->
@@ -1587,8 +1739,9 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY event_type ORDER BY t, event_id)),
         |g AS (SELECT event_type AS series, day, cents,
         |CASE WHEN nday = day THEN nt - t ELSE 0 END AS wt FROM l)
-        |SELECT series, day, SUM(cents * wt) AS twa_num, SUM(wt) AS twa_den,
-        |SUM(cents * wt) // SUM(wt) AS twa_cents
+        |SELECT series, day, CAST(SUM(cents * wt) AS BIGINT) AS twa_num,
+        |CAST(SUM(wt) AS BIGINT) AS twa_den,
+        |CAST(CAST(SUM(cents * wt) AS BIGINT) // CAST(SUM(wt) AS BIGINT) AS BIGINT) AS twa_cents
         |FROM g GROUP BY 1, 2 HAVING SUM(wt) > 0
         |ORDER BY series, day""".stripMargin,
 

@@ -27,6 +27,13 @@ object MetricsMain {
     Frequency.Hour -> "cron(0 * * * ? *)",
     Frequency.Day -> "cron(0 0 * * ? *)")
 
+  /** O-37 executable form: start the in-process scheduler that stands
+    * in for the three EventBridge rules — `onFire` receives the
+    * frequency exactly as the reference's publishing lambda receives
+    * `{'frequency': ...}` (metrics_streamer.py:105-133). */
+  def schedule(onFire: Frequency => Unit): FrequencyScheduler =
+    new FrequencyScheduler(onFire).start()
+
   /** Streaming-trigger equivalent of the frequency cadence — the
     * Firehose 60 s buffer floor applies to minute cadence
     * (kinesis_construct.py:121-124). */
@@ -57,4 +64,55 @@ object MetricsMain {
       MetricsJob.publish(published, outDir)
     } finally spark.stop()
   }
+}
+
+/**
+ * O-37 scheduler loop: one fixed-rate timer per frequency, aligned to
+ * the top of its period the way the EventBridge crons fire at the top
+ * of every minute/hour/day (metrics_streamer.py:105-133). A failing
+ * run is logged and the schedule keeps firing — EventBridge does not
+ * stop on a failed lambda invocation.
+ *
+ * `periodMillisOverride` and `nowMillis` are injection points for
+ * tests (a compressed minute) and have production defaults.
+ */
+final class FrequencyScheduler(
+    onFire: Frequency => Unit,
+    frequencies: Seq[Frequency] =
+      Seq(Frequency.Minute, Frequency.Hour, Frequency.Day),
+    periodMillisOverride: Map[Frequency, Long] = Map.empty,
+    nowMillis: () => Long = () => System.currentTimeMillis())
+  extends AutoCloseable {
+
+  private val exec = java.util.concurrent.Executors.newScheduledThreadPool(1,
+    (r: Runnable) => {
+      val t = new Thread(r, "graft-frequency-scheduler")
+      t.setDaemon(true); t
+    })
+  private val fired =
+    new java.util.concurrent.ConcurrentHashMap[Frequency, java.lang.Long]()
+
+  /** Completed firings per frequency (including failed runs — the
+    * schedule itself fired). */
+  def fireCount(f: Frequency): Long =
+    Option(fired.get(f)).map(_.longValue).getOrElse(0L)
+
+  def start(): this.type = {
+    frequencies.foreach { f =>
+      val period = periodMillisOverride.getOrElse(f, f.periodSeconds * 1000L)
+      require(period > 0, s"period for $f must be positive")
+      // first firing at the next top-of-period boundary, like cron
+      val initial = period - java.lang.Math.floorMod(nowMillis(), period)
+      exec.scheduleAtFixedRate(() => {
+        try onFire(f)
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            System.err.println(s"[scheduler] $f run failed: ${e.getMessage}")
+        } finally fired.merge(f, 1L, (a, b) => a + b)
+      }, initial, period, java.util.concurrent.TimeUnit.MILLISECONDS)
+    }
+    this
+  }
+
+  override def close(): Unit = exec.shutdownNow()
 }

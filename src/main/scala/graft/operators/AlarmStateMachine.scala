@@ -24,10 +24,12 @@ import org.apache.spark.sql.functions._
  *  - state-change rows (OK→ALARM etc.) are flagged for notification
  *    (alarm actions fire on transition, not level).
  *
- * Scale: everything is window functions partitioned by series — one
- * shuffle on series_id, linear per-series scan, no driver-side state.
- * Timeline densification uses sequence() per series bounded by the
- * series' own [min,max] window, so a sparse series doesn't explode.
+ * Scale: running-sum window functions partitioned by the full SLA
+ * config plus one narrow-row equi-join on the vote index (the "N votes
+ * ago" lookup) — O(1) per-row state, linear per-series scan, no
+ * driver-side state, no per-row vote-array buffering. Timeline
+ * densification uses sequence() per series bounded by the series' own
+ * [min,max] window, so a sparse series doesn't explode.
  */
 object AlarmStateMachine {
 
@@ -55,17 +57,7 @@ object AlarmStateMachine {
    *         (null when the slot was missing), breaching, statevalue,
    *         prev_state, transitioned
    */
-  /** Window-function lookback cap: rowsBetween needs a literal frame,
-    * so votes are collected over this many slots and sliced to the
-    * SLA's evaluation_periods. CloudWatch itself caps evaluation
-    * windows far below this; configs beyond it fail loudly in
-    * [[evaluate]] instead of silently truncating. */
-  val MaxLookback = 100
-
   def evaluate(series: DataFrame, slas: DataFrame): DataFrame = {
-    val tooWide = slas.filter(col("evaluation_periods") > MaxLookback).count()
-    require(tooWide == 0,
-      s"evaluation_periods beyond $MaxLookback unsupported by the batch window")
     val joined = series.join(broadcast(slas), Seq("series_id"), "inner")
 
     // Densify each series to one slot per period over its own span —
@@ -104,45 +96,59 @@ object AlarmStateMachine {
     // may carry several SLAs (warning + critical threshold), and mixing
     // their rows in one window would interleave vote streams and lag()
     // states across configs.
-    val w = Window.partitionBy("series_id", "threshold",
-        "comparison_operator", "datapoints_to_alarm", "evaluation_periods",
-        "treat_missing_data")
-      .orderBy("window_start")
-    def lastN(c: Column, n: Column): Column = {
-      // rowsBetween needs a literal frame; evaluation_periods is small
-      // (CW caps at 100ish) so we sum flags over a max lookback and
-      // mask by row distance.
-      val maxLook = 100
-      val frame = w.rowsBetween(-maxLook + 1, 0)
-      // collect the last maxLook values and slice the trailing n
-      val arr = collect_list(c).over(frame)
-      slice(arr, greatest(size(arr) - n + 1, lit(1)), n)
-    }
+    val keyCols = Seq("series_id", "threshold", "comparison_operator",
+      "datapoints_to_alarm", "evaluation_periods", "treat_missing_data")
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy("window_start")
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    // Window of the last N slot-votes. collect_list drops null votes,
-    // which is exactly the IGNORE/MISSING semantics (the frame then
-    // spans the last N *real* datapoints, up to the lookback cap); for
-    // NOT_BREACHING/BREACHING no vote is null so the window is the
-    // last N slots.
-    val votes = lastN(slotBreach, col("evaluation_periods"))
-    // Dense presence flags (never null) → sliced window = last N slots.
-    val presentInWindow = lastN(when(present, 1).otherwise(0), col("evaluation_periods"))
+    // Counting formulation of "breaches among the last N votes": a null
+    // vote (IGNORE/MISSING missing slot) doesn't advance the vote index,
+    // so the window spans the last N *real* datapoints; for
+    // NOT_BREACHING/BREACHING every slot votes and the window is the
+    // last N slots. Running sums keep per-row state O(1) — no per-row
+    // vote-array buffering — and evaluation_periods is unbounded (the
+    // old collect_list frame capped lookback at 100 slots).
+    val cur = dense
+      .withColumn("__vote", slotBreach)
+      .withColumn("__rb", sum(when(col("__vote"), 1L).otherwise(0L)).over(wRun))
+      .withColumn("__vi", count(col("__vote")).over(wRun))
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__lp", max(when(present, col("__rn"))).over(wRun))
+      .withColumn("__target", col("__vi") - col("evaluation_periods"))
 
-    val breachCount = size(filter(votes, v => v))
-    val anyReal = aggregate(presentInWindow, lit(0), (acc, x) => acc + x) > 0
+    // breaches among the last N votes = running breaches now minus
+    // running breaches as of N votes ago; the "as of N votes ago"
+    // lookup is an equi-join on the vote index (lag() would need a
+    // literal offset). Same-key partitioning on both sides — one
+    // narrow-row shuffle, no driver state.
+    val voteIdx = cur.filter(col("__vote").isNotNull)
+      .select(keyCols.map(c => col(c).as(s"__k_$c")) ++
+        Seq(col("__vi").as("__j"), col("__rb").as("__rb_j")): _*)
+    val joinCond = keyCols.map(c => col(c) === col(s"__k_$c"))
+      .reduce(_ && _) && col("__j") === col("__target")
+    val looked = cur.join(voteIdx, joinCond, "left")
+      .drop(keyCols.map(c => s"__k_$c") :+ "__j": _*)
+
+    val breachCount = col("__rb") -
+      when(col("__target") >= 1, coalesce(col("__rb_j"), lit(0L))).otherwise(lit(0L))
+    // a real datapoint within the last N slots? (slots are dense, so
+    // slot distance = row distance)
+    val anyReal = col("__lp").isNotNull &&
+      (col("__rn") - col("__lp")) < col("evaluation_periods")
 
     val state =
       when(col("treat_missing_data") === "MISSING" && !anyReal, StateInsufficient)
         .when(breachCount >= col("datapoints_to_alarm"), StateAlarm)
         .otherwise(StateOk)
 
-    val withState = dense
-      .withColumn("breaching", coalesce(slotBreach, lit(false)))
+    val withState = looked
+      .withColumn("breaching", coalesce(col("__vote"), lit(false)))
       .withColumn("statevalue", state)
     val prev = lag(col("statevalue"), 1).over(w)
     withState
       .withColumn("prev_state", prev)
       .withColumn("transitioned",
         prev.isNotNull && prev =!= col("statevalue"))
+      .drop("__vote", "__rb", "__vi", "__rn", "__lp", "__target", "__rb_j")
   }
 }

@@ -78,12 +78,16 @@ object PartitionOps {
         s"/month=${r.getAs[Any]("month")}/day=${r.getAs[Any]("day")}" +
         s"/hour=${r.getAs[Any]("hour")}"
     }.toSeq
-    // recursive delete, and report only what was actually removed —
-    // a path that survives a failed delete must not be recorded as
-    // purged or retention silently stops being enforced there
+    // recursive delete via Hadoop FileSystem (hdfs://, s3a://, and
+    // plain local paths all resolve), and report only what was
+    // actually removed — a path that survives a failed delete must not
+    // be recorded as purged or retention silently stops being enforced
+    // there
+    val fs = new org.apache.hadoop.fs.Path(lakeDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
     drop.filter { p =>
-      val dir = new java.io.File(p)
-      !dir.exists() || deleteRecursively(dir)
+      val dir = new org.apache.hadoop.fs.Path(p)
+      !fs.exists(dir) || fs.delete(dir, true)
     }
   }
 
@@ -108,11 +112,6 @@ object PartitionOps {
       .select(col("series"), col("h").as("missing_hour_epoch"))
   }
 
-  private def deleteRecursively(f: java.io.File): Boolean = {
-    if (f.isDirectory)
-      Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
-    f.delete()
-  }
 
   /**
    * Small-file compaction for one lake partition directory: rewrite
@@ -131,29 +130,36 @@ object PartitionOps {
    */
   def compactPartition(spark: SparkSession, partitionDir: String,
       targetBytes: Long = 128L * 1024 * 1024): Long = {
-    val dir = new java.io.File(partitionDir)
-    val staging = new java.io.File(dir.getParent, dir.getName + ".__compact__")
-    val old = new java.io.File(dir.getParent, dir.getName + ".__old__")
+    // Hadoop FileSystem, not java.io.File: the same path resolution the
+    // Spark read/write calls below use, so hdfs:// and s3a:// partition
+    // URIs work instead of silently no-opping. Note: rename is atomic
+    // on HDFS/local but copy-based on object stores — there the brief
+    // two-rename window widens; run compaction when readers are idle.
+    val dir = new org.apache.hadoop.fs.Path(partitionDir)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val staging = new org.apache.hadoop.fs.Path(dir.getParent, dir.getName + ".__compact__")
+    val old = new org.apache.hadoop.fs.Path(dir.getParent, dir.getName + ".__old__")
     // recovery from a previous crash, in swap order: complete a rename
     // that lost its second half, then clear leftovers
-    if (!dir.exists() && staging.exists() && !staging.renameTo(dir))
+    if (!fs.exists(dir) && fs.exists(staging) && !fs.rename(staging, dir))
       throw new java.io.IOException(s"cannot recover $staging -> $dir")
-    if (old.exists()) deleteRecursively(old)
-    if (staging.exists()) deleteRecursively(staging) // incomplete write
-    val parquets = Option(dir.listFiles()).getOrElse(Array.empty)
-      .filter(_.getName.endsWith(".parquet"))
+    if (fs.exists(old)) fs.delete(old, true)
+    if (fs.exists(staging)) fs.delete(staging, true) // incomplete write
+    val parquets = (if (fs.exists(dir)) fs.listStatus(dir)
+      else Array.empty[org.apache.hadoop.fs.FileStatus])
+      .filter(_.getPath.getName.endsWith(".parquet"))
     if (parquets.length <= 1) return parquets.length.toLong
-    val bytes = parquets.map(_.length()).sum
+    val bytes = parquets.map(_.getLen).sum
     val nFiles = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
     spark.read.parquet(partitionDir).repartition(nFiles)
-      .write.mode("overwrite").parquet(staging.getPath)
-    if (!dir.renameTo(old))
+      .write.mode("overwrite").parquet(staging.toString)
+    if (!fs.rename(dir, old))
       throw new java.io.IOException(s"cannot stage out $dir")
-    if (!staging.renameTo(dir)) {
-      old.renameTo(dir) // roll back; original data untouched
+    if (!fs.rename(staging, dir)) {
+      fs.rename(old, dir) // roll back; original data untouched
       throw new java.io.IOException(s"cannot swap in $staging")
     }
-    deleteRecursively(old)
+    fs.delete(old, true)
     nFiles.toLong
   }
 

@@ -62,6 +62,12 @@ object SeriesMath {
           .cast("decimal(38,0)").cast("long").as("twa_num"),
         sum(col("__wt")).as("twa_den"))
       .filter(col("twa_den") > 0)
-      .withColumn("twa_cents", expr("twa_num div twa_den"))
+      // floor division (not `div`, which truncates toward zero): keeps
+      // negative numerators bit-identical to engines whose integer `/`
+      // floors (DuckDB `//`, Python `//`). pmod is non-negative for the
+      // positive denominator guaranteed by the filter above, so
+      // (num - pmod(num, den)) is an exact multiple of den.
+      .withColumn("twa_cents",
+        expr("(twa_num - pmod(twa_num, twa_den)) div twa_den"))
   }
 }

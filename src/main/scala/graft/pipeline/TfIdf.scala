@@ -34,6 +34,10 @@ object TfIdf {
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     tf.join(df, Seq("term"))
       .withColumn("score", expr("tf * 1000000 div df"))
+      // the USING join surfaces `term` first — reorder to the
+      // documented (idCol, term, tf, df, score) contract so positional
+      // consumers bind correctly
+      .select(col(idCol), col("term"), col("tf"), col("df"), col("score"))
   }
 
   /** Top-k highest-scored terms per document, ties broken by term —

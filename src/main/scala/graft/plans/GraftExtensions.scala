@@ -18,13 +18,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("xx_minhash"),
       new ExpressionInfo(classOf[XxMinHash].getName, "xx_minhash"),
       (exprs: Seq[Expression]) => XxMinHash(exprs.head,
-        k = exprs(1).eval().asInstanceOf[Number].intValue(),
-        seed = exprs(2).eval().asInstanceOf[Number].longValue())))
+        k = FnArgs.intArg("xx_minhash", "k", exprs(1)),
+        seed = FnArgs.longArg("xx_minhash", "seed", exprs(2)))))
     ext.injectFunction((
       new FunctionIdentifier("md5_minhash"),
       new ExpressionInfo(classOf[Md5MinHash].getName, "md5_minhash"),
       (exprs: Seq[Expression]) => Md5MinHash(exprs.head,
-        k = exprs(1).eval().asInstanceOf[Number].intValue())))
+        k = FnArgs.intArg("md5_minhash", "k", exprs(1)))))
     ext.injectFunction((
       new FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
@@ -33,12 +33,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
       (exprs: Seq[Expression]) => VecDot(exprs.head, exprs(1),
-        pad = exprs.lift(2).exists(_.eval() == true))))
+        pad = FnArgs.flagArg("vec_dot", "pad", exprs.lift(2)))))
     ext.injectFunction((
       new FunctionIdentifier("word_shingles"),
       new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
       (exprs: Seq[Expression]) => WordShingles(exprs.head,
-        n = exprs(1).eval().asInstanceOf[Number].intValue(),
-        distinct = exprs.lift(2).exists(_.eval() == true))))
+        n = FnArgs.intArg("word_shingles", "n", exprs(1)),
+        distinct = FnArgs.flagArg("word_shingles", "distinct", exprs.lift(2)))))
   }
 }

@@ -125,7 +125,7 @@ object Md5MinHash {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "md5_minhash",
       exprs => Md5MinHash(exprs.head,
-        k = exprs(1).eval().asInstanceOf[Number].intValue()),
+        k = FnArgs.intArg("md5_minhash", "k", exprs(1))),
       "built-in")
 
   def minhash(shingles: Column, k: Int): Column =

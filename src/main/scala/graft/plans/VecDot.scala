@@ -92,7 +92,7 @@ object VecDot {
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_dot", exprs => VecDot(exprs.head, exprs(1),
-        pad = exprs.lift(2).exists(_.eval() == true)), "built-in")
+        pad = FnArgs.flagArg("vec_dot", "pad", exprs.lift(2))), "built-in")
 
   def apply(a: Column, b: Column): Column = call_function("vec_dot", a, b)
 

@@ -122,8 +122,8 @@ object WordShingles {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "word_shingles",
       exprs => WordShingles(exprs.head,
-        n = exprs(1).eval().asInstanceOf[Number].intValue(),
-        distinct = exprs.lift(2).exists(_.eval() == true)),
+        n = FnArgs.intArg("word_shingles", "n", exprs(1)),
+        distinct = FnArgs.flagArg("word_shingles", "distinct", exprs.lift(2))),
       "built-in")
 
   def shingles(text: Column, n: Int, distinct: Boolean = false): Column =

@@ -107,8 +107,8 @@ object XxMinHash {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "xx_minhash",
       exprs => XxMinHash(exprs.head,
-        k = exprs(1).eval().asInstanceOf[Number].intValue(),
-        seed = exprs(2).eval().asInstanceOf[Number].longValue()),
+        k = FnArgs.intArg("xx_minhash", "k", exprs(1)),
+        seed = FnArgs.longArg("xx_minhash", "seed", exprs(2))),
       "built-in")
 
   def minhash(shingles: Column, k: Int, seed: Long = 42L): Column =

@@ -81,12 +81,12 @@ class AlarmMachineSpec extends SparkTestBase {
   }
 
   test("streaming IGNORE matches batch across gaps") {
-    def pt(ws: Long, v: Option[Double]) = SeriesPoint("s1", ws, v, 5.0,
+    def pt(ws: Long, v: Option[Double]) = SeriesPoint("s1", ws, v, 60L, 5.0,
       "LESS_THAN_THRESHOLD", 2, 2, "IGNORE")
     // batch asserts ALARM at the second real breach despite the gap
     val (st, t) = AlarmStream.advance(
       Iterator(pt(0, Some(1.0)), pt(60, None), pt(120, Some(1.0))),
-      AlarmState(Nil, Nil, "OK"))
+      AlarmState(Nil, Nil, "OK", None, None))
     assert(st.state == "ALARM", s"streaming IGNORE diverged: $st")
     assert(t.map(_.newState) == List("ALARM"))
   }
@@ -101,11 +101,11 @@ class AlarmMachineSpec extends SparkTestBase {
   }
 
   test("streaming core: same truth table, incremental batches") {
-    def pt(ws: Long, v: Option[Double]) = SeriesPoint("s1", ws, v, 5.0,
+    def pt(ws: Long, v: Option[Double]) = SeriesPoint("s1", ws, v, 60L, 5.0,
       "GREATER_THAN_OR_EQUAL_TO_THRESHOLD", 2, 3, "NOT_BREACHING")
     val (st1, t1) = AlarmStream.advance(
       Iterator(pt(0, Some(10.0)), pt(60, Some(1.0))),
-      AlarmState(Nil, Nil, "INSUFFICIENT_DATA"))
+      AlarmState(Nil, Nil, "INSUFFICIENT_DATA", None, None))
     assert(t1.map(_.newState) == List("OK"))
     val (st2, t2) = AlarmStream.advance(Iterator(pt(120, Some(10.0))), st1)
     assert(t2.map(_.newState) == List("ALARM"))
@@ -115,10 +115,10 @@ class AlarmMachineSpec extends SparkTestBase {
   }
 
   test("streaming core: MISSING policy yields INSUFFICIENT_DATA on empty window") {
-    def pt(ws: Long, v: Option[Double]) = SeriesPoint("s1", ws, v, 5.0,
+    def pt(ws: Long, v: Option[Double]) = SeriesPoint("s1", ws, v, 60L, 5.0,
       "GREATER_THAN_THRESHOLD", 1, 2, "MISSING")
     val (_, t) = AlarmStream.advance(
-      Iterator(pt(0, None), pt(60, None)), AlarmState(Nil, Nil, "OK"))
+      Iterator(pt(0, None), pt(60, None)), AlarmState(Nil, Nil, "OK", None, None))
     assert(t.map(_.newState) == List("INSUFFICIENT_DATA"))
   }
 }

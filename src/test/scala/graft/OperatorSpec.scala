@@ -151,6 +151,31 @@ class OperatorSpec extends SparkTestBase {
     assert(MetricsMain.triggerFor(Frequency.Minute).toString.contains("60000"))
   }
 
+  test("O-37 scheduler loop fires minute runs without manual invocation") {
+    import graft.model.Frequency
+    val fires = new java.util.concurrent.atomic.AtomicInteger
+    // compressed minute (50 ms) so the test observes multiple firings;
+    // hour/day stay at production cadence and must not fire here. The
+    // first callback throws to prove a failed run doesn't stop the
+    // schedule (EventBridge keeps firing after a failed invocation).
+    val seen = scala.collection.concurrent.TrieMap.empty[graft.model.Frequency, Int]
+    val sched = new graft.metrics.FrequencyScheduler(
+      f => {
+        seen.updateWith(f) { c => Some(c.getOrElse(0) + 1) }
+        if (f == Frequency.Minute && fires.incrementAndGet() == 1)
+          throw new RuntimeException("transient failure")
+      },
+      periodMillisOverride = Map(Frequency.Minute -> 50L)).start()
+    try {
+      val deadline = System.currentTimeMillis() + 10000
+      while (fires.get() < 3 && System.currentTimeMillis() < deadline)
+        Thread.sleep(10)
+      assert(fires.get() >= 3, s"minute schedule fired only ${fires.get()} times")
+      assert(sched.fireCount(Frequency.Minute) >= 3)
+      assert(!seen.contains(Frequency.Hour) && !seen.contains(Frequency.Day))
+    } finally sched.close()
+  }
+
   test("GraftExtensions injects xx_minhash; SQL resolves it") {
     // the extensions hook applies cleanly (builder-time wiring)...
     new graft.plans.GraftExtensions()(
@@ -314,9 +339,11 @@ class OperatorSpec extends SparkTestBase {
   test("tf-idf: integer scores, deterministic top-k tie-breaks") {
     val d = Seq((1L, "apple apple banana"), (2L, "banana cherry"),
       (3L, "cherry cherry cherry")).toDF("doc_id", "text")
+    // positional binding against the documented (idCol, term, tf, df,
+    // score) column order
     val scores = graft.pipeline.TfIdf.termScores(d)
-      .as[(String, Long, Long, Long, Long)].collect()
-      .map { case (term, id, tf, df, score) => (id, term) -> (tf, df, score) }.toMap
+      .as[(Long, String, Long, Long, Long)].collect()
+      .map { case (id, term, tf, df, score) => (id, term) -> (tf, df, score) }.toMap
     assert(scores((1L, "apple")) == (2L, 1L, 2000000L))   // tf=2, df=1
     assert(scores((1L, "banana")) == (1L, 2L, 500000L))   // tf=1, df=2
     assert(scores((3L, "cherry")) == (3L, 2L, 1500000L))

@@ -440,16 +440,52 @@ class PipelineSpec extends SparkTestBase {
     assert(und.select(TextFns.langId(col("text"))).as[String].head() == "und")
   }
 
-  test("multimodal: batch decode keeps schema, histogram normalized, resize clamps") {
+  test("multimodal: real PNG/WAV codec round-trip, video plan, resize clamps") {
+    // doc_ids 75 (image), 76 (audio), 77 (video)
     val media = Multimodal.syntheticMedia(
-      Seq((1L, "abcd" * 40, "en", "s", 160L)).toDF("doc_id", "text", "lang", "source", "n_chars"))
-    val feats = Multimodal.extractFeatures(media, frameStride = 2).collect()
-    assert(feats.length == 1)
-    val f = feats.head
-    assert(f.n_bytes == 160 && f.frames_sampled == 2) // ceil(160/64)=3 chunks → idx 0,2
-    assert(math.abs(f.histogram.sum - 1.0) < 1e-9)
+      Seq((75L, "img doc", "en", "s", 7L), (76L, "wav doc", "en", "s", 7L),
+        (77L, "vid doc body", "en", "s", 12L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val feats = Multimodal.extractFeatures(media, frameStride = 2)
+      .collect().map(f => f.media_id -> f).toMap
+
+    // image 75: 12×28 PNG, every pixel gray 75 → decoded dims match the
+    // encode parameters, luminance histogram fully in bin 75/16 = 4
+    val img = feats(75L)
+    assert(img.width_px.contains(12) && img.height_px.contains(28), s"$img")
+    assert(img.dominant_bin.contains(4) && img.dominant_frac.contains(1.0), s"$img")
+
+    // audio 76: WAV, 16 kHz, 86 constant samples of amplitude 76
+    val aud = feats(76L)
+    assert(aud.sample_rate_hz.contains(16000), s"$aud")
+    assert(aud.n_samples.contains(86L) && aud.peak.contains(76), s"$aud")
+
+    // video 77: no JDK codec — frame plan from metadata: n_frames =
+    // 77 % 30 + 1 = 18, stride 2 → 9 sampled
+    assert(feats(77L).frames_sampled.contains(9), s"${feats(77L)}")
+
+    // payloads are real containers: PNG magic / RIFF-WAVE header
+    val payloads = media.select("media_id", "payload")
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    assert(payloads(75L).take(4).map(_ & 0xFF).toSeq == Seq(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt))
+    assert(new String(payloads(76L).take(4), "US-ASCII") == "RIFF")
+
     val resized = Multimodal.resizePlan(media, 32)
       .select("target_width", "target_height").as[(Int, Int)].head()
     assert(resized._1 <= 32 && resized._2 <= 32)
+  }
+
+  test("SQL registration rejects non-literal compile-time params with analyzer error") {
+    graft.plans.NativeFns.register(spark)
+    val df = Seq(("a b c d", 2)).toDF("text", "n")
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      df.selectExpr("word_shingles(text, n)").collect()
+    }
+    assert(e.getMessage.contains("word_shingles"), e.getMessage)
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      Seq((Array(1.0f), Array(1.0f), true)).toDF("a", "b", "p")
+        .selectExpr("vec_dot(a, b, p)").collect()
+    }
+    assert(e2.getMessage.contains("vec_dot"), e2.getMessage)
   }
 }

@@ -54,9 +54,9 @@ class PropertySpec extends AnyFunSuite {
       val n = math.max(m0, n0); val m = math.min(m0, n0)
       def run(values: List[Double]): String = {
         val pts = values.zipWithIndex.map { case (v, i) =>
-          SeriesPoint("s", i * 60L, Some(v), 5.0,
+          SeriesPoint("s", i * 60L, Some(v), 60L, 5.0,
             "GREATER_THAN_THRESHOLD", m, n, "NOT_BREACHING") }
-        AlarmStream.advance(pts.iterator, AlarmState(Nil, Nil, "OK"))._1.state
+        AlarmStream.advance(pts.iterator, AlarmState(Nil, Nil, "OK", None, None))._1.state
       }
       val base = run(vs)
       // raise every value above threshold → breach count can only grow

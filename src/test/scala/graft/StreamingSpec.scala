@@ -177,11 +177,13 @@ class StreamingSpec extends SparkTestBase {
       .writeStream.format("memory").queryName("alarm_out")
       .outputMode("append").start()
     def pt(ws: Long, v: Double) = AlarmStream.SeriesPoint("s1", ws, Some(v),
-      5.0, "GREATER_THAN_THRESHOLD", 2, 3, "NOT_BREACHING")
+      60L, 5.0, "GREATER_THAN_THRESHOLD", 2, 3, "NOT_BREACHING")
     try {
-      mem.addData(pt(0, 9.0), pt(60, 9.0))
+      // times start at 600: the initial event-time watermark is 0 and
+      // the stateful operator drops rows at-or-before the watermark
+      mem.addData(pt(600, 9.0), pt(660, 9.0))
       q.processAllAvailable()
-      mem.addData(pt(120, 1.0), pt(180, 1.0), pt(240, 1.0))
+      mem.addData(pt(720, 1.0), pt(780, 1.0), pt(840, 1.0))
       q.processAllAvailable()
       val out = spark.table("alarm_out")
         .select("windowStart", "prevState", "newState")
@@ -190,9 +192,80 @@ class StreamingSpec extends SparkTestBase {
       // batch 1: first point settles to OK, second breach → ALARM;
       // batch 2: breaches age out of the 3-window at ws=180 → OK.
       assert(out == Seq(
-        (0L, "INSUFFICIENT_DATA", "OK"),
-        (60L, "OK", "ALARM"),
-        (180L, "ALARM", "OK")))
+        (600L, "INSUFFICIENT_DATA", "OK"),
+        (660L, "OK", "ALARM"),
+        (780L, "ALARM", "OK")))
+    } finally q.stop()
+  }
+
+  test("streaming alarm: silent series reaches INSUFFICIENT_DATA via event-time timer") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[AlarmStream.SeriesPoint]
+    val q = AlarmStream.transitions(mem.toDS())
+      .writeStream.format("memory").queryName("alarm_silent")
+      .outputMode("append").start()
+    def pt(id: String, ws: Long, v: Double) = AlarmStream.SeriesPoint(id, ws,
+      Some(v), 60L, 5.0, "GREATER_THAN_THRESHOLD", 1, 2, "MISSING")
+    try {
+      // s1 reports twice then goes silent; s2 keeps the watermark moving
+      mem.addData(pt("s1", 600, 9.0), pt("s1", 660, 9.0), pt("s2", 600, 1.0))
+      q.processAllAvailable()
+      mem.addData(pt("s2", 1200, 1.0)) // watermark → 1200s
+      q.processAllAvailable()
+      mem.addData(pt("s2", 1800, 1.0)) // lets the s1 timer fire (wm 1200)
+      q.processAllAvailable()
+      val out = spark.table("alarm_silent")
+        .filter(col("seriesId") === "s1")
+        .select("windowStart", "prevState", "newState")
+        .orderBy("windowStart")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+      // s1: point at 600 breaches (M=1) → ALARM; silence: the last real
+      // datapoint ages out of the N=2 slot window two slots after 660
+      // (slots 720, 780 missing) → INSUFFICIENT_DATA at ws=780.
+      assert(out == Seq(
+        (600L, "INSUFFICIENT_DATA", "ALARM"),
+        (780L, "ALARM", "INSUFFICIENT_DATA")), s"got $out")
+    } finally q.stop()
+  }
+
+  test("streaming alarm: multi-window gap casts one missing vote per slot (BREACHING)") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[AlarmStream.SeriesPoint]
+    val q = AlarmStream.transitions(mem.toDS())
+      .writeStream.format("memory").queryName("alarm_gap")
+      .outputMode("append").start()
+    // M=3 of N=3, BREACHING: only ≥3 consecutive missing slots alarm
+    def pt(ws: Long, v: Double) = AlarmStream.SeriesPoint("g1", ws, Some(v),
+      60L, 5.0, "GREATER_THAN_THRESHOLD", 3, 3, "BREACHING")
+    try {
+      // gap of exactly 3 windows (720, 780, 840 missing) between 660 and 900
+      mem.addData(pt(600, 1.0), pt(660, 1.0), pt(900, 1.0))
+      q.processAllAvailable()
+      val out = spark.table("alarm_gap")
+        .select("windowStart", "prevState", "newState")
+        .orderBy("windowStart")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+      // densified gap: votes at 720/780 are missing→breaching but only
+      // 2 of 3; at 840 all three window slots are missing → ALARM; the
+      // real point at 900 breaks the streak → OK. Identical to the
+      // batch variant on the densified timeline.
+      assert(out == Seq(
+        (600L, "INSUFFICIENT_DATA", "OK"),
+        (840L, "OK", "ALARM"),
+        (900L, "ALARM", "OK")), s"got $out")
+
+      // batch twin on the same densified timeline
+      val series = Seq(("g1", 600L, 1.0), ("g1", 660L, 1.0), ("g1", 900L, 1.0))
+        .toDF("series_id", "window_start", "metricvalue")
+      val slas = Seq(("g1", 60L, 5.0, "GREATER_THAN_THRESHOLD", 3, 3, "BREACHING"))
+        .toDF("series_id", "period", "threshold", "comparison_operator",
+          "datapoints_to_alarm", "evaluation_periods", "treat_missing_data")
+      val batch = graft.operators.AlarmStateMachine.evaluate(series, slas)
+        .filter(col("transitioned"))
+        .select("window_start", "prev_state", "statevalue")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+      assert(batch == Set((840L, "OK", "ALARM"), (900L, "ALARM", "OK")),
+        s"batch got $batch")
     } finally q.stop()
   }
 }
