@@ -229,12 +229,19 @@ object Dedup {
   /** SimHash fingerprints over whitespace tokens via the native
     * [[graft.plans.SimHash64]] expression (same xxhash64-seed-42 token
     * hash family and majority packing as [[simhashFromHashes]], which
-    * the test suite cross-checks, in one compiled pass). */
+    * the test suite cross-checks, in one compiled pass).
+    *
+    * Token-less documents are dropped, mirroring the minhash path's
+    * empty-shingle filter: every empty doc fingerprints to the same
+    * constant, and at corpus scale that one value becomes a single
+    * quadratic banding bucket (N empty docs → N²/2 hamming-0 pairs). */
   def simhashDf(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
     graft.plans.NativeFns.register(docs.sparkSession)
     docs.select(col(idCol),
-      graft.plans.SimHash64.simhash(
-        graft.plans.WordShingles.shingles(col(textCol), 1)).as("simhash"))
+        graft.plans.WordShingles.shingles(col(textCol), 1).as("__toks"))
+      .filter(size(col("__toks")) > 0)
+      .select(col(idCol),
+        graft.plans.SimHash64.simhash(col("__toks")).as("simhash"))
   }
 
   /** SimHash near-dup candidates: split the 64-bit fingerprint into
