@@ -464,32 +464,34 @@ object SparkEntry {
     // single-pass signatures). The seeded Kirsch–Mitzenmacher xxhash64
     // family has no external oracle (and band recall is
     // family-dependent, so pair-set equality with the md5 family is
-    // NOT an invariant — they diverge on borderline near-dups). The
-    // hash-checked contract instead: rows = the md5-path pair set over
-    // a corpus extended with EXACT duplicates (replicated by SQL), plus
-    // a pinned-true column asserting the fast path recovers every
-    // injected exact duplicate — identical text → identical signature
-    // → all bands shared → candidate, so recovery is guaranteed by
-    // construction, and any signature/banding drift flips the flag.
+    // NOT an invariant — they diverge on borderline near-dups at
+    // sf0.1). The hash-checked contract: over a corpus carrying the
+    // tail near-dups as noise plus injected EXACT duplicates, the fast
+    // path recovers every exact duplicate — identical text → identical
+    // signature → all bands shared → candidate, so recovery is
+    // guaranteed by construction — and its exact-Jaccard verify
+    // computes exactly 1.0 for them. Any signature, banding, or verify
+    // drift flips a pinned column. (The md5-family pair rows are
+    // already fully oracle-checked by q_dedup_minhash; re-deriving
+    // them here would double the query's cost for zero extra
+    // constraint.)
     "q_dedup_minhash_fast" -> { (s, dir) =>
       val base = docs(s, dir).select("doc_id", "text")
       val corpus = nearDupCorpus(s, dir).unionByName(
         base.filter(col("doc_id") % 7 === 0)
           .select((col("doc_id") + 40000).as("doc_id"), col("text")))
       val fast = Dedup.minhashNearDupPairsFast(corpus, shingleN = 3, k = 12,
-        bands = 4, threshold = 0.5).select("id_a", "id_b")
-      val md5p = Dedup.minhashNearDupPairs(corpus, shingleN = 3, k = 12,
         bands = 4, threshold = 0.5)
       val truth = base
         .filter(col("doc_id") % 7 === 0 &&
           size(graft.plans.WordShingles.shingles(col("text"), 3,
             distinct = true)) > 0)
         .select(col("doc_id").as("id_a"), (col("doc_id") + 40000).as("id_b"))
-      val missed = truth.join(fast, Seq("id_a", "id_b"), "left_anti")
-        .agg(count(lit(1)).as("__n"))
-      md5p.crossJoin(missed)
-        .select(col("id_a"), col("id_b"), col("jaccard"),
-          (col("__n") === 0).as("fast_finds_exact_dups"))
+      truth.join(fast.select(col("id_a"), col("id_b"), col("jaccard"),
+          lit(true).as("__f")), Seq("id_a", "id_b"), "left")
+        .select(col("id_a"), col("id_b"),
+          coalesce(col("__f"), lit(false)).as("found_by_fast"),
+          col("jaccard"))
         .orderBy("id_a", "id_b")
     },
 
@@ -1504,31 +1506,16 @@ object SparkEntry {
          |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.5
          |ORDER BY id_a, id_b""".stripMargin,
 
-    // Same md5-banding pipeline as q_dedup_minhash over the corpus
-    // extended with exact duplicates; the fast xxhash64 path is pinned
-    // by the literal-true exact-dup-recovery column.
+    // Ground-truth injected exact-duplicate pairs; the fast xxhash64
+    // path's guaranteed recovery and its exact-Jaccard verify value
+    // (identical shingle sets → exactly 1.0) are pinned.
     "q_dedup_minhash_fast" ->
-      s"""WITH $nearDupCorpusSql,
-         |corpus AS (SELECT * FROM all_docs UNION ALL
-         |SELECT doc_id + 40000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0),
-         |w AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS w FROM corpus),
-         |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(w) >= 3
-         |THEN list_transform(range(1, len(w)-1), i -> array_to_string(w[i:i+2], ' '))
-         |ELSE [] END) AS shingles FROM w),
-         |shf AS (SELECT * FROM sh WHERE len(shingles) > 0),
-         |sig AS (SELECT doc_id, shingles, list_transform(range(0, 12),
-         |i -> list_min(list_transform(shingles, s -> md5(CAST(i AS VARCHAR) || ':' || s)))) AS sig FROM shf),
-         |band AS (SELECT doc_id, t.b AS band, md5(array_to_string(sig[t.b*3+1:t.b*3+3], '|')) AS band_key
-         |FROM sig, range(0, 4) t(b)),
-         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM band a
-         |JOIN band b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
-         |j AS (SELECT id_a, id_b,
-         |CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE) /
-         |len(list_distinct(list_concat(x.shingles, y.shingles))) AS jaccard
-         |FROM cand JOIN shf x ON x.doc_id = id_a JOIN shf y ON y.doc_id = id_b)
-         |SELECT id_a, id_b, jaccard, true AS fast_finds_exact_dups
-         |FROM j WHERE jaccard >= 0.5
-         |ORDER BY id_a, id_b""".stripMargin,
+      """SELECT doc_id AS id_a, doc_id + 40000 AS id_b,
+        |true AS found_by_fast, CAST(1.0 AS DOUBLE) AS jaccard
+        |FROM documents
+        |WHERE doc_id % 7 = 0
+        |AND len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) >= 3
+        |ORDER BY id_a, id_b""".stripMargin,
 
     // Ground-truth injected exact-duplicate pairs; the simhash path's
     // guaranteed recovery of hamming-0 pairs and the native

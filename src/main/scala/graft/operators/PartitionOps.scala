@@ -50,6 +50,28 @@ object PartitionOps {
       s"LOCATION '${lit(location)}'")
   }
 
+  /** O-27 multi-catalog loop (add_partition.py:56-71): register the
+    * same partition into every listed catalog's copy of the table.
+    * The reference iterates Glue catalog accounts with a per-catalog
+    * existence check + create; Spark-side each target is a
+    * fully-qualified identifier — `catalog.db.table` for a configured
+    * V2 catalog, `db.table` within the session catalog — and the
+    * ADD IF NOT EXISTS form keeps each registration idempotent. A
+    * failing catalog does not block the rest (the reference's loop
+    * likewise proceeds per catalog); failures are returned for the
+    * caller to retry.
+    *
+    * @return (table, Some(error)) per failed target; empty = all
+    *         registered */
+  def addPartitionAll(spark: SparkSession, tables: Seq[String],
+      region: String, year: Int, month: Int, day: Int, hour: Int,
+      location: String): Seq[(String, String)] =
+    tables.flatMap { t =>
+      try { addPartition(spark, t, region, year, month, day, hour, location); None }
+      catch { case scala.util.control.NonFatal(e) =>
+        Some(t -> String.valueOf(e.getMessage)) }
+    }
+
   /** Retention TTLs by frequency (centralized_resources.py:47-65). */
   val retentionDays: Map[String, Int] = Map("minute" -> 2, "hour" -> 30, "day" -> 90)
 

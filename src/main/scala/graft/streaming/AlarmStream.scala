@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import graft.model.{ComparisonOperator, TreatMissingData}
@@ -77,7 +77,7 @@ object AlarmStream {
       p.datapointsToAlarm, p.evaluationPeriods, p.treatMissingData)
 
   /** Evaluate ONE slot (real or missing) against the machine. */
-  private def applySlot(s: AlarmState, seriesId: String, ws: Long,
+  private[streaming] def applySlot(s: AlarmState, seriesId: String, ws: Long,
       value: Option[Double], conf: SlaConf): (AlarmState, Option[Transition]) = {
     val op = ComparisonOperator.fromName(conf.comparisonOperator)
     val n = math.max(conf.evaluationPeriods, 1)
@@ -142,7 +142,7 @@ object AlarmStream {
     * votes the window is saturated and the state cannot change again,
     * so only the first N slots are evaluated individually and the
     * cursor moves straight to the last skipped slot. */
-  private def synthesizeSlots(s: AlarmState, seriesId: String, from: Long,
+  private[streaming] def synthesizeSlots(s: AlarmState, seriesId: String, from: Long,
       until: Long, conf: SlaConf): (AlarmState, List[Transition]) = {
     val n = math.max(conf.evaluationPeriods, 1).toLong
     val total = (until - from - 1) / conf.period // slots strictly between
@@ -214,6 +214,16 @@ object AlarmStream {
       .withColumn("eventTime", col("windowStart").cast("timestamp"))
       .withWatermark("eventTime", watermarkDelay)
       .as[TimedPoint]
+      .transform(machine)
+  }
+
+  /** The flatMapGroupsWithState wiring, shared by [[transitions]]
+    * (which defines its own watermark) and [[evaluateStream]] (which
+    * must reuse the upstream aggregation's). */
+  private def machine(timed: Dataset[TimedPoint]): Dataset[Transition] = {
+    val spark = timed.sparkSession
+    import spark.implicits._
+    timed
       .groupByKey(_.seriesId)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
         (key: String, it: Iterator[TimedPoint], gs: GroupState[AlarmState]) => {

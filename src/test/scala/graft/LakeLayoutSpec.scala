@@ -74,6 +74,39 @@ class LakeLayoutSpec extends SparkTestBase {
     spark.sql("DROP TABLE metrics_ext")
   }
 
+  test("multi-catalog partition registration reaches every catalog's table (O-27)") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("lake_mc").toString
+    Seq(("e1", 7.0, "r1", 2024, 1, 2, 3))
+      .toDF("id", "metricvalue", "region", "year", "month", "day", "hour")
+      .write.partitionBy("region", "year", "month", "day", "hour")
+      .mode("overwrite").parquet(base)
+    // two "catalog accounts" = two databases, each holding its copy of
+    // the external table (the reference iterates Glue CatalogIds)
+    val dbs = Seq("cat_acct_a", "cat_acct_b")
+    dbs.foreach { db =>
+      spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+      spark.sql(
+        s"""CREATE TABLE $db.metrics_ext (id STRING, metricvalue DOUBLE, region STRING,
+           |year INT, month INT, day INT, hour INT)
+           |USING parquet PARTITIONED BY (region, year, month, day, hour)
+           |LOCATION '$base'""".stripMargin)
+    }
+    val loc = s"$base/region=r1/year=2024/month=1/day=2/hour=3"
+    val targets = dbs.map(db => s"$db.metrics_ext") :+ "no_such_db.metrics_ext"
+    val failures = PartitionOps.addPartitionAll(spark, targets,
+      "r1", 2024, 1, 2, 3, loc)
+    // both real catalogs see the partition; the bad one is reported,
+    // not thrown, and did not block the others
+    dbs.foreach(db => assert(spark.table(s"$db.metrics_ext").count() == 1, db))
+    assert(failures.map(_._1) == Seq("no_such_db.metrics_ext"), failures)
+    // idempotent across the fleet: re-register is a no-op
+    assert(PartitionOps.addPartitionAll(spark, dbs.map(db => s"$db.metrics_ext"),
+      "r1", 2024, 1, 2, 3, loc).isEmpty)
+    dbs.foreach(db => spark.sql(s"DROP TABLE $db.metrics_ext"))
+    dbs.foreach(db => spark.sql(s"DROP DATABASE $db"))
+  }
+
   test("small-file compaction: fewer files, identical rows, staging swap") {
     import spark.implicits._
     val dir = Files.createTempDirectory("compact").toString + "/hour=0"

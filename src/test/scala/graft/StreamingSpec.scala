@@ -228,6 +228,72 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("end-to-end stream: datapoints → stat windows → alarm transitions") {
+    implicit val sq = spark.sqlContext
+    import java.sql.Timestamp
+    val mem = MemoryStream[(String, Timestamp, Double)]
+    val dp = mem.toDF().toDF("series_id", "ts", "value")
+    val slas = Seq(("s1", 60L, 5.0, "GREATER_THAN_THRESHOLD", 1, 1, "NOT_BREACHING"))
+      .toDF("series_id", "period", "threshold", "comparison_operator",
+        "datapoints_to_alarm", "evaluation_periods", "treat_missing_data")
+    val q = graft.streaming.StreamingAlarmPipeline
+      .evaluateStream(dp, slas, "Sum", watermark = "0 seconds")
+      .writeStream.format("memory").queryName("e2e_alarm")
+      .outputMode("append").start()
+    def t(e: Long) = new Timestamp(e * 1000)
+    try {
+      // window [600,660): sum 9 > 5 breaches; [660,720): sum 1 → OK
+      mem.addData(("s1", t(610), 4.0), ("s1", t(620), 5.0), ("s1", t(670), 1.0))
+      q.processAllAvailable()
+      mem.addData(("s1", t(1000), 1.0)) // watermark closes both windows
+      q.processAllAvailable()
+      mem.addData(("s1", t(2000), 1.0)) // …and flushes them through the machine
+      q.processAllAvailable()
+      val out = spark.table("e2e_alarm")
+        .select("windowStart", "prevState", "newState").orderBy("windowStart")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+      assert(out.take(2) == Seq(
+        (600L, "INSUFFICIENT_DATA", "ALARM"),
+        (660L, "ALARM", "OK")), s"got $out")
+    } finally q.stop()
+  }
+
+  test("end-to-end stream: silent series reaches INSUFFICIENT_DATA through the pipeline") {
+    implicit val sq = spark.sqlContext
+    import java.sql.Timestamp
+    val mem = MemoryStream[(String, Timestamp, Double)]
+    val dp = mem.toDF().toDF("series_id", "ts", "value")
+    val slas = Seq(
+      ("s1", 60L, 5.0, "GREATER_THAN_THRESHOLD", 1, 2, "MISSING"),
+      ("s2", 60L, 5.0, "GREATER_THAN_THRESHOLD", 1, 2, "MISSING"))
+      .toDF("series_id", "period", "threshold", "comparison_operator",
+        "datapoints_to_alarm", "evaluation_periods", "treat_missing_data")
+    val q = graft.streaming.StreamingAlarmPipeline
+      .evaluateStream(dp, slas, "Sum", watermark = "0 seconds")
+      .writeStream.format("memory").queryName("e2e_silent")
+      .outputMode("append").start()
+    def t(e: Long) = new Timestamp(e * 1000)
+    try {
+      // s1 breaches in window 600 then goes silent; s2 keeps reporting
+      // so the watermark advances and fires s1's timer
+      mem.addData(("s1", t(610), 9.0), ("s2", t(610), 1.0))
+      q.processAllAvailable()
+      mem.addData(("s2", t(1300), 1.0))
+      q.processAllAvailable()
+      mem.addData(("s2", t(2000), 1.0))
+      q.processAllAvailable()
+      val out = spark.table("e2e_silent")
+        .filter(col("seriesId") === "s1")
+        .select("windowStart", "prevState", "newState").orderBy("windowStart")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+      // window 600 closes → ALARM; slots 660, 720 pass unreported →
+      // the N=2 slot window empties → INSUFFICIENT_DATA at 720
+      assert(out == Seq(
+        (600L, "INSUFFICIENT_DATA", "ALARM"),
+        (720L, "ALARM", "INSUFFICIENT_DATA")), s"got $out")
+    } finally q.stop()
+  }
+
   test("streaming alarm: multi-window gap casts one missing vote per slot (BREACHING)") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[AlarmStream.SeriesPoint]
