@@ -70,7 +70,7 @@ object StreamingAlarmPipeline {
   /** Advance one series: absorb points into open windows, close every
     * window the watermark passed (in order, densifying gaps), handle
     * silent-series catch-up. Pure — unit-testable without Spark. */
-  private[streaming] def step(
+  private[graft] def step(
       seriesId: String, points: Seq[ConfiguredPoint], st: PipeState,
       watermarkSec: Long, statistic: String):
       (PipeState, List[Transition], Option[Long]) = {

@@ -297,6 +297,22 @@ class OperatorSpec extends SparkTestBase {
     assert(twa == ((100000L, 40L, 2500L)))
   }
 
+  test("TWA quotient floors on negative numerators (DuckDB/Python // parity)") {
+    import java.sql.Timestamp
+    def t(sec: Long) = new Timestamp(sec * 1000)
+    // values negative: cents = floor(-1.25*100) = -125 (weight 30s),
+    // floor(0.10*100) = 10 (weight 10s), last carries no weight →
+    // num = -125*30 + 10*10 = -3650, den = 40 →
+    // floor(-3650/40) = -92 (truncation toward zero would give -91)
+    val dp = Seq(("n", t(0), 1L, -1.25), ("n", t(30), 2L, 0.10),
+      ("n", t(40), 3L, 0.0)).toDF("event_type", "ts", "event_id", "value")
+    val twa = graft.operators.SeriesMath.timeWeightedAvg(dp, "event_type",
+        "ts", "event_id", "value")
+      .select("twa_num", "twa_den", "twa_cents")
+      .as[(Long, Long, Long)].head()
+    assert(twa == ((-3650L, 40L, -92L)), s"got $twa")
+  }
+
   test("anomaly z-score: flags a spike, respects min history, stable series quiet") {
     import java.sql.Timestamp
     def t(sec: Long) = new Timestamp(sec * 1000)

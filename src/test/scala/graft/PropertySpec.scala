@@ -95,4 +95,38 @@ class PropertySpec extends AnyFunSuite {
       assert(Frequency.fromName(f.name) == f)
     }
   }
+
+  test("streaming pipeline step: cursor monotone, windows bounded, batch-split invariant") {
+    import graft.streaming.StreamingAlarmPipeline
+    import graft.streaming.StreamingAlarmPipeline.{ConfiguredPoint, PipeState}
+    val period = 60L
+    def pt(sec: Long, v: Double) = ConfiguredPoint("s",
+      new java.sql.Timestamp(sec * 1000), v, period, 5.0,
+      "GREATER_THAN_THRESHOLD", 1, 2, "NOT_BREACHING")
+    val pointsGen = Gen.listOfN(12,
+      Gen.zip(Gen.chooseNum(600L, 3000L), Gen.chooseNum(0.0, 10.0)))
+    forAll2(pointsGen, Gen.chooseNum(0, 12), n = 150) { (raw, splitAt) =>
+      val pts = raw.map { case (s, v) => pt(s, v) }
+      val empty = PipeState(Map.empty, AlarmStream.EmptyState, None)
+      // one shot: absorb all, then watermark to the far future
+      val (s1, out1, _) = StreamingAlarmPipeline.step("s", pts, empty, 0L, "Sum")
+      val (f1, o1b, _) = StreamingAlarmPipeline.step("s", Nil, s1, 10000L, "Sum")
+      // split across two micro-batches at an arbitrary point
+      val (a, b) = pts.splitAt(splitAt)
+      val (s2, out2, _) = StreamingAlarmPipeline.step("s", a, empty, 0L, "Sum")
+      val (s3, out3, _) = StreamingAlarmPipeline.step("s", b, s2, 0L, "Sum")
+      val (f2, o3b, _) = StreamingAlarmPipeline.step("s", Nil, s3, 10000L, "Sum")
+      // same final machine state and same transition stream regardless
+      // of micro-batch boundaries (watermark held at 0 while data
+      // arrives, so no window closes before all points are absorbed)
+      assert(f1.alarm == f2.alarm, s"state diverged: ${f1.alarm} vs ${f2.alarm}")
+      assert((out1 ++ o1b) == (out2 ++ out3 ++ o3b))
+      // invariants: no open window at/below the evaluation cursor;
+      // cursor monotone vs the pre-close state
+      assert(f1.open.isEmpty)
+      f2.alarm.lastWindow.foreach { lw =>
+        assert(f2.open.keys.forall(_ > lw))
+      }
+    }
+  }
 }
