@@ -608,6 +608,22 @@ object SparkEntry {
         .select("doc_id", "lang").orderBy("doc_id")
     },
 
+    // Mixture-targeted resampling: per-source keep rates derived from
+    // target weights and actual counts, integer-exact permyriad.
+    "q_mixture" -> { (s, dir) =>
+      graft.pipeline.Corpus.mixToTarget(docs(s, dir), "source",
+        Map("src1" -> 5L, "src3" -> 3L, "src7" -> 2L), totalTarget = 200L)
+        .select("doc_id", "source").orderBy("doc_id")
+    },
+
+    // Boilerplate coverage: per-doc share of n-gram occurrences whose
+    // gram appears in ≥ minDf distinct documents.
+    "q_boilerplate" -> { (s, dir) =>
+      graft.pipeline.Corpus.boilerplateCoverage(docs(s, dir), n = 3, minDf = 2L)
+        .select("doc_id", "total_grams", "boiler_grams", "boiler_permille")
+        .orderBy("doc_id")
+    },
+
     // Corpus prep: int8 embedding quantization (summarized per vector).
     "q_quantize" -> { (s, dir) =>
       val e = Tables.read(s, dir, "embeddings")
@@ -1363,6 +1379,32 @@ object SparkEntry {
         |ascii(substr(md5(text), 4, 1))) % 100 <
         |CASE lang WHEN 'en' THEN 50 WHEN 'fr' THEN 30 WHEN 'de' THEN 20 ELSE 0 END
         |ORDER BY doc_id""".stripMargin,
+
+    "q_mixture" ->
+      """WITH c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source)
+        |SELECT d.doc_id, d.source FROM documents d JOIN c USING (source)
+        |WHERE (CASE d.source WHEN 'src1' THEN 5 WHEN 'src3' THEN 3 WHEN 'src7' THEN 2 ELSE 0 END) > 0
+        |AND (ascii(substr(md5(text), 1, 1)) * 29791 +
+        |ascii(substr(md5(text), 2, 1)) * 961 +
+        |ascii(substr(md5(text), 3, 1)) * 31 +
+        |ascii(substr(md5(text), 4, 1))) % 10000 <
+        |LEAST(10000, (10000 * 200 *
+        |CASE d.source WHEN 'src1' THEN 5 WHEN 'src3' THEN 3 WHEN 'src7' THEN 2 ELSE 0 END)
+        |// (10 * c.n))
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "q_boilerplate" ->
+      """WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w FROM documents),
+        |g AS (SELECT doc_id, unnest(CASE WHEN len(w) >= 3
+        |THEN list_transform(range(1, len(w)-1), i -> array_to_string(w[i:i+2], ' '))
+        |ELSE [] END) AS gram FROM w),
+        |df AS (SELECT gram, COUNT(DISTINCT doc_id) AS df FROM g GROUP BY gram),
+        |b AS (SELECT gram FROM df WHERE df >= 2)
+        |SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS total_grams,
+        |CAST(COUNT(b.gram) AS BIGINT) AS boiler_grams,
+        |CAST((1000 * COUNT(b.gram)) // COUNT(*) AS BIGINT) AS boiler_permille
+        |FROM g LEFT JOIN b USING (gram)
+        |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin,
 
     "q_quantize" ->
       """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),

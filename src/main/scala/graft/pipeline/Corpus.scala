@@ -64,6 +64,87 @@ object Corpus {
     docs.filter(hashBucket(col(textCol)) < quota)
   }
 
+  /** Finer deterministic bucket in [0, 10000) for permyriad rates —
+    * same md5 fold as [[hashBucket]], wider modulus. */
+  def hashBucket10k(c: Column): Column = {
+    val h = md5(c)
+    (ascii(substring(h, 1, 1)) * 31 * 31 * 31 +
+      ascii(substring(h, 2, 1)) * 31 * 31 +
+      ascii(substring(h, 3, 1)) * 31 +
+      ascii(substring(h, 4, 1))) % 10000
+  }
+
+  /**
+   * Resample a corpus toward a target source mixture — the "data
+   * recipe" step of a training pipeline (N tokens at weights w_s per
+   * source). Per-source keep rate (permyriad, integer-exact):
+   * min(10000, (10000 · totalTarget · w_s) div (Σw · n_s)), where n_s
+   * is the source's actual doc count; sources absent from `weights`
+   * are dropped. A source whose supply is below its target quota
+   * keeps everything (rate caps at 10000) — oversampling/duplication
+   * is a separate, explicit decision, not something a sampler should
+   * do silently.
+   *
+   * Scale: one tiny per-source count aggregation broadcast back onto
+   * the corpus, then a stateless hash-bucket filter — no shuffle of
+   * the corpus itself, deterministic under replay/retry.
+   */
+  def mixToTarget(docs: DataFrame, strataCol: String,
+      weights: Map[String, Long], totalTarget: Long,
+      textCol: String = "text"): DataFrame = {
+    require(weights.values.forall(_ > 0), "weights must be positive")
+    val wsum = weights.values.sum
+    val wCol = weights.foldLeft(lit(0L)) { case (acc, (k, w)) =>
+      when(col(strataCol) === k, w).otherwise(acc) }
+    val counts = docs.groupBy(strataCol).agg(count(lit(1)).as("__n"))
+    docs.join(broadcast(counts), Seq(strataCol))
+      .withColumn("__w", wCol)
+      .withColumn("__keep_pm", least(lit(10000L),
+        expr(s"(10000L * ${totalTarget}L * __w) div (${wsum}L * __n)")))
+      .filter(col("__w") > 0 && hashBucket10k(col(textCol)) < col("__keep_pm"))
+      .drop("__n", "__w", "__keep_pm")
+  }
+
+  /**
+   * Boilerplate n-grams: word n-grams appearing in at least `minDf`
+   * DISTINCT documents — repeated headers/footers/disclaimers that
+   * inflate near-dup rates and waste training tokens. Distinct-per-doc
+   * shingling makes the count a document frequency.
+   *
+   * Scale: explode → map-side-combinable count; the surviving
+   * high-df set is vocabulary-bounded and small.
+   */
+  def boilerplateNgrams(docs: DataFrame, n: Int, minDf: Long,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    graft.plans.NativeFns.register(docs.sparkSession)
+    docs.select(col(idCol),
+        explode(graft.plans.WordShingles.shingles(col(textCol), n,
+          distinct = true)).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+  }
+
+  /**
+   * Per-document boilerplate coverage: how many of the doc's n-gram
+   * OCCURRENCES (positions, duplicates counted) are boilerplate, as
+   * an integer permille — the quality signal that drives
+   * drop-or-strip decisions. Docs shorter than n tokens have no
+   * n-grams and don't appear.
+   */
+  def boilerplateCoverage(docs: DataFrame, n: Int, minDf: Long,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    graft.plans.NativeFns.register(docs.sparkSession)
+    val grams = docs.select(col(idCol),
+      explode(graft.plans.WordShingles.shingles(col(textCol), n)).as("gram"))
+    val boiler = boilerplateNgrams(docs, n, minDf, textCol, idCol)
+      .select(col("gram"), lit(true).as("__b"))
+    grams.join(boiler, Seq("gram"), "left")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("total_grams"), count(col("__b")).as("boiler_grams"))
+      .withColumn("boiler_permille",
+        expr("(1000L * boiler_grams) div total_grams"))
+  }
+
   /** Scalar-quantize an embedding to int8-range ints with per-vector
     * min/max (the usual 4× storage cut for ANN corpora). Returns
     * (codes:array<int>, vmin, vmax) for reconstruction. */

@@ -475,6 +475,55 @@ class PipelineSpec extends SparkTestBase {
     assert(resized._1 <= 32 && resized._2 <= 32)
   }
 
+  test("mixture resampling: rates track weights, scarce sources keep everything") {
+    import graft.pipeline.Corpus
+    val docs = (1 to 400).map(i =>
+      (i.toLong, s"doc number $i with some words", if (i <= 380) "big" else "tiny"))
+      .toDF("doc_id", "text", "source")
+    // targets: big gets 9/10 of 100 = 90 docs from 380 (rate ~23.7%),
+    // tiny gets 10 docs from 20 — but weight says 1/10 of 100 = 10 =
+    // half its 20-doc supply (rate 50%)
+    val out = Corpus.mixToTarget(docs, "source",
+      Map("big" -> 9L, "tiny" -> 1L), totalTarget = 100L)
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    // hash-bucket sampling approximates the permyriad rate
+    assert(out("big") > 50 && out("big") < 130, s"got $out")
+    assert(out("tiny") >= 5 && out("tiny") <= 15, s"got $out")
+    // a source whose whole supply is below its quota keeps everything
+    val scarce = Corpus.mixToTarget(docs, "source",
+      Map("big" -> 1L, "tiny" -> 9L), totalTarget = 100L)
+      .filter(col("source") === "tiny").count()
+    assert(scarce == 20, s"got $scarce") // rate capped at 10000 permyriad
+    // unknown sources are dropped
+    assert(Corpus.mixToTarget(docs, "source", Map("tiny" -> 1L), 100L)
+      .filter(col("source") === "big").count() == 0)
+  }
+
+  test("boilerplate: repeated footer detected, clean docs at zero coverage") {
+    import graft.pipeline.Corpus
+    val footer = "subscribe to our newsletter today"
+    val docs = (1 to 10).map(i =>
+      (i.toLong, s"unique body text number$i item$i thing$i $footer"))
+      .toDF("doc_id", "text")
+      .unionByName(Seq((99L, "completely clean document body here"))
+        .toDF("doc_id", "text"))
+    val grams = Corpus.boilerplateNgrams(docs, n = 3, minDf = 5L)
+      .as[(String, Long)].collect().toMap
+    // every 3-gram inside the footer appears in all 10 docs
+    assert(grams("subscribe to our") == 10L, s"got $grams")
+    assert(grams("to our newsletter") == 10L)
+    assert(grams("our newsletter today") == 10L)
+    // unique-body grams don't reach minDf
+    assert(!grams.keys.exists(_.contains("number1")))
+    val cov = Corpus.boilerplateCoverage(docs, n = 3, minDf = 5L)
+      .select("doc_id", "boiler_permille").as[(Long, Long)].collect().toMap
+    assert(cov(99L) == 0L, s"got $cov")
+    // footer = last 3 of the doc's grams; doc has 9 tokens → 7 grams,
+    // of which "thingN subscribe to"? no — only the 3 fully-inside
+    // footer grams + "$i subscribe to"-style bridges stay unique.
+    assert(cov(1L) > 0L && cov(1L) < 1000L, s"got $cov")
+  }
+
   test("SQL registration rejects non-literal compile-time params with analyzer error") {
     graft.plans.NativeFns.register(spark)
     val df = Seq(("a b c d", 2)).toDF("text", "n")
