@@ -28,7 +28,11 @@ object StatWindowAgg {
     * Sum, Minimum, Maximum, SampleCount, pNN). */
   val standardStats: Seq[String] = Seq("Average", "Sum", "Minimum", "Maximum", "SampleCount")
 
-  private def percentileFraction(stat: String): Option[Double] =
+  /** Accuracy handed to percentile_approx — shared with the streaming
+    * pipeline so both paths run the identical GK summary. */
+  private[graft] val PercentileAccuracy = 100000
+
+  private[graft] def percentileFraction(stat: String): Option[Double] =
     if (stat.length > 1 && stat.head == 'p' && stat.tail.forall(c => c.isDigit || c == '.'))
       Some(stat.tail.toDouble / 100.0)
     else None
@@ -66,7 +70,7 @@ object StatWindowAgg {
       min(col("value")).as("_min"),
       max(col("value")).as("_max"))
     val pAggs = pStats.map { case (s, f) =>
-      percentile_approx(col("value"), lit(f), lit(100000)).as(s"_$s") }
+      percentile_approx(col("value"), lit(f), lit(PercentileAccuracy)).as(s"_$s") }
 
     val grouped = joined
       .groupBy(col("series_id"), col("statistic"), col("period"), col("frequency"),
@@ -104,7 +108,7 @@ object StatWindowAgg {
       case "Maximum"     => max(col(valueCol))
       case "SampleCount" => count(col(valueCol)).cast("double")
       case p => percentileFraction(p) match {
-        case Some(f) => percentile_approx(col(valueCol), lit(f), lit(100000))
+        case Some(f) => percentile_approx(col(valueCol), lit(f), lit(PercentileAccuracy))
         case None => throw new IllegalArgumentException(s"unknown statistic: $p")
       }
     }

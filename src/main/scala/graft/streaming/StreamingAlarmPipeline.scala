@@ -1,9 +1,11 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.catalyst.util.QuantileSummaries
 import org.apache.spark.sql.functions.{broadcast, col}
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
+import graft.operators.StatWindowAgg
 import graft.streaming.AlarmStream.{AlarmState, SlaConf, Transition}
 
 /**
@@ -32,11 +34,23 @@ import graft.streaming.AlarmStream.{AlarmState, SlaConf, Transition}
  * map-side-combinable pairs (sum/count/min/max), so state size does
  * not grow with datapoint rate.
  *
- * Statistic note: Sum/Average accumulate in Double here (state-store
- * encodable), while the batch StatWindowAgg uses DECIMAL(28,8) —
- * identical for the oracle fixtures' 2-decimal values, but extreme
- * magnitudes can differ in the last ulp; document before comparing
- * bit-exactly against the batch path at adversarial scales.
+ * Statistic parity with the batch path:
+ *  - Sum/Average accumulate in BigDecimal at scale 8 (HALF_UP — the
+ *    same rounding Spark's Cast(double→decimal(28,8)) applies in the
+ *    batch StatWindowAgg), then cast to double exactly as the batch
+ *    plan does, so batch and stream are bit-equal at any magnitude
+ *    the state encoder's DECIMAL(38,18) can hold (|sum| < 1e20; the
+ *    batch sum overflows its own DECIMAL(38,8) at 1e30).
+ *  - pNN percentiles run Spark's own Greenwald-Khanna summary
+ *    ([[QuantileSummaries]]) with the identical accuracy the batch
+ *    `percentile_approx(…, 100000)` uses. Below 100k samples/window
+ *    the GK summary provably performs no merges at this accuracy, so
+ *    the result is the exact rank statistic — bit-equal to batch
+ *    regardless of insertion/partition order. Beyond 100k both sides
+ *    are within the same relative-error guarantee but not bit-equal.
+ *    Per-window state is a raw buffer (≤[[RawSampleBuffer]] values)
+ *    folded into the compressed GK triplet array — the same
+ *    O(min(n, accuracy)) memory the batch aggregation buffer holds.
  */
 object StreamingAlarmPipeline {
 
@@ -47,8 +61,59 @@ object StreamingAlarmPipeline {
       datapointsToAlarm: Int, evaluationPeriods: Int,
       treatMissingData: String)
 
-  /** Partial aggregate of one open window. */
-  final case class WinAgg(sum: Double, count: Long, min: Double, max: Double)
+  /** Raw per-window sample values kept before folding into the GK
+    * sketch. 4096 keeps the common case (windows far smaller than
+    * this) on the cheap append path with zero sketch reconstruction. */
+  private[graft] val RawSampleBuffer = 4096
+
+  private val Zero8 = BigDecimal(0).setScale(8)
+
+  /** Partial aggregate of one open window. `sum` is exact decimal at
+    * scale 8 (see the statistic-parity scaladoc above). `samples` +
+    * `sketch`/`sketchCount` carry the percentile state: raw values
+    * until [[RawSampleBuffer]], then Spark-identical Greenwald-Khanna
+    * (value, g, delta) triplets. Both stay empty for non-percentile
+    * statistics. */
+  final case class WinAgg(
+      sum: BigDecimal, count: Long, min: Double, max: Double,
+      samples: Vector[Double] = Vector.empty,
+      sketch: Vector[(Double, Long, Long)] = Vector.empty,
+      sketchCount: Long = 0L)
+
+  private[graft] val EmptyWin =
+    WinAgg(Zero8, 0L, Double.MaxValue, Double.MinValue)
+
+  /** Absorb one datapoint into a window's partial aggregate. */
+  private[graft] def absorb(cur: WinAgg, value: Double, keepSamples: Boolean): WinAgg = {
+    // the same HALF_UP scale-8 rounding Cast(double→decimal(28,8))
+    // applies on the batch side
+    val dec = BigDecimal(value).setScale(8, BigDecimal.RoundingMode.HALF_UP)
+    val grown = cur.copy(sum = cur.sum + dec, count = cur.count + 1,
+      min = math.min(cur.min, value), max = math.max(cur.max, value),
+      samples = if (keepSamples) cur.samples :+ value else cur.samples)
+    if (grown.samples.length >= RawSampleBuffer) foldSamples(grown) else grown
+  }
+
+  /** Same relative error as the batch `percentile_approx(…, 100000)`
+    * dispatch in [[StatWindowAgg]]. */
+  private val PercentileRelativeError = 1.0d / StatWindowAgg.PercentileAccuracy
+
+  private def toSummaries(w: WinAgg): QuantileSummaries = {
+    val base = new QuantileSummaries(
+      QuantileSummaries.defaultCompressThreshold, PercentileRelativeError,
+      w.sketch.map { case (v, g, d) => QuantileSummaries.Stats(v, g, d) }.toArray,
+      w.sketchCount, true)
+    w.samples.foldLeft(base)(_.insert(_)).compress()
+  }
+
+  /** Fold the raw sample buffer into the GK sketch (state compaction;
+    * only reached once a window exceeds [[RawSampleBuffer]] points). */
+  private def foldSamples(w: WinAgg): WinAgg = {
+    val qs = toSummaries(w)
+    w.copy(samples = Vector.empty,
+      sketch = qs.sampled.iterator.map(s => (s.value, s.g, s.delta)).toVector,
+      sketchCount = qs.count)
+  }
 
   /** Per-series pipeline state: open windows + the alarm machine.
     * `conf` is captured from the first absorbed point so timer-only
@@ -57,15 +122,27 @@ object StreamingAlarmPipeline {
   final case class PipeState(
       open: Map[Long, WinAgg], alarm: AlarmState, conf: Option[SlaConf])
 
-  private def statValue(statistic: String, w: WinAgg): Double = statistic match {
-    case "Sum"         => w.sum
-    case "Average"     => w.sum / w.count
+  // Sum/Average mirror the batch plan exactly: exact decimal sum, cast
+  // to double, THEN divide by the (long→double) count.
+  private[graft] def statValue(statistic: String, w: WinAgg): Double = statistic match {
+    case "Sum"         => w.sum.toDouble
+    case "Average"     => w.sum.toDouble / w.count
     case "Minimum"     => w.min
     case "Maximum"     => w.max
     case "SampleCount" => w.count.toDouble
-    case other => throw new IllegalArgumentException(
-      s"unsupported streaming statistic: $other")
+    case p => StatWindowAgg.percentileFraction(p) match {
+      case Some(f) => toSummaries(w).query(f).getOrElse(
+        throw new IllegalStateException(s"empty percentile window for $p"))
+      case None => throw new IllegalArgumentException(
+        s"unsupported streaming statistic: $p")
+    }
   }
+
+  private[graft] def validateStatistic(statistic: String): Unit =
+    if (!StatWindowAgg.standardStats.contains(statistic) &&
+        StatWindowAgg.percentileFraction(statistic).isEmpty)
+      throw new IllegalArgumentException(
+        s"unsupported streaming statistic: $statistic")
 
   /** Advance one series: absorb points into open windows, close every
     * window the watermark passed (in order, densifying gaps), handle
@@ -83,14 +160,14 @@ object StreamingAlarmPipeline {
       case Some(c) =>
         // 1) absorb points into open windows (late = window already
         //    evaluated → dropped, same contract as AlarmStream)
+        val keepSamples = StatWindowAgg.percentileFraction(statistic).isDefined
         var open = st.open
         points.foreach { p =>
           val ts = p.eventTime.getTime / 1000
           val w = math.floorDiv(ts, c.period) * c.period
           if (!st.alarm.lastWindow.exists(w <= _)) {
-            val cur = open.getOrElse(w, WinAgg(0.0, 0L, Double.MaxValue, Double.MinValue))
-            open = open.updated(w, WinAgg(cur.sum + p.value, cur.count + 1,
-              math.min(cur.min, p.value), math.max(cur.max, p.value)))
+            open = open.updated(w,
+              absorb(open.getOrElse(w, EmptyWin), p.value, keepSamples))
           }
         }
         // 2) close windows the watermark passed, in window order,
@@ -142,7 +219,7 @@ object StreamingAlarmPipeline {
       statistic: String, watermark: String = "10 minutes"): Dataset[Transition] = {
     val spark = datapoints.sparkSession
     import spark.implicits._
-    statValue(statistic, WinAgg(0.0, 1L, 0.0, 0.0)) // fail fast on bad statistic
+    validateStatistic(statistic) // fail fast on bad statistic
     datapoints
       .withWatermark("ts", watermark)
       .join(broadcast(slas), Seq("series_id")) // stateless stream-static join
