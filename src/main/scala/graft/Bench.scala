@@ -77,11 +77,11 @@ object Bench {
       Timing(name, median, ts.head, ts.last, ok)
     }
     // failed queries report -1 (never a fake wall time) and are listed
-    // in "errors" so a broken engine can't benchmark as a fast one
-    def f(v: Double) = "%.6f".format(v)
-    val qs = results.map(r => "\"" + r.name + "\":" + (if (r.ok) f(r.median) else "-1.0"))
-      .mkString("{", ",", "}")
-    val spread = results.map(r => "\"" + r.name + "\":[" + f(r.min) + "," + f(r.max) + "]")
+    // in "errors" so a broken engine can't benchmark as a fast one.
+    // Locale.ROOT: a comma-decimal default locale would emit invalid JSON.
+    def f6(v: Double) = String.format(java.util.Locale.ROOT, "%.6f", Double.box(v))
+    def f3(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val spread = results.map(r => "\"" + r.name + "\":[" + f6(r.min) + "," + f6(r.max) + "]")
       .mkString("{", ",", "}")
     val unstable = results
       .filter(r => r.ok && r.min > 0 && (r.median - r.min) / r.min > 0.2)
@@ -89,10 +89,25 @@ object Bench {
     val errors = results.collect { case r if !r.ok => "\"" + r.name + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case r if r.ok => r.median }.sum
+    // Full-precision medians + spread + instability flags go to a side
+    // file: the harness that captures this process's stdout keeps only
+    // the last ~2000 characters, and a 69-query spread map pushed the
+    // start of the JSON line out of that window every round (BENCH_r01
+    // ..r06 all record parsed:null). The final stdout line is kept
+    // compact (3-decimal medians, no spread) so it always fits.
+    val qs6 = results.map(r => "\"" + r.name + "\":" + (if (r.ok) f6(r.median) else "-1.0"))
+      .mkString("{", ",", "}")
+    val detail = s"""{"metric":"total","value":$total,"unit":"sec","warmup":$warmedUp,"trials":$trials,"queries":$qs6,"spread":$spread,"unstable":$unstable,"errors":$errors,"sf":"$sfDir"}"""
+    try {
+      val w = new java.io.PrintWriter("BENCH_DETAIL.json", "UTF-8")
+      try w.println(detail) finally w.close()
+    } catch { case scala.util.control.NonFatal(_) => () }
     // "warmup" records whether the untimed warm-up pass ran, so
     // cross-round deltas stay attributable (warm vs cold JIT numbers
     // are not comparable).
-    println(s"""{"metric":"total","value":$total,"unit":"sec","warmup":$warmedUp,"trials":$trials,"queries":$qs,"spread":$spread,"unstable":$unstable,"errors":$errors,"sf":"$sfDir"}""")
+    val qs3 = results.map(r => "\"" + r.name + "\":" + (if (r.ok) f3(r.median) else "-1.0"))
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","warmup":$warmedUp,"trials":$trials,"queries":$qs3,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
