@@ -51,6 +51,15 @@ import graft.streaming.AlarmStream.{AlarmState, SlaConf, Transition}
  *    Per-window state is a raw buffer (≤[[RawSampleBuffer]] values)
  *    folded into the compressed GK triplet array — the same
  *    O(min(n, accuracy)) memory the batch aggregation buffer holds.
+ *
+ * State schema version: 2. Version 1 (rounds ≤5) accumulated `sum` as
+ * Double and had no percentile fields; the v2 [[WinAgg]] schema
+ * (DECIMAL(38,18) sum + samples/sketch/sketchCount) is NOT
+ * checkpoint-compatible — restoring a v1 `flatMapGroupsWithState`
+ * checkpoint fails Spark's state-schema validation by design. A
+ * long-running stream upgrading across this boundary must start a new
+ * checkpoint directory and replay from the source (the lake keeps the
+ * raw datapoints, so replay is lossless).
  */
 object StreamingAlarmPipeline {
 

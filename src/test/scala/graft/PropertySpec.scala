@@ -96,7 +96,10 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
-  test("streaming pipeline step: cursor monotone, windows bounded, batch-split invariant") {
+  // p90 exercises the sample-buffer/GK-sketch percentile state the same
+  // batch-split way the decimal Sum path is exercised (advisor round 6).
+  for (statistic <- Seq("Sum", "p90"))
+  test(s"streaming pipeline step ($statistic): cursor monotone, windows bounded, batch-split invariant") {
     import graft.streaming.StreamingAlarmPipeline
     import graft.streaming.StreamingAlarmPipeline.{ConfiguredPoint, PipeState}
     val period = 60L
@@ -109,13 +112,13 @@ class PropertySpec extends AnyFunSuite {
       val pts = raw.map { case (s, v) => pt(s, v) }
       val empty = PipeState(Map.empty, AlarmStream.EmptyState, None)
       // one shot: absorb all, then watermark to the far future
-      val (s1, out1, _) = StreamingAlarmPipeline.step("s", pts, empty, 0L, "Sum")
-      val (f1, o1b, _) = StreamingAlarmPipeline.step("s", Nil, s1, 10000L, "Sum")
+      val (s1, out1, _) = StreamingAlarmPipeline.step("s", pts, empty, 0L, statistic)
+      val (f1, o1b, _) = StreamingAlarmPipeline.step("s", Nil, s1, 10000L, statistic)
       // split across two micro-batches at an arbitrary point
       val (a, b) = pts.splitAt(splitAt)
-      val (s2, out2, _) = StreamingAlarmPipeline.step("s", a, empty, 0L, "Sum")
-      val (s3, out3, _) = StreamingAlarmPipeline.step("s", b, s2, 0L, "Sum")
-      val (f2, o3b, _) = StreamingAlarmPipeline.step("s", Nil, s3, 10000L, "Sum")
+      val (s2, out2, _) = StreamingAlarmPipeline.step("s", a, empty, 0L, statistic)
+      val (s3, out3, _) = StreamingAlarmPipeline.step("s", b, s2, 0L, statistic)
+      val (f2, o3b, _) = StreamingAlarmPipeline.step("s", Nil, s3, 10000L, statistic)
       // same final machine state and same transition stream regardless
       // of micro-batch boundaries (watermark held at 0 while data
       // arrives, so no window closes before all points are absorbed)

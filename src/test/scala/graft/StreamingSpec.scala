@@ -334,4 +334,78 @@ class StreamingSpec extends SparkTestBase {
         s"batch got $batch")
     } finally q.stop()
   }
+
+  test("streaming percentile statValue crosses the sample fold and matches batch percentile_approx") {
+    import graft.streaming.StreamingAlarmPipeline
+    // 10,000 values in one window: crosses the 4096-sample foldSamples
+    // compaction twice, so both the raw-buffer path and the
+    // reconstruct-GK-then-insert path are exercised. Deterministic
+    // pseudo-shuffle (LCG) so insertion order is adversarial, not sorted.
+    val n = 10000
+    var seed = 1L
+    val values = (1 to n).map { i =>
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      ((seed >>> 33) % 1000000) / 100.0
+    }
+    for (stat <- Seq("p50", "p90", "p99", "p99.9")) {
+      val win = values.foldLeft(StreamingAlarmPipeline.EmptyWin)(
+        StreamingAlarmPipeline.absorb(_, _, keepSamples = true))
+      val streamed = StreamingAlarmPipeline.statValue(stat, win)
+      val batch = graft.operators.StatWindowAgg.aggregateOne(
+        values.map(v => ("s", new java.sql.Timestamp(0L), v))
+          .toDF("series_id", "ts", "value"),
+        stat, periodSeconds = 60)
+        .collect().head.getAs[Double]("metricvalue")
+      // below 100k samples both sides are the exact rank statistic —
+      // bit-equal, not approximately equal (the scaladoc's claim)
+      assert(streamed == batch, s"$stat: streamed $streamed != batch $batch")
+      // and the exact rank statistic is a member of the input
+      assert(values.contains(streamed), s"$stat result not a member datapoint")
+    }
+  }
+
+  test("streaming p90 SLA alarms identically to the batch machine on the same fixture") {
+    import graft.streaming.StreamingAlarmPipeline
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(String, java.sql.Timestamp, Double)]
+    val slas = Seq(("p1", 60L, 50.0, "GREATER_THAN_THRESHOLD", 2, 3, "NOT_BREACHING"))
+      .toDF("series_id", "period", "threshold", "comparison_operator",
+        "datapoints_to_alarm", "evaluation_periods", "treat_missing_data")
+    val q = StreamingAlarmPipeline.evaluateStream(
+        mem.toDF().toDF("series_id", "ts", "value"), slas,
+        statistic = "p90", watermark = "0 seconds")
+      .writeStream.format("memory").queryName("p90_alarm")
+      .outputMode("append").start()
+    def pts(winStart: Long, vs: Seq[Double]) = vs.zipWithIndex.map {
+      case (v, i) => ("p1", new java.sql.Timestamp((winStart + i) * 1000), v) }
+    try {
+      // window 600: p90 of 1..10*10 = 100 > 50 breach; 660: low; 720:
+      // breach; 780: breach → M=2 of N=3 satisfied at 720
+      mem.addData(pts(600, (1 to 10).map(_ * 10.0)): _*)
+      mem.addData(pts(660, Seq.fill(10)(1.0)): _*)
+      mem.addData(pts(720, (1 to 10).map(_ * 10.0)): _*)
+      mem.addData(pts(780, (1 to 10).map(_ * 10.0)): _*)
+      mem.addData(("p1", new java.sql.Timestamp(900 * 1000), 1.0)) // closes 780
+      q.processAllAvailable()
+      val streamed = spark.table("p90_alarm")
+        .select("windowStart", "prevState", "newState").orderBy("windowStart")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+
+      val points = (pts(600, (1 to 10).map(_ * 10.0)) ++
+        pts(660, Seq.fill(10)(1.0)) ++ pts(720, (1 to 10).map(_ * 10.0)) ++
+        pts(780, (1 to 10).map(_ * 10.0)))
+        .toDF("series_id", "ts", "value")
+      val series = graft.operators.StatWindowAgg.aggregateOne(points, "p90", 60)
+      val batch = graft.operators.AlarmStateMachine.evaluate(series, slas)
+        .filter(col("transitioned"))
+        .select("window_start", "prev_state", "statevalue").orderBy("window_start")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+      assert(streamed.exists(_._3 == "ALARM"), s"no ALARM in $streamed")
+      // the batch machine's first window has no lag() predecessor so it
+      // never emits the initial INSUFFICIENT_DATA→OK transition; the
+      // streaming machine does. Drop it, then the streams must be equal.
+      assert(streamed.filterNot(_._2 == "INSUFFICIENT_DATA") == batch,
+        s"streamed $streamed != batch $batch")
+    } finally q.stop()
+  }
 }
