@@ -245,6 +245,48 @@ object SparkEntry {
         .orderBy("series_id", "window_start")
     },
 
+    // O-23 streaming parity: the SAME raw datapoints replayed through
+    // StreamingAlarmPipeline via MemoryStream (one deterministic batch
+    // + a watermark sentinel, StreamParity scaladoc) must emit the
+    // batch machine's exact transition stream. The oracle recomputes
+    // the batch transitions in SQL and pins in_stream / prev_match /
+    // state_match TRUE — any divergence (missing, extra, or
+    // state-mismatched streaming transition) flips a pinned column or
+    // the row count. One evaluateStream run per SLA because each SLA
+    // carries its own CW statistic (Sum / Average / Maximum).
+    "q_alarm_stream_parity" -> { (s, dir) =>
+      import s.implicits._
+      val raw = datapoints(s, dir)
+      val slas = slasDf(s)
+      val streamed = reg.defaultDefinition.allSlas.flatMap { sla =>
+        val sid = sla.metric.uniqueId
+        val pts = raw.filter(col("series_id") === sid)
+          .select(col("series_id"), col("ts"),
+            col("value").cast("double"))
+          .as[(String, java.sql.Timestamp, Double)]
+          .collect().toSeq // verification fixture, bounded per series
+        graft.streaming.StreamParity.replayTransitions(
+          s, pts, slas.filter(col("series_id") === sid),
+          sla.metric.statistic, sla.metric.period)
+      }
+      val streamDf = streamed
+        .map(t => (t.seriesId, t.windowStart, t.prevState, t.newState))
+        .toDF("series_id", "window_start", "s_prev", "s_new")
+      val series = StatWindowAgg.aggregate(datapoints(s, dir), seriesKeysDf(s), "hour")
+        .select("series_id", "window_start", "metricvalue")
+      val batchT = AlarmStateMachine.evaluate(series, slasDf(s))
+        .filter(col("transitioned"))
+        .select("series_id", "window_start", "metricvalue", "prev_state",
+          "statevalue")
+      batchT.join(streamDf, Seq("series_id", "window_start"), "full_outer")
+        .select(col("series_id"), col("window_start"), col("metricvalue"),
+          col("prev_state"), col("statevalue"),
+          col("s_prev").isNotNull.as("in_stream"),
+          (col("s_prev") <=> col("prev_state")).as("prev_match"),
+          (col("s_new") <=> col("statevalue")).as("state_match"))
+        .orderBy("series_id", "window_start")
+    },
+
     // O-21 + O-24: alarm snapshot enrichment via the derived-key
     // broadcast join, projected to the slas record shape.
     "q_sla_snapshot" -> { (s, dir) =>
@@ -1093,7 +1135,9 @@ object SparkEntry {
 
   /** Alarm-machine oracle: one CTE chain per SLA replicating densify →
     * vote → M-of-N window → state/lag, generated from the registry. */
-  private def alarmBatchOracle: String = {
+  /** Shared CTE board for the alarm oracles: (ctes, per-SLA union of
+    * dense evaluated slots with lag'd prev_state + transitioned). */
+  private def alarmOracleBoard: (String, String) = {
     val slas = reg.defaultDefinition.allSlas.zipWithIndex
     val ctes = slas.flatMap { case (sla, i) =>
       val m = sla.metric
@@ -1125,7 +1169,22 @@ object SparkEntry {
     val union = slas.map { case (_, i) =>
       s"SELECT series_id, window_start, metricvalue, breaching, statevalue, prev_state, (prev_state IS NOT NULL AND prev_state <> statevalue) AS transitioned FROM fin_$i"
     }.mkString(" UNION ALL ")
-    s"WITH ${ctes.mkString(", ")} $union ORDER BY series_id, window_start"
+    (ctes.mkString(", "), union)
+  }
+
+  private def alarmBatchOracle: String = {
+    val (ctes, union) = alarmOracleBoard
+    s"WITH $ctes $union ORDER BY series_id, window_start"
+  }
+
+  /** Every batch transition must have been emitted by the streaming
+    * replay with the same prev/new state — the pinned columns. */
+  private def alarmStreamParityOracle: String = {
+    val (ctes, union) = alarmOracleBoard
+    s"WITH $ctes, all_t AS ($union) " +
+      "SELECT series_id, window_start, metricvalue, prev_state, statevalue, " +
+      "TRUE AS in_stream, TRUE AS prev_match, TRUE AS state_match " +
+      "FROM all_t WHERE transitioned ORDER BY series_id, window_start"
   }
 
   private def metadataJsonLit(m: MetricLike): String = {
@@ -1448,6 +1507,7 @@ object SparkEntry {
         |FROM d GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q_alarm_batch" -> alarmBatchOracle,
+    "q_alarm_stream_parity" -> alarmStreamParityOracle,
     "q_sla_snapshot" -> slaSnapshotOracle,
     "q_incidents" -> incidentsOracle,
     "q_dashboard" -> dashboardOracle,
