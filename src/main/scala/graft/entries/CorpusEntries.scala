@@ -1,0 +1,301 @@
+package graft.entries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.entries.Fixtures._
+import graft.functions.TextFns
+
+/** Text-analysis + corpus-prep domain: token stats, language-ID,
+  * quality, fingerprints, signals, redaction, chunking, sampling,
+  * mixture, boilerplate, decontamination, TF-IDF, packing, and the
+  * composed corpus-prep flow. */
+private[graft] object CorpusEntries {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Text analysis: token counting.
+    "q_token_stats" -> { (s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        TextFns.tokenCount(col("text")).cast("long").as("n_tokens"),
+        TextFns.bpeTokenCount(col("text")).cast("long").as("n_bpe"))
+        .orderBy("doc_id")
+    },
+
+    // Text analysis: language-ID heuristic.
+    "q_lang_id" -> { (s, dir) =>
+      docs(s, dir).select(col("doc_id"), TextFns.langId(col("text")).as("lang_pred"))
+        .orderBy("doc_id")
+    },
+
+    // Text analysis: quality score.
+    "q_quality" -> { (s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        TextFns.qualityScore(col("text")).as("quality")).orderBy("doc_id")
+    },
+
+    // Text analysis: document fingerprints (md5 + min-shingle).
+    "q_fingerprints" -> { (s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        TextFns.fingerprint(col("text")).as("fp"),
+        TextFns.shingleFingerprint(col("text"), 3).as("shingle_fp"))
+        .orderBy("doc_id")
+    },
+
+    // Text quality signals (Gopher-style repetition/shape stats).
+    "q_doc_signals" -> { (s, dir) =>
+      docs(s, dir).select(col("doc_id"), TextFns.docSignals(col("text")).as("sig"))
+        .select(col("doc_id"), col("sig.rep_ratio"), col("sig.mean_word_len"),
+          col("sig.symbol_ratio"))
+        .orderBy("doc_id")
+    },
+
+    // PII-style redaction over a corpus with injected contact strings.
+    "q_redact" -> { (s, dir) =>
+      val withPii = docs(s, dir).select(col("doc_id"),
+        when(col("doc_id") % 13 === 0,
+          concat(col("text"), lit(" contact me at user@example.com or 12345678901")))
+          .otherwise(col("text")).as("text"))
+      withPii.select(col("doc_id"), TextFns.redact(col("text")).as("clean"))
+        .filter(col("clean").contains("<EMAIL>") || col("clean").contains("<NUM>"))
+        .orderBy("doc_id")
+    },
+
+    // Corpus prep: token-window chunking with overlap.
+    "q_chunks" -> { (s, dir) =>
+      graft.pipeline.Corpus.chunk(docs(s, dir), chunkTokens = 20, overlapTokens = 5)
+        .orderBy("doc_id", "chunk_index")
+    },
+
+    // Corpus prep: deterministic stratified sampling for data mixing.
+    "q_sample" -> { (s, dir) =>
+      graft.pipeline.Corpus.stratifiedSample(docs(s, dir), "lang",
+        Map("en" -> 50, "fr" -> 30, "de" -> 20))
+        .select("doc_id", "lang").orderBy("doc_id")
+    },
+
+    // Mixture-targeted resampling: per-source keep rates derived from
+    // target weights and actual counts, integer-exact permyriad.
+    "q_mixture" -> { (s, dir) =>
+      graft.pipeline.Corpus.mixToTarget(docs(s, dir), "source",
+        Map("src1" -> 5L, "src3" -> 3L, "src7" -> 2L), totalTarget = 200L)
+        .select("doc_id", "source").orderBy("doc_id")
+    },
+
+    // Boilerplate coverage: per-doc share of n-gram occurrences whose
+    // gram appears in ≥ minDf distinct documents.
+    "q_boilerplate" -> { (s, dir) =>
+      graft.pipeline.Corpus.boilerplateCoverage(docs(s, dir), n = 3, minDf = 2L)
+        .select("doc_id", "total_grams", "boiler_grams", "boiler_permille")
+        .orderBy("doc_id")
+    },
+
+    // Corpus prep: benchmark decontamination (n-gram leakage guard).
+    // The "benchmark" is docs 0-4 plus a near-copy corpus member, so
+    // both exact and partial overlap are exercised.
+    "q_decontaminate" -> { (s, dir) =>
+      val d = docs(s, dir).select("doc_id", "text")
+      val bench = d.filter(col("doc_id") < 5)
+      // corpus includes leaked benchmark copies (id+30000) that the
+      // guard must remove; spread the 8-gram explode across cores
+      val corpus = spread(d.filter(col("doc_id") >= 5)
+        .unionByName(bench.withColumn("doc_id", col("doc_id") + 30000)))
+      graft.pipeline.Corpus.decontaminate(corpus, bench, n = 8)
+        .select("doc_id").orderBy("doc_id")
+    },
+
+    // Corpus prep: composed filter → dedup → per-language stats.
+    "q_corpus_prep" -> { (s, dir) =>
+      graft.pipeline.Corpus.prepare(spread(docs(s, dir)), Seq("en", "fr"), 0.5)
+        .orderBy("lang")
+    },
+
+    // Integer-arithmetic TF-IDF: top-3 terms per sampled document.
+    "q_tfidf" -> { (s, dir) =>
+      graft.pipeline.TfIdf.topTerms(docs(s, dir).filter(col("doc_id") % 7 === 0), 3)
+        .orderBy("doc_id", "rank")
+    },
+
+    // Token-stream sequence packing (two-phase distributed prefix sum).
+    "q_packs" -> { (s, dir) =>
+      graft.pipeline.Packing.streamPacks(docs(s, dir), 2048L)
+        .orderBy("doc_id")
+    }
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q_token_stats" ->
+      """SELECT doc_id,
+        |CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens,
+        |CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_lang_id" ->
+      """WITH t AS (SELECT doc_id, text,
+        |list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS toks FROM documents),
+        |c AS (SELECT doc_id, text,
+        |len(list_filter(toks, x -> list_contains(['the','a','of','and','is'], x))) AS en,
+        |len(list_filter(toks, x -> list_contains(['le','la','les','et','des'], x))) AS fr,
+        |len(list_filter(toks, x -> list_contains(['der','die','und','das','ist'], x))) AS de,
+        |len(list_filter(toks, x -> list_contains(['el','los','las','y','es'], x))) AS es
+        |FROM t),
+        |m AS (SELECT *, greatest(en, fr, de, es) AS mx FROM c)
+        |SELECT doc_id, CASE
+        |WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
+        |WHEN mx = 0 THEN 'und'
+        |WHEN en = mx THEN 'en' WHEN fr = mx THEN 'fr'
+        |WHEN de = mx THEN 'de' ELSE 'es' END AS lang_pred
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    "q_quality" ->
+      """WITH t AS (SELECT doc_id, text,
+        |list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS toks FROM documents),
+        |c AS (SELECT doc_id,
+        |CAST(length(text) AS DOUBLE) AS chars,
+        |CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) AS alpha,
+        |CAST(len(list_filter(toks, x -> list_contains(
+        |['the','a','of','and','is','le','la','les','et','des','der','die','und','das','ist','el','los','las','y','es'], x))) AS DOUBLE) AS stop,
+        |greatest(len(toks), 1) AS ntoks
+        |FROM t)
+        |SELECT doc_id, round((
+        |least(chars/500.0, 1.0) +
+        |(CASE WHEN chars > 0 THEN alpha/chars ELSE 0.0 END) +
+        |least(stop*10.0/CAST(ntoks AS DOUBLE), 1.0)) / 3.0, 6) AS quality
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q_fingerprints" ->
+      """WITH t AS (SELECT doc_id, text,
+        |list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w FROM documents)
+        |SELECT doc_id,
+        |md5(lower(regexp_replace(text, '\W+', '', 'g'))) AS fp,
+        |list_min(list_transform(range(1, greatest(len(w)-2, 0)+1),
+        |i -> md5(array_to_string(w[i:i+2], ' ')))) AS shingle_fp
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    "q_doc_signals" ->
+      """WITH t AS (SELECT doc_id, text,
+        |list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks FROM documents),
+        |g AS (SELECT doc_id, text, toks,
+        |CASE WHEN len(toks) >= 2 THEN list_transform(range(1, len(toks)),
+        |i -> array_to_string(toks[i:i+1], ' ')) ELSE [] END AS grams FROM t)
+        |SELECT doc_id,
+        |round(CASE WHEN len(grams) > 0
+        |THEN 1.0 - CAST(len(list_distinct(grams)) AS DOUBLE)/len(grams) ELSE 0.0 END, 6) AS rep_ratio,
+        |round(CASE WHEN len(toks) > 0
+        |THEN CAST(list_sum(list_transform(toks, x -> CAST(length(x) AS BIGINT))) AS DOUBLE)/len(toks)
+        |ELSE 0.0 END, 6) AS mean_word_len,
+        |round(CAST(len(regexp_extract_all(text, '[#@/\\{}\[\]<>|~^]')) AS DOUBLE) /
+        |CAST(greatest(len(toks), 1) AS DOUBLE), 6) AS symbol_ratio
+        |FROM g ORDER BY doc_id""".stripMargin,
+
+    "q_redact" ->
+      """WITH p AS (SELECT doc_id, CASE WHEN doc_id % 13 = 0
+        |THEN text || ' contact me at user@example.com or 12345678901'
+        |ELSE text END AS text FROM documents),
+        |r AS (SELECT doc_id, regexp_replace(
+        |regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |'\d{7,}', '<NUM>', 'g') AS clean FROM p)
+        |SELECT doc_id, clean FROM r
+        |WHERE clean LIKE '%<EMAIL>%' OR clean LIKE '%<NUM>%'
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_chunks" ->
+      """WITH t AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks FROM documents),
+        |tf AS (SELECT * FROM t WHERE len(toks) > 0),
+        |n AS (SELECT doc_id, toks,
+        |greatest(CAST(ceil(CAST(len(toks) - 5 AS DOUBLE) / 15) AS INTEGER), 1) AS nc FROM tf),
+        |idx AS (SELECT doc_id, toks, unnest(generate_series(0, nc - 1)) AS i FROM n)
+        |SELECT doc_id, CAST(i AS INTEGER) AS chunk_index,
+        |array_to_string(list_slice(toks, i*15 + 1, i*15 + 20), ' ') AS chunk_text,
+        |CAST(len(list_slice(toks, i*15 + 1, i*15 + 20)) AS BIGINT) AS n_chunk_tokens
+        |FROM idx ORDER BY doc_id, chunk_index""".stripMargin,
+
+    "q_sample" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE (ascii(substr(md5(text), 1, 1)) * 29791 +
+        |ascii(substr(md5(text), 2, 1)) * 961 +
+        |ascii(substr(md5(text), 3, 1)) * 31 +
+        |ascii(substr(md5(text), 4, 1))) % 100 <
+        |CASE lang WHEN 'en' THEN 50 WHEN 'fr' THEN 30 WHEN 'de' THEN 20 ELSE 0 END
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_mixture" ->
+      """WITH c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source)
+        |SELECT d.doc_id, d.source FROM documents d JOIN c USING (source)
+        |WHERE (CASE d.source WHEN 'src1' THEN 5 WHEN 'src3' THEN 3 WHEN 'src7' THEN 2 ELSE 0 END) > 0
+        |AND (ascii(substr(md5(text), 1, 1)) * 29791 +
+        |ascii(substr(md5(text), 2, 1)) * 961 +
+        |ascii(substr(md5(text), 3, 1)) * 31 +
+        |ascii(substr(md5(text), 4, 1))) % 10000 <
+        |LEAST(10000, (10000 * 200 *
+        |CASE d.source WHEN 'src1' THEN 5 WHEN 'src3' THEN 3 WHEN 'src7' THEN 2 ELSE 0 END)
+        |// (10 * c.n))
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "q_boilerplate" ->
+      """WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w FROM documents),
+        |g AS (SELECT doc_id, unnest(CASE WHEN len(w) >= 3
+        |THEN list_transform(range(1, len(w)-1), i -> array_to_string(w[i:i+2], ' '))
+        |ELSE [] END) AS gram FROM w),
+        |df AS (SELECT gram, COUNT(DISTINCT doc_id) AS df FROM g GROUP BY gram),
+        |b AS (SELECT gram FROM df WHERE df >= 2)
+        |SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS total_grams,
+        |CAST(COUNT(b.gram) AS BIGINT) AS boiler_grams,
+        |CAST((1000 * COUNT(b.gram)) // COUNT(*) AS BIGINT) AS boiler_permille
+        |FROM g LEFT JOIN b USING (gram)
+        |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin,
+
+    "q_decontaminate" ->
+      """WITH t AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w FROM documents),
+        |g AS (SELECT doc_id, CASE WHEN len(w) >= 8
+        |THEN list_transform(range(1, len(w)-6), i -> array_to_string(w[i:i+7], ' '))
+        |ELSE [] END AS grams FROM t),
+        |gc AS (SELECT doc_id, grams FROM g WHERE doc_id >= 5
+        |UNION ALL SELECT doc_id + 30000, grams FROM g WHERE doc_id < 5),
+        |bench AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id < 5),
+        |corp AS (SELECT doc_id, unnest(grams) AS gram FROM gc),
+        |bad AS (SELECT DISTINCT c.doc_id FROM corp c JOIN bench b ON c.gram = b.gram)
+        |SELECT doc_id FROM gc WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_corpus_prep" ->
+      """WITH t AS (SELECT doc_id, text, lang,
+        |list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS toks FROM documents),
+        |q AS (SELECT doc_id, text, lang,
+        |(least(CAST(length(text) AS DOUBLE)/500.0, 1.0) +
+        |(CASE WHEN length(text) > 0 THEN CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE)/length(text) ELSE 0.0 END) +
+        |least(CAST(len(list_filter(toks, x -> list_contains(
+        |['the','a','of','and','is','le','la','les','et','des','der','die','und','das','ist','el','los','las','y','es'], x))) AS DOUBLE)
+        |*10.0/CAST(greatest(len(toks),1) AS DOUBLE), 1.0)) / 3.0 AS quality,
+        |len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS ntok
+        |FROM t),
+        |f AS (SELECT * FROM q WHERE lang IN ('en','fr') AND round(quality, 6) >= 0.5),
+        |keep AS (SELECT md5(text) AS h, MIN(doc_id) AS doc_id FROM f GROUP BY md5(text)),
+        |d AS (SELECT f.* FROM f JOIN keep ON f.doc_id = keep.doc_id)
+        |SELECT lang, COUNT(*) AS n_docs, CAST(SUM(ntok) AS BIGINT) AS n_tokens,
+        |CAST(floor(avg(length(text))) AS BIGINT) AS avg_chars
+        |FROM d GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_tfidf" ->
+      """WITH dd AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 = 0),
+        |t AS (SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '\s+'),
+        |x -> x <> '')) AS term FROM dd),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+        |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |sc AS (SELECT doc_id, term, tf, df, (tf * 1000000) // df AS score
+        |FROM tf JOIN df USING (term)),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |ORDER BY score DESC, term) AS rank FROM sc)
+        |SELECT doc_id, term, tf, df, score, CAST(rank AS INTEGER) AS rank
+        |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    "q_packs" ->
+      """WITH t AS (SELECT doc_id,
+        |CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
+        |FROM documents),
+        |c AS (SELECT doc_id, n_tokens,
+        |CAST(SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_tokens AS before
+        |FROM t)
+        |SELECT doc_id, n_tokens, CAST(before // 2048 AS BIGINT) AS pack_id
+        |FROM c ORDER BY doc_id""".stripMargin
+  )
+}

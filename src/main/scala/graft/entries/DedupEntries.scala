@@ -1,0 +1,326 @@
+package graft.entries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.entries.Fixtures._
+import graft.catalog.Tables
+import graft.functions.TextFns
+import graft.pipeline.Dedup
+
+/** Deduplication domain: exact, MinHash+LSH (md5 + native xxhash64),
+  * SimHash, n-gram Jaccard, embedding near-dup, incremental index,
+  * clustering, and dedup-key normalization. */
+private[graft] object DedupEntries {
+
+  /** Corpus with injected near-duplicates (append a short tail to
+    * every 11th doc) — used by the near-dup operators. */
+  private def nearDupCorpus(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir).select("doc_id", "text")
+    spread(base.unionByName(base.filter(col("doc_id") % 11 === 0)
+      .select((col("doc_id") + 20000).as("doc_id"),
+        concat(col("text"), lit(" extra near dup tail")).as("text"))))
+  }
+  private val nearDupCorpusSql =
+    """all_docs AS (SELECT doc_id, text FROM documents UNION ALL
+      |SELECT doc_id + 20000, text || ' extra near dup tail' FROM documents
+      |WHERE doc_id % 11 = 0)""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Dedup: exact duplicate groups (hash-groupBy) over a corpus with
+    // injected duplicates.
+    "q_dedup_exact" -> { (s, dir) =>
+      val base = docs(s, dir)
+      val dups = base.filter(col("doc_id") % 7 === 0)
+        .withColumn("doc_id", col("doc_id") + 10000)
+      Dedup.exactGroups(base.unionByName(dups)).orderBy("content_hash")
+    },
+
+    // Dedup: exact dedup keep-list (lowest id per distinct content).
+    "q_dedup_keep" -> { (s, dir) =>
+      val base = docs(s, dir)
+      val dups = base.filter(col("doc_id") % 7 === 0)
+        .withColumn("doc_id", col("doc_id") + 10000)
+      Dedup.exactDedup(base.unionByName(dups)).select("doc_id").orderBy("doc_id")
+    },
+
+    // MinHash + LSH near-dup (fully oracle-replicable via md5 minhash).
+    "q_dedup_minhash" -> { (s, dir) =>
+      Dedup.minhashNearDupPairs(nearDupCorpus(s, dir), shingleN = 3, k = 12,
+        bands = 4, threshold = 0.5).orderBy("id_a", "id_b")
+    },
+
+    // N-gram Jaccard with rare-shingle blocking.
+    "q_ngram_jaccard" -> { (s, dir) =>
+      Dedup.ngramJaccardPairs(nearDupCorpus(s, dir), shingleN = 4,
+        threshold = 0.4, maxDf = 50).orderBy("id_a", "id_b")
+    },
+
+    // SimHash near-dup. The xxhash64 fingerprint family has no external
+    // oracle, so the hash-checked contract is: (a) every injected
+    // ground-truth EXACT duplicate (externally enumerable from the
+    // corpus construction; identical text → hamming 0 → recovery is
+    // guaranteed by the banding pigeonhole, not empirical) is recovered
+    // by the simhash path run over a corpus that also carries the
+    // tail-perturbed near-dups as realistic noise, and (b) the native
+    // SimHash64 expression stays bit-identical to the composed
+    // xxhash64 + majority-packing form over the whole corpus. Either
+    // property breaking flips a pinned-true column → hash red.
+    "q_dedup_simhash" -> { (s, dir) =>
+      val base = docs(s, dir).select("doc_id", "text")
+      val corpus = nearDupCorpus(s, dir).unionByName(
+        base.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 40000).as("doc_id"), col("text")))
+      val pairs = Dedup.simhashNearDupPairs(corpus, maxHamming = 6)
+      val truth = base
+        .filter(col("doc_id") % 7 === 0 &&
+          size(graft.plans.WordShingles.shingles(col("text"), 1)) > 0)
+        .select(col("doc_id").as("id_a"), (col("doc_id") + 40000).as("id_b"))
+      val found = truth.join(
+        pairs.select(col("id_a"), col("id_b"), lit(true).as("__f")),
+        Seq("id_a", "id_b"), "left")
+      val toks = graft.functions.TextFns.tokens(col("text"))
+      val ident = corpus.select(
+          Dedup.simhashFromHashes(transform(toks, t => xxhash64(t))).as("a"),
+          graft.plans.SimHash64.simhash(toks).as("b"))
+        .agg(bool_and(col("a") <=> col("b")).as("__ok"))
+      found.crossJoin(ident)
+        .select(col("id_a"), col("id_b"),
+          coalesce(col("__f"), lit(false)).as("found_by_simhash"),
+          col("__ok").as("native_matches_composed"))
+        .orderBy("id_a", "id_b")
+    },
+
+    // Embedding cosine near-dup, SRP-bucketed, over a corpus with
+    // injected duplicate vectors.
+    "q_embed_neardup" -> { (s, dir) =>
+      val e = Tables.read(s, dir, "embeddings")
+      val withDups = spread(e.unionByName(e.filter(col("vec_id") % 20 === 0)
+        .withColumn("vec_id", col("vec_id") + 10000)))
+      Dedup.embeddingNearDupPairs(withDups, threshold = 0.9, bits = 16, bands = 4)
+        .select("id_a", "id_b").orderBy("id_a", "id_b")
+    },
+
+    // Near-dup clusters: connected components over the MinHash pairs
+    // via distributed label propagation.
+    "q_dedup_clusters" -> { (s, dir) =>
+      val pairs = Dedup.minhashNearDupPairs(nearDupCorpus(s, dir), shingleN = 3,
+        k = 12, bands = 4, threshold = 0.5)
+      Dedup.nearDupClusters(pairs).orderBy("doc_id")
+    },
+
+    // MinHash via the native XxMinHash Catalyst expression (codegen'd
+    // single-pass signatures). The seeded Kirsch–Mitzenmacher xxhash64
+    // family has no external oracle (and band recall is
+    // family-dependent, so pair-set equality with the md5 family is
+    // NOT an invariant — they diverge on borderline near-dups at
+    // sf0.1). The hash-checked contract: over a corpus carrying the
+    // tail near-dups as noise plus injected EXACT duplicates, the fast
+    // path recovers every exact duplicate — identical text → identical
+    // signature → all bands shared → candidate, so recovery is
+    // guaranteed by construction — and its exact-Jaccard verify
+    // computes exactly 1.0 for them. Any signature, banding, or verify
+    // drift flips a pinned column. (The md5-family pair rows are
+    // already fully oracle-checked by q_dedup_minhash; re-deriving
+    // them here would double the query's cost for zero extra
+    // constraint.)
+    "q_dedup_minhash_fast" -> { (s, dir) =>
+      val base = docs(s, dir).select("doc_id", "text")
+      val corpus = nearDupCorpus(s, dir).unionByName(
+        base.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 40000).as("doc_id"), col("text")))
+      val fast = Dedup.minhashNearDupPairsFast(corpus, shingleN = 3, k = 12,
+        bands = 4, threshold = 0.5)
+      val truth = base
+        .filter(col("doc_id") % 7 === 0 &&
+          size(graft.plans.WordShingles.shingles(col("text"), 3,
+            distinct = true)) > 0)
+        .select(col("doc_id").as("id_a"), (col("doc_id") + 40000).as("id_b"))
+      truth.join(fast.select(col("id_a"), col("id_b"), col("jaccard"),
+          lit(true).as("__f")), Seq("id_a", "id_b"), "left")
+        .select(col("id_a"), col("id_b"),
+          coalesce(col("__f"), lit(false)).as("found_by_fast"),
+          col("jaccard"))
+        .orderBy("id_a", "id_b")
+    },
+
+    // Incremental near-dup: a new batch (every 5th doc + injected
+    // near-copies of existing docs) against the precomputed signature
+    // index of the existing corpus — no existing×existing re-pairing.
+    "q_dedup_incr" -> { (s, dir) =>
+      val d = docs(s, dir).select("doc_id", "text")
+      val existing = spread(d.filter(col("doc_id") % 5 =!= 0))
+      val newBatch = spread(d.filter(col("doc_id") % 5 === 0)
+        .unionByName(d.filter(col("doc_id") % 5 === 1)
+          .select((col("doc_id") + 20000).as("doc_id"),
+            concat(col("text"), lit(" extra near dup tail")).as("text"))))
+      val index = Dedup.minhashSignatures(existing, "text", "doc_id", 3, 12)
+      Dedup.minhashIncrementalPairs(index, newBatch)
+        .orderBy("id_a", "id_b")
+    },
+
+    // Dedup-key text normalization (accent fold + case + punctuation
+    // collapse) and the exact-dup groups it exposes that raw md5 missed.
+    "q_normalize" -> { (s, dir) =>
+      val d = docs(s, dir).select("doc_id", "text")
+      val extra = d.filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 40000).as("doc_id"),
+          concat(upper(col("text")), lit("  !!")).as("text"))
+      d.unionByName(extra)
+        .select(col("doc_id"),
+          md5(TextFns.normalizeForDedup(col("text"))).as("norm_key"))
+        .groupBy("norm_key").agg(count(lit(1)).as("n_docs"),
+          min("doc_id").as("keep_id"))
+        .filter(col("n_docs") > 1)
+        .orderBy("keep_id")
+    }
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """WITH all_docs AS (SELECT doc_id, text FROM documents
+        |UNION ALL SELECT doc_id + 10000, text FROM documents WHERE doc_id % 7 = 0)
+        |SELECT md5(text) AS content_hash, COUNT(*) AS n_docs, MIN(doc_id) AS keep_id
+        |FROM all_docs GROUP BY md5(text) HAVING COUNT(*) > 1
+        |ORDER BY content_hash""".stripMargin,
+
+    "q_dedup_keep" ->
+      """WITH all_docs AS (SELECT doc_id, text FROM documents
+        |UNION ALL SELECT doc_id + 10000, text FROM documents WHERE doc_id % 7 = 0),
+        |keep AS (SELECT md5(text) AS h, MIN(doc_id) AS doc_id FROM all_docs GROUP BY md5(text))
+        |SELECT doc_id FROM keep ORDER BY doc_id""".stripMargin,
+
+    "q_embed_neardup" ->
+      s"""WITH wd AS (SELECT vec_id, embedding FROM embeddings
+         |UNION ALL SELECT vec_id + 10000 AS vec_id, embedding FROM embeddings WHERE vec_id % 20 = 0),
+         |sig AS (SELECT vec_id, embedding, ${srpSigSql("embedding", 16)} AS sig FROM wd),
+         |banded AS (SELECT vec_id, embedding, band, substr(sig, band*4 + 1, 4) AS band_key
+         |FROM sig CROSS JOIN (SELECT unnest(range(0,4)) AS band) bs),
+         |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+         |a.embedding AS v_a, b.embedding AS v_b
+         |FROM banded a JOIN banded b ON a.band = b.band AND a.band_key = b.band_key
+         |WHERE a.vec_id < b.vec_id)
+         |SELECT id_a, id_b FROM cand WHERE ${cosineSql("v_a", "v_b")} >= 0.9
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_dedup_clusters" ->
+      s"""WITH RECURSIVE $nearDupCorpusSql,
+         |w AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS w FROM all_docs),
+         |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(w) >= 3
+         |THEN list_transform(range(1, len(w)-1), i -> array_to_string(w[i:i+2], ' '))
+         |ELSE [] END) AS shingles FROM w),
+         |shf AS (SELECT * FROM sh WHERE len(shingles) > 0),
+         |sig AS (SELECT doc_id, shingles, list_transform(range(0, 12),
+         |i -> list_min(list_transform(shingles, s -> md5(CAST(i AS VARCHAR) || ':' || s)))) AS sig FROM shf),
+         |band AS (SELECT doc_id, t.b AS band, md5(array_to_string(sig[t.b*3+1:t.b*3+3], '|')) AS band_key
+         |FROM sig, range(0, 4) t(b)),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM band a
+         |JOIN band b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+         |j AS (SELECT id_a, id_b,
+         |CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE) /
+         |len(list_distinct(list_concat(x.shingles, y.shingles))) AS jaccard
+         |FROM cand JOIN shf x ON x.doc_id = id_a JOIN shf y ON y.doc_id = id_b),
+         |pairs AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.5),
+         |edges AS (SELECT id_a, id_b FROM pairs UNION SELECT id_b, id_a FROM pairs),
+         |reach(src, dst) AS (SELECT id_a, id_b FROM edges
+         |UNION SELECT r.src, e.id_b FROM reach r JOIN edges e ON r.dst = e.id_a)
+         |SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+         |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_minhash" ->
+      s"""WITH $nearDupCorpusSql,
+         |w AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS w FROM all_docs),
+         |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(w) >= 3
+         |THEN list_transform(range(1, len(w)-1), i -> array_to_string(w[i:i+2], ' '))
+         |ELSE [] END) AS shingles FROM w),
+         |shf AS (SELECT * FROM sh WHERE len(shingles) > 0),
+         |sig AS (SELECT doc_id, shingles, list_transform(range(0, 12),
+         |i -> list_min(list_transform(shingles, s -> md5(CAST(i AS VARCHAR) || ':' || s)))) AS sig FROM shf),
+         |band AS (SELECT doc_id, t.b AS band, md5(array_to_string(sig[t.b*3+1:t.b*3+3], '|')) AS band_key
+         |FROM sig, range(0, 4) t(b)),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM band a
+         |JOIN band b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+         |j AS (SELECT id_a, id_b,
+         |CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE) /
+         |len(list_distinct(list_concat(x.shingles, y.shingles))) AS jaccard
+         |FROM cand JOIN shf x ON x.doc_id = id_a JOIN shf y ON y.doc_id = id_b)
+         |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // Ground-truth injected exact-duplicate pairs; the fast xxhash64
+    // path's guaranteed recovery and its exact-Jaccard verify value
+    // (identical shingle sets → exactly 1.0) are pinned.
+    "q_dedup_minhash_fast" ->
+      """SELECT doc_id AS id_a, doc_id + 40000 AS id_b,
+        |true AS found_by_fast, CAST(1.0 AS DOUBLE) AS jaccard
+        |FROM documents
+        |WHERE doc_id % 7 = 0
+        |AND len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) >= 3
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // Ground-truth injected exact-duplicate pairs; the simhash path's
+    // guaranteed recovery of hamming-0 pairs and the native
+    // expression's composed-form identity are pinned by the
+    // literal-true columns.
+    "q_dedup_simhash" ->
+      """SELECT doc_id AS id_a, doc_id + 40000 AS id_b,
+        |true AS found_by_simhash, true AS native_matches_composed
+        |FROM documents
+        |WHERE doc_id % 7 = 0
+        |AND len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) > 0
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_ngram_jaccard" ->
+      s"""WITH $nearDupCorpusSql,
+         |w AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS w FROM all_docs),
+         |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(w) >= 4
+         |THEN list_transform(range(1, len(w)-2), i -> array_to_string(w[i:i+3], ' '))
+         |ELSE [] END) AS shingles FROM w),
+         |shf AS (SELECT * FROM sh WHERE len(shingles) > 0),
+         |p AS (SELECT doc_id, unnest(shingles) AS shingle FROM shf),
+         |rare AS (SELECT shingle FROM p GROUP BY shingle HAVING COUNT(*) BETWEEN 2 AND 50),
+         |bl AS (SELECT p.doc_id, p.shingle FROM p JOIN rare USING (shingle)),
+         |cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM bl a
+         |JOIN bl b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |GROUP BY a.doc_id, b.doc_id HAVING COUNT(*) >= 2),
+         |j AS (SELECT id_a, id_b,
+         |CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE) /
+         |len(list_distinct(list_concat(x.shingles, y.shingles))) AS jaccard
+         |FROM cand JOIN shf x ON x.doc_id = id_a JOIN shf y ON y.doc_id = id_b)
+         |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.4
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_dedup_incr" ->
+      """WITH all_docs AS (SELECT doc_id, text FROM documents UNION ALL
+        |SELECT doc_id + 20000, text || ' extra near dup tail' FROM documents WHERE doc_id % 5 = 1),
+        |w AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w FROM all_docs),
+        |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(w) >= 3
+        |THEN list_transform(range(1, len(w)-1), i -> array_to_string(w[i:i+2], ' '))
+        |ELSE [] END) AS shingles FROM w),
+        |shf AS (SELECT * FROM sh WHERE len(shingles) > 0),
+        |sig AS (SELECT doc_id, shingles, list_transform(range(0, 12),
+        |i -> list_min(list_transform(shingles, s -> md5(CAST(i AS VARCHAR) || ':' || s)))) AS sig FROM shf),
+        |band AS (SELECT doc_id, t.b AS band, md5(array_to_string(sig[t.b*3+1:t.b*3+3], '|')) AS band_key
+        |FROM sig, range(0, 4) t(b)),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM band a
+        |JOIN band b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+        |WHERE NOT (a.doc_id < 20000 AND a.doc_id % 5 <> 0
+        |       AND b.doc_id < 20000 AND b.doc_id % 5 <> 0)),
+        |j AS (SELECT id_a, id_b,
+        |CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE) /
+        |len(list_distinct(list_concat(x.shingles, y.shingles))) AS jaccard
+        |FROM cand JOIN shf x ON x.doc_id = id_a JOIN shf y ON y.doc_id = id_b)
+        |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_normalize" ->
+      """WITH all_docs AS (SELECT doc_id, text FROM documents UNION ALL
+        |SELECT doc_id + 40000, upper(text) || '  !!' FROM documents WHERE doc_id % 13 = 0),
+        |k AS (SELECT doc_id, md5(trim(regexp_replace(
+        |translate(lower(text), 'áàâäãåéèêëíìîïóòôöõúùûüçñý', 'aaaaaaeeeeiiiiooooouuuucny'),
+        |'[^a-z0-9]+', ' ', 'g'))) AS norm_key FROM all_docs)
+        |SELECT norm_key, COUNT(*) AS n_docs, MIN(doc_id) AS keep_id
+        |FROM k GROUP BY 1 HAVING COUNT(*) > 1
+        |ORDER BY keep_id""".stripMargin
+  )
+}

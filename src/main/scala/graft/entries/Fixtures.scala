@@ -1,0 +1,82 @@
+package graft.entries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.catalog.Tables
+import graft.functions.VectorFns
+import graft.model.MetricLike
+import graft.registry.{DefinitionExport, DefinitionRegistry}
+
+/** Shared fixture builders and oracle SQL fragments for the
+  * per-domain query entry objects ([[MetricsEntries]],
+  * [[DedupEntries]], …) aggregated by [[graft.SparkEntry]]. */
+private[graft] object Fixtures {
+
+  val reg = DefinitionRegistry
+  def ev(s: SparkSession, dir: String): DataFrame = Tables.read(s, dir, "events")
+  def docs(s: SparkSession, dir: String): DataFrame = Tables.read(s, dir, "documents")
+
+  /** Ops series: (event_type dimension value → metric) fan-out table.
+    * One event can feed several series (e.g. purchase hour + minute). */
+  val opsSeries: Seq[(String, MetricLike)] =
+    reg.opsMetricSet.metrics.map { m =>
+      val et = m.dimensions.find(_.name == "EventType").get.value
+      et -> m
+    }
+
+  /** Broadcastable (event_type, series_id) mapping df. */
+  def seriesMap(s: SparkSession): DataFrame = {
+    import s.implicits._
+    opsSeries.map { case (et, m) => (et, m.uniqueId) }
+      .toDF("event_type", "series_id")
+  }
+
+  /** events → raw datapoints stream (O-2 stand-in): join to the tiny
+    * series map (broadcast) fans each event into its series. */
+  def datapoints(s: SparkSession, dir: String): DataFrame =
+    ev(s, dir).join(broadcast(seriesMap(s)), Seq("event_type"))
+      .select(col("series_id"), col("ts"), col("value"))
+
+  /** SQL VALUES clause for the series map, shared by oracles. */
+  def seriesMapValues: String =
+    opsSeries.map { case (et, m) =>
+      s"('$et', '${m.uniqueId}', '${m.statistic}', ${m.period}, '${m.frequency.name}')"
+    }.mkString(", ")
+
+  def seriesKeysDf(s: SparkSession): DataFrame =
+    DefinitionExport.seriesKeys(s, reg.allAccounts)
+
+  /** The local test parquet files are single-row-group (unsplittable),
+    * so a scan is one task no matter how hot the downstream compute
+    * is. Hash/signature-heavy corpora are repartitioned across the
+    * session's cores right after the scan — on a real cluster the
+    * multi-row-group scan parallelizes by itself and this spread is a
+    * cheap narrow-input shuffle relative to the signature work. */
+  def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+  def sq(s: String): String = s.replace("'", "''")
+
+  /** Exact ordered-fold dot product in DuckDB SQL — bit-identical to
+    * [[graft.plans.VecDot]] (both accumulate double products left to
+    * right, and decimal literals parse to the same doubles). */
+  def dotSql(a: String, b: String): String =
+    s"list_sum(list_transform(range(1,65), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+
+  def cosineSql(a: String, b: String): String =
+    s"(CASE WHEN sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}) > 0 THEN " +
+      s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})) END)"
+
+  /** DuckDB replication of [[VectorFns.srpSignature]]: the hyperplanes
+    * are deterministic plan literals, so the oracle inlines the same
+    * values and reproduces every sign bit-exactly (verified 500/500 at
+    * sf0.01). */
+  def srpSigSql(vecExpr: String, bits: Int): String =
+    VectorFns.srpPlanes(bits, 64, 42L).map { plane =>
+      val lits = plane.mkString("[", ",", "]")
+      s"(CASE WHEN list_sum(list_transform(range(1,65), i -> " +
+        s"coalesce(CAST($vecExpr[i] AS DOUBLE) * ($lits::DOUBLE[])[i], 0.0))) >= 0 " +
+        "THEN '1' ELSE '0' END)"
+    }.mkString("(", " || ", ")")
+}

@@ -1,0 +1,98 @@
+package graft.entries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.entries.Fixtures._
+import graft.catalog.Tables
+import graft.operators.{PartitionOps, ZOrder}
+
+/** Lake layout domain: partition parsing/registration/retention,
+  * backfill gap planning and z-order layout keys (SURVEY §2 O-26..O-28
+  * + layout extensions). */
+private[graft] object LakeEntries {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // O-26: object-key → partition values parser.
+    "q_partition_parse" -> { (s, dir) =>
+      val key = concat_ws("/", lit("metrics"), col("event_type"),
+        concat(lit("r"), pmod(col("user_id"), lit(3))),
+        date_format(col("ts"), "yyyy"), date_format(col("ts"), "MM"),
+        date_format(col("ts"), "dd"), date_format(col("ts"), "HH"),
+        lit("part-000.parquet"))
+      ev(s, dir).select(PartitionOps.parseKey(key).as("p"))
+        .select(col("p.table").as("table_name"), col("p.region"),
+          col("p.year"), col("p.month"), col("p.day"), col("p.hour"))
+        .distinct()
+        .orderBy("table_name", "region", "year", "month", "day", "hour")
+    },
+
+    // O-28: partition-age retention relative to the newest data.
+    "q_retention" -> { (s, dir) =>
+      val o = Tables.read(s, dir, "orders")
+      val asOf = o.agg(max(unix_timestamp(col("o_orderdate")))).first().getLong(0)
+      val parts = o.select(lit("r0").as("region"),
+        year(col("o_orderdate")).as("year"), month(col("o_orderdate")).as("month"),
+        dayofmonth(col("o_orderdate")).as("day"), lit(0).as("hour"))
+      PartitionOps.retain(parts, 90, asOf)
+        .groupBy("year", "month", "day").agg(count(lit(1)).as("n_rows"))
+        .orderBy("year", "month", "day")
+    },
+
+    // Backfill planner: hourly partition gaps per series (O-26/O-27
+    // companion — what a missed landing looks like to the scheduler).
+    "q_partition_gaps" -> { (s, dir) =>
+      PartitionOps.hourlyGaps(ev(s, dir), "event_type", "ts")
+        .orderBy("series", "missing_hour_epoch")
+    },
+
+    // Z-order (Morton) values over a (user, event) grid — the
+    // data-skipping layout key, pure shift/mask/add arithmetic.
+    "q_zorder" -> { (s, dir) =>
+      val e = ev(s, dir).filter(col("event_id") % 101 === 0)
+      e.select(col("event_id"),
+          ZOrder.zValue2(pmod(col("user_id"), lit(1024L)),
+            pmod(col("event_id"), lit(1024L)), bits = 10).as("z"))
+        .orderBy("event_id")
+    }
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q_partition_parse" ->
+      """WITH k AS (SELECT 'metrics/' || event_type || '/r' || CAST(user_id % 3 AS VARCHAR)
+        || '/' || strftime(ts, '%Y/%m/%d/%H') || '/part-000.parquet' AS key FROM events),
+        p AS (SELECT string_split(key, '/') AS t FROM k)
+        SELECT DISTINCT t[1] || '_' || t[2] AS table_name, t[3] AS region,
+        CAST(t[4] AS SMALLINT) AS year, CAST(t[5] AS SMALLINT) AS month,
+        CAST(t[6] AS SMALLINT) AS day, CAST(t[7] AS SMALLINT) AS hour
+        FROM p ORDER BY table_name, region, year, month, day, hour""",
+
+    "q_retention" ->
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS year,
+        CAST(month(o_orderdate) AS INTEGER) AS month,
+        CAST(day(o_orderdate) AS INTEGER) AS day, COUNT(*) AS n_rows
+        FROM orders
+        WHERE CAST(o_orderdate AS DATE) >=
+          (SELECT CAST(max(o_orderdate) AS DATE) FROM orders) - INTERVAL 90 DAY
+        GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+
+    "q_partition_gaps" ->
+      """WITH pres AS (SELECT DISTINCT event_type AS series,
+        |CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) AS h FROM events),
+        |sp AS (SELECT series, MIN(h) AS h0, MAX(h) AS h1 FROM pres GROUP BY 1),
+        |allh AS (SELECT series, unnest(generate_series(h0, h1, 3600)) AS h FROM sp)
+        |SELECT series, h AS missing_hour_epoch FROM allh
+        |WHERE NOT EXISTS (SELECT 1 FROM pres p
+        |WHERE p.series = allh.series AND p.h = allh.h)
+        |ORDER BY series, missing_hour_epoch""".stripMargin,
+
+    "q_zorder" -> {
+      val terms = (0 until 10).map { i =>
+        s"(((user_id % 1024) >> $i) & 1) * ${1L << (2 * i)} + " +
+          s"(((event_id % 1024) >> $i) & 1) * ${1L << (2 * i + 1)}"
+      }.mkString(" + ")
+      s"""SELECT event_id, $terms AS z
+         |FROM events WHERE event_id % 101 = 0 ORDER BY event_id""".stripMargin
+    }
+  )
+}

@@ -1,0 +1,469 @@
+package graft.entries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.entries.Fixtures._
+import graft.catalog.Tables
+import graft.operators.{Anomaly, AsOfJoin, RangeJoin, Rollups, SeriesMath, Sessionize}
+
+/** Delegated-SQL breadth (available to BusinessMetric queries) plus
+  * the series-math operator family: rollups, windows, set ops,
+  * as-of/session/range joins, sketches, anomaly, rate/TWA, pivot,
+  * upsert, SCD2, and the bounded-heap top-k Aggregator. */
+private[graft] object SqlSeriesEntries {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Delegated-SQL aggregation (TPC-H Q1 shape) through the DataFrame
+    // API with order-independent decimal sums.
+    "q_pricing_summary" -> { (s, dir) =>
+      val li = Tables.read(s, dir, "lineitem")
+      li.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity").cast("decimal(18,4)")).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,4)")).cast("double").as("sum_base_price"),
+          sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast("decimal(18,4)")).cast("double").as("sum_disc_price"),
+          (sum(col("l_quantity").cast("decimal(18,4)")).cast("double") /
+            count(lit(1))).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    // Broadcast-dim star join: revenue by region (dims broadcast, fact
+    // never shuffled for the dim joins).
+    "q_region_revenue" -> { (s, dir) =>
+      val li = Tables.read(s, dir, "lineitem")
+      val o = Tables.read(s, dir, "orders")
+      val c = Tables.read(s, dir, "customer")
+      val n = Tables.read(s, dir, "nation")
+      val r = Tables.read(s, dir, "region")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,4)")).cast("double").as("revenue"),
+          count(lit(1)).as("n_lines"))
+        .orderBy("r_name")
+    },
+
+    // Top-k join+agg with deterministic tie-break.
+    "q_top_customers" -> { (s, dir) =>
+      val o = Tables.read(s, dir, "orders")
+      val c = Tables.read(s, dir, "customer")
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy(col("c_custkey"), col("c_name"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,4)")).cast("double").as("total_spend"),
+          count(lit(1)).as("n_orders"))
+        .orderBy(col("total_spend").desc, col("c_custkey"))
+        .limit(10)
+    },
+
+    // Rollup aggregation with deterministic decimal sums.
+    "q_rollup_revenue" -> { (s, dir) =>
+      val li = Tables.read(s, dir, "lineitem")
+      val o = Tables.read(s, dir, "orders")
+      val c = Tables.read(s, dir, "customer")
+      val n = Tables.read(s, dir, "nation")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .rollup(col("n_name"), col("o_orderpriority"))
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,4)")).cast("double").as("revenue"))
+        .orderBy(col("n_name").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)
+    },
+
+    // Window analytics: per-customer order sequence + running spend.
+    "q_running_spend" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val o = Tables.read(s, dir, "orders")
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      // filter BEFORE the window: it commutes with the per-customer
+      // partition and pushes to the scan instead of sorting everyone
+      o.filter(col("o_custkey") <= 20)
+        .select(col("o_custkey"), col("o_orderkey"),
+          row_number().over(w).as("order_seq"),
+          sum(col("o_totalprice").cast("decimal(18,4)"))
+            .over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .cast("double").as("running_spend"))
+        .orderBy("o_custkey", "order_seq")
+    },
+
+    // Set operations: customers with orders but no high-priority ones.
+    "q_set_ops" -> { (s, dir) =>
+      val o = Tables.read(s, dir, "orders")
+      o.select(col("o_custkey")).distinct()
+        .except(o.filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_custkey")).distinct())
+        .orderBy("o_custkey")
+    },
+
+    // Correlated-subquery shape via anti-join: parts with no sales in
+    // the final year (the shipdate filter pushes to the parquet scan).
+    "q_unsold_parts" -> { (s, dir) =>
+      val p = Tables.read(s, dir, "part")
+      val li = Tables.read(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("2001-01-01").cast("timestamp"))
+      p.join(li, p("p_partkey") === li("l_partkey"), "left_anti")
+        .select("p_partkey", "p_name").orderBy("p_partkey")
+    },
+
+    // Point-in-time (as-of) join: for sampled probe events, the latest
+    // per-type value at or before the probe time — union + one sorted
+    // window pass per key, no range join, no per-probe subquery.
+    "q_asof" -> { (s, dir) =>
+      val e = ev(s, dir)
+      val probes = e.filter(col("event_id") % 97 === 0)
+        .select(col("event_id"), col("event_type"), col("ts"))
+      val quotes = AsOfJoin.latestQuotePerTs(e, "event_type", "ts", "value")
+      AsOfJoin.asOf(probes, quotes, "event_type", "ts", "value")
+        .select(col("event_id"), col("event_type"),
+          unix_timestamp(col("ts")).as("ts_epoch"),
+          col("asof_value"))
+        .orderBy("event_id")
+    },
+
+    // Gap-based sessionization over the event stream (30-min gap).
+    "q_sessions" -> { (s, dir) =>
+      Sessionize.sessions(ev(s, dir), "user_id", "ts", "event_id", 1800L)
+        .orderBy("user_id", "session_index")
+    },
+
+    // Binned interval join: events falling inside deterministic
+    // maintenance windows spawned by every 53rd event — hash equi-join
+    // on time bins instead of the quadratic theta join.
+    "q_range_join" -> { (s, dir) =>
+      val e = ev(s, dir)
+      val points = e.select(col("event_id").as("point_id"),
+        unix_timestamp(col("ts")).as("pts"))
+      val iv = e.filter(col("event_id") % 53 === 0)
+        .select(col("event_id").as("interval_id"),
+          unix_timestamp(col("ts")).as("s"),
+          (unix_timestamp(col("ts")) + (col("event_id") % 7 + 1) * 600).as("e"))
+      RangeJoin.binned(points, iv, "pts", "s", "e", binWidth = 3600L)
+        .groupBy(col("interval_id"))
+        .agg(count(lit(1)).as("n_points"))
+        .orderBy("interval_id")
+    },
+
+    // HLL sketch property check: the oracle pins the exact distinct
+    // count AND asserts (as a hash-checked literal-true column) that
+    // the HLL++ estimate lands within 5% — if the sketch drifts, the
+    // hash compare goes red.
+    "q_approx_distinct" -> { (s, dir) =>
+      ev(s, dir).groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("exact_users"),
+          approx_count_distinct(col("user_id"), rsd = 0.02).as("__approx"))
+        .select(col("event_type"), col("exact_users"),
+          (abs(col("__approx") - col("exact_users")) <=
+            col("exact_users") * 0.05).as("hll_within_5pct"))
+        .orderBy("event_type")
+    },
+
+    // Quantile sketch property check: exact interpolated percentiles
+    // (bit-equal to DuckDB quantile_cont) plus hash-checked assertions
+    // that approx_percentile stays inside the ±1-percentile band.
+    "q_sketch_quantile" -> { (s, dir) =>
+      ev(s, dir).groupBy("event_type")
+        .agg(expr("percentile(value, array(0.49D, 0.50D, 0.51D, 0.94D, 0.95D, 0.96D))").as("q"),
+          expr("approx_percentile(value, array(0.50D, 0.95D), 10000)").as("a"))
+        .select(col("event_type"),
+          col("q")(1).as("p50_exact"), col("q")(4).as("p95_exact"),
+          col("a")(0).between(col("q")(0), col("q")(2)).as("p50_in_band"),
+          col("a")(1).between(col("q")(3), col("q")(5)).as("p95_in_band"))
+        .orderBy("event_type")
+    },
+
+    // Trailing-window z-score anomalies per event series (integer
+    // arithmetic, division-free — bit-identical across engines).
+    "q_anomaly" -> { (s, dir) =>
+      // events.value ≤ ~561 (cents ≤ 6e4) — far inside the Long-safe
+      // envelope, so the cheap path is exact here
+      Anomaly.zScoreFlags(ev(s, dir), "event_type", "ts", "event_id", "value",
+          wide = false)
+        .filter(col("is_anomaly"))
+        .select(col("event_id"), col("event_type"), col("n_hist"))
+        .orderBy("event_id")
+    },
+
+    // Incremental rollup: merge the partial day-state of two disjoint
+    // halves of the stream — must equal a full re-aggregation (which
+    // is what the oracle computes).
+    "q_rollup_incr" -> { (s, dir) =>
+      val e = ev(s, dir)
+      val older = Rollups.dayState(e.filter(col("event_id") % 3 =!= 0),
+        "event_type", "ts", "value")
+      val delta = Rollups.dayState(e.filter(col("event_id") % 3 === 0),
+        "event_type", "ts", "value")
+      Rollups.finalize(Rollups.merge(older, delta))
+        .orderBy("series", "day")
+    },
+
+    // Per-series first derivative (CloudWatch RATE(m1) analogue).
+    "q_rate" -> { (s, dir) =>
+      SeriesMath.rate(ev(s, dir).filter(col("event_id") % 11 === 0),
+          "event_type", "ts", "event_id", "value")
+        .select(col("event_id"), col("event_type"), col("rate_per_sec"))
+        .orderBy("event_id")
+    },
+
+    // Time-weighted average per series-day (integer-exact).
+    "q_twa" -> { (s, dir) =>
+      SeriesMath.timeWeightedAvg(ev(s, dir), "event_type", "ts", "event_id",
+          "value")
+        .orderBy("series", "day")
+    },
+
+    // Pivot: per-user event counts, one column per event type.
+    "q_pivot" -> { (s, dir) =>
+      ev(s, dir).filter(col("user_id") % 17 === 0)
+        .groupBy("user_id")
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy("user_id")
+    },
+
+    // CDC latest-wins compaction: one surviving row per (user, type) —
+    // max over the (epoch, event_id) struct, no window sort.
+    "q_upsert" -> { (s, dir) =>
+      ev(s, dir)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(max(struct(unix_timestamp(col("ts")).as("e"),
+          col("event_id").as("i"), col("value").as("v"))).as("r"))
+        .select(col("user_id"), col("event_type"), col("r.e").as("last_epoch"),
+          col("r.i").as("last_event_id"), col("r.v").as("last_value"))
+        .orderBy("user_id", "event_type")
+    },
+
+    // SCD2 validity intervals: each event's state holds until the
+    // user's next event (open interval → null valid_to).
+    "q_scd2" -> { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("valid_from"), col("event_id"))
+      ev(s, dir).filter(col("user_id") % 29 === 0)
+        .select(col("user_id"), col("event_id"),
+          unix_timestamp(col("ts")).as("valid_from"))
+        .withColumn("valid_to", lead(col("valid_from"), 1).over(w))
+        .orderBy("user_id", "valid_from", "event_id")
+    },
+
+    // Custom bounded-heap Aggregator as a query surface: top-3 spenders
+    // per event type (map-side combinable, no per-group sort).
+    "q_topk_agg" -> { (s, dir) =>
+      import s.implicits._
+      val cents = ev(s, dir)
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(sum(floor(col("value") * 100).cast("long")).as("cents"))
+        .select(col("event_type"), col("user_id"), col("cents"))
+        .as[(String, Long, Long)]
+      val agg = new graft.plans.TopKAggregator(3).toColumn
+      cents.groupByKey(_._1)
+        .mapValues(r => graft.plans.ScoredId(r._2, r._3.toDouble))
+        .agg(agg.name("top"))
+        .flatMap { case (et, top) =>
+          top.zipWithIndex.map { case (s2, i) =>
+            (et, s2.id, s2.score.toLong, i + 1) }
+        }
+        .toDF("event_type", "user_id", "cents", "rank")
+        .orderBy("event_type", "rank")
+    }
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+        |CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+        |CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        |COUNT(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_region_revenue" ->
+      """SELECT r_name,
+        |CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |COUNT(*) AS n_lines
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+
+    "q_top_customers" ->
+      """SELECT c_custkey, c_name,
+        |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_spend,
+        |COUNT(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_custkey, c_name
+        |ORDER BY total_spend DESC, c_custkey LIMIT 10""".stripMargin,
+
+    "q_rollup_revenue" ->
+      """SELECT n_name, o_orderpriority,
+        |CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY ROLLUP (n_name, o_orderpriority)
+        |ORDER BY n_name ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+
+    "q_running_spend" ->
+      """SELECT o_custkey, o_orderkey,
+        |CAST(row_number() OVER w AS INTEGER) AS order_seq,
+        |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+        |OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+        |FROM orders WHERE o_custkey <= 20
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, order_seq""".stripMargin,
+
+    "q_set_ops" ->
+      """SELECT DISTINCT o_custkey FROM orders
+        |EXCEPT
+        |SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |ORDER BY o_custkey""".stripMargin,
+
+    "q_unsold_parts" ->
+      """SELECT p_partkey, p_name FROM part
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey
+        |AND l_shipdate >= TIMESTAMP '2001-01-01')
+        |ORDER BY p_partkey""".stripMargin,
+
+    "q_asof" ->
+      """WITH q AS (SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS ts,
+        |max(value) AS v FROM events GROUP BY 1, 2),
+        |p AS (SELECT event_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS ts
+        |FROM events WHERE event_id % 97 = 0)
+        |SELECT p.event_id, p.event_type, p.ts AS ts_epoch,
+        |(SELECT q.v FROM q WHERE q.event_type = p.event_type AND q.ts <= p.ts
+        | ORDER BY q.ts DESC LIMIT 1) AS asof_value
+        |FROM p ORDER BY event_id""".stripMargin,
+
+    "q_sessions" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |CAST(floor(epoch(ts)) AS BIGINT) AS ts FROM events),
+        |l AS (SELECT user_id, event_id, ts,
+        |lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM e),
+        |f AS (SELECT user_id, event_id, ts,
+        |CASE WHEN prev IS NULL OR ts - prev > 1800 THEN 1 ELSE 0 END AS is_new FROM l),
+        |s AS (SELECT user_id, ts, CAST(SUM(is_new) OVER (PARTITION BY user_id
+        |ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_index FROM f)
+        |SELECT user_id, session_index, MIN(ts) AS start_epoch, MAX(ts) AS end_epoch,
+        |COUNT(*) AS n_events, MAX(ts) - MIN(ts) AS duration_sec
+        |FROM s GROUP BY 1, 2 ORDER BY user_id, session_index""".stripMargin,
+
+    "q_range_join" ->
+      """WITH p AS (SELECT event_id AS point_id,
+        |CAST(floor(epoch(ts)) AS BIGINT) AS pts FROM events),
+        |iv AS (SELECT event_id AS interval_id,
+        |CAST(floor(epoch(ts)) AS BIGINT) AS s,
+        |CAST(floor(epoch(ts)) AS BIGINT) + (event_id % 7 + 1) * 600 AS e
+        |FROM events WHERE event_id % 53 = 0)
+        |SELECT iv.interval_id, COUNT(*) AS n_points
+        |FROM iv JOIN p ON p.pts BETWEEN iv.s AND iv.e
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_approx_distinct" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
+        |true AS hll_within_5pct
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    "q_sketch_quantile" ->
+      """SELECT event_type,
+        |quantile_cont(value, 0.50) AS p50_exact,
+        |quantile_cont(value, 0.95) AS p95_exact,
+        |true AS p50_in_band, true AS p95_in_band
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    "q_anomaly" ->
+      """WITH e AS (SELECT event_id, event_type,
+        |CAST(floor(value * 100) AS BIGINT) AS x,
+        |CAST(floor(epoch(ts)) AS BIGINT) AS ts FROM events),
+        |w AS (SELECT event_id, event_type, x,
+        |COUNT(*) OVER win AS n_hist,
+        |SUM(x) OVER win AS s, SUM(x*x) OVER win AS sq
+        |FROM e WINDOW win AS (PARTITION BY event_type ORDER BY ts, event_id
+        |ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
+        |SELECT event_id, event_type, n_hist FROM w
+        |WHERE n_hist >= 10
+        |AND (n_hist*x - s)*(n_hist*x - s) > 9*(n_hist*sq - s*s)
+        |ORDER BY event_id""".stripMargin,
+
+    "q_rollup_incr" ->
+      """SELECT event_type AS series,
+        |CAST(floor(epoch(ts)/86400)*86400 AS BIGINT) AS day,
+        |CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE)/COUNT(value) AS avg_value,
+        |CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE) AS sum_value,
+        |MIN(value) AS min_value, MAX(value) AS max_value,
+        |COUNT(*) AS n_points
+        |FROM events GROUP BY 1, 2 ORDER BY series, day""".stripMargin,
+
+    "q_rate" ->
+      """WITH e AS (SELECT event_id, event_type, value,
+        |CAST(floor(epoch(ts)) AS BIGINT) AS t FROM events WHERE event_id % 11 = 0),
+        |l AS (SELECT event_id, event_type, value, t,
+        |lag(value) OVER w AS pv, lag(t) OVER w AS pt FROM e
+        |WINDOW w AS (PARTITION BY event_type ORDER BY t, event_id))
+        |SELECT event_id, event_type, (value - pv) / (t - pt) AS rate_per_sec
+        |FROM l WHERE pt IS NOT NULL AND t - pt > 0
+        |ORDER BY event_id""".stripMargin,
+
+    "q_twa" ->
+      """WITH e AS (SELECT event_type, event_id,
+        |CAST(floor(epoch(ts)) AS BIGINT) AS t,
+        |CAST(floor(value * 100) AS BIGINT) AS cents FROM events),
+        |d AS (SELECT event_type, event_id, t, cents,
+        |CAST(floor(t/86400)*86400 AS BIGINT) AS day FROM e),
+        |l AS (SELECT event_type, day, cents,
+        |lead(t) OVER w AS nt, lead(day) OVER w AS nday, t FROM d
+        |WINDOW w AS (PARTITION BY event_type ORDER BY t, event_id)),
+        |g AS (SELECT event_type AS series, day, cents,
+        |CASE WHEN nday = day THEN nt - t ELSE 0 END AS wt FROM l)
+        |SELECT series, day, CAST(SUM(cents * wt) AS BIGINT) AS twa_num,
+        |CAST(SUM(wt) AS BIGINT) AS twa_den,
+        |CAST(CAST(SUM(cents * wt) AS BIGINT) // CAST(SUM(wt) AS BIGINT) AS BIGINT) AS twa_cents
+        |FROM g GROUP BY 1, 2 HAVING SUM(wt) > 0
+        |ORDER BY series, day""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT user_id,
+        |COUNT(*) FILTER (event_type = 'click') AS click,
+        |COUNT(*) FILTER (event_type = 'error') AS error,
+        |COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+        |COUNT(*) FILTER (event_type = 'signup') AS signup,
+        |COUNT(*) FILTER (event_type = 'view') AS view
+        |FROM events WHERE user_id % 17 = 0
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_upsert" ->
+      """WITH e AS (SELECT user_id, event_type, event_id, value,
+        |CAST(floor(epoch(ts)) AS BIGINT) AS t FROM events),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+        |ORDER BY t DESC, event_id DESC) AS rn FROM e)
+        |SELECT user_id, event_type, t AS last_epoch,
+        |event_id AS last_event_id, value AS last_value
+        |FROM r WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+
+    "q_scd2" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |CAST(floor(epoch(ts)) AS BIGINT) AS valid_from
+        |FROM events WHERE user_id % 29 = 0)
+        |SELECT user_id, event_id, valid_from,
+        |lead(valid_from) OVER (PARTITION BY user_id
+        |ORDER BY valid_from, event_id) AS valid_to
+        |FROM e ORDER BY user_id, valid_from, event_id""".stripMargin,
+
+    "q_topk_agg" ->
+      """WITH c AS (SELECT event_type, user_id,
+        |CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM events GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+        |ORDER BY cents DESC, user_id) AS rank FROM c)
+        |SELECT event_type, user_id, cents, CAST(rank AS INTEGER) AS rank
+        |FROM r WHERE rank <= 3 ORDER BY event_type, rank""".stripMargin
+  )
+}

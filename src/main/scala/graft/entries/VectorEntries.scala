@@ -1,0 +1,139 @@
+package graft.entries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.entries.Fixtures._
+import graft.catalog.Tables
+import graft.pipeline.{Multimodal, Similarity}
+
+/** Vector / multimodal domain: ANN search (brute-force, LSH, IVF),
+  * int8 quantization, and the multimodal decode/feature plumbing. */
+private[graft] object VectorEntries {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Brute-force cosine top-k (exact ANN baseline).
+    "q_ann_topk" -> { (s, dir) =>
+      val e = spread(Tables.read(s, dir, "embeddings"))
+      Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 10), k = 5)
+        .select("query_id", "neighbor_id", "rank").orderBy("query_id", "rank")
+    },
+
+    // LSH-bucketed approximate top-k.
+    "q_ann_lsh" -> { (s, dir) =>
+      val e = spread(Tables.read(s, dir, "embeddings"))
+      Similarity.lshTopK(e, e.filter(col("vec_id") < 10), k = 5)
+        .select("query_id", "neighbor_id", "rank").orderBy("query_id", "rank")
+    },
+
+    // IVF cell-routed approximate top-k over label-derived centroids
+    // (decimal-exact centroids so the oracle replicates them).
+    "q_ann_ivf" -> { (s, dir) =>
+      val e = spread(Tables.read(s, dir, "embeddings"))
+      Similarity.ivfTopK(e, e.filter(col("vec_id") < 10),
+          Similarity.centroids(e), k = 5, nprobe = 3)
+        .select("query_id", "neighbor_id", "rank").orderBy("query_id", "rank")
+    },
+
+    // Corpus prep: int8 embedding quantization (summarized per vector).
+    "q_quantize" -> { (s, dir) =>
+      val e = Tables.read(s, dir, "embeddings")
+      val q = graft.pipeline.Corpus.quantize(col("embedding"))
+      e.select(col("vec_id"), q.as("q"))
+        .select(col("vec_id"),
+          aggregate(col("q.codes"), lit(0L), (acc, c) => acc + c).as("code_sum"),
+          round(col("q.vmin"), 6).as("vmin"), round(col("q.vmax"), 6).as("vmax"))
+        .orderBy("vec_id")
+    },
+
+    // Multimodal plumbing: partition-batched decode features.
+    // Real JDK codec round-trip: fixture PNG/WAV payloads are encoded
+    // with ImageIO / javax.sound.sampled and decoded back by
+    // extractFeatures; every output value is a codec-produced fact the
+    // oracle predicts from the doc_id-derived encoding parameters.
+    "q_media_features" -> { (s, dir) =>
+      Multimodal.extractFeatures(Multimodal.syntheticMedia(spread(docs(s, dir))))
+        .toDF().select("media_id", "kind", "width_px", "height_px",
+          "dominant_bin", "dominant_frac", "sample_rate_hz", "n_samples",
+          "peak", "frames_sampled")
+        .orderBy("media_id")
+    }
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q_ann_topk" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
+        s AS (SELECT qid, vec_id AS nid,
+        list_cosine_similarity(qe, embedding) AS sim FROM q, embeddings WHERE vec_id <> qid),
+        r AS (SELECT qid AS query_id, nid AS neighbor_id,
+        row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank FROM s)
+        SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank FROM r WHERE rank <= 5
+        ORDER BY query_id, rank""",
+
+    "q_ann_lsh" ->
+      s"""WITH sigc AS (SELECT vec_id, embedding, ${srpSigSql("embedding", 16)} AS sig FROM embeddings),
+         |bc AS (SELECT vec_id, embedding, band, substr(sig, band*2 + 1, 2) AS band_key
+         |FROM sigc CROSS JOIN (SELECT unnest(range(0,8)) AS band) bs),
+         |cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |q.embedding AS v_q, c.embedding AS v_c
+         |FROM bc c JOIN bc q ON c.band = q.band AND c.band_key = q.band_key
+         |WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id),
+         |r AS (SELECT query_id, neighbor_id,
+         |row_number() OVER (PARTITION BY query_id ORDER BY ${cosineSql("v_q", "v_c")} DESC, neighbor_id) AS rank
+         |FROM cand)
+         |SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank FROM r WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin,
+
+    "q_ann_ivf" ->
+      """WITH cent AS (SELECT label, pos,
+        |CAST(SUM(CAST(v AS DECIMAL(28,8))) AS DOUBLE)/COUNT(*) AS c
+        |FROM (SELECT label, unnest(embedding) AS v,
+        |generate_subscripts(embedding, 1) AS pos FROM embeddings)
+        |GROUP BY 1, 2),
+        |cvec AS (SELECT label AS cell, array_agg(c ORDER BY pos) AS centroid
+        |FROM cent GROUP BY 1),
+        |cs AS (SELECT e.vec_id, e.embedding, cv.cell,
+        |list_dot_product(e.embedding::DOUBLE[], cv.centroid) /
+        |(sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+        | sqrt(list_dot_product(cv.centroid, cv.centroid))) AS sim
+        |FROM embeddings e, cvec cv),
+        |corp AS (SELECT vec_id AS neighbor_id, embedding AS v_c, cell FROM
+        |(SELECT *, row_number() OVER (PARTITION BY vec_id
+        |ORDER BY sim DESC, cell) AS r FROM cs) WHERE r = 1),
+        |qc AS (SELECT vec_id AS query_id, embedding AS v_q, cell FROM
+        |(SELECT *, row_number() OVER (PARTITION BY vec_id
+        |ORDER BY sim DESC, cell) AS r FROM cs WHERE vec_id < 10) WHERE r <= 3),
+        |cand AS (SELECT query_id, neighbor_id,
+        |list_dot_product(v_q::DOUBLE[], v_c::DOUBLE[]) /
+        |(sqrt(list_dot_product(v_q::DOUBLE[], v_q::DOUBLE[])) *
+        | sqrt(list_dot_product(v_c::DOUBLE[], v_c::DOUBLE[]))) AS cosine
+        |FROM corp JOIN qc USING (cell) WHERE query_id <> neighbor_id),
+        |r AS (SELECT query_id, neighbor_id, row_number() OVER
+        |(PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank FROM cand)
+        |SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank
+        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "q_quantize" ->
+      """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |b AS (SELECT vec_id, v, list_min(v) AS lo, list_max(v) AS hi FROM v),
+        |s AS (SELECT vec_id, v, lo, hi,
+        |CASE WHEN hi > lo THEN (hi - lo) / 255.0 ELSE 1.0 END AS scale FROM b)
+        |SELECT vec_id,
+        |CAST(list_sum(list_transform(v, x -> CAST(round((x - lo) / scale) AS BIGINT))) AS BIGINT) AS code_sum,
+        |round(lo, 6) AS vmin, round(hi, 6) AS vmax
+        |FROM s ORDER BY vec_id""".stripMargin,
+
+    "q_media_features" ->
+      """SELECT doc_id AS media_id,
+        CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        CASE WHEN doc_id % 3 = 0 THEN CAST(doc_id % 64 + 1 AS INTEGER) END AS width_px,
+        CASE WHEN doc_id % 3 = 0 THEN CAST(doc_id % 48 + 1 AS INTEGER) END AS height_px,
+        CASE WHEN doc_id % 3 = 0 THEN CAST((doc_id % 256) // 16 AS INTEGER) END AS dominant_bin,
+        CASE WHEN doc_id % 3 = 0 THEN CAST(1.0 AS DOUBLE) END AS dominant_frac,
+        CASE WHEN doc_id % 3 = 1 THEN CAST(16000 AS INTEGER) END AS sample_rate_hz,
+        CASE WHEN doc_id % 3 = 1 THEN CAST(doc_id % 100 + 10 AS BIGINT) END AS n_samples,
+        CASE WHEN doc_id % 3 = 1 THEN CAST(doc_id % 1000 AS INTEGER) END AS peak,
+        CASE WHEN doc_id % 3 = 2 THEN CAST((doc_id % 30 + 2) // 2 AS INTEGER) END AS frames_sampled
+        FROM documents ORDER BY media_id""".stripMargin
+  )
+}
