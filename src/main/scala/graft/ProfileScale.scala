@@ -7,13 +7,14 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.catalog.Tables
+import graft.operators.{AlarmStateMachine, StatWindowAgg}
 import graft.pipeline.{Dedup, Packing, Similarity}
 
 /**
- * Scale-evidence profiler for the dedup/ANN/packing family: runs each
- * operator at 1× and 10× the sf corpus, recording per-stage shuffle
- * bytes and task skew (max task runtime / median task runtime), and
- * writes PROFILE_r05.json. The claims this substantiates:
+ * Scale-evidence profiler for the dedup/ANN/packing family plus the
+ * stat-window/alarm family: runs each operator at 1×/5×/10× the sf
+ * corpus, recording per-stage shuffle bytes and task skew (max task
+ * runtime / median task runtime). The claims this substantiates:
  *
  *  - shuffle volume grows ~linearly with input (banding/blocking is
  *    doing its job — no quadratic candidate blow-up);
@@ -115,9 +116,38 @@ object ProfileScale {
       .repartition(spark.sparkContext.defaultParallelism)
   }
 
+  private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
+  private val UserBuckets = 20
+
+  /** m copies of the event stream fanned out to m× the series count:
+    * copy k of an event lands in series `<type>_c<k>_u<user_id%20>`.
+    * Scales BOTH datapoint volume (the stat-agg shuffle axis) and
+    * series cardinality (the alarm machine's per-series window axis). */
+  private def scaledDatapoints(spark: SparkSession, sfDir: String, m: Int): DataFrame = {
+    val base = Tables.read(spark, sfDir, "events")
+      .select(col("event_type"), col("ts"), col("value"), col("user_id"))
+    (0 until m).map { k =>
+      base.select(concat(col("event_type"), lit(s"_c${k}_u"),
+          pmod(col("user_id"), lit(UserBuckets))).as("series_id"),
+        col("ts"), col("value"))
+    }.reduce(_ unionByName _)
+      .repartition(spark.sparkContext.defaultParallelism)
+  }
+
+  /** One SLA row per scaled series (M=2 of N=3, Sum > 5). */
+  private def scaledSlas(spark: SparkSession, m: Int): DataFrame = {
+    import spark.implicits._
+    (for {
+      et <- EventTypes; k <- 0 until m; u <- 0 until UserBuckets
+    } yield (s"${et}_c${k}_u$u", 3600L, 5.0, "GREATER_THAN_THRESHOLD",
+      2, 3, "NOT_BREACHING"))
+      .toDF("series_id", "period", "threshold", "comparison_operator",
+        "datapoints_to_alarm", "evaluation_periods", "treat_missing_data")
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val outPath = if (args.length > 0) args(0) else "PROFILE_r05.json"
+    val outPath = if (args.length > 0) args(0) else "PROFILE_r07.json"
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.sql.adaptive.enabled", "true")
@@ -141,7 +171,14 @@ object ProfileScale {
         Similarity.ivfTopK(vecs, vecs.filter(col("vec_id") < 10),
           Similarity.centroids(vecs), k = 5, nprobe = 3)
       },
-      "packing" -> (m => Packing.streamPacks(scaledDocs(spark, sfDir, m), 2048L)))
+      "packing" -> (m => Packing.streamPacks(scaledDocs(spark, sfDir, m), 2048L)),
+      "stat_window_agg" -> (m =>
+        StatWindowAgg.aggregateOne(scaledDatapoints(spark, sfDir, m), "Sum", 3600)),
+      "alarm_machine" -> { m =>
+        val series = StatWindowAgg.aggregateOne(
+          scaledDatapoints(spark, sfDir, m), "Sum", 3600)
+        AlarmStateMachine.evaluate(series, scaledSlas(spark, m))
+      })
 
     // warm-up: every op once at 1× so the 1×-vs-10× comparison is
     // JIT-steady on both sides
