@@ -32,10 +32,21 @@ object LakeIngest {
    *
    * @param trigger micro-batch cadence — 60 s parity with Firehose
    *                buffering hints; tests pass AvailableNow/short.
+   * @param compactLagBatches when > 0, a post-ingest compaction pass:
+   *                a partition untouched for this many micro-batches is
+   *                considered closed (event time moved past it) and is
+   *                rewritten to target-size files via
+   *                [[graft.operators.PartitionOps.compactPartition]].
+   *                Without it the 60 s trigger lands 1,440 files/day/
+   *                partition and every downstream scan pays the
+   *                open-file tax. Driver-side state is one (path,
+   *                batchId) entry per OPEN partition — bounded by the
+   *                ingest's event-time spread, not by history.
    */
   def start(records: DataFrame, outDir: String, errDir: String,
       checkpointDir: String, region: String = "local-1",
-      trigger: Trigger = Trigger.ProcessingTime("60 seconds")): StreamingQuery = {
+      trigger: Trigger = Trigger.ProcessingTime("60 seconds"),
+      compactLagBatches: Int = 0): StreamingQuery = {
 
     val parsed = records
       .withColumn("parsed", from_json(col("value"), rawSchema,
@@ -44,11 +55,15 @@ object LakeIngest {
     records.sparkSession.sqlContext.setConf(
       "spark.sql.streaming.schemaInference", "false")
 
+    // open-partition tracker for the compaction pass; foreachBatch
+    // invocations are serialized per query, so no synchronization
+    val openPartitions = scala.collection.mutable.Map.empty[String, Long]
+
     parsed.writeStream
       .queryName("lake_ingest")
       .trigger(trigger)
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val b = batch.persist()
         try {
           // corrupt-record side output (Firehose error prefix): a record
@@ -58,16 +73,38 @@ object LakeIngest {
           val bad = b.filter(col("parsed.id").isNull && col("value").isNotNull)
             .select(col("value"))
           val ts = to_timestamp(col("metrictimestamp"))
-          good
+          val withParts = good
             .withColumn("region", lit(region))
             .withColumn("year", year(ts).cast("smallint"))
             .withColumn("month", month(ts).cast("smallint"))
             .withColumn("day", dayofmonth(ts).cast("smallint"))
             .withColumn("hour", hour(ts).cast("smallint"))
-            .write.mode("append")
-            .partitionBy("region", "year", "month", "day", "hour")
-            .parquet(outDir)
-          if (!bad.isEmpty) bad.write.mode("append").text(errDir)
+            .persist()
+          try {
+            withParts
+              .write.mode("append")
+              .partitionBy("region", "year", "month", "day", "hour")
+              .parquet(outDir)
+            if (!bad.isEmpty) bad.write.mode("append").text(errDir)
+            if (compactLagBatches > 0) {
+              // distinct partition tuples of THIS batch: metadata-scale
+              val touched = withParts
+                .select("region", "year", "month", "day", "hour")
+                .filter(col("year").isNotNull)
+                .distinct().collect()
+                .map(r => s"$outDir/region=${r.get(0)}/year=${r.get(1)}" +
+                  s"/month=${r.get(2)}/day=${r.get(3)}/hour=${r.get(4)}")
+              touched.foreach(p => openPartitions(p) = batchId)
+              val closed = openPartitions.collect {
+                case (p, last) if batchId - last >= compactLagBatches => p
+              }.toSeq
+              closed.foreach { p =>
+                graft.operators.PartitionOps.compactPartition(
+                  batch.sparkSession, p)
+                openPartitions.remove(p)
+              }
+            }
+          } finally { withParts.unpersist(); () }
         } finally { b.unpersist(); () }
       }
       .start()

@@ -335,6 +335,47 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("lake ingest compacts a closed partition after the lag elapses (O-9 + compaction)") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[String]
+    val out = Files.createTempDirectory("lakec").toString
+    val err = Files.createTempDirectory("lakecerr").toString
+    val ckpt = Files.createTempDirectory("ckptc").toString
+    def rec(id: String, hour: Int): String =
+      s"""{"collectiontime":"2024-01-02T0$hour:00:00","namespace":"NS","name":"N",
+         |"period":3600,"frequency":"hour","statistic":"Sum","metadata":null,
+         |"dimensions":null,"accountid":"a","metrictimestamp":"2024-01-02T0$hour:00:00",
+         |"metricvalue":7.5,"id":"$id","label":"N"}""".stripMargin.replace("\n", "")
+
+    val q = LakeIngest.start(mem.toDF(), out, err, ckpt,
+      trigger = Trigger.ProcessingTime("1 second"), compactLagBatches = 2)
+    try {
+      // three micro-batches land three files in the hour=3 partition
+      (1 to 3).foreach { i =>
+        mem.addData(rec(s"h3-$i", 3)); q.processAllAvailable()
+      }
+      val part3 = new java.io.File(s"$out/region=local-1/year=2024/month=1/day=2/hour=3")
+      def parquets(d: java.io.File) =
+        Option(d.listFiles()).getOrElse(Array.empty)
+          .filter(_.getName.endsWith(".parquet"))
+      assert(parquets(part3).length == 3, s"expected 3 pre-compaction files")
+      // event time moves to hour=4; after 2 batches without touching
+      // hour=3 the lag elapses and the partition is rewritten
+      (1 to 2).foreach { i =>
+        mem.addData(rec(s"h4-$i", 4)); q.processAllAvailable()
+      }
+      assert(parquets(part3).length == 1,
+        s"hour=3 not compacted: ${parquets(part3).length} files")
+      // identical rows survive the rewrite and the open partition is untouched
+      val landed = spark.read.parquet(out)
+      assert(landed.filter(col("hour") === 3).count() == 3)
+      assert(landed.filter(col("hour") === 4).count() == 2)
+      assert(landed.filter(col("hour") === 3)
+        .select("id").collect().map(_.getString(0)).sorted.toSeq ==
+        Seq("h3-1", "h3-2", "h3-3"))
+    } finally q.stop()
+  }
+
   test("streaming percentile statValue crosses the sample fold and matches batch percentile_approx") {
     import graft.streaming.StreamingAlarmPipeline
     // 10,000 values in one window: crosses the 4096-sample foldSamples
