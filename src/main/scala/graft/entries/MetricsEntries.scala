@@ -93,17 +93,21 @@ private[graft] object MetricsEntries {
       import s.implicits._
       val raw = datapoints(s, dir)
       val slas = slasDf(s)
-      val streamed = reg.defaultDefinition.allSlas.flatMap { sla =>
-        val sid = sla.metric.uniqueId
-        val pts = raw.filter(col("series_id") === sid)
-          .select(col("series_id"), col("ts"),
-            col("value").cast("double"))
-          .as[(String, java.sql.Timestamp, Double)]
-          .collect().toSeq // verification fixture, bounded per series
-        graft.streaming.StreamParity.replayTransitions(
-          s, pts, slas.filter(col("series_id") === sid),
-          sla.metric.statistic, sla.metric.period)
-      }
+      // one replay per SLA, run concurrently: independent
+      // single-series streams whose per-micro-batch fixed costs would
+      // otherwise serialize
+      val streamed = graft.streaming.StreamParity.replayAll(
+        reg.defaultDefinition.allSlas.map { sla => () =>
+          val sid = sla.metric.uniqueId
+          val pts = raw.filter(col("series_id") === sid)
+            .select(col("series_id"), col("ts"),
+              col("value").cast("double"))
+            .as[(String, java.sql.Timestamp, Double)]
+            .collect().toSeq // verification fixture, bounded per series
+          graft.streaming.StreamParity.replayTransitions(
+            s, pts, slas.filter(col("series_id") === sid),
+            sla.metric.statistic, sla.metric.period)
+        })
       val streamDf = streamed
         .map(t => (t.seriesId, t.windowStart, t.prevState, t.newState))
         .toDF("series_id", "window_start", "s_prev", "s_new")

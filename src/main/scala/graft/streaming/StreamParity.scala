@@ -37,7 +37,13 @@ object StreamParity {
   private val runId = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** Replay one series' raw datapoints; returns its transition stream
-    * over windows (lo, hi], sorted by window. */
+    * over windows (lo, hi], sorted by window.
+    *
+    * The replay runs on a CHILD session (same SparkContext, own
+    * SQLConf) with a handful of shuffle partitions: the stream carries
+    * ONE stateful group, so the parent's partition count would only
+    * multiply empty state-store tasks per micro-batch (32 partitions ×
+    * 3 micro-batches of pure overhead measured ~3× the whole replay). */
   def replayTransitions(
       spark: SparkSession,
       points: Seq[(String, java.sql.Timestamp, Double)],
@@ -45,16 +51,23 @@ object StreamParity {
       statistic: String,
       periodSec: Long): Seq[AlarmStream.Transition] = {
     if (points.isEmpty) return Seq.empty
-    import spark.implicits._
-    implicit val sq = spark.sqlContext
+    val child = spark.newSession()
+    child.conf.set("spark.sql.shuffle.partitions", "2")
+    import child.implicits._
+    implicit val sq = child.sqlContext
     val seriesId = points.head._1
     val secs = points.map(_._2.getTime / 1000)
     val lo = math.floorDiv(secs.min, periodSec) * periodSec
     val hi = math.floorDiv(secs.max, periodSec) * periodSec
     val mem = MemoryStream[(String, java.sql.Timestamp, Double)]
     val name = s"stream_parity_${runId.incrementAndGet()}"
+    // rebuild the (tiny) SLA config frame on the child session — a
+    // parent-session plan must not leak into the child's stream
+    val childSlas = child.createDataFrame(
+      java.util.Arrays.asList(slas.collect(): _*), slas.schema)
     val q = StreamingAlarmPipeline.evaluateStream(
-        mem.toDF().toDF("series_id", "ts", "value"), slas, statistic,
+        mem.toDF().toDF("series_id", "ts", "value"),
+        childSlas, statistic,
         watermark = "0 seconds")
       .writeStream.format("memory").queryName(name)
       .outputMode("append").start()
@@ -64,12 +77,23 @@ object StreamParity {
       mem.addData((seriesId,
         new java.sql.Timestamp((hi + periodSec) * 1000 + 1000), 0.0))
       q.processAllAvailable()
-      spark.table(name).as[AlarmStream.Transition].collect().toSeq
+      child.table(name).as[AlarmStream.Transition].collect().toSeq
         .filter(t => t.windowStart > lo && t.windowStart <= hi)
         .sortBy(_.windowStart)
     } finally {
       q.stop()
-      spark.catalog.dropTempView(name)
+      child.catalog.dropTempView(name)
     }
+  }
+
+  /** Run several replays concurrently — independent single-series
+    * streams that would otherwise serialize their per-micro-batch
+    * fixed costs. */
+  def replayAll[A](jobs: Seq[() => Seq[A]]): Seq[A] = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    Await.result(Future.sequence(jobs.map(j => Future(j()))), Duration.Inf)
+      .flatten
   }
 }
