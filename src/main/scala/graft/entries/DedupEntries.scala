@@ -159,6 +159,20 @@ private[graft] object DedupEntries {
         .orderBy("id_a", "id_b")
     },
 
+    // Leakage-safe train/val/test split: assignment decided per
+    // near-dup cluster (not per doc), so a near-copy of a held-out doc
+    // can never survive in train. 10% val / 10% test by the
+    // deterministic md5 permyriad bucket of the cluster key.
+    "q_split_safe" -> { (s, dir) =>
+      val corpus = nearDupCorpus(s, dir)
+      val pairs = Dedup.minhashNearDupPairs(corpus, shingleN = 3, k = 12,
+        bands = 4, threshold = 0.5)
+      val clusters = Dedup.nearDupClusters(pairs)
+      graft.pipeline.Corpus.leakageSafeSplit(corpus, clusters,
+          valPermyriad = 1000, testPermyriad = 1000)
+        .select("doc_id", "split").orderBy("doc_id")
+    },
+
     // Dedup-key text normalization (accent fold + case + punctuation
     // collapse) and the exact-dup groups it exposes that raw md5 missed.
     "q_normalize" -> { (s, dir) =>
@@ -312,6 +326,39 @@ private[graft] object DedupEntries {
         |FROM cand JOIN shf x ON x.doc_id = id_a JOIN shf y ON y.doc_id = id_b)
         |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.5
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_split_safe" ->
+      s"""WITH RECURSIVE $nearDupCorpusSql,
+         |w AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS w FROM all_docs),
+         |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(w) >= 3
+         |THEN list_transform(range(1, len(w)-1), i -> array_to_string(w[i:i+2], ' '))
+         |ELSE [] END) AS shingles FROM w),
+         |shf AS (SELECT * FROM sh WHERE len(shingles) > 0),
+         |sig AS (SELECT doc_id, shingles, list_transform(range(0, 12),
+         |i -> list_min(list_transform(shingles, s -> md5(CAST(i AS VARCHAR) || ':' || s)))) AS sig FROM shf),
+         |band AS (SELECT doc_id, t.b AS band, md5(array_to_string(sig[t.b*3+1:t.b*3+3], '|')) AS band_key
+         |FROM sig, range(0, 4) t(b)),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM band a
+         |JOIN band b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+         |j AS (SELECT id_a, id_b,
+         |CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE) /
+         |len(list_distinct(list_concat(x.shingles, y.shingles))) AS jaccard
+         |FROM cand JOIN shf x ON x.doc_id = id_a JOIN shf y ON y.doc_id = id_b),
+         |pairs AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.5),
+         |edges AS (SELECT id_a, id_b FROM pairs UNION SELECT id_b, id_a FROM pairs),
+         |reach(src, dst) AS (SELECT id_a, id_b FROM edges
+         |UNION SELECT r.src, e.id_b FROM reach r JOIN edges e ON r.dst = e.id_a),
+         |clus AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+         |FROM reach GROUP BY src),
+         |grp AS (SELECT d.doc_id, CAST(coalesce(c.cluster_id, d.doc_id) AS VARCHAR) AS gk
+         |FROM all_docs d LEFT JOIN clus c USING (doc_id)),
+         |bk AS (SELECT doc_id,
+         |(ascii(substr(md5(gk), 1, 1)) * 29791 + ascii(substr(md5(gk), 2, 1)) * 961 +
+         | ascii(substr(md5(gk), 3, 1)) * 31 + ascii(substr(md5(gk), 4, 1))) % 10000 AS b
+         |FROM grp)
+         |SELECT doc_id, CASE WHEN b < 1000 THEN 'test'
+         |WHEN b < 2000 THEN 'val' ELSE 'train' END AS split
+         |FROM bk ORDER BY doc_id""".stripMargin,
 
     "q_normalize" ->
       """WITH all_docs AS (SELECT doc_id, text FROM documents UNION ALL

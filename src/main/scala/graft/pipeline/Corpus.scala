@@ -208,4 +208,38 @@ object Corpus {
         // rounds in other engines — floor is unambiguous everywhere
         floor(avg(length(col(textCol)))).cast("long").as("avg_chars"))
   }
+
+  /**
+   * Leakage-safe train/val/test split: the split decision is made per
+   * near-dup CLUSTER, not per document, so near-duplicates can never
+   * straddle a split boundary — the classic eval-contamination bug
+   * where a near-copy of a held-out document survives in train.
+   * `clusters` is a (idCol, cluster_id) table (e.g.
+   * [[Dedup.nearDupClusters]] output); documents outside any cluster
+   * use their own id as the group key. The bucket is the same
+   * deterministic md5 permyriad fold the samplers use
+   * ([[hashBucket10k]] over the group key), so the assignment is
+   * stateless, partition-order independent, reproducible under retry,
+   * and oracle-replicable.
+   *
+   * Scale: the duplicate-cluster table is orders of magnitude smaller
+   * than the corpus (rows exist only for near-duplicated docs), so the
+   * join broadcasts; the corpus itself is never shuffled — one narrow
+   * pass decides every row.
+   */
+  def leakageSafeSplit(docs: DataFrame, clusters: DataFrame,
+      valPermyriad: Int, testPermyriad: Int,
+      idCol: String = "doc_id"): DataFrame = {
+    require(valPermyriad >= 0 && testPermyriad >= 0 &&
+      valPermyriad + testPermyriad <= 10000, "split fractions exceed 1")
+    val groupKey = coalesce(col("cluster_id"), col(idCol))
+    val b = hashBucket10k(groupKey.cast("string"))
+    docs.join(broadcast(clusters.select(col(idCol), col("cluster_id"))),
+        Seq(idCol), "left")
+      .withColumn("split",
+        when(b < testPermyriad, "test")
+          .when(b < testPermyriad + valPermyriad, "val")
+          .otherwise("train"))
+      .drop("cluster_id")
+  }
 }

@@ -134,6 +134,34 @@ class PipelineSpec extends SparkTestBase {
     }
   }
 
+  test("leakage-safe split keeps every near-dup cluster in one split") {
+    val docs = Tables.read(spark, sf0001, "documents").select("doc_id", "text")
+    // heavy duplication so clusters are plentiful at sf0.001
+    val corpus = docs.unionByName(docs.filter(col("doc_id") % 3 === 0)
+      .select((col("doc_id") + 20000).as("doc_id"),
+        concat(col("text"), lit(" tail")).as("text")))
+    val pairs = Dedup.minhashNearDupPairs(corpus, shingleN = 3, k = 12,
+      bands = 4, threshold = 0.5)
+    val clusters = Dedup.nearDupClusters(pairs)
+    val split = graft.pipeline.Corpus.leakageSafeSplit(corpus, clusters,
+      valPermyriad = 3000, testPermyriad = 3000)
+    // the defining property: no cluster straddles a split boundary
+    val straddling = split.join(clusters, "doc_id")
+      .groupBy("cluster_id")
+      .agg(countDistinct(col("split")).as("n_splits"))
+      .filter(col("n_splits") > 1).count()
+    assert(straddling == 0, s"$straddling clusters straddle splits")
+    // every doc is assigned, assignment is deterministic across runs
+    val counts = split.groupBy("split").count()
+      .as[(String, Long)].collect().toMap
+    assert(counts.values.sum == corpus.count())
+    assert(counts.getOrElse("train", 0L) > 0)
+    val again = graft.pipeline.Corpus.leakageSafeSplit(corpus, clusters,
+      valPermyriad = 3000, testPermyriad = 3000)
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(again == counts)
+  }
+
   test("definition loader round-trips the exported JSON tables") {
     import graft.registry.{DefinitionExport, DefinitionLoader, DefinitionRegistry}
     val out = java.nio.file.Files.createTempDirectory("defs2").toString
