@@ -81,6 +81,13 @@ private[graft] object CorpusEntries {
         .select("doc_id", "source").orderBy("doc_id")
     },
 
+    // Per-source cap: at most N docs per source, kept as a
+    // deterministic content-hash sample — the anti-domination guard.
+    "q_source_cap" -> { (s, dir) =>
+      graft.pipeline.Corpus.capPerGroup(docs(s, dir), "source", maxDocs = 20)
+        .select("doc_id", "source").orderBy("doc_id")
+    },
+
     // Boilerplate coverage: per-doc share of n-gram occurrences whose
     // gram appears in ≥ minDf distinct documents.
     "q_boilerplate" -> { (s, dir) =>
@@ -230,6 +237,15 @@ private[graft] object CorpusEntries {
         |CASE d.source WHEN 'src1' THEN 5 WHEN 'src3' THEN 3 WHEN 'src7' THEN 2 ELSE 0 END)
         |// (10 * c.n))
         |ORDER BY d.doc_id""".stripMargin,
+
+    "q_source_cap" ->
+      """WITH b AS (SELECT doc_id, source,
+        |(ascii(substr(md5(text), 1, 1)) * 29791 + ascii(substr(md5(text), 2, 1)) * 961 +
+        | ascii(substr(md5(text), 3, 1)) * 31 + ascii(substr(md5(text), 4, 1))) % 10000 AS bk
+        |FROM documents),
+        |r AS (SELECT doc_id, source,
+        |row_number() OVER (PARTITION BY source ORDER BY bk, doc_id) AS rn FROM b)
+        |SELECT doc_id, source FROM r WHERE rn <= 20 ORDER BY doc_id""".stripMargin,
 
     "q_boilerplate" ->
       """WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w FROM documents),

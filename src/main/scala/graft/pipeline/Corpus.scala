@@ -227,6 +227,29 @@ object Corpus {
    * join broadcasts; the corpus itself is never shuffled — one narrow
    * pass decides every row.
    */
+  /**
+   * Cap the number of documents kept per group (source / domain /
+   * host) — the anti-domination guard that stops one crawl host from
+   * swamping a mixture. Survivors are the lowest-ranked members by
+   * (content-hash bucket, id), so the kept subset is a deterministic
+   * pseudo-random sample of the group: stable across runs, partitions,
+   * and engines (rand() is none of those), and oracle-replicable.
+   *
+   * Scale: one shuffle by group key; the within-group sort is bounded
+   * by group size, and groups are independent, so skew is capped by
+   * the largest single group — the same bound any per-group operator
+   * carries.
+   */
+  def capPerGroup(docs: DataFrame, groupCol: String, maxDocs: Int,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(maxDocs > 0, "cap must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(hashBucket10k(col(textCol)), col(idCol))
+    docs.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= maxDocs).drop("__rn")
+  }
+
   def leakageSafeSplit(docs: DataFrame, clusters: DataFrame,
       valPermyriad: Int, testPermyriad: Int,
       idCol: String = "doc_id"): DataFrame = {

@@ -134,6 +134,22 @@ class PipelineSpec extends SparkTestBase {
     }
   }
 
+  test("per-group cap: respects the cap, keeps small groups whole, deterministic") {
+    val docs = Tables.read(spark, sf0001, "documents")
+    val capped = graft.pipeline.Corpus.capPerGroup(docs, "source", maxDocs = 3)
+    val counts = capped.groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(counts.values.forall(_ <= 3), s"cap violated: $counts")
+    val original = docs.groupBy("source").count().as[(String, Long)].collect().toMap
+    original.foreach { case (src, n) =>
+      assert(counts(src) == math.min(n, 3L), s"$src: ${counts(src)} of $n")
+    }
+    // deterministic survivor set
+    val ids1 = capped.select("doc_id").as[Long].collect().sorted.toSeq
+    val ids2 = graft.pipeline.Corpus.capPerGroup(docs, "source", maxDocs = 3)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(ids1 == ids2)
+  }
+
   test("leakage-safe split keeps every near-dup cluster in one split") {
     val docs = Tables.read(spark, sf0001, "documents").select("doc_id", "text")
     // heavy duplication so clusters are plentiful at sf0.001
