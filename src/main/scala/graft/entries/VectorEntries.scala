@@ -123,13 +123,18 @@ private[graft] object VectorEntries {
         |round(lo, 6) AS vmin, round(hi, 6) AS vmax
         |FROM s ORDER BY vec_id""".stripMargin,
 
+    // Every non-null value is codec-produced (ImageIO / WAV decode /
+    // MJPNG frame walk) and predicted from the doc_id-derived encoding
+    // parameters: constant-gray frames put 100% of pixels in one bin.
     "q_media_features" ->
       """SELECT doc_id AS media_id,
         CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-        CASE WHEN doc_id % 3 = 0 THEN CAST(doc_id % 64 + 1 AS INTEGER) END AS width_px,
-        CASE WHEN doc_id % 3 = 0 THEN CAST(doc_id % 48 + 1 AS INTEGER) END AS height_px,
-        CASE WHEN doc_id % 3 = 0 THEN CAST((doc_id % 256) // 16 AS INTEGER) END AS dominant_bin,
-        CASE WHEN doc_id % 3 = 0 THEN CAST(1.0 AS DOUBLE) END AS dominant_frac,
+        CASE WHEN doc_id % 3 = 0 THEN CAST(doc_id % 64 + 1 AS INTEGER)
+             WHEN doc_id % 3 = 2 THEN CAST(doc_id % 16 + 1 AS INTEGER) END AS width_px,
+        CASE WHEN doc_id % 3 = 0 THEN CAST(doc_id % 48 + 1 AS INTEGER)
+             WHEN doc_id % 3 = 2 THEN CAST(doc_id % 12 + 1 AS INTEGER) END AS height_px,
+        CASE WHEN doc_id % 3 IN (0, 2) THEN CAST((doc_id % 256) // 16 AS INTEGER) END AS dominant_bin,
+        CASE WHEN doc_id % 3 IN (0, 2) THEN CAST(1.0 AS DOUBLE) END AS dominant_frac,
         CASE WHEN doc_id % 3 = 1 THEN CAST(16000 AS INTEGER) END AS sample_rate_hz,
         CASE WHEN doc_id % 3 = 1 THEN CAST(doc_id % 100 + 10 AS BIGINT) END AS n_samples,
         CASE WHEN doc_id % 3 = 1 THEN CAST(doc_id % 1000 AS INTEGER) END AS peak,

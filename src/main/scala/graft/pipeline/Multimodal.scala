@@ -11,14 +11,16 @@ import org.apache.spark.sql.functions._
 /**
  * Multimodal column plumbing: image/audio/video payloads ride as
  * opaque `binary` columns with typed metadata, processed
- * partition-parallel in batches. Image and audio decode are REAL
+ * partition-parallel in batches. All three decode paths are REAL
  * codecs from the public JDK standard library — `javax.imageio`
- * (PNG/JPEG/BMP) and `javax.sound.sampled` (WAV/PCM) — exercised on
- * payloads the fixture generator actually encodes with the same
- * codecs. Video has no JDK codec, so its per-frame decode stays a
- * metadata-driven deterministic plan (frame indices sampled by
- * stride); a production build swaps in an FFI decoder behind the same
- * mapPartitions batch shape.
+ * (PNG/JPEG/BMP) for images, `javax.sound.sampled` (WAV/PCM) for
+ * audio, and for video an MJPNG-style container (length-prefixed PNG
+ * frames) whose per-frame decode is again ImageIO. The JDK has no
+ * H.264/VP9 bitstream codec, so the container is the codec-complete
+ * stand-in: the stride-sampled container walk + per-frame decode +
+ * histogram aggregation is exactly the batch shape a production FFI
+ * decoder (e.g. an ffmpeg binding) plugs into, and every emitted value
+ * is a codec-produced fact the fixture parameters predict.
  */
 object Multimodal {
 
@@ -75,33 +77,68 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Encode an MJPNG-style video container: nFrames length-prefixed
+    * PNG frames (4-byte big-endian length, then the frame bytes). A
+    * public, fully-decodable stand-in for a video bitstream. */
+  def videoBytes(w: Int, h: Int, gray: Int, nFrames: Int): Array[Byte] = {
+    val frame = pngBytes(w, h, gray)
+    val bos = new ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    var i = 0
+    while (i < nFrames) { out.writeInt(frame.length); out.write(frame); i += 1 }
+    out.flush()
+    bos.toByteArray
+  }
+
   /** Deterministic synthetic corpus derived from the documents table:
-    * payloads are REAL PNG / WAV bytes encoded from doc_id-derived
-    * parameters (video payloads stay opaque text bytes — no JDK
-    * codec), metadata typed as a real pipeline would carry it. */
+    * payloads are REAL PNG / WAV / MJPNG bytes encoded from
+    * doc_id-derived parameters, metadata typed as a real pipeline
+    * would carry it. Video frames are kept small (≤16×12) so the
+    * per-frame decode cost is bounded by design, like a thumbnail
+    * stream. */
   def syntheticMedia(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(col("doc_id"), col("text")).as[(Long, String)].map {
-      case (id, text) =>
-        val w = (id % 64 + 1).toInt
-        val h = (id % 48 + 1).toInt
+      case (id, _) =>
         val kind = (id % 3) match {
           case 0 => "image"; case 1 => "audio"; case _ => "video"
         }
+        val (w, h) = kind match {
+          case "video" => ((id % 16 + 1).toInt, (id % 12 + 1).toInt)
+          case _       => ((id % 64 + 1).toInt, (id % 48 + 1).toInt)
+        }
+        val nFrames = (id % 30 + 1).toInt
         val payload = kind match {
           case "image" => pngBytes(w, h, (id % 256).toInt)
           case "audio" => wavBytes(16000, (id % 1000).toInt, (id % 100 + 10).toInt)
-          case _       => text.getBytes("UTF-8")
+          case _       => videoBytes(w, h, (id % 256).toInt, nFrames)
         }
-        MediaRecord(id, kind, payload, w, h, 16000, (id % 30 + 1).toInt)
+        MediaRecord(id, kind, payload, w, h, 16000, nFrames)
     }.toDF()
+  }
+
+  /** 16-bin luminance histogram accumulated over one decoded image. */
+  private def accumulateHist(img: BufferedImage, hist: Array[Long]): Unit = {
+    val w = img.getWidth; val h = img.getHeight
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val lum = (((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)) / 3
+        hist(lum / 16) += 1
+        x += 1
+      }
+      y += 1
+    }
   }
 
   /** Real per-batch decode: ImageIO for images (any JDK-supported
     * container — PNG/JPEG/BMP/GIF), javax.sound.sampled for audio
-    * (WAV/AU/AIFF PCM). Video: no JDK codec exists, so frame sampling
-    * is planned from metadata (every frameStride-th of n_frames). */
+    * (WAV/AU/AIFF PCM), stride-sampled container walk + per-frame
+    * ImageIO for video (every frameStride-th frame is decoded; the
+    * rest are skipped without decoding, like keyframe sampling). */
   private def decodeBatch(records: Iterator[MediaRecord],
       frameStride: Int): Iterator[MediaFeatures] =
     records.map { r =>
@@ -112,17 +149,7 @@ object Multimodal {
           val w = img.getWidth; val h = img.getHeight
           // 16-bin luminance histogram; dominant bin + its share
           val hist = new Array[Long](16)
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              val rgb = img.getRGB(x, y)
-              val lum = (((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)) / 3
-              hist(lum / 16) += 1
-              x += 1
-            }
-            y += 1
-          }
+          accumulateHist(img, hist)
           val dom = hist.indices.maxBy(hist(_))
           val total = w.toLong * h
           MediaFeatures(r.media_id, r.kind, Some(w), Some(h),
@@ -145,9 +172,31 @@ object Multimodal {
           }
           MediaFeatures(r.media_id, r.kind, None, None, None, None,
             Some(fmt.getSampleRate.toInt), Some(n), Some(peak), None)
-        case _ => // video: metadata-planned frame sampling, no JDK codec
-          val sampled = (r.n_frames + frameStride - 1) / frameStride
-          MediaFeatures(r.media_id, r.kind, None, None, None, None,
+        case _ => // video: MJPNG container, stride-sampled frame decode
+          val in = new java.io.DataInputStream(
+            new ByteArrayInputStream(r.payload))
+          val hist = new Array[Long](16)
+          var w = 0; var h = 0
+          var idx = 0; var sampled = 0
+          while (in.available() >= 4) {
+            val len = in.readInt()
+            val buf = new Array[Byte](len)
+            in.readFully(buf)
+            if (idx % frameStride == 0) {
+              val img = ImageIO.read(new ByteArrayInputStream(buf))
+              require(img != null,
+                s"media_id=${r.media_id}: undecodable frame $idx")
+              w = img.getWidth; h = img.getHeight
+              accumulateHist(img, hist)
+              sampled += 1
+            }
+            idx += 1
+          }
+          require(sampled > 0, s"media_id=${r.media_id}: empty video")
+          val dom = hist.indices.maxBy(hist(_))
+          val total = hist.sum
+          MediaFeatures(r.media_id, r.kind, Some(w), Some(h),
+            Some(dom), Some(hist(dom).toDouble / total),
             None, None, None, Some(sampled))
       }
     }

@@ -484,7 +484,7 @@ class PipelineSpec extends SparkTestBase {
     assert(und.select(TextFns.langId(col("text"))).as[String].head() == "und")
   }
 
-  test("multimodal: real PNG/WAV codec round-trip, video plan, resize clamps") {
+  test("multimodal: real PNG/WAV/MJPNG codec round-trip, resize clamps") {
     // doc_ids 75 (image), 76 (audio), 77 (video)
     val media = Multimodal.syntheticMedia(
       Seq((75L, "img doc", "en", "s", 7L), (76L, "wav doc", "en", "s", 7L),
@@ -504,9 +504,13 @@ class PipelineSpec extends SparkTestBase {
     assert(aud.sample_rate_hz.contains(16000), s"$aud")
     assert(aud.n_samples.contains(86L) && aud.peak.contains(76), s"$aud")
 
-    // video 77: no JDK codec — frame plan from metadata: n_frames =
-    // 77 % 30 + 1 = 18, stride 2 → 9 sampled
-    assert(feats(77L).frames_sampled.contains(9), s"${feats(77L)}")
+    // video 77: MJPNG container of n_frames = 77 % 30 + 1 = 18 real
+    // PNG frames (14×6, gray 77); stride 2 decodes 9 of them, and the
+    // codec-produced dims/histogram match the encode parameters
+    val vid = feats(77L)
+    assert(vid.frames_sampled.contains(9), s"$vid")
+    assert(vid.width_px.contains(14) && vid.height_px.contains(6), s"$vid")
+    assert(vid.dominant_bin.contains(4) && vid.dominant_frac.contains(1.0), s"$vid")
 
     // payloads are real containers: PNG magic / RIFF-WAVE header
     val payloads = media.select("media_id", "payload")
