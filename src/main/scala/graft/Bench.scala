@@ -20,6 +20,21 @@ import org.apache.spark.sql.SparkSession
   * max trial is NOT used for the flag: the first trial legitimately
   * carries residual JIT/codegen cost — that is exactly the noise the
   * median exists to discard.)
+  *
+  * Streaming isolation (round 8): round 7's bench ran the streaming
+  * parity harness 4th of 72 in sorted order, and every later query
+  * inherited its JVM residue (state-store maintenance thread, stream
+  * listener bus, memory sinks) — the r7 bench recorded a 2.1x
+  * "regression" on verbatim-unchanged code. Streaming queries now run
+  * LAST, and after each one the bench tears down streaming residue
+  * (stop leftover streams, StateStore.stop()) and verifies
+  * `spark.streams.active.isEmpty` before the next timing starts.
+  *
+  * Taint guard (round 8): >8 unstable queries marks the whole artifact
+  * `"tainted":true` — a polluted JVM or loaded machine can no longer
+  * masquerade as an engine regression (round 7 had 17 unstable vs the
+  * usual ≤6). SPARK_GRAFT_SKIP (comma-separated query names) excludes
+  * queries from a run for A/B forensics.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -48,17 +63,40 @@ object Bench {
       .getOrElse(new java.io.File("/nonexistent"))
     val warmupWanted = sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") != "0"
     val warmedUp = warmupWanted && warmDir.isDirectory
-    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    // Queries that start Structured Streaming work: run last and tear
+    // down their JVM residue so batch timings never inherit it.
+    val streamingQueries = Set("q_alarm_stream_parity")
+    val skip = sys.env.getOrElse("SPARK_GRAFT_SKIP", "")
+      .split(',').map(_.trim).filter(_.nonEmpty).toSet
+    val names = SparkEntry.queries.toSeq
+      .filterNot { case (n, _) => skip.contains(n) }
+      .sortBy { case (n, _) => (streamingQueries.contains(n), n) }
+    // Drop every trace a streaming query leaves in the shared JVM:
+    // stop any stream that outlived its query, unload state-store
+    // providers AND their maintenance thread (a fresh stream restarts
+    // it lazily). Harmless no-op after batch-only queries.
+    def drainStreamingResidue(): Unit = {
+      spark.streams.active.foreach { q =>
+        try q.stop() catch { case scala.util.control.NonFatal(_) => () }
+      }
+      try org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
     if (warmedUp) {
-      names.foreach { case (_, fn) =>
+      names.foreach { case (name, fn) =>
         try fn(spark, warmDir.getPath).count()
         catch { case scala.util.control.NonFatal(_) => () }
         spark.catalog.clearCache()
+        if (streamingQueries.contains(name)) drainStreamingResidue()
       }
     }
     final case class Timing(name: String, median: Double, min: Double,
         max: Double, ok: Boolean)
     val results = names.map { case (name, fn) =>
+      // a timing starts only on a streaming-quiet JVM
+      require(spark.streams.active.isEmpty,
+        s"streaming residue before $name: " +
+          spark.streams.active.map(_.name).mkString(","))
       val samples = (1 to trials).map { _ =>
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
@@ -67,6 +105,7 @@ object Bench {
         // clear so trials are independent and a long run doesn't
         // accumulate session storage
         spark.catalog.clearCache()
+        if (streamingQueries.contains(name)) drainStreamingResidue()
         ((System.nanoTime() - t0) / 1e9, ok)
       }
       val ok = samples.forall(_._2)
@@ -89,6 +128,15 @@ object Bench {
     val errors = results.collect { case r if !r.ok => "\"" + r.name + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case r if r.ok => r.median }.sum
+    // Taint guard: healthy rounds sit at ≤6 unstable queries; >8 means
+    // the RUN is untrustworthy (polluted JVM / loaded machine), not
+    // that the engine regressed — round 7's lesson, encoded.
+    val unstableCount = results.count(
+      r => r.ok && r.min > 0 && (r.median - r.min) / r.min > 0.2)
+    val tainted = unstableCount > 8
+    if (tainted) System.err.println(
+      s"BENCH TAINTED: $unstableCount unstable queries (>8) — treat " +
+        "totals as environment noise, not engine performance")
     // Full-precision medians + spread + instability flags go to a side
     // file: the harness that captures this process's stdout keeps only
     // the last ~2000 characters, and a 69-query spread map pushed the
@@ -97,7 +145,7 @@ object Bench {
     // compact (3-decimal medians, no spread) so it always fits.
     val qs6 = results.map(r => "\"" + r.name + "\":" + (if (r.ok) f6(r.median) else "-1.0"))
       .mkString("{", ",", "}")
-    val detail = s"""{"metric":"total","value":$total,"unit":"sec","warmup":$warmedUp,"trials":$trials,"queries":$qs6,"spread":$spread,"unstable":$unstable,"errors":$errors,"sf":"$sfDir"}"""
+    val detail = s"""{"metric":"total","value":$total,"unit":"sec","warmup":$warmedUp,"trials":$trials,"tainted":$tainted,"queries":$qs6,"spread":$spread,"unstable":$unstable,"errors":$errors,"sf":"$sfDir"}"""
     try {
       val w = new java.io.PrintWriter("BENCH_DETAIL.json", "UTF-8")
       try w.println(detail) finally w.close()
@@ -107,7 +155,7 @@ object Bench {
     // are not comparable).
     val qs3 = results.map(r => "\"" + r.name + "\":" + (if (r.ok) f3(r.median) else "-1.0"))
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","warmup":$warmedUp,"trials":$trials,"queries":$qs3,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","warmup":$warmedUp,"trials":$trials,"tainted":$tainted,"queries":$qs3,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

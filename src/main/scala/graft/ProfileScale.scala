@@ -8,7 +8,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.catalog.Tables
 import graft.operators.{AlarmStateMachine, StatWindowAgg}
-import graft.pipeline.{Dedup, Packing, Similarity}
+import graft.pipeline.{Corpus, Dedup, Packing, Similarity}
 
 /**
  * Scale-evidence profiler for the dedup/ANN/packing family plus the
@@ -147,7 +147,7 @@ object ProfileScale {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val outPath = if (args.length > 0) args(0) else "PROFILE_r07.json"
+    val outPath = if (args.length > 0) args(0) else "PROFILE_r08.json"
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.sql.adaptive.enabled", "true")
@@ -172,6 +172,28 @@ object ProfileScale {
           Similarity.centroids(vecs), k = 5, nprobe = 3)
       },
       "packing" -> (m => Packing.streamPacks(scaledDocs(spark, sfDir, m), 2048L)),
+      // worst-case anti-domination: ONE source holds half the corpus.
+      // The two-phase cap must keep task skew bounded (pre-cap fans the
+      // dominant group over Corpus.CapFanout hash buckets) — the
+      // single-window form this replaced sorted the whole dominant
+      // source in one task.
+      "source_cap" -> { m =>
+        val docs = scaledDocs(spark, sfDir, m).withColumn("source",
+          when(col("doc_id") % 2 === 0, lit("dominant_crawl"))
+            .otherwise(concat(lit("site_"), pmod(col("doc_id"), lit(20)))))
+        Corpus.capPerGroup(docs, "source", maxDocs = 500)
+      },
+      // leakage-safe split with a web-scale dup rate: ~40% of docs
+      // carry a cluster id, so the cluster side is NOT broadcastable by
+      // construction — the profile proves the plain equi-join scales
+      // (the broadcast hint this replaced would ship the whole table).
+      "leakage_split" -> { m =>
+        val docs = scaledDocs(spark, sfDir, m)
+        val clusters = docs.filter(col("doc_id") % 5 < 2)
+          .select(col("doc_id"), (col("doc_id") / 3).cast("long").as("cluster_id"))
+        Corpus.leakageSafeSplit(docs, clusters, valPermyriad = 500,
+          testPermyriad = 500)
+      },
       "stat_window_agg" -> (m =>
         StatWindowAgg.aggregateOne(scaledDatapoints(spark, sfDir, m), "Sum", 3600)),
       "alarm_machine" -> { m =>

@@ -222,11 +222,29 @@ object Corpus {
    * stateless, partition-order independent, reproducible under retry,
    * and oracle-replicable.
    *
-   * Scale: the duplicate-cluster table is orders of magnitude smaller
-   * than the corpus (rows exist only for near-duplicated docs), so the
-   * join broadcasts; the corpus itself is never shuffled — one narrow
-   * pass decides every row.
+   * Scale: a plain left equi-join on the id, NO broadcast hint — at
+   * web scale the near-dup cluster table is a sizable fraction of the
+   * corpus (30–50% dup rates are normal for crawl data), far past any
+   * broadcast threshold, and a forced broadcast would OOM the driver.
+   * AQE still picks a broadcast join at runtime whenever the cluster
+   * side actually measures small, so the sf0.1 plan loses nothing.
    */
+  def leakageSafeSplit(docs: DataFrame, clusters: DataFrame,
+      valPermyriad: Int, testPermyriad: Int,
+      idCol: String = "doc_id"): DataFrame = {
+    require(valPermyriad >= 0 && testPermyriad >= 0 &&
+      valPermyriad + testPermyriad <= 10000, "split fractions exceed 1")
+    val groupKey = coalesce(col("cluster_id"), col(idCol))
+    val b = hashBucket10k(groupKey.cast("string"))
+    docs.join(clusters.select(col(idCol), col("cluster_id")),
+        Seq(idCol), "left")
+      .withColumn("split",
+        when(b < testPermyriad, "test")
+          .when(b < testPermyriad + valPermyriad, "val")
+          .otherwise("train"))
+      .drop("cluster_id")
+  }
+
   /**
    * Cap the number of documents kept per group (source / domain /
    * host) — the anti-domination guard that stops one crawl host from
@@ -235,34 +253,32 @@ object Corpus {
    * pseudo-random sample of the group: stable across runs, partitions,
    * and engines (rand() is none of those), and oracle-replicable.
    *
-   * Scale: one shuffle by group key; the within-group sort is bounded
-   * by group size, and groups are independent, so skew is capped by
-   * the largest single group — the same bound any per-group operator
-   * carries.
+   * Scale: two-phase. Phase 1 pre-caps per (group, hash-of-id bucket):
+   * each of the [[CapFanout]] buckets keeps its own maxDocs best rows,
+   * so a dominant group (one crawl source holding half the corpus)
+   * sorts as CapFanout independent partitions instead of one giant
+   * one. Phase 2 ranks the ≤ CapFanout·maxDocs survivors per group
+   * exactly. Correct because the true top-maxDocs rows of a group by
+   * (bucket, id) are each within their OWN bucket's top-maxDocs —
+   * phase 1 can never evict a final survivor. The bucket key is
+   * Murmur3 over the id — intermediate only, so engine-specific
+   * hashing never reaches the output.
    */
+  private[graft] val CapFanout = 64
+
   def capPerGroup(docs: DataFrame, groupCol: String, maxDocs: Int,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     require(maxDocs > 0, "cap must be positive")
-    val w = org.apache.spark.sql.expressions.Window
+    val rank = Seq(hashBucket10k(col(textCol)), col(idCol))
+    val pre = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol), pmod(hash(col(idCol)), lit(CapFanout)))
+      .orderBy(rank: _*)
+    val exact = org.apache.spark.sql.expressions.Window
       .partitionBy(col(groupCol))
-      .orderBy(hashBucket10k(col(textCol)), col(idCol))
-    docs.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= maxDocs).drop("__rn")
-  }
-
-  def leakageSafeSplit(docs: DataFrame, clusters: DataFrame,
-      valPermyriad: Int, testPermyriad: Int,
-      idCol: String = "doc_id"): DataFrame = {
-    require(valPermyriad >= 0 && testPermyriad >= 0 &&
-      valPermyriad + testPermyriad <= 10000, "split fractions exceed 1")
-    val groupKey = coalesce(col("cluster_id"), col(idCol))
-    val b = hashBucket10k(groupKey.cast("string"))
-    docs.join(broadcast(clusters.select(col(idCol), col("cluster_id"))),
-        Seq(idCol), "left")
-      .withColumn("split",
-        when(b < testPermyriad, "test")
-          .when(b < testPermyriad + valPermyriad, "val")
-          .otherwise("train"))
-      .drop("cluster_id")
+      .orderBy(rank: _*)
+    docs.withColumn("__pre", row_number().over(pre))
+      .filter(col("__pre") <= maxDocs)
+      .withColumn("__rn", row_number().over(exact))
+      .filter(col("__rn") <= maxDocs).drop("__pre", "__rn")
   }
 }

@@ -52,14 +52,20 @@ import graft.streaming.AlarmStream.{AlarmState, SlaConf, Transition}
  *    folded into the compressed GK triplet array — the same
  *    O(min(n, accuracy)) memory the batch aggregation buffer holds.
  *
- * State schema version: 2. Version 1 (rounds ≤5) accumulated `sum` as
- * Double and had no percentile fields; the v2 [[WinAgg]] schema
- * (DECIMAL(38,18) sum + samples/sketch/sketchCount) is NOT
- * checkpoint-compatible — restoring a v1 `flatMapGroupsWithState`
- * checkpoint fails Spark's state-schema validation by design. A
- * long-running stream upgrading across this boundary must start a new
- * checkpoint directory and replay from the source (the lake keeps the
- * raw datapoints, so replay is lossless).
+ * State schema version: [[StateVersion]] (currently 2). Version 1
+ * (rounds ≤5) accumulated `sum` as Double and had no percentile
+ * fields; the v2 [[WinAgg]] schema (DECIMAL(38,18) sum +
+ * samples/sketch/sketchCount) is NOT checkpoint-compatible —
+ * restoring a v1 `flatMapGroupsWithState` checkpoint fails Spark's
+ * state-schema validation by design. For FUTURE semantic changes that
+ * happen to keep a bitwise-compatible schema (where Spark's check
+ * passes but the meaning of a field drifted), [[PipeState]] carries an
+ * explicit `stateVersion` field verified on every restore — a
+ * mismatch fails fast with an actionable message instead of silently
+ * mixing incompatible accumulator semantics. A long-running stream
+ * upgrading across either boundary must start a new checkpoint
+ * directory and replay from the source (the lake keeps the raw
+ * datapoints, so replay is lossless).
  */
 object StreamingAlarmPipeline {
 
@@ -124,12 +130,28 @@ object StreamingAlarmPipeline {
       sketchCount = qs.count)
   }
 
+  /** Current [[PipeState.stateVersion]]; bump on ANY semantic change
+    * to the state encoding (see the class scaladoc). */
+  private[graft] val StateVersion = 2
+
   /** Per-series pipeline state: open windows + the alarm machine.
     * `conf` is captured from the first absorbed point so timer-only
     * invocations (watermark passes an open window with no new data)
     * can close windows before the machine ever evaluated a slot. */
   final case class PipeState(
-      open: Map[Long, WinAgg], alarm: AlarmState, conf: Option[SlaConf])
+      open: Map[Long, WinAgg], alarm: AlarmState, conf: Option[SlaConf],
+      stateVersion: Int = StateVersion)
+
+  /** Restore-time guard: a checkpoint written by a different state
+    * version must never feed the machine. */
+  private[graft] def requireStateVersion(st: PipeState): PipeState = {
+    if (st.stateVersion != StateVersion) throw new IllegalStateException(
+      s"incompatible alarm-pipeline checkpoint: state version " +
+        s"${st.stateVersion}, this build writes $StateVersion — start a " +
+        "new checkpoint directory and replay from the lake (raw " +
+        "datapoints are retained; replay is lossless)")
+    st
+  }
 
   // Sum/Average mirror the batch plan exactly: exact decimal sum, cast
   // to double, THEN divide by the (long→double) count.
@@ -250,7 +272,7 @@ object StreamingAlarmPipeline {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
         (key: (String, Long, Double, String, Int, Int, String),
             it: Iterator[ConfiguredPoint], gs: GroupState[PipeState]) => {
-          val st = gs.getOption.getOrElse(
+          val st = gs.getOption.map(requireStateVersion).getOrElse(
             PipeState(Map.empty, AlarmStream.EmptyState, None))
           val wmSec = gs.getCurrentWatermarkMs() / 1000
           val (next, out, nextTimeout) = step(key._1, it.toSeq, st, wmSec, statistic)

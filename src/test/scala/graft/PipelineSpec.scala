@@ -178,6 +178,36 @@ class PipelineSpec extends SparkTestBase {
     assert(again == counts)
   }
 
+  test("two-phase per-group cap equals the exact single-window cap under a dominant group") {
+    // worst-case skew fixture: one source holds half the corpus
+    val docs = Tables.read(spark, sf0001, "documents")
+      .withColumn("source", when(col("doc_id") % 2 === 0, lit("dominant"))
+        .otherwise(concat(lit("s"), pmod(col("doc_id"), lit(7)))))
+    val twoPhase = graft.pipeline.Corpus.capPerGroup(docs, "source", maxDocs = 5)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    // reference semantics: one exact window over the whole group
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+      .orderBy(graft.pipeline.Corpus.hashBucket10k(col("text")), col("doc_id"))
+    val exact = docs.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= 5)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(twoPhase == exact, "pre-cap phase changed the survivor set")
+  }
+
+  test("leakage-safe split never forces a broadcast of the cluster side") {
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    val docs = Tables.read(spark, sf0001, "documents").select("doc_id", "text")
+    val clusters = docs.filter(col("doc_id") % 5 < 2)
+      .select(col("doc_id"), (col("doc_id") / 3).cast("long").as("cluster_id"))
+    val split = graft.pipeline.Corpus.leakageSafeSplit(docs, clusters,
+      valPermyriad = 500, testPermyriad = 500)
+    // at 100 TB the cluster table is a large fraction of the corpus —
+    // the join must stay hint-free so AQE picks the strategy from
+    // runtime sizes instead of an unconditional driver-side broadcast
+    val hints = split.queryExecution.analyzed.collect { case h: ResolvedHint => h }
+    assert(hints.isEmpty, s"forced join hint present: $hints")
+  }
+
   test("definition loader round-trips the exported JSON tables") {
     import graft.registry.{DefinitionExport, DefinitionLoader, DefinitionRegistry}
     val out = java.nio.file.Files.createTempDirectory("defs2").toString

@@ -449,4 +449,19 @@ class StreamingSpec extends SparkTestBase {
         s"streamed $streamed != batch $batch")
     } finally q.stop()
   }
+
+  test("state restore fails fast on a checkpoint from a different state version") {
+    import graft.streaming.StreamingAlarmPipeline
+    import graft.streaming.StreamingAlarmPipeline.PipeState
+    val current = PipeState(Map.empty, graft.streaming.AlarmStream.EmptyState, None)
+    assert(current.stateVersion == StreamingAlarmPipeline.StateVersion)
+    // same restore guard the flatMapGroupsWithState function applies
+    assert(StreamingAlarmPipeline.requireStateVersion(current) eq current)
+    val stale = current.copy(stateVersion = StreamingAlarmPipeline.StateVersion - 1)
+    val ex = intercept[IllegalStateException] {
+      StreamingAlarmPipeline.requireStateVersion(stale)
+    }
+    assert(ex.getMessage.contains("state version"))
+    assert(ex.getMessage.contains("new checkpoint directory"))
+  }
 }
