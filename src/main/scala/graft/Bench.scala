@@ -122,8 +122,14 @@ object Bench {
     def f3(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val spread = results.map(r => "\"" + r.name + "\":[" + f6(r.min) + "," + f6(r.max) + "]")
       .mkString("{", ",", "}")
-    val unstable = results
-      .filter(r => r.ok && r.min > 0 && (r.median - r.min) / r.min > 0.2)
+    // Unstable = median >20% above the fastest trial AND >100 ms above
+    // it. The relative test alone flags 30 ms wobble on a 0.15 s query
+    // — jitter that cannot distort a ~30 s total; the absolute floor
+    // keeps the flag about distortion that could actually move a
+    // round-over-round comparison.
+    def isUnstable(r: Timing) = r.ok && r.min > 0 &&
+      (r.median - r.min) / r.min > 0.2 && r.median - r.min > 0.1
+    val unstable = results.filter(isUnstable)
       .map(r => "\"" + r.name + "\"").mkString("[", ",", "]")
     val errors = results.collect { case r if !r.ok => "\"" + r.name + "\"" }
       .mkString("[", ",", "]")
@@ -131,8 +137,7 @@ object Bench {
     // Taint guard: healthy rounds sit at ≤6 unstable queries; >8 means
     // the RUN is untrustworthy (polluted JVM / loaded machine), not
     // that the engine regressed — round 7's lesson, encoded.
-    val unstableCount = results.count(
-      r => r.ok && r.min > 0 && (r.median - r.min) / r.min > 0.2)
+    val unstableCount = results.count(isUnstable)
     val tainted = unstableCount > 8
     if (tainted) System.err.println(
       s"BENCH TAINTED: $unstableCount unstable queries (>8) — treat " +

@@ -82,32 +82,29 @@ private[graft] object MetricsEntries {
 
     // O-23 streaming parity: the SAME raw datapoints replayed through
     // StreamingAlarmPipeline via MemoryStream (one deterministic batch
-    // + a watermark sentinel, StreamParity scaladoc) must emit the
-    // batch machine's exact transition stream. The oracle recomputes
-    // the batch transitions in SQL and pins in_stream / prev_match /
-    // state_match TRUE — any divergence (missing, extra, or
-    // state-mismatched streaming transition) flips a pinned column or
-    // the row count. One evaluateStream run per SLA because each SLA
-    // carries its own CW statistic (Sum / Average / Maximum).
+    // + per-series watermark sentinels, StreamParity scaladoc) must
+    // emit the batch machine's exact transition stream. The oracle
+    // recomputes the batch transitions in SQL and pins in_stream /
+    // prev_match / state_match TRUE — any divergence (missing, extra,
+    // or state-mismatched streaming transition) flips a pinned column
+    // or the row count. ONE evaluateStream run covers all SLAs: each
+    // SLA row carries its own CW statistic (Sum / Average / Maximum),
+    // exactly as CloudWatch scopes the statistic to the alarm.
     "q_alarm_stream_parity" -> { (s, dir) =>
       import s.implicits._
-      val raw = datapoints(s, dir)
-      val slas = slasDf(s)
-      // one replay per SLA, run concurrently: independent
-      // single-series streams whose per-micro-batch fixed costs would
-      // otherwise serialize
-      val streamed = graft.streaming.StreamParity.replayAll(
-        reg.defaultDefinition.allSlas.map { sla => () =>
-          val sid = sla.metric.uniqueId
-          val pts = raw.filter(col("series_id") === sid)
-            .select(col("series_id"), col("ts"),
-              col("value").cast("double"))
-            .as[(String, java.sql.Timestamp, Double)]
-            .collect().toSeq // verification fixture, bounded per series
-          graft.streaming.StreamParity.replayTransitions(
-            s, pts, slas.filter(col("series_id") === sid),
-            sla.metric.statistic, sla.metric.period)
-        })
+      val statBySid = reg.defaultDefinition.allSlas
+        .map(sla => sla.metric.uniqueId -> sla.metric.statistic).toMap
+      val sids = statBySid.keys.toSeq
+      val pts = datapoints(s, dir)
+        .filter(col("series_id").isin(sids: _*))
+        .select(col("series_id"), col("ts"), col("value").cast("double"))
+        .as[(String, java.sql.Timestamp, Double)]
+        .collect().toSeq // verification fixture, bounded per series
+      val statExpr = statBySid.foldLeft(lit(null).cast("string")) {
+        case (acc, (sid, st)) => when(col("series_id") === sid, st).otherwise(acc)
+      }
+      val streamed = graft.streaming.StreamParity.replayTransitions(
+        s, pts, slasDf(s).withColumn("statistic", statExpr))
       val streamDf = streamed
         .map(t => (t.seriesId, t.windowStart, t.prevState, t.newState))
         .toDF("series_id", "window_start", "s_prev", "s_new")

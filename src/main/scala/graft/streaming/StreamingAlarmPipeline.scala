@@ -69,12 +69,14 @@ import graft.streaming.AlarmStream.{AlarmState, SlaConf, Transition}
  */
 object StreamingAlarmPipeline {
 
-  /** Raw datapoint with its (broadcast-joined) SLA config. */
+  /** Raw datapoint with its (broadcast-joined) SLA config. `statistic`
+    * rides with the SLA row (CloudWatch semantics: the statistic is an
+    * alarm property, not a stream property). */
   final case class ConfiguredPoint(
       seriesId: String, eventTime: java.sql.Timestamp, value: Double,
       period: Long, threshold: Double, comparisonOperator: String,
       datapointsToAlarm: Int, evaluationPeriods: Int,
-      treatMissingData: String)
+      treatMissingData: String, statistic: String)
 
   /** Raw per-window sample values kept before folding into the GK
     * sketch. 4096 keeps the common case (windows far smaller than
@@ -241,16 +243,28 @@ object StreamingAlarmPipeline {
    * @param datapoints streaming (series_id, ts:timestamp, value)
    * @param slas       static (series_id, period, threshold,
    *                   comparison_operator, datapoints_to_alarm,
-   *                   evaluation_periods, treat_missing_data); tiny —
-   *                   broadcast into a stateless stream-static join
-   * @param statistic  CW statistic for all series of this stream
+   *                   evaluation_periods, treat_missing_data
+   *                   [, statistic]); tiny — broadcast into a
+   *                   stateless stream-static join. A `statistic`
+   *                   column overrides the stream-wide default per SLA
+   *                   row (CloudWatch semantics: each alarm carries its
+   *                   own statistic), so one stream evaluates
+   *                   Sum/Average/pNN alarms side by side.
+   * @param statistic  default CW statistic for SLA rows without one
    * @param watermark  max out-of-order delay for raw datapoints
    */
   def evaluateStream(datapoints: DataFrame, slas: DataFrame,
       statistic: String, watermark: String = "10 minutes"): Dataset[Transition] = {
     val spark = datapoints.sparkSession
     import spark.implicits._
-    validateStatistic(statistic) // fail fast on bad statistic
+    // fail fast on bad statistics: the default, plus every per-SLA
+    // override (the SLA table is static config — bounded collect)
+    val perSla = slas.columns.contains("statistic")
+    if (perSla) slas.select("statistic").distinct().collect()
+      .foreach(r => validateStatistic(r.getString(0)))
+    else validateStatistic(statistic)
+    val statCol =
+      if (perSla) col("statistic") else org.apache.spark.sql.functions.lit(statistic)
     datapoints
       .withWatermark("ts", watermark)
       .join(broadcast(slas), Seq("series_id")) // stateless stream-static join
@@ -260,22 +274,23 @@ object StreamingAlarmPipeline {
         col("comparison_operator").as("comparisonOperator"),
         col("datapoints_to_alarm").cast("int").as("datapointsToAlarm"),
         col("evaluation_periods").cast("int").as("evaluationPeriods"),
-        col("treat_missing_data").as("treatMissingData"))
+        col("treat_missing_data").as("treatMissingData"),
+        statCol.as("statistic"))
       .as[ConfiguredPoint]
-      // key by series AND full SLA config: a series may carry several
-      // SLAs (warning + critical), and mixing their vote streams in
-      // one machine would interleave states — same reason the batch
-      // variant's window partitions by the full config
+      // key by series AND full SLA config (incl. statistic): a series
+      // may carry several SLAs (warning + critical), and mixing their
+      // vote streams in one machine would interleave states — same
+      // reason the batch variant's window partitions by the full config
       .groupByKey(p => (p.seriesId, p.period, p.threshold,
         p.comparisonOperator, p.datapointsToAlarm, p.evaluationPeriods,
-        p.treatMissingData))
+        p.treatMissingData, p.statistic))
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
-        (key: (String, Long, Double, String, Int, Int, String),
+        (key: (String, Long, Double, String, Int, Int, String, String),
             it: Iterator[ConfiguredPoint], gs: GroupState[PipeState]) => {
           val st = gs.getOption.map(requireStateVersion).getOrElse(
             PipeState(Map.empty, AlarmStream.EmptyState, None))
           val wmSec = gs.getCurrentWatermarkMs() / 1000
-          val (next, out, nextTimeout) = step(key._1, it.toSeq, st, wmSec, statistic)
+          val (next, out, nextTimeout) = step(key._1, it.toSeq, st, wmSec, key._8)
           gs.update(next)
           nextTimeout.foreach { t =>
             if (t * 1000 > gs.getCurrentWatermarkMs()) gs.setTimeoutTimestamp(t * 1000)

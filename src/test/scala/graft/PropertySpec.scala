@@ -105,7 +105,7 @@ class PropertySpec extends AnyFunSuite {
     val period = 60L
     def pt(sec: Long, v: Double) = ConfiguredPoint("s",
       new java.sql.Timestamp(sec * 1000), v, period, 5.0,
-      "GREATER_THAN_THRESHOLD", 1, 2, "NOT_BREACHING")
+      "GREATER_THAN_THRESHOLD", 1, 2, "NOT_BREACHING", statistic)
     val pointsGen = Gen.listOfN(12,
       Gen.zip(Gen.chooseNum(600L, 3000L), Gen.chooseNum(0.0, 10.0)))
     forAll2(pointsGen, Gen.chooseNum(0, 12), n = 150) { (raw, splitAt) =>
