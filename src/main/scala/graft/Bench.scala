@@ -92,6 +92,7 @@ object Bench {
     }
     final case class Timing(name: String, median: Double, min: Double,
         max: Double, ok: Boolean)
+    val errMsgs = scala.collection.mutable.Map.empty[String, String]
     val results = names.map { case (name, fn) =>
       // a timing starts only on a streaming-quiet JVM
       require(spark.streams.active.isEmpty,
@@ -100,7 +101,15 @@ object Bench {
       val samples = (1 to trials).map { _ =>
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
-          catch { case scala.util.control.NonFatal(_) => false }
+          catch { case scala.util.control.NonFatal(e) =>
+            // first failure message per query goes into the artifact —
+            // a silent -1 is undiagnosable from the driver's capture
+            errMsgs.getOrElseUpdate(name,
+              (e.getMessage match {
+                case null => e.getClass.getName
+                case m => e.getClass.getName + ": " + m
+              }).replaceAll("[\"\\\\\\n\\r\\t]", " ").take(300))
+            false }
         // caches persisted inside operators are per-query working sets —
         // clear so trials are independent and a long run doesn't
         // accumulate session storage
@@ -131,8 +140,9 @@ object Bench {
       (r.median - r.min) / r.min > 0.2 && r.median - r.min > 0.1
     val unstable = results.filter(isUnstable)
       .map(r => "\"" + r.name + "\"").mkString("[", ",", "]")
-    val errors = results.collect { case r if !r.ok => "\"" + r.name + "\"" }
-      .mkString("[", ",", "]")
+    val errors = results.collect { case r if !r.ok =>
+      "\"" + r.name + "\":\"" + errMsgs.getOrElse(r.name, "unknown") + "\""
+    }.mkString("{", ",", "}")
     val total = results.collect { case r if r.ok => r.median }.sum
     // Taint guard: healthy rounds sit at ≤6 unstable queries; >8 means
     // the RUN is untrustworthy (polluted JVM / loaded machine), not

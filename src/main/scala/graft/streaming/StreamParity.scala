@@ -2,6 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 
 /**
  * Deterministic MemoryStream replay of a batch alarm fixture through
@@ -76,7 +77,10 @@ object StreamParity {
     // parent-session plan must not leak into the child's stream
     val childSlas = child.createDataFrame(
       java.util.Arrays.asList(slas.collect(): _*), slas.schema)
-    val periods = childSlas.select("series_id", "period").collect()
+    // period may arrive as int or long depending on the caller's
+    // config frame — normalize before the driver-side read
+    val periods = childSlas.select(col("series_id"),
+        col("period").cast("long")).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     // per-series fixture bounds at that series' own period
     val bounds: Map[String, (Long, Long)] = points.groupBy(_._1).map {

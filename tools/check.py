@@ -11,6 +11,11 @@ skip = "--skip-verify" in rest
 names = [a for a in rest if not a.startswith("--")]
 
 if not skip:
+    # a fresh outDir per run: Verify skips past per-query failures, and
+    # a leftover parquet from an earlier (passing) run would otherwise
+    # make the comparator silently grade STALE output as current
+    import shutil
+    shutil.rmtree(out, ignore_errors=True)
     r = subprocess.run(["sbt", "-batch", f'runMain graft.Verify {sf} {out}'],
                        capture_output=True, text=True, cwd="/root/repo")
     sys.stdout.write(r.stdout[-3000:])
