@@ -181,7 +181,11 @@ object ProfileScale {
         val docs = scaledDocs(spark, sfDir, m).withColumn("source",
           when(col("doc_id") % 2 === 0, lit("dominant_crawl"))
             .otherwise(concat(lit("site_"), pmod(col("doc_id"), lit(20)))))
-        Corpus.capPerGroup(docs, "source", maxDocs = 500)
+        // cap ≪ dominant-group size — the representative regime (a
+        // crawl source holding half the corpus capped to a sliver);
+        // phase 1 then prunes the dominant group to ≤ CapFanout·cap
+        // rows before the exact per-group window
+        Corpus.capPerGroup(docs, "source", maxDocs = 50)
       },
       // leakage-safe split with a web-scale dup rate: ~40% of docs
       // carry a cluster id, so the cluster side is NOT broadcastable by
