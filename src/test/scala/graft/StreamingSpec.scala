@@ -484,6 +484,55 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("alarm pipeline state survives a query restart from checkpoint") {
+    implicit val sq = spark.sqlContext
+    import java.sql.Timestamp
+    val ckpt = Files.createTempDirectory("alarm_ckpt").toString
+    val outDir = Files.createTempDirectory("alarm_out").toString
+    val mem = MemoryStream[(String, Timestamp, Double)]
+    val dp = mem.toDF().toDF("series_id", "ts", "value")
+    // M=2 of N=3 so the ALARM transition REQUIRES state carried across
+    // the restart: one breaching window lands before the stop, the
+    // second after — a machine that lost its ring buffer on restore
+    // would stay OK
+    val slas = Seq(("s1", 60L, 5.0, "GREATER_THAN_THRESHOLD", 2, 3, "NOT_BREACHING"))
+      .toDF("series_id", "period", "threshold", "comparison_operator",
+        "datapoints_to_alarm", "evaluation_periods", "treat_missing_data")
+    // parquet sink: the memory sink is not fault-tolerant and refuses
+    // checkpoint recovery — a file sink is the restart-capable shape
+    def start() = graft.streaming.StreamingAlarmPipeline
+      .evaluateStream(dp, slas, "Sum", watermark = "0 seconds")
+      .writeStream.format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    def t(e: Long) = new Timestamp(e * 1000)
+    val q1 = start()
+    try {
+      // [600,660): 9 breaches; point at 700 advances the watermark to
+      // 700, closing ONLY window 600 → machine state now holds one
+      // breach vote (1 of 3 < M → OK) and an open [660,720) at 0.0
+      mem.addData(("s1", t(610), 9.0), ("s1", t(700), 0.0))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // restart from checkpoint; [720,780) breaches, watermark moves to
+    // 790 closing 660 (ok) then 720 (breach) → ring = [breach@600,
+    // ok@660, breach@720] = 2 of 3 → ALARM, possible ONLY if the
+    // pre-restart breach vote survived the state-store round trip
+    val q2 = start()
+    try {
+      mem.addData(("s1", t(730), 9.0), ("s1", t(790), 0.0))
+      q2.processAllAvailable()
+      val out = spark.read.parquet(outDir)
+        .select("windowStart", "prevState", "newState").orderBy("windowStart")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+      assert(out.exists { case (w, _, s) => w == 720L && s == "ALARM" },
+        s"no post-restart ALARM from carried state: $out")
+      // no duplicated or reset transitions: windowStarts strictly increase
+      assert(out.map(_._1) == out.map(_._1).distinct.sorted, s"replayed/reset: $out")
+    } finally q2.stop()
+  }
+
   test("state restore fails fast on a checkpoint from a different state version") {
     import graft.streaming.StreamingAlarmPipeline
     import graft.streaming.StreamingAlarmPipeline.PipeState
