@@ -96,6 +96,14 @@ private[graft] object CorpusEntries {
         .orderBy("doc_id")
     },
 
+    // Top-gram repetition: share of 2-gram occurrences held by the
+    // doc's single most frequent 2-gram (Gopher-family quality filter).
+    "q_top_ngram" -> { (s, dir) =>
+      graft.pipeline.Corpus.topNgramCoverage(docs(s, dir), n = 2)
+        .select("doc_id", "total_grams", "top_count", "top_permille")
+        .orderBy("doc_id")
+    },
+
     // Corpus prep: benchmark decontamination (n-gram leakage guard).
     // The "benchmark" is docs 0-4 plus a near-copy corpus member, so
     // both exact and partial overlap are exercised.
@@ -246,6 +254,17 @@ private[graft] object CorpusEntries {
         |r AS (SELECT doc_id, source,
         |row_number() OVER (PARTITION BY source ORDER BY bk, doc_id) AS rn FROM b)
         |SELECT doc_id, source FROM r WHERE rn <= 20 ORDER BY doc_id""".stripMargin,
+
+    "q_top_ngram" ->
+      """WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w FROM documents),
+        |g AS (SELECT doc_id, unnest(CASE WHEN len(w) >= 2
+        |THEN list_transform(range(1, len(w)), i -> array_to_string(w[i:i+1], ' '))
+        |ELSE [] END) AS gram FROM w),
+        |c AS (SELECT doc_id, gram, COUNT(*) AS c FROM g GROUP BY 1, 2)
+        |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS total_grams,
+        |CAST(MAX(c) AS BIGINT) AS top_count,
+        |CAST((1000 * MAX(c)) // SUM(c) AS BIGINT) AS top_permille
+        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_boilerplate" ->
       """WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w FROM documents),

@@ -145,6 +145,31 @@ object Corpus {
         expr("(1000L * boiler_grams) div total_grams"))
   }
 
+  /**
+   * Top n-gram coverage — the Gopher-family repetition filter the
+   * scalar docSignals can't express: the share of a document's n-gram
+   * OCCURRENCES held by its single most frequent n-gram, as an
+   * integer permille. A document dominated by one repeated phrase
+   * scores near 1000 and gets dropped before training. Ties on the
+   * max count don't affect the result (the count, not the gram, is
+   * reported).
+   *
+   * Scale: explode → per-(doc, gram) count (map-side combinable) →
+   * per-doc sum/max — two shuffles keyed by doc id, group size
+   * bounded by document length. Docs shorter than n tokens have no
+   * n-grams and don't appear.
+   */
+  def topNgramCoverage(docs: DataFrame, n: Int,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    graft.plans.NativeFns.register(docs.sparkSession)
+    docs.select(col(idCol),
+        explode(graft.plans.WordShingles.shingles(col(textCol), n)).as("gram"))
+      .groupBy(col(idCol), col("gram")).agg(count(lit(1)).as("__c"))
+      .groupBy(idCol)
+      .agg(sum("__c").as("total_grams"), max("__c").as("top_count"))
+      .withColumn("top_permille", expr("(1000L * top_count) div total_grams"))
+  }
+
   /** Scalar-quantize an embedding to int8-range ints with per-vector
     * min/max (the usual 4× storage cut for ANN corpora). Returns
     * (codes:array<int>, vmin, vmax) for reconstruction. */
