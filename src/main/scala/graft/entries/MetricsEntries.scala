@@ -95,7 +95,12 @@ private[graft] object MetricsEntries {
       val statBySid = reg.defaultDefinition.allSlas
         .map(sla => sla.metric.uniqueId -> sla.metric.statistic).toMap
       val sids = statBySid.keys.toSeq
-      val pts = datapoints(s, dir)
+      // NOT persisted: the fixture collect touches 3 series and the
+      // batch side aggregates before joining — materializing the whole
+      // raw fan-out costs more than the duplicate pruned scan saves
+      // (measured level on the parity-only bench)
+      val raw = datapoints(s, dir)
+      val pts = raw
         .filter(col("series_id").isin(sids: _*))
         .select(col("series_id"), col("ts"), col("value").cast("double"))
         .as[(String, java.sql.Timestamp, Double)]
@@ -108,7 +113,7 @@ private[graft] object MetricsEntries {
       val streamDf = streamed
         .map(t => (t.seriesId, t.windowStart, t.prevState, t.newState))
         .toDF("series_id", "window_start", "s_prev", "s_new")
-      val series = StatWindowAgg.aggregate(datapoints(s, dir), seriesKeysDf(s), "hour")
+      val series = StatWindowAgg.aggregate(raw, seriesKeysDf(s), "hour")
         .select("series_id", "window_start", "metricvalue")
       val batchT = AlarmStateMachine.evaluate(series, slasDf(s))
         .filter(col("transitioned"))
