@@ -35,6 +35,22 @@ private[graft] object VectorEntries {
         .select("query_id", "neighbor_id", "rank").orderBy("query_id", "rank")
     },
 
+    // Semantic decontamination: drop corpus vectors whose embedding is
+    // SRP-band-candidate AND cosine-near a benchmark vector — the
+    // paraphrase-robust complement to the n-gram q_decontaminate.
+    // Benchmark copies are injected into the corpus (vec_id + 10000)
+    // so the contamination path provably fires: the 10 injected rows
+    // must NOT survive, the 490 organic rows must.
+    "q_semantic_decon" -> { (s, dir) =>
+      val e = spread(Tables.read(s, dir, "embeddings"))
+      val bench = e.filter(col("vec_id") < 10)
+      val corpus = e.filter(col("vec_id") >= 10).unionByName(
+        bench.withColumn("vec_id", col("vec_id") + 10000))
+      graft.pipeline.Corpus.semanticDecontaminate(corpus, bench,
+          threshold = 0.9)
+        .select("vec_id", "label").orderBy("vec_id")
+    },
+
     // Corpus prep: int8 embedding quantization (summarized per vector).
     "q_quantize" -> { (s, dir) =>
       val e = Tables.read(s, dir, "embeddings")
@@ -112,6 +128,25 @@ private[graft] object VectorEntries {
         |(PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank FROM cand)
         |SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank
         |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "q_semantic_decon" ->
+      s"""WITH bench AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+         |corp AS (SELECT vec_id, label, embedding FROM embeddings WHERE vec_id >= 10
+         |UNION ALL SELECT vec_id + 10000 AS vec_id, label, embedding
+         |FROM embeddings WHERE vec_id < 10),
+         |bsig AS (SELECT vec_id, embedding, ${srpSigSql("embedding", 16)} AS sig FROM bench),
+         |csig AS (SELECT vec_id, embedding, ${srpSigSql("embedding", 16)} AS sig FROM corp),
+         |bb AS (SELECT vec_id, embedding, band, substr(sig, band*4 + 1, 4) AS band_key
+         |FROM bsig CROSS JOIN (SELECT unnest(range(0,4)) AS band) s),
+         |cb AS (SELECT vec_id, embedding, band, substr(sig, band*4 + 1, 4) AS band_key
+         |FROM csig CROSS JOIN (SELECT unnest(range(0,4)) AS band) s),
+         |cont AS (SELECT DISTINCT c.vec_id FROM
+         |(SELECT vec_id, embedding AS cv, band, band_key FROM cb) c
+         |JOIN (SELECT embedding AS bv, band, band_key FROM bb) b
+         |USING (band, band_key)
+         |WHERE ${cosineSql("cv", "bv")} >= 0.9)
+         |SELECT vec_id, label FROM corp
+         |WHERE vec_id NOT IN (SELECT vec_id FROM cont) ORDER BY vec_id""".stripMargin,
 
     "q_quantize" ->
       """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),

@@ -214,6 +214,37 @@ object Corpus {
   }
 
   /**
+   * Semantic decontamination: drop corpus members whose EMBEDDING is
+   * near a benchmark embedding — catches paraphrased/reworded eval
+   * leakage that the n-gram [[decontaminate]] cannot see (no shared
+   * 8-gram survives a paraphrase; the embedding does). Candidates are
+   * generated by shared sign-random-projection bands, verified by
+   * exact cosine at `threshold`.
+   *
+   * Scale: the benchmark side is tiny by definition — its banded form
+   * broadcasts — so the corpus takes ONE narrow pass (signature +
+   * band explode + broadcast semi-join + anti-join); the corpus is
+   * never shuffled, cost linear in corpus size like the n-gram guard.
+   */
+  def semanticDecontaminate(corpus: DataFrame, benchmark: DataFrame,
+      threshold: Double = 0.95, bits: Int = 16, bands: Int = 4,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    import graft.functions.VectorFns
+    def banded(df: DataFrame, id: String, v: String) =
+      df.select(col(idCol).as(id), col(vecCol).as(v),
+          explode(VectorFns.srpBands(
+            VectorFns.srpSignature(col(vecCol), bits), bands, bits)).as("bk"))
+        .select(col(id), col(v),
+          col("bk.band").as("band"), col("bk.key").as("band_key"))
+    val bench = banded(benchmark, "__bid", "__bv")
+    val contaminated = banded(corpus, "__cid", "__cv")
+      .join(broadcast(bench), Seq("band", "band_key"))
+      .filter(VectorFns.cosine(col("__cv"), col("__bv")) >= threshold)
+      .select(col("__cid").as(idCol)).distinct()
+    corpus.join(contaminated, Seq(idCol), "left_anti")
+  }
+
+  /**
    * Composed corpus-prep flow: language allowlist → minimum quality →
    * exact dedup → per-language stats. The shape every training-data
    * pipeline ends with; one narrow pass + one dedup shuffle + one

@@ -194,6 +194,25 @@ class PipelineSpec extends SparkTestBase {
     assert(twoPhase == exact, "pre-cap phase changed the survivor set")
   }
 
+  test("semantic decontamination drops embedding near-copies of the benchmark, keeps organics") {
+    val e = Tables.read(spark, sf0001, "embeddings")
+    val bench = e.filter(col("vec_id") < 5)
+    // scaled copies: cosine with the source is exactly 1 (scale-invariant),
+    // but no byte-identical payload — the "paraphrase" analogue
+    val scaled = bench.select((col("vec_id") + 20000).as("vec_id"),
+      transform(col("embedding"), x => (x * lit(1.25)).cast("float")).as("embedding"),
+      col("label"))
+    val corpus = e.filter(col("vec_id") >= 5).unionByName(scaled)
+    val kept = graft.pipeline.Corpus.semanticDecontaminate(corpus, bench,
+        threshold = 0.95)
+      .select("vec_id").as[Long].collect().toSet
+    assert(!kept.exists(_ >= 20000), "scaled benchmark copies survived")
+    val organic = corpus.filter(col("vec_id") < 20000).count()
+    // organic vectors are random — none should sit at cosine ≥0.95 to
+    // a benchmark vector, so the survivor count is exactly the organics
+    assert(kept.size == organic, s"${organic - kept.size} organic docs dropped")
+  }
+
   test("leakage-safe split never forces a broadcast of the cluster side") {
     import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
     val docs = Tables.read(spark, sf0001, "documents").select("doc_id", "text")
