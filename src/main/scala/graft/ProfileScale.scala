@@ -63,8 +63,12 @@ object ProfileScale {
       shuffleWriteMB: Double, worstSkew: Double, skewStageTasks: Int)
 
   /** Run one plan and collect stage metrics. Skew is measured only on
-    * stages with ≥ 8 tasks and max task ≥ 200 ms — tiny/fast stages
-    * have noise medians. */
+    * stages with ≥ 8 tasks, max task ≥ 200 ms AND median task ≥ 50 ms:
+    * a stage whose median is a few milliseconds can show a 8×+
+    * max/median from a single GC pause or scheduler hiccup — that is
+    * task-launch jitter, not data skew, and at real scale such a stage
+    * is nowhere near the critical path. The median floor keeps the
+    * metric about load imbalance a cluster would feel. */
   private def profiled(spark: SparkSession)(plan: => DataFrame): RunStats = {
     val listener = new StageListener
     spark.sparkContext.addSparkListener(listener)
@@ -84,7 +88,7 @@ object ProfileScale {
         val durs = tasks.map(_._1).sorted
         val max = durs.last
         val med = durs(durs.length / 2)
-        if (max >= 200 && med > 0 && max.toDouble / med > worst) {
+        if (max >= 200 && med >= 50 && max.toDouble / med > worst) {
           worst = max.toDouble / med
           worstTasks = tasks.length
         }
@@ -186,6 +190,19 @@ object ProfileScale {
         // phase 1 then prunes the dominant group to ≤ CapFanout·cap
         // rows before the exact per-group window
         Corpus.capPerGroup(docs, "source", maxDocs = 50)
+      },
+      // top-gram repetition filter: explode + two doc-keyed counts —
+      // group size bounded by document length, never by corpus size.
+      "top_ngram" -> (m =>
+        Corpus.topNgramCoverage(scaledDocs(spark, sfDir, m), n = 2)),
+      // semantic decontamination: benchmark side fixed (broadcast), so
+      // corpus cost must stay one narrow linear pass at any scale.
+      "semantic_decon" -> { m =>
+        val vecs = scaledVecs(spark, sfDir, m)
+        Corpus.semanticDecontaminate(
+          vecs.filter(col("vec_id") % 1000000L >= 10),
+          scaledVecs(spark, sfDir, 1).filter(col("vec_id") < 10),
+          threshold = 0.9)
       },
       // leakage-safe split with a web-scale dup rate: ~40% of docs
       // carry a cluster id, so the cluster side is NOT broadcastable by
