@@ -27,8 +27,11 @@ import org.apache.spark.sql.SparkSession
   * listener bus, memory sinks) — the r7 bench recorded a 2.1x
   * "regression" on verbatim-unchanged code. Streaming queries now run
   * LAST, and after each one the bench tears down streaming residue
-  * (stop leftover streams, StateStore.stop()) and verifies
-  * `spark.streams.active.isEmpty` before the next timing starts.
+  * (stop leftover streams, StateStore.stop()) and verifies the JVM is
+  * streaming-quiet before the next timing starts — checking BOTH the
+  * parent session's StreamingQueryManager and StreamParity's registry
+  * of child-session replays (managers are per-session, so the parent
+  * alone would never see a leaked replay).
   *
   * Taint guard (round 8): >8 unstable queries marks the whole artifact
   * `"tainted":true` — a polluted JVM or loaded machine can no longer
@@ -86,9 +89,14 @@ object Bench {
     // Drop every trace a streaming query leaves in the shared JVM:
     // stop any stream that outlived its query, unload state-store
     // providers AND their maintenance thread (a fresh stream restarts
-    // it lazily). Harmless no-op after batch-only queries.
+    // it lazily). StreamingQueryManager is per-session and the parity
+    // replay runs on a CHILD session, so the parent's spark.streams
+    // alone would never see a leaked replay — the StreamParity
+    // registry covers that side. Harmless no-op after batch queries.
+    def leakedStreams() =
+      spark.streams.active.toSeq ++ graft.streaming.StreamParity.activeReplays
     def drainStreamingResidue(): Unit = {
-      spark.streams.active.foreach { q =>
+      leakedStreams().foreach { q =>
         try q.stop() catch { case scala.util.control.NonFatal(_) => () }
       }
       try org.apache.spark.sql.execution.streaming.state.StateStore.stop()
@@ -106,28 +114,34 @@ object Bench {
         max: Double, ok: Boolean)
     val errMsgs = scala.collection.mutable.Map.empty[String, String]
     val results = names.map { case (name, fn) =>
-      // a timing starts only on a streaming-quiet JVM
-      require(spark.streams.active.isEmpty,
+      // a timing starts only on a streaming-quiet JVM (parent session
+      // AND the child-session replay registry)
+      require(leakedStreams().isEmpty,
         s"streaming residue before $name: " +
-          spark.streams.active.map(_.name).mkString(","))
+          leakedStreams().map(_.name).mkString(","))
       val samples = (1 to trials).map { _ =>
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
           catch { case scala.util.control.NonFatal(e) =>
             // first failure message per query goes into the artifact —
-            // a silent -1 is undiagnosable from the driver's capture
+            // a silent -1 is undiagnosable from the driver's capture.
+            // Strip EVERY control character plus quote/backslash: one
+            // raw control byte (U+0000-U+001F) in the message would invalidate the
+            // whole detail JSON, losing the artifact, not just the row.
             errMsgs.getOrElseUpdate(name,
               (e.getMessage match {
                 case null => e.getClass.getName
                 case m => e.getClass.getName + ": " + m
-              }).replaceAll("[\"\\\\\\n\\r\\t]", " ").take(300))
+              }).replaceAll("[\\u0000-\\u001f\"\\\\]", " ").take(300))
             false }
-        // caches persisted inside operators are per-query working sets —
-        // clear so trials are independent and a long run doesn't
-        // accumulate session storage
+        // the timed window is the QUERY alone — cache-clear and
+        // streaming teardown are harness hygiene between trials, and
+        // charging them to the query would re-create the measurement
+        // distortion the teardown exists to prevent
+        val dt = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache()
         if (streamingQueries.contains(name)) drainStreamingResidue()
-        ((System.nanoTime() - t0) / 1e9, ok)
+        (dt, ok)
       }
       val ok = samples.forall(_._2)
       val ts = samples.map(_._1).sorted

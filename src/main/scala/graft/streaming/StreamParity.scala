@@ -48,6 +48,19 @@ import org.apache.spark.sql.functions.col
 object StreamParity {
   private val runId = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  // Live replay queries. The replay runs on a CHILD session, and
+  // StreamingQueryManager is per-session — a leaked replay never shows
+  // in the parent's spark.streams.active, so harness-level residue
+  // checks (Bench) need this registry to see it.
+  private val live =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[org.apache.spark.sql.streaming.StreamingQuery]()
+
+  /** Replay queries still running (empty unless a replay leaked). */
+  def activeReplays: Seq[org.apache.spark.sql.streaming.StreamingQuery] = {
+    import scala.jdk.CollectionConverters._
+    live.asScala.toSeq
+  }
+
   /** Replay every series' raw datapoints through one stream; returns
     * the transition stream over each series' windows (lo_s, hi_s],
     * sorted by (series, window).
@@ -79,9 +92,20 @@ object StreamParity {
       java.util.Arrays.asList(slas.collect(): _*), slas.schema)
     // period may arrive as int or long depending on the caller's
     // config frame — normalize before the driver-side read
-    val periods = childSlas.select(col("series_id"),
+    val periodRows = childSlas.select(col("series_id"),
         col("period").cast("long")).collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
+      .map(r => r.getString(0) -> r.getLong(1))
+    // fail fast on the case this harness does not model (scaladoc):
+    // two SLAs on one series with different periods would need
+    // per-(series, period) bounds — a silent last-wins Map pick would
+    // produce wrong bounds and a subtly wrong parity verdict
+    periodRows.groupBy(_._1).foreach { case (sid, ps) =>
+      require(ps.map(_._2).distinct.size == 1,
+        s"series $sid carries SLAs with different periods " +
+          s"(${ps.map(_._2).distinct.sorted.mkString(",")}); the parity " +
+          "harness models one period per series")
+    }
+    val periods = periodRows.toMap
     // per-series fixture bounds at that series' own period
     val bounds: Map[String, (Long, Long)] = points.groupBy(_._1).map {
       case (sid, pts) =>
@@ -97,6 +121,7 @@ object StreamParity {
         watermark = "0 seconds")
       .writeStream.format("memory").queryName(name)
       .outputMode("append").start()
+    live.add(q)
     try {
       mem.addData(points: _*)
       q.processAllAvailable()
@@ -111,8 +136,13 @@ object StreamParity {
         }
         .sortBy(t => (t.seriesId, t.windowStart))
     } finally {
-      q.stop()
-      child.catalog.dropTempView(name)
+      // deregister only once the query is actually down — a failed
+      // stop() leaves it registered so a harness-level drain can see
+      // and retry it (the round-7 leak mode)
+      try q.stop() finally {
+        if (!q.isActive) live.remove(q)
+        child.catalog.dropTempView(name)
+      }
     }
   }
 }

@@ -52,20 +52,22 @@ import graft.streaming.AlarmStream.{AlarmState, SlaConf, Transition}
  *    folded into the compressed GK triplet array — the same
  *    O(min(n, accuracy)) memory the batch aggregation buffer holds.
  *
- * State schema version: [[StateVersion]] (currently 2). Version 1
+ * State schema version: [[StateVersion]] (currently 3). Version 1
  * (rounds ≤5) accumulated `sum` as Double and had no percentile
- * fields; the v2 [[WinAgg]] schema (DECIMAL(38,18) sum +
- * samples/sketch/sketchCount) is NOT checkpoint-compatible —
- * restoring a v1 `flatMapGroupsWithState` checkpoint fails Spark's
- * state-schema validation by design. For FUTURE semantic changes that
- * happen to keep a bitwise-compatible schema (where Spark's check
- * passes but the meaning of a field drifted), [[PipeState]] carries an
- * explicit `stateVersion` field verified on every restore — a
- * mismatch fails fast with an actionable message instead of silently
- * mixing incompatible accumulator semantics. A long-running stream
- * upgrading across either boundary must start a new checkpoint
- * directory and replay from the source (the lake keeps the raw
- * datapoints, so replay is lossless).
+ * fields; version 2 (rounds 6–7) added the DECIMAL(38,18) sum +
+ * samples/sketch/sketchCount [[WinAgg]] fields; version 3 adds the
+ * `stateVersion` field itself and keys groups by (series, SLA config,
+ * statistic) — each bump is NOT checkpoint-compatible with its
+ * predecessor (restore fails Spark's state-schema validation by
+ * design; v2→v3 also redistributes groups across the new key). For
+ * FUTURE semantic changes that happen to keep a bitwise-compatible
+ * schema (where Spark's check passes but the meaning of a field
+ * drifted), the explicit `stateVersion` field is verified on every
+ * restore — a mismatch fails fast with an actionable message instead
+ * of silently mixing incompatible accumulator semantics. A
+ * long-running stream upgrading across any boundary must start a new
+ * checkpoint directory and replay from the source (the lake keeps the
+ * raw datapoints, so replay is lossless).
  */
 object StreamingAlarmPipeline {
 
@@ -133,8 +135,8 @@ object StreamingAlarmPipeline {
   }
 
   /** Current [[PipeState.stateVersion]]; bump on ANY semantic change
-    * to the state encoding (see the class scaladoc). */
-  private[graft] val StateVersion = 2
+    * to the state encoding OR the group key (see the class scaladoc). */
+  private[graft] val StateVersion = 3
 
   /** Per-series pipeline state: open windows + the alarm machine.
     * `conf` is captured from the first absorbed point so timer-only
@@ -257,14 +259,18 @@ object StreamingAlarmPipeline {
       statistic: String, watermark: String = "10 minutes"): Dataset[Transition] = {
     val spark = datapoints.sparkSession
     import spark.implicits._
-    // fail fast on bad statistics: the default, plus every per-SLA
-    // override (the SLA table is static config — bounded collect)
+    // fail fast on bad statistics: the default (which null per-SLA
+    // rows fall back to), plus every per-SLA override — the SLA table
+    // is static config, so the collect is bounded
     val perSla = slas.columns.contains("statistic")
+    validateStatistic(statistic)
     if (perSla) slas.select("statistic").distinct().collect()
-      .foreach(r => validateStatistic(r.getString(0)))
-    else validateStatistic(statistic)
+      .foreach(r => Option(r.getString(0)).foreach(validateStatistic))
     val statCol =
-      if (perSla) col("statistic") else org.apache.spark.sql.functions.lit(statistic)
+      if (perSla)
+        org.apache.spark.sql.functions.coalesce(col("statistic"),
+          org.apache.spark.sql.functions.lit(statistic))
+      else org.apache.spark.sql.functions.lit(statistic)
     datapoints
       .withWatermark("ts", watermark)
       .join(broadcast(slas), Seq("series_id")) // stateless stream-static join

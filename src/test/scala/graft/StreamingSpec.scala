@@ -264,31 +264,37 @@ class StreamingSpec extends SparkTestBase {
     val mem = MemoryStream[(String, Timestamp, Double)]
     val dp = mem.toDF().toDF("series_id", "ts", "value")
     // same threshold, opposite outcomes by statistic: window [600,660)
-    // carries values 2,4 → Sum 6 breaches >5, Maximum 4 does not
+    // carries values 2,4 → Sum 6 breaches >5, Maximum 4 does not.
+    // def_series has a NULL statistic → falls back to the stream-wide
+    // default (SampleCount: 2 points ≤ 5 → OK)
     val slas = Seq(
       ("sum_series", 60L, 5.0, "GREATER_THAN_THRESHOLD", 1, 1, "NOT_BREACHING", "Sum"),
-      ("max_series", 60L, 5.0, "GREATER_THAN_THRESHOLD", 1, 1, "NOT_BREACHING", "Maximum"))
+      ("max_series", 60L, 5.0, "GREATER_THAN_THRESHOLD", 1, 1, "NOT_BREACHING", "Maximum"),
+      ("def_series", 60L, 5.0, "GREATER_THAN_THRESHOLD", 1, 1, "NOT_BREACHING",
+        null.asInstanceOf[String]))
       .toDF("series_id", "period", "threshold", "comparison_operator",
         "datapoints_to_alarm", "evaluation_periods", "treat_missing_data",
         "statistic")
     val q = graft.streaming.StreamingAlarmPipeline
-      .evaluateStream(dp, slas, statistic = "Average", // default must be ignored
+      .evaluateStream(dp, slas, statistic = "SampleCount", // null rows only
         watermark = "0 seconds")
       .writeStream.format("memory").queryName("e2e_multi_stat")
       .outputMode("append").start()
     def t(e: Long) = new Timestamp(e * 1000)
     try {
       mem.addData(("sum_series", t(610), 2.0), ("sum_series", t(620), 4.0),
-        ("max_series", t(610), 2.0), ("max_series", t(620), 4.0))
+        ("max_series", t(610), 2.0), ("max_series", t(620), 4.0),
+        ("def_series", t(610), 2.0), ("def_series", t(620), 4.0))
       q.processAllAvailable()
-      mem.addData(("sum_series", t(1000), 0.0), ("max_series", t(1000), 0.0))
+      mem.addData(("sum_series", t(1000), 0.0), ("max_series", t(1000), 0.0),
+        ("def_series", t(1000), 0.0))
       q.processAllAvailable()
       val out = spark.table("e2e_multi_stat")
         .filter(col("windowStart") === 600L)
         .select("seriesId", "newState")
         .collect().map(r => (r.getString(0), r.getString(1))).toSet
-      assert(out == Set(("sum_series", "ALARM"), ("max_series", "OK")),
-        s"got $out")
+      assert(out == Set(("sum_series", "ALARM"), ("max_series", "OK"),
+        ("def_series", "OK")), s"got $out")
     } finally q.stop()
   }
 
