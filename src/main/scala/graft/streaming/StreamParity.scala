@@ -55,9 +55,13 @@ object StreamParity {
   private val live =
     java.util.concurrent.ConcurrentHashMap.newKeySet[org.apache.spark.sql.streaming.StreamingQuery]()
 
-  /** Replay queries still running (empty unless a replay leaked). */
+  /** Replay queries still running (empty unless a replay leaked).
+    * Prunes entries whose query has since stopped — e.g. a leaked
+    * replay a harness drain stopped from outside — so a past leak
+    * can't keep reporting residue after the JVM is quiet again. */
   def activeReplays: Seq[org.apache.spark.sql.streaming.StreamingQuery] = {
     import scala.jdk.CollectionConverters._
+    live.removeIf(q => !q.isActive)
     live.asScala.toSeq
   }
 
@@ -96,14 +100,14 @@ object StreamParity {
         col("period").cast("long")).collect()
       .map(r => r.getString(0) -> r.getLong(1))
     // fail fast on the case this harness does not model (scaladoc):
-    // two SLAs on one series with different periods would need
-    // per-(series, period) bounds — a silent last-wins Map pick would
-    // produce wrong bounds and a subtly wrong parity verdict
+    // ONE SLA row per series. Two same-series rows — even with equal
+    // periods — make evaluateStream emit interleaved transition
+    // streams that the (series, window)-keyed parity join fans out
+    // into a silently wrong verdict.
     periodRows.groupBy(_._1).foreach { case (sid, ps) =>
-      require(ps.map(_._2).distinct.size == 1,
-        s"series $sid carries SLAs with different periods " +
-          s"(${ps.map(_._2).distinct.sorted.mkString(",")}); the parity " +
-          "harness models one period per series")
+      require(ps.length == 1,
+        s"series $sid carries ${ps.length} SLA rows; the parity " +
+          "harness models exactly one SLA per series")
     }
     val periods = periodRows.toMap
     // per-series fixture bounds at that series' own period

@@ -55,11 +55,14 @@ import graft.streaming.AlarmStream.{AlarmState, SlaConf, Transition}
  * State schema version: [[StateVersion]] (currently 3). Version 1
  * (rounds ≤5) accumulated `sum` as Double and had no percentile
  * fields; version 2 (rounds 6–7) added the DECIMAL(38,18) sum +
- * samples/sketch/sketchCount [[WinAgg]] fields; version 3 adds the
- * `stateVersion` field itself and keys groups by (series, SLA config,
- * statistic) — each bump is NOT checkpoint-compatible with its
+ * samples/sketch/sketchCount [[WinAgg]] fields and keyed groups by
+ * (series, SLA config) WITHOUT a statistic dimension; version 3
+ * (round 8) adds the `stateVersion` field and the statistic group-key
+ * dimension. Each bump is NOT checkpoint-compatible with its
  * predecessor (restore fails Spark's state-schema validation by
- * design; v2→v3 also redistributes groups across the new key). For
+ * design; v2→v3 also redistributes groups across the new key).
+ * Interim round-8 builds briefly carried the v3 shape still labeled
+ * 2 — checkpoints from those commits must be discarded too. For
  * FUTURE semantic changes that happen to keep a bitwise-compatible
  * schema (where Spark's check passes but the meaning of a field
  * drifted), the explicit `stateVersion` field is verified on every
