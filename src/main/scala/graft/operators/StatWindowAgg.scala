@@ -32,9 +32,16 @@ object StatWindowAgg {
     * pipeline so both paths run the identical GK summary. */
   private[graft] val PercentileAccuracy = 100000
 
+  /** Total function: malformed ("p1.2.3", "p.") and out-of-range
+    * ("p200") forms return None so callers fail fast with a clear
+    * "unsupported statistic" instead of a mid-stream
+    * NumberFormatException or QuantileSummaries range crash. */
   private[graft] def percentileFraction(stat: String): Option[Double] =
     if (stat.length > 1 && stat.head == 'p' && stat.tail.forall(c => c.isDigit || c == '.'))
-      Some(stat.tail.toDouble / 100.0)
+      try {
+        val f = stat.tail.toDouble / 100.0
+        if (f > 0.0 && f <= 1.0) Some(f) else None
+      } catch { case _: NumberFormatException => None }
     else None
 
   /**
@@ -52,8 +59,16 @@ object StatWindowAgg {
     // The distinct pNN statistics are definition METADATA (a handful of
     // strings), not data — resolving them driver-side keeps
     // percentile_approx's fraction foldable for codegen.
-    val pStats: Seq[(String, Double)] = defsF.select("statistic").distinct().collect()
-      .map(_.getString(0)).toSeq.flatMap(s => percentileFraction(s).map(s -> _))
+    val allStats = defsF.select("statistic").distinct().collect()
+      .map(_.getString(0)).toSeq
+    // fail fast on a typo'd/out-of-range statistic: without this, an
+    // unmatched statistic silently produces NULL metricvalue rows
+    allStats.foreach { s =>
+      require(standardStats.contains(s) || percentileFraction(s).isDefined,
+        s"unsupported statistic in definitions: $s")
+    }
+    val pStats: Seq[(String, Double)] =
+      allStats.flatMap(s => percentileFraction(s).map(s -> _))
 
     val joined = datapoints.join(
       broadcast(defsF.select("unique_id", "statistic", "period", "frequency")),

@@ -48,9 +48,17 @@ object LakeIngest {
       trigger: Trigger = Trigger.ProcessingTime("60 seconds"),
       compactLagBatches: Int = 0): StreamingQuery = {
 
+    // Corruption marker column: from_json in PERMISSIVE mode yields an
+    // ALL-NULL struct for an unparseable line — indistinguishable from
+    // a valid record whose nullable fields are absent. The
+    // columnNameOfCorruptRecord option disambiguates: only lines that
+    // failed to parse populate the marker.
+    val corruptCol = "_corrupt_record"
+    val parseSchema = rawSchema.add(corruptCol,
+      org.apache.spark.sql.types.StringType)
     val parsed = records
-      .withColumn("parsed", from_json(col("value"), rawSchema,
-        Map("mode" -> "PERMISSIVE")))
+      .withColumn("parsed", from_json(col("value"), parseSchema,
+        Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> corruptCol)))
 
     records.sparkSession.sqlContext.setConf(
       "spark.sql.streaming.schemaInference", "false")
@@ -66,11 +74,15 @@ object LakeIngest {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val b = batch.persist()
         try {
-          // corrupt-record side output (Firehose error prefix): a record
-          // is corrupt when parsing yielded an all-null struct but the
-          // raw line is non-null.
-          val good = b.filter(col("parsed.id").isNotNull).select("parsed.*")
-          val bad = b.filter(col("parsed.id").isNull && col("value").isNotNull)
+          // corrupt-record side output (Firehose error prefix): a
+          // record is corrupt when from_json could not parse the line
+          // (corrupt marker populated). Checking a data field like
+          // `id` instead would silently divert VALID records that
+          // merely omit that nullable field — data loss with no
+          // signal, and not what "conversion failure" means.
+          val good = b.filter(col(s"parsed.$corruptCol").isNull)
+            .select("parsed.*").drop(corruptCol)
+          val bad = b.filter(col(s"parsed.$corruptCol").isNotNull)
             .select(col("value"))
           val ts = to_timestamp(col("metrictimestamp"))
           val withParts = good

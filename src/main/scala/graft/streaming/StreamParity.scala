@@ -110,6 +110,11 @@ object StreamParity {
           "harness models exactly one SLA per series")
     }
     val periods = periodRows.toMap
+    // every fixture series needs its SLA row — a bare Map miss later
+    // would be an undiagnosable key-not-found
+    val orphans = points.iterator.map(_._1).toSet -- periods.keySet
+    require(orphans.isEmpty,
+      s"fixture series with no SLA row: ${orphans.toSeq.sorted.mkString(", ")}")
     // per-series fixture bounds at that series' own period
     val bounds: Map[String, (Long, Long)] = points.groupBy(_._1).map {
       case (sid, pts) =>

@@ -24,15 +24,18 @@ import org.apache.spark.sql.functions._
 object StreamSessions {
 
   /** One output row per closed session: (userCol, session_start,
-    * session_end, n_events, sum_value). */
+    * session_end, n_events, sum_value). Every referenced column is a
+    * parameter — a half-configurable signature that hardcoded `value`
+    * would fail analysis on any differently-named events frame. */
   def sessionStats(events: DataFrame, userCol: String = "user_id",
-      tsCol: String = "ts", gap: String = "30 minutes",
+      tsCol: String = "ts", valueCol: String = "value",
+      gap: String = "30 minutes",
       watermark: String = "1 hour"): DataFrame =
     events
       .withWatermark(tsCol, watermark)
       .groupBy(col(userCol), session_window(col(tsCol), gap).as("w"))
       .agg(count(lit(1)).as("n_events"),
-        sum(col("value")).as("sum_value"))
+        sum(col(valueCol)).as("sum_value"))
       .select(col(userCol),
         unix_timestamp(col("w.start")).as("session_start"),
         unix_timestamp(col("w.end")).as("session_end"),

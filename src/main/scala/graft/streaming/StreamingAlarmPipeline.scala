@@ -5,6 +5,7 @@ import org.apache.spark.sql.catalyst.util.QuantileSummaries
 import org.apache.spark.sql.functions.{broadcast, col}
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
+import graft.model.{ComparisonOperator, TreatMissingData}
 import graft.operators.StatWindowAgg
 import graft.streaming.AlarmStream.{AlarmState, SlaConf, Transition}
 
@@ -57,8 +58,8 @@ import graft.streaming.AlarmStream.{AlarmState, SlaConf, Transition}
  * fields; version 2 (rounds 6–7) added the DECIMAL(38,18) sum +
  * samples/sketch/sketchCount [[WinAgg]] fields and keyed groups by
  * (series, SLA config) WITHOUT a statistic dimension; version 3
- * (round 8) adds the `stateVersion` field and the statistic group-key
- * dimension. Each bump is NOT checkpoint-compatible with its
+ * (round 8) adds the `stateVersion` and `lastDataSec` fields and the
+ * statistic group-key dimension. Each bump is NOT checkpoint-compatible with its
  * predecessor (restore fails Spark's state-schema validation by
  * design; v2→v3 also redistributes groups across the new key).
  * Interim round-8 builds briefly carried the v3 shape still labeled
@@ -144,10 +145,14 @@ object StreamingAlarmPipeline {
   /** Per-series pipeline state: open windows + the alarm machine.
     * `conf` is captured from the first absorbed point so timer-only
     * invocations (watermark passes an open window with no new data)
-    * can close windows before the machine ever evaluated a slot. */
+    * can close windows before the machine ever evaluated a slot.
+    * `lastDataSec` is the newest REAL datapoint's event time — the
+    * idle-TTL signal (the alarm cursor can't serve: missing-data
+    * synthesis keeps it tracking the watermark even for a series that
+    * went silent long ago). */
   final case class PipeState(
       open: Map[Long, WinAgg], alarm: AlarmState, conf: Option[SlaConf],
-      stateVersion: Int = StateVersion)
+      stateVersion: Int = StateVersion, lastDataSec: Long = Long.MinValue)
 
   /** Restore-time guard: a checkpoint written by a different state
     * version must never feed the machine. */
@@ -197,13 +202,20 @@ object StreamingAlarmPipeline {
       case None => (st, Nil, None)
       case Some(c) =>
         // 1) absorb points into open windows (late = window already
-        //    evaluated → dropped, same contract as AlarmStream)
+        //    evaluated → dropped, same contract as AlarmStream).
+        //    Non-finite values are dropped as no-data: BigDecimal(NaN)
+        //    would kill the stream, and the batch path's half-count
+        //    (counted but not summed after the NaN→decimal null cast)
+        //    is itself an artifact, not a semantic to replicate.
         val keepSamples = StatWindowAgg.percentileFraction(statistic).isDefined
         var open = st.open
+        var lastData = st.lastDataSec
         points.foreach { p =>
           val ts = p.eventTime.getTime / 1000
           val w = math.floorDiv(ts, c.period) * c.period
-          if (!st.alarm.lastWindow.exists(w <= _)) {
+          if (java.lang.Double.isFinite(p.value) &&
+              !st.alarm.lastWindow.exists(w <= _)) {
+            lastData = math.max(lastData, ts)
             open = open.updated(w,
               absorb(open.getOrElse(w, EmptyWin), p.value, keepSamples))
           }
@@ -225,22 +237,30 @@ object StreamingAlarmPipeline {
             Some(statValue(statistic, agg)), c)
           alarm = s3; out = tr.toList ::: out
         }
-        // 3) silent-series catch-up: no window remains open, but the
-        //    watermark moved past further unreported slots (any point
-        //    for those slots would be dropped as late from here on, so
-        //    evaluating them now is final). Skipped while a window is
-        //    still open — the gap densifies when that window closes.
-        if (stillOpen.isEmpty) {
-          val (s4, wmOut) = AlarmStream.advanceToWatermark(alarm, seriesId,
-            watermarkSec)
-          alarm = s4; out = wmOut.reverse ::: out
-        }
-        // 4) next timer: the earliest pending closure — either an open
-        //    window's end or the silent series' next expected slot end
+        // 3) silent-series catch-up: the watermark moved past further
+        //    unreported slots (any point for those slots would be
+        //    dropped as late from here on, so evaluating them now is
+        //    final). Runs even while windows are still open: every
+        //    surviving open window ends AFTER the watermark (phase 2
+        //    closed the rest), and catch-up only evaluates slots that
+        //    end AT OR BEFORE it — disjoint and strictly earlier. The
+        //    old stillOpen.isEmpty gate let ONE corrupt far-future
+        //    point (e.g. epoch-millis parsed as seconds) pin a window
+        //    open forever and silently disable missing-data evaluation
+        //    for the series.
+        val (s4, wmOut) = AlarmStream.advanceToWatermark(alarm, seriesId,
+          watermarkSec)
+        alarm = s4; out = wmOut.reverse ::: out
+        // 4) next timer: the earliest pending closure — an open
+        //    window's end, or the silent series' next expected slot
+        //    end. The latter must arm even with windows open, or a
+        //    far-future open window postpones missing-data evaluation
+        //    indefinitely.
         val nextTimeout = (stillOpen.keys.map(_ + c.period) ++
-          (if (stillOpen.isEmpty) alarm.lastWindow.map(_ + 2 * c.period) else None))
+          alarm.lastWindow.map(_ + 2 * c.period))
           .reduceOption(_ min _)
-        (PipeState(stillOpen, alarm, Some(c)), out.reverse, nextTimeout)
+        (PipeState(stillOpen, alarm, Some(c), lastDataSec = lastData),
+          out.reverse, nextTimeout)
     }
   }
 
@@ -257,18 +277,36 @@ object StreamingAlarmPipeline {
    *                   Sum/Average/pNN alarms side by side.
    * @param statistic  default CW statistic for SLA rows without one
    * @param watermark  max out-of-order delay for raw datapoints
+   * @param idleTtlPeriods drop a series' state once the watermark
+   *                   passes its last evaluated slot by this many
+   *                   periods with no open window (0 = keep forever,
+   *                   CloudWatch semantics: an alarm exists until its
+   *                   config is deleted). Without a TTL, retired
+   *                   series re-arm their event-time timer forever and
+   *                   state grows with every key ever seen.
    */
   def evaluateStream(datapoints: DataFrame, slas: DataFrame,
-      statistic: String, watermark: String = "10 minutes"): Dataset[Transition] = {
+      statistic: String, watermark: String = "10 minutes",
+      idleTtlPeriods: Int = 0): Dataset[Transition] = {
     val spark = datapoints.sparkSession
     import spark.implicits._
-    // fail fast on bad statistics: the default (which null per-SLA
-    // rows fall back to), plus every per-SLA override — the SLA table
-    // is static config, so the collect is bounded
+    // Fail fast on bad SLA config — the table is static and tiny, so
+    // the collect is bounded, and a typo'd value must die HERE with a
+    // clear message, not minutes later inside flatMapGroupsWithState
+    // when the first window closes (a mid-stream throw checkpoints a
+    // poisoned source offset and crash-loops every restart).
     val perSla = slas.columns.contains("statistic")
     validateStatistic(statistic)
     if (perSla) slas.select("statistic").distinct().collect()
       .foreach(r => Option(r.getString(0)).foreach(validateStatistic))
+    slas.select(col("period").cast("long"), col("comparison_operator"),
+        col("treat_missing_data")).distinct().collect()
+      .foreach { r =>
+        require(!r.isNullAt(0) && r.getLong(0) > 0,
+          s"SLA period must be positive, got ${r.get(0)}")
+        ComparisonOperator.fromName(r.getString(1)) // throws with the bad name
+        TreatMissingData.fromName(r.getString(2))
+      }
     val statCol =
       if (perSla)
         org.apache.spark.sql.functions.coalesce(col("statistic"),
@@ -300,9 +338,19 @@ object StreamingAlarmPipeline {
             PipeState(Map.empty, AlarmStream.EmptyState, None))
           val wmSec = gs.getCurrentWatermarkMs() / 1000
           val (next, out, nextTimeout) = step(key._1, it.toSeq, st, wmSec, key._8)
-          gs.update(next)
-          nextTimeout.foreach { t =>
-            if (t * 1000 > gs.getCurrentWatermarkMs()) gs.setTimeoutTimestamp(t * 1000)
+          // retire idle series: nothing open and the watermark is
+          // idleTtlPeriods past the newest real datapoint — drop the
+          // state and do NOT re-arm the timer, or every key ever seen
+          // re-wakes on each watermark advance forever
+          val retire = idleTtlPeriods > 0 && next.open.isEmpty &&
+            next.lastDataSec != Long.MinValue &&
+            wmSec >= next.lastDataSec + idleTtlPeriods.toLong * key._2
+          if (retire) gs.remove()
+          else {
+            gs.update(next)
+            nextTimeout.foreach { t =>
+              if (t * 1000 > gs.getCurrentWatermarkMs()) gs.setTimeoutTimestamp(t * 1000)
+            }
           }
           out.iterator
         })

@@ -21,15 +21,24 @@ class StreamingSpec extends SparkTestBase {
         |"period":3600,"frequency":"hour","statistic":"Sum","metadata":null,
         |"dimensions":null,"accountid":"a","metrictimestamp":"2024-01-02T03:00:00",
         |"metricvalue":7.5,"id":"u1","label":"N"}""".stripMargin.replace("\n", "")
-    mem.addData(good, "{ this is not json }")
+    // valid JSON that merely omits the nullable id field: must LAND in
+    // the lake, not be diverted to the error prefix (corrupt = the
+    // line failed to parse, not "a nullable field is absent")
+    val goodNoId =
+      """{"collectiontime":"2024-01-02T03:00:00","namespace":"NS","name":"N2",
+        |"period":3600,"frequency":"hour","statistic":"Sum","metadata":null,
+        |"dimensions":null,"accountid":"a","metrictimestamp":"2024-01-02T03:00:00",
+        |"metricvalue":1.5,"label":"N2"}""".stripMargin.replace("\n", "")
+    mem.addData(good, "{ this is not json }", goodNoId)
 
     val q = LakeIngest.start(mem.toDF(), out, err, ckpt,
       trigger = Trigger.ProcessingTime("1 second"))
     try { q.processAllAvailable() } finally q.stop()
 
     val landed = spark.read.parquet(out)
-    assert(landed.count() == 1)
-    val row = landed.collect().head
+    assert(landed.count() == 2, "the id-less valid record was dropped")
+    assert(landed.filter(col("id").isNull).count() == 1)
+    val row = landed.filter(col("id") === "u1").collect().head
     assert(row.getAs[String]("region") == "local-1")
     // partition cols come back as Int from directory-name inference
     assert(row.getAs[Int]("year") == 2024 && row.getAs[Int]("hour") == 3)
@@ -537,6 +546,114 @@ class StreamingSpec extends SparkTestBase {
       // no duplicated or reset transitions: windowStarts strictly increase
       assert(out.map(_._1) == out.map(_._1).distinct.sorted, s"replayed/reset: $out")
     } finally q2.stop()
+  }
+
+  test("bad SLA config and statistics fail at stream construction, not mid-stream") {
+    import graft.streaming.StreamingAlarmPipeline
+    val dp = spark.range(0).selectExpr("'s' as series_id",
+      "current_timestamp() as ts", "0.0 as value")
+    def slasWith(period: Long, op: String, tmd: String) =
+      Seq(("s1", period, 5.0, op, 1, 1, tmd))
+        .toDF("series_id", "period", "threshold", "comparison_operator",
+          "datapoints_to_alarm", "evaluation_periods", "treat_missing_data")
+    val okSlas = slasWith(60L, "GREATER_THAN_THRESHOLD", "NOT_BREACHING")
+    // period must be positive — floorDiv(ts, 0) would kill the stream
+    intercept[IllegalArgumentException] {
+      StreamingAlarmPipeline.evaluateStream(
+        dp, slasWith(0L, "GREATER_THAN_THRESHOLD", "NOT_BREACHING"), "Sum")
+    }
+    // typo'd enum names die here with the bad name, not on first close
+    intercept[IllegalArgumentException] {
+      StreamingAlarmPipeline.evaluateStream(
+        dp, slasWith(60L, "greaterthan", "NOT_BREACHING"), "Sum")
+    }
+    intercept[IllegalArgumentException] {
+      StreamingAlarmPipeline.evaluateStream(
+        dp, slasWith(60L, "GREATER_THAN_THRESHOLD", "missng"), "Sum")
+    }
+    // out-of-range and malformed percentiles are "unsupported", not a
+    // deferred QuantileSummaries/NumberFormat crash
+    for (bad <- Seq("p200", "p1.2.3", "p.", "p0"))
+      intercept[IllegalArgumentException] {
+        StreamingAlarmPipeline.evaluateStream(dp, okSlas, bad)
+      }
+  }
+
+  test("non-finite datapoints are no-data, and a far-future point cannot suppress missing-data evaluation") {
+    import graft.streaming.StreamingAlarmPipeline.{ConfiguredPoint, PipeState}
+    import graft.streaming.StreamingAlarmPipeline
+    val period = 60L
+    def pt(sec: Long, v: Double) = ConfiguredPoint("s",
+      new java.sql.Timestamp(sec * 1000), v, period, 5.0,
+      "GREATER_THAN_THRESHOLD", 1, 2, "MISSING", "Sum")
+    val empty = PipeState(Map.empty, graft.streaming.AlarmStream.EmptyState, None)
+    // NaN/Infinity absorb as no-data instead of NumberFormatException
+    val (s1, _, _) = StreamingAlarmPipeline.step("s",
+      Seq(pt(610, Double.NaN), pt(615, Double.PositiveInfinity), pt(620, 9.0)),
+      empty, 0L, "Sum")
+    assert(s1.open(600L).count == 1 && s1.open(600L).sum.toDouble == 9.0,
+      s"non-finite values leaked into the aggregate: ${s1.open}")
+    // a corrupt year-56k timestamp opens a window the watermark will
+    // never pass; missing-data slots below the watermark must still
+    // evaluate (the machine reaches INSUFFICIENT_DATA, not silence)
+    val farFuture = 1742000000000L // epoch-millis misparsed as seconds
+    val (s2, _, _) = StreamingAlarmPipeline.step("s",
+      Seq(pt(610, 9.0), pt(farFuture, 1.0)), empty, 0L, "Sum")
+    val (s3, out3, _) = StreamingAlarmPipeline.step("s", Nil, s2, 2000L, "Sum")
+    assert(s3.open.contains(math.floorDiv(farFuture, period) * period))
+    assert(s3.alarm.lastWindow.exists(_ >= 1800L),
+      s"cursor stuck at ${s3.alarm.lastWindow} with an open far-future window")
+    // the machine left INSUFFICIENT_DATA despite the stuck window:
+    // window 600 evaluated (ALARM) and the silent MISSING slots after
+    // it kept voting — evaluation did not freeze
+    assert(s3.alarm.state != "INSUFFICIENT_DATA" || out3.nonEmpty,
+      s"machine never evaluated: ${s3.alarm}")
+  }
+
+  test("idle TTL retires a silent series' state; fresh data restarts a new machine") {
+    implicit val sq = spark.sqlContext
+    import java.sql.Timestamp
+    val mem = MemoryStream[(String, Timestamp, Double)]
+    val dp = mem.toDF().toDF("series_id", "ts", "value")
+    // s2 exists to advance the GLOBAL watermark while s1 is silent —
+    // with one series, the watermark stalls with its data and the TTL
+    // timer can never fire
+    val slas = Seq(
+      ("s1", 60L, 5.0, "GREATER_THAN_THRESHOLD", 1, 1, "NOT_BREACHING"),
+      ("s2", 60L, 5.0, "GREATER_THAN_THRESHOLD", 1, 1, "NOT_BREACHING"))
+      .toDF("series_id", "period", "threshold", "comparison_operator",
+        "datapoints_to_alarm", "evaluation_periods", "treat_missing_data")
+    val q = graft.streaming.StreamingAlarmPipeline
+      .evaluateStream(dp, slas, "Sum", watermark = "0 seconds",
+        idleTtlPeriods = 3)
+      .writeStream.format("memory").queryName("e2e_ttl")
+      .outputMode("append").start()
+    def t(e: Long) = new Timestamp(e * 1000)
+    try {
+      mem.addData(("s1", t(610), 9.0), ("s2", t(610), 1.0))
+      q.processAllAvailable()
+      mem.addData(("s1", t(700), 0.0), ("s2", t(700), 1.0)) // closes 600 → s1 ALARM
+      q.processAllAvailable()
+      // s1 silent; s2 pushes the watermark 3+ periods past s1's last
+      // datapoint (700 + 180) → s1's timer fires, state retires
+      mem.addData(("s2", t(5000), 1.0))
+      q.processAllAvailable()
+      mem.addData(("s1", t(9000), 9.0)) // fresh s1 data after retirement
+      q.processAllAvailable()
+      mem.addData(("s2", t(12000), 1.0)) // close s1's 9000-era window
+      q.processAllAvailable()
+      val out = spark.table("e2e_ttl")
+        .filter(col("seriesId") === "s1")
+        .select("windowStart", "prevState", "newState").orderBy("windowStart")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+      assert(out.exists { case (w, _, s) => w == 600L && s == "ALARM" }, s"$out")
+      // the 8940-era evaluation starts from a FRESH machine: its first
+      // transition leaves INSUFFICIENT_DATA, proving the retired state
+      // (which ended in OK after the 660 window) was dropped
+      val late = out.filter(_._1 >= 8000L)
+      assert(late.nonEmpty && late.head._2 == "INSUFFICIENT_DATA",
+        s"state survived retirement: $late")
+    } finally q.stop()
   }
 
   test("state restore fails fast on a checkpoint from a different state version") {
