@@ -24,6 +24,9 @@ object Corpus {
   def chunk(docs: DataFrame, chunkTokens: Int, overlapTokens: Int,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     require(overlapTokens < chunkTokens, "overlap must be below chunk size")
+    // a negative overlap makes stride exceed the chunk size and
+    // silently DROPS the tokens between consecutive windows
+    require(overlapTokens >= 0, "overlap must be non-negative")
     graft.plans.NativeFns.register(docs.sparkSession)
     val stride = chunkTokens - overlapTokens
     val toks = graft.plans.WordShingles.shingles(col(textCol), 1)
@@ -56,12 +59,18 @@ object Corpus {
    * (e.g. lang → %), decided by the content-hash bucket so the sample
    * is stable across runs, partitions, and engines — rand() sampling
    * is not reproducible and not oracle-checkable.
+   *
+   * The bucket input is SALTED with an operator tag: each sampler /
+   * capper hashes a different string, so composing them keeps every
+   * stage's keep rate calibrated. Unsalted, a capPerGroup survivor set
+   * IS the low-bucket tail, and a downstream `bucket < rate` filter
+   * would keep ~100% of it instead of the computed rate.
    */
   def stratifiedSample(docs: DataFrame, strataCol: String,
       quotas: Map[String, Int], textCol: String = "text"): DataFrame = {
     val quota = quotas.foldLeft(lit(0)) { case (acc, (k, pct)) =>
       when(col(strataCol) === k, pct).otherwise(acc) }
-    docs.filter(hashBucket(col(textCol)) < quota)
+    docs.filter(hashBucket(concat(lit("sample:"), col(textCol))) < quota)
   }
 
   /** Finer deterministic bucket in [0, 10000) for permyriad rates —
@@ -93,15 +102,23 @@ object Corpus {
       weights: Map[String, Long], totalTarget: Long,
       textCol: String = "text"): DataFrame = {
     require(weights.values.forall(_ > 0), "weights must be positive")
+    require(totalTarget > 0, "target must be positive")
     val wsum = weights.values.sum
     val wCol = weights.foldLeft(lit(0L)) { case (acc, (k, w)) =>
       when(col(strataCol) === k, w).otherwise(acc) }
     val counts = docs.groupBy(strataCol).agg(count(lit(1)).as("__n"))
     docs.join(broadcast(counts), Seq(strataCol))
       .withColumn("__w", wCol)
+      // DECIMAL(38) arithmetic: token-scale weights (1e11) times a
+      // token-scale target (1e9) overflow Long (9.2e18) and a wrapped
+      // NEGATIVE rate silently empties the source; decimals keep the
+      // rate integer-exact to 38 digits
       .withColumn("__keep_pm", least(lit(10000L),
-        expr(s"(10000L * ${totalTarget}L * __w) div (${wsum}L * __n)")))
-      .filter(col("__w") > 0 && hashBucket10k(col(textCol)) < col("__keep_pm"))
+        expr(s"CAST((CAST(10000 AS DECIMAL(38,0)) * " +
+          s"CAST(${totalTarget} AS DECIMAL(38,0)) * __w) div " +
+          s"(CAST(${wsum} AS DECIMAL(38,0)) * __n) AS BIGINT)")))
+      .filter(col("__w") > 0 &&
+        hashBucket10k(concat(lit("mix:"), col(textCol))) < col("__keep_pm"))
       .drop("__n", "__w", "__keep_pm")
   }
 
@@ -198,6 +215,12 @@ object Corpus {
    * 16-byte gram hashes (tiny → broadcast); the corpus side is one
    * explode + anti-join, so the cost is linear in corpus tokens no
    * matter how large the training side is.
+   *
+   * Blind spot, by construction: a benchmark item SHORTER than n
+   * tokens produces no n-gram and is never matched — pick n at or
+   * below the shortest eval item you must guard, or route short items
+   * through [[semanticDecontaminate]] (embedding match has no length
+   * floor).
    */
   def decontaminate(docs: DataFrame, benchmark: DataFrame, n: Int = 8,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
@@ -325,7 +348,9 @@ object Corpus {
   def capPerGroup(docs: DataFrame, groupCol: String, maxDocs: Int,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     require(maxDocs > 0, "cap must be positive")
-    val rank = Seq(hashBucket10k(col(textCol)), col(idCol))
+    // "cap:" salt: see stratifiedSample — composed samplers must not
+    // share one hash or downstream keep rates decalibrate
+    val rank = Seq(hashBucket10k(concat(lit("cap:"), col(textCol))), col(idCol))
     val pre = org.apache.spark.sql.expressions.Window
       .partitionBy(col(groupCol), pmod(hash(col(idCol)), lit(CapFanout)))
       .orderBy(rank: _*)

@@ -316,7 +316,12 @@ object Dedup {
     // the iterative job would pay several shuffle rounds of pure task
     // overhead; above it, fall through to the distributed loop — the
     // same size-based regime switch Spark applies to broadcast joins.
-    if (nEdges <= smallGraphThreshold) {
+    // Long-id-only: a type-dependent crash ONLY under the size
+    // threshold would be the worst kind of regime divergence, so
+    // non-Long ids always take the (type-agnostic) distributed loop.
+    val longIds = base.schema.fields.forall(
+      _.dataType == org.apache.spark.sql.types.LongType)
+    if (longIds && nEdges <= smallGraphThreshold) {
       val spark = pairs.sparkSession
       val edgeArr = base.collect().map(r => (r.getLong(0), r.getLong(1)))
       base.unpersist()
@@ -383,14 +388,27 @@ object Dedup {
 
   /**
    * N-gram Jaccard near-dup pairs without MinHash: candidates share at
-   * least one (rare) shingle. Blocking on the shingle itself explodes
-   * hot shingles, so shingles appearing in more than `maxDf` docs are
-   * dropped from blocking (they only generate candidates that other,
-   * rarer shingles also generate for genuinely similar pairs).
+   * least `minSharedShingles` (rare) shingles. Blocking on the shingle
+   * itself explodes hot shingles, so shingles appearing in more than
+   * `maxDf` docs are dropped from blocking (they only generate
+   * candidates that other, rarer shingles also generate for genuinely
+   * similar pairs).
+   *
+   * Recall contract: the default minSharedShingles = 2 prunes the long
+   * tail of single-collision pairs before the expensive array-verify
+   * joins — the right trade for normal documents, where a pair at
+   * threshold 0.4 over ≥5 shingles shares several. It CAN miss a
+   * qualifying pair of very short docs (e.g. two 1-shingle docs
+   * differing only in whitespace share exactly one shingle); pass
+   * minSharedShingles = 1 when the corpus carries such docs and the
+   * extra candidate volume is acceptable. Pairs whose every shared
+   * shingle is hotter than maxDf are outside the blocking design at
+   * any setting.
    */
   def ngramJaccardPairs(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", shingleN: Int = 4, threshold: Double = 0.4,
-      maxDf: Int = 50): DataFrame = {
+      maxDf: Int = 50, minSharedShingles: Int = 2): DataFrame = {
+    require(minSharedShingles >= 1, "minSharedShingles must be >= 1")
     graft.plans.NativeFns.register(docs.sparkSession)
     val withShingles = docs.select(col(idCol),
       graft.plans.WordShingles.shingles(col(textCol), shingleN,
@@ -413,17 +431,15 @@ object Dedup {
     val pairsPerShingle = flatten(transform(sequence(lit(0), size(ids) - 2),
       i => transform(slice(ids, i + 2, size(ids)),
         b => struct(element_at(ids, i + 1).as("id_a"), b.as("id_b")))))
-    // candidate pairs must share >= 2 blocked shingles: a qualifying
-    // pair (threshold >= 0.4 over docs with >= 5 shingles) always
-    // shares several, and the prefilter prunes the long tail of
-    // single-collision pairs BEFORE the expensive array-verify joins.
+    // shared-shingle prefilter: see the recall contract in the
+    // scaladoc — tunable, default 2
     val pairs = posting.groupBy("shingle")
       .agg(array_sort(collect_list(col(idCol))).as("ids"))
       .filter(size(ids) <= maxDf && size(ids) > 1)
       .select(explode(pairsPerShingle).as("p"))
       .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .agg(count(lit(1)).as("__shared"))
-      .filter(col("__shared") >= 2).drop("__shared")
+      .filter(col("__shared") >= minSharedShingles).drop("__shared")
     val jaccard = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
       size(array_union(col("sh_a"), col("sh_b"))).cast("double")
     pairs
@@ -443,20 +459,27 @@ object Dedup {
   def embeddingNearDupPairs(vecs: DataFrame, vecCol: String = "embedding",
       idCol: String = "vec_id", threshold: Double = 0.95,
       bits: Int = 16, bands: Int = 4): DataFrame = {
-    val sig = vecs.select(col(idCol), col(vecCol),
+    val sig = vecs.select(col(idCol),
       VectorFns.srpSignature(col(vecCol), bits).as("sig"))
-    val banded = sig.select(col(idCol), col(vecCol),
+    // ids + band keys only — the vectors rejoin AFTER candidate dedup
+    val banded = sig.select(col(idCol),
       explode(VectorFns.srpBands(col("sig"), bands, bits)).as("bk"))
-      .select(col(idCol), col(vecCol), col("bk.band").as("band"), col("bk.key").as("band_key"))
+      .select(col(idCol), col("bk.band").as("band"), col("bk.key").as("band_key"))
       .persist() // SRP signatures fan out to both candidate-join sides
       .transform { df => df.count(); df } // eager: fan-out stages race a lazy cache
-    val a = banded.select(col(idCol).as("id_a"), col(vecCol).as("v_a"),
-      col("band"), col("band_key"))
-    val b = banded.select(col(idCol).as("id_b"), col(vecCol).as("v_b"),
-      col("band"), col("band_key"))
+    val a = banded.select(col(idCol).as("id_a"), col("band"), col("band_key"))
+    val b = banded.select(col(idCol).as("id_b"), col("band"), col("band_key"))
+    // dedupe candidates on the ID PAIR, then rejoin the vectors — the
+    // same shape the minhash path uses: a multi-band collision must
+    // not drag two full embedding arrays through the distinct()
+    // exchange once per shared band (at 1024 dims that is ~8 KB per
+    // duplicate row dominating the stage)
+    val vecs2 = vecs.select(col(idCol), col(vecCol))
     a.join(b, Seq("band", "band_key"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "v_a", "v_b").distinct()
+      .select("id_a", "id_b").distinct()
+      .join(vecs2.select(col(idCol).as("id_a"), col(vecCol).as("v_a")), Seq("id_a"))
+      .join(vecs2.select(col(idCol).as("id_b"), col(vecCol).as("v_b")), Seq("id_b"))
       .withColumn("cosine", VectorFns.cosine(col("v_a"), col("v_b")))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")

@@ -164,12 +164,23 @@ object Multimodal {
             Some(dom), Some(hist(dom).toDouble / total),
             None, None, None, None)
         case "audio" =>
-          val ais = AudioSystem.getAudioInputStream(
+          val raw = AudioSystem.getAudioInputStream(
             new ByteArrayInputStream(r.payload))
-          val fmt = ais.getFormat
+          val srcFmt = raw.getFormat
+          // normalize to signed 16-bit little-endian PCM before the
+          // peak scan: AU/AIFF are big-endian and 8-bit WAV is one
+          // byte per sample — parsing those as 16-bit LE silently
+          // byte-swaps/misframes every sample
+          val target = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+            srcFmt.getSampleRate, 16, srcFmt.getChannels,
+            srcFmt.getChannels * 2, srcFmt.getSampleRate,
+            /* bigEndian = */ false)
+          val ais =
+            if (srcFmt.matches(target)) raw
+            else AudioSystem.getAudioInputStream(target, raw)
           val n = ais.getFrameLength
           val bytes = ais.readAllBytes()
-          // peak |sample| over 16-bit little-endian PCM
+          // peak |sample| over the normalized 16-bit LE PCM
           var peak = 0
           var i = 0
           while (i + 1 < bytes.length) {
@@ -179,7 +190,7 @@ object Multimodal {
             i += 2
           }
           MediaFeatures(r.media_id, r.kind, None, None, None, None,
-            Some(fmt.getSampleRate.toInt), Some(n), Some(peak), None)
+            Some(srcFmt.getSampleRate.toInt), Some(n), Some(peak), None)
         case _ => // video: MJPNG container, stride-sampled frame decode
           val in = new java.io.DataInputStream(
             new ByteArrayInputStream(r.payload))
@@ -213,6 +224,10 @@ object Multimodal {
     * per partition — the Scala analogue of mapInPandas batch shape —
     * so decoder/codec init amortizes per partition, not per row. */
   def extractFeatures(media: DataFrame, frameStride: Int = 2): Dataset[MediaFeatures] = {
+    // fail at the driver: stride 0 would throw `/ by zero` inside an
+    // executor task after the job is already running, and a negative
+    // stride silently samples only frame 0
+    require(frameStride > 0, "frameStride must be positive")
     val spark = media.sparkSession
     import spark.implicits._
     media.as[MediaRecord].mapPartitions(it => decodeBatch(it, frameStride))
@@ -226,6 +241,7 @@ object Multimodal {
     * payload_bytes). Not an oracle query — wall times are
     * nondeterministic by nature; numbers land in PLANS.md. */
   def timeByKind(media: DataFrame, frameStride: Int = 2): DataFrame = {
+    require(frameStride > 0, "frameStride must be positive")
     val spark = media.sparkSession
     import spark.implicits._
     media.as[MediaRecord].mapPartitions { it =>

@@ -43,7 +43,10 @@ object Similarity {
           explode(VectorFns.srpBands(
             VectorFns.srpSignature(col(vecCol), bits), bands, bits)).as("bk"))
         .select(col(id), col(v), col("bk.band").as("band"), col("bk.key").as("band_key"))
-    val c = banded(corpus, "neighbor_id", "v_c").persist() // signatures computed once
+    // no persist: the banded corpus feeds exactly one downstream join,
+    // so a cache would pin corpus×bands rows (with vectors) in
+    // executor memory for zero recomputation saved
+    val c = banded(corpus, "neighbor_id", "v_c")
     val q = banded(queries, "query_id", "v_q")
     val candidates = c.join(broadcast(q), Seq("band", "band_key"))
       .filter(col("query_id") =!= col("neighbor_id"))
