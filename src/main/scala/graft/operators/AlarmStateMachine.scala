@@ -57,21 +57,40 @@ object AlarmStateMachine {
    *         (null when the slot was missing), breaching, statevalue,
    *         prev_state, transitioned
    */
-  def evaluate(series: DataFrame, slas: DataFrame): DataFrame = {
+  def evaluate(series: DataFrame, slas: DataFrame,
+      maxSlotsPerSeries: Long = 200000L): DataFrame = {
+    // Fail fast on bad SLA config (mirrors the streaming path):
+    // breaches() has no otherwise-branch, so a typo'd operator would
+    // make every slot silently abstain — the alarm could never fire
+    // and nothing would report the misconfiguration.
+    slas.select(col("period").cast("long"), col("comparison_operator"),
+        col("treat_missing_data")).distinct().collect()
+      .foreach { r =>
+        require(!r.isNullAt(0) && r.getLong(0) > 0,
+          s"SLA period must be positive, got ${r.get(0)}")
+        graft.model.ComparisonOperator.fromName(r.getString(1))
+        graft.model.TreatMissingData.fromName(r.getString(2))
+      }
     val joined = series.join(broadcast(slas), Seq("series_id"), "inner")
 
     // Densify each series to one slot per period over its own span —
-    // missing-data policies need explicit missing slots.
+    // missing-data policies need explicit missing slots. The span is
+    // CLAMPED to the last maxSlotsPerSeries slots: one corrupt
+    // far-future timestamp (epoch-millis read as seconds) would
+    // otherwise ask sequence() for ~1e10 elements and OOM the whole
+    // job, killing alarming for every healthy series with it.
     val bounds = joined.groupBy(
         col("series_id"), col("period"), col("threshold"),
         col("comparison_operator"), col("datapoints_to_alarm"),
         col("evaluation_periods"), col("treat_missing_data"))
       .agg(min("window_start").as("_lo"), max("window_start").as("_hi"))
+    val clampedLo = greatest(col("_lo"),
+      col("_hi") - lit(maxSlotsPerSeries) * col("period").cast("long"))
     val slots = bounds.select(
       col("series_id"), col("period"), col("threshold"),
       col("comparison_operator"), col("datapoints_to_alarm"),
       col("evaluation_periods"), col("treat_missing_data"),
-      explode(sequence(col("_lo"), col("_hi"), col("period").cast("long")))
+      explode(sequence(clampedLo, col("_hi"), col("period").cast("long")))
         .as("window_start"))
 
     val dense = slots.join(
@@ -95,9 +114,11 @@ object AlarmStateMachine {
     // partition by the FULL SLA config, not just the series: a series
     // may carry several SLAs (warning + critical threshold), and mixing
     // their rows in one window would interleave vote streams and lag()
-    // states across configs.
-    val keyCols = Seq("series_id", "threshold", "comparison_operator",
-      "datapoints_to_alarm", "evaluation_periods", "treat_missing_data")
+    // states across configs. `period` IS part of the config — two SLAs
+    // differing only in period must not share one vote stream.
+    val keyCols = Seq("series_id", "period", "threshold",
+      "comparison_operator", "datapoints_to_alarm",
+      "evaluation_periods", "treat_missing_data")
     val w = Window.partitionBy(keyCols.map(col): _*).orderBy("window_start")
     val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
 

@@ -40,13 +40,20 @@ object Anomaly {
     val w = Window.partitionBy(seriesCol).orderBy(col(tsCol), col(tieCol))
       .rowsBetween(-lookback, -1)
     val numType = if (wide) "decimal(38,0)" else "long"
-    val x = floor(col(valueCol) * 100).cast(numType)
-    val n = count(lit(1)).over(w).cast(numType)
+    // NaN guard BEFORE the cents fold: floor(NaN*100) casts to null in
+    // decimal but to 0 in Long — a NaN history point would corrupt the
+    // Long path as a phantom zero while the decimal path dropped it,
+    // breaking the wide/narrow equivalence. Null it out explicitly so
+    // both paths skip it, and count HISTORY on the same column so n
+    // matches what s/sq actually aggregated.
+    val finite = when(!isnan(col(valueCol)), col(valueCol))
+    val x = floor(finite * 100).cast(numType)
+    val n = count(x).over(w).cast(numType)
     val s = sum(x).over(w).cast(numType)
     val sq = sum((x * x).cast(numType)).over(w).cast(numType)
     events
       .withColumn("__x", x)
-      .withColumn("n_hist", count(lit(1)).over(w))
+      .withColumn("n_hist", count(col("__x")).over(w))
       .withColumn("is_anomaly",
         when(col("n_hist") < minN, lit(false)).otherwise(
           pow2(n * col("__x") - s) >

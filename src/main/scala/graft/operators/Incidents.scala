@@ -65,6 +65,9 @@ object Incidents {
   def referenceId(metadataEntries: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     val hits = filter(metadataEntries,
       e => lower(e.getField("name")).isin("function", "dataset"))
-    coalesce(element_at(hits, -1).getField("value"), lit("Unknown"))
+    // try_element_at: under Spark 4's default ANSI mode a bare
+    // element_at on the empty array THROWS — exactly the no-hit case
+    // the "Unknown" fallback exists for
+    coalesce(try_element_at(hits, lit(-1)).getField("value"), lit("Unknown"))
   }
 }

@@ -17,18 +17,23 @@ object PartitionOps {
    */
   def parseKey(key: Column): Column = {
     val parts = split(key, "/")
-    val isMetrics = element_at(parts, 1) === "metrics"
+    // try_element_at: Spark 4 runs ANSI mode by default, where a bare
+    // element_at past the end THROWS — one stray short key (a _SUCCESS
+    // marker, a truncated prefix) would kill the whole parse job
+    // instead of yielding nulls for the missing segments.
+    def seg(i: Int) = try_element_at(parts, lit(i))
+    val isMetrics = seg(1) === "metrics"
     struct(
-      when(isMetrics, concat_ws("_", element_at(parts, 1), element_at(parts, 2)))
-        .otherwise(element_at(parts, 1)).as("table"),
-      when(isMetrics, element_at(parts, 3)).otherwise(element_at(parts, 2)).as("region"),
-      when(isMetrics, element_at(parts, 4)).otherwise(element_at(parts, 3))
+      when(isMetrics, concat_ws("_", seg(1), seg(2)))
+        .otherwise(seg(1)).as("table"),
+      when(isMetrics, seg(3)).otherwise(seg(2)).as("region"),
+      when(isMetrics, seg(4)).otherwise(seg(3))
         .cast("smallint").as("year"),
-      when(isMetrics, element_at(parts, 5)).otherwise(element_at(parts, 4))
+      when(isMetrics, seg(5)).otherwise(seg(4))
         .cast("smallint").as("month"),
-      when(isMetrics, element_at(parts, 6)).otherwise(element_at(parts, 5))
+      when(isMetrics, seg(6)).otherwise(seg(5))
         .cast("smallint").as("day"),
-      when(isMetrics, element_at(parts, 7)).otherwise(element_at(parts, 6))
+      when(isMetrics, seg(7)).otherwise(seg(6))
         .cast("smallint").as("hour"))
   }
 
@@ -123,13 +128,19 @@ object PartitionOps {
    * Per-series sequence() is bounded by the series' own span, and the
    * anti-join is an aggregated-key join — no full-table theta join.
    */
-  def hourlyGaps(records: DataFrame, seriesCol: String, tsCol: String): DataFrame = {
+  def hourlyGaps(records: DataFrame, seriesCol: String, tsCol: String,
+      maxSpanHours: Long = 200000L): DataFrame = {
     val hour = (floor(unix_timestamp(col(tsCol)) / 3600) * 3600).cast("long")
     val present = records.select(col(seriesCol).as("series"), hour.as("h")).distinct()
     val spans = present.groupBy("series").agg(min("h").as("h0"), max("h").as("h1"))
+    // clamp the densified span to the trailing maxSpanHours (~22 years
+    // at the default): one corrupt far-future timestamp would
+    // otherwise ask sequence() for billions of slots and OOM the
+    // whole backfill-planning job
+    val lo = greatest(col("h0"), col("h1") - lit(maxSpanHours) * 3600L)
     spans
       .select(col("series"),
-        explode(sequence(col("h0"), col("h1"), lit(3600L))).as("h"))
+        explode(sequence(lo, col("h1"), lit(3600L))).as("h"))
       .join(present, Seq("series", "h"), "left_anti")
       .select(col("series"), col("h").as("missing_hour_epoch"))
   }

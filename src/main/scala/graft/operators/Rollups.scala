@@ -26,7 +26,10 @@ object Rollups {
     dp.groupBy(col(seriesCol).as("series"),
         (floor(unix_timestamp(col(tsCol)) / 86400) * 86400).cast("long").as("day"))
       .agg(sum(col(valueCol).cast("decimal(28,8)")).as("s"),
-        count(lit(1)).as("n"),
+        // count the VALUE column: null/NaN rows (NaN→decimal casts to
+        // null under ANSI) are excluded from `s`, so counting them in
+        // `n` would shrink finalize's avg and overstate n_points
+        count(col(valueCol)).as("n"),
         min(col(valueCol)).as("mn"),
         max(col(valueCol)).as("mx"))
 

@@ -45,7 +45,13 @@ object SeriesMath {
     val w = Window.partitionBy(seriesCol).orderBy(col(tsCol), col(tieCol))
     val t = unix_timestamp(col(tsCol))
     val day = (floor(t / 86400) * 86400).cast("long")
-    dp.withColumn("__day", day)
+    // drop non-finite readings BEFORE the gap window: floor(NaN*100)
+    // casts to Long 0, which would silently weight a phantom zero by
+    // its whole gap and drag the average down. Filtering instead
+    // attributes the bad reading's interval to the previous point —
+    // carry-forward, the standard treatment of a failed sample.
+    dp.filter(!isnan(col(valueCol).cast("double")))
+      .withColumn("__day", day)
       .withColumn("__cents", floor(col(valueCol) * 100).cast("long"))
       .withColumn("__nt", lead(t, 1).over(w))
       .withColumn("__nday", lead(day, 1).over(w))

@@ -84,8 +84,14 @@ object StatWindowAgg {
       sum(dec).as("_sum"),
       min(col("value")).as("_min"),
       max(col("value")).as("_max"))
-    val pAggs = pStats.map { case (s, f) =>
-      percentile_approx(col("value"), lit(f), lit(PercentileAccuracy)).as(s"_$s") }
+    // ONE shared percentile_approx over the fraction ARRAY: K separate
+    // calls would maintain K independent GK summaries per group (each
+    // at accuracy 100000) for the same inserted values — same results,
+    // K× the aggregation state and CPU.
+    val pAggs =
+      if (pStats.isEmpty) Nil
+      else Seq(percentile_approx(col("value"),
+        array(pStats.map(p => lit(p._2)): _*), lit(PercentileAccuracy)).as("_pq"))
 
     val grouped = joined
       .groupBy(col("series_id"), col("statistic"), col("period"), col("frequency"),
@@ -101,8 +107,9 @@ object StatWindowAgg {
       .when(col("statistic") === "Minimum", col("_min"))
       .when(col("statistic") === "Maximum", col("_max"))
       .when(col("statistic") === "SampleCount", col("_count").cast("double"))
-    val metricValue = pStats.foldLeft(standard) { case (acc, (s, _)) =>
-      acc.when(col("statistic") === s, col(s"_$s"))
+    val metricValue = pStats.zipWithIndex.foldLeft(standard) {
+      case (acc, ((s, _), i)) =>
+        acc.when(col("statistic") === s, col("_pq").getItem(i))
     }
 
     grouped.select(col("series_id"), col("statistic"), col("period"), col("frequency"),

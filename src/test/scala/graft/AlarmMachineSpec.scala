@@ -80,6 +80,29 @@ class AlarmMachineSpec extends SparkTestBase {
       (9.0, 0L, "OK"), (9.0, 60L, "ALARM"), (9.0, 120L, "OK")))
   }
 
+  test("two SLAs differing only in PERIOD keep separate vote streams") {
+    // same threshold/op/M/N — only the period differs; the partition
+    // key must split them or both machines interleave votes
+    val series = seriesDf(Seq(0L -> Some(9.0), 60L -> Some(9.0),
+      120L -> Some(1.0), 180L -> Some(1.0)))
+    val slas = Seq(
+      ("s1", 60, 5.0, "GREATER_THAN_THRESHOLD", 2, 2, "NOT_BREACHING"),
+      ("s1", 120, 5.0, "GREATER_THAN_THRESHOLD", 2, 2, "NOT_BREACHING"))
+      .toDF("series_id", "period", "threshold", "comparison_operator",
+        "datapoints_to_alarm", "evaluation_periods", "treat_missing_data")
+    val out = AlarmStateMachine.evaluate(series, slas)
+      .select("period", "window_start", "statevalue")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getString(2))).toSet
+    // 60s SLA: windows 0..180 at 60s steps — ALARM once two of the
+    // last two vote breach (at 60), back to OK as 1.0s arrive.
+    // 120s SLA: its own slot grid 0,120,... from the SAME series rows;
+    // the two streams must not share running counts.
+    assert(out.contains((60, 60L, "ALARM")), s"$out")
+    assert(out.contains((60, 180L, "OK")), s"$out")
+    // the 120s config densifies its OWN slot grid from the same rows
+    assert(out.filter(_._1 == 120).map(_._2) == Set(0L, 120L), s"$out")
+  }
+
   test("streaming IGNORE matches batch across gaps") {
     def pt(ws: Long, v: Option[Double]) = SeriesPoint("s1", ws, v, 60L, 5.0,
       "LESS_THAN_THRESHOLD", 2, 2, "IGNORE")
