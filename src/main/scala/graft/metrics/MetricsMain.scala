@@ -84,7 +84,11 @@ final class FrequencyScheduler(
     nowMillis: () => Long = () => System.currentTimeMillis())
   extends AutoCloseable {
 
-  private val exec = java.util.concurrent.Executors.newScheduledThreadPool(1,
+  // one thread PER frequency: the reference models independent
+  // EventBridge rules — with a shared thread a minute-run overrunning
+  // its hour would delay the hour/day firings behind it
+  private val exec = java.util.concurrent.Executors.newScheduledThreadPool(
+    math.max(1, frequencies.size),
     (r: Runnable) => {
       val t = new Thread(r, "graft-frequency-scheduler")
       t.setDaemon(true); t
@@ -104,8 +108,16 @@ final class FrequencyScheduler(
       // first firing at the next top-of-period boundary, like cron
       val initial = period - java.lang.Math.floorMod(nowMillis(), period)
       exec.scheduleAtFixedRate(() => {
+        // catch InterruptedException too (excluded from NonFatal): any
+        // throwable escaping this body makes scheduleAtFixedRate
+        // CANCEL the schedule permanently and silently — the exact
+        // "keeps firing" contract violation this wrapper exists for.
+        // Fatal VM errors still propagate.
         try onFire(f)
         catch {
+          case e: InterruptedException =>
+            Thread.currentThread().interrupt()
+            System.err.println(s"[scheduler] $f run interrupted")
           case scala.util.control.NonFatal(e) =>
             System.err.println(s"[scheduler] $f run failed: ${e.getMessage}")
         } finally fired.merge(f, 1L, (a, b) => a + b)

@@ -73,19 +73,22 @@ sealed trait MetricLike {
   final def uniqueId: String = {
     val raw = namespace + name + frequency.name +
       activeDims.map(d => d.name + d.value).mkString
-    raw.replaceAll("\\W+", "").toLowerCase
+    // Locale.ROOT: default-locale lowercasing diverges from Spark's
+    // locale-independent lower() on the column side (Turkish dotless-i
+    // would split the model key from the KeyFns-derived join key)
+    raw.replaceAll("\\W+", "").toLowerCase(java.util.Locale.ROOT)
   }
 
   final def alarmUniqueId: String = {
     val raw = namespace + "-" + name + "-" + frequency.name + "-" +
       activeDims.map(d => d.name + "-" + d.value + "-").mkString
-    raw.replace("/", "").toLowerCase
+    raw.replace("/", "").toLowerCase(java.util.Locale.ROOT)
   }
 
   final def widgetTitle: String = {
     val raw = name + " per " + frequency.name + "-" +
       activeDims.map(_.value).mkString
-    raw.replace("/", "").toLowerCase
+    raw.replace("/", "").toLowerCase(java.util.Locale.ROOT)
   }
 
   /** CloudWatch-alarm-style name for this series' SLA alarm

@@ -40,7 +40,8 @@ object EnrichmentJoins {
    * `alarm_key` in DefinitionExport.seriesKeys). Equi-join on derived
    * keys → still hashable → still broadcastable.
    */
-  def enrichAlarms(alarms: DataFrame, seriesKeys: DataFrame): DataFrame = {
+  def enrichAlarms(alarms: DataFrame, seriesKeys: DataFrame,
+      region: String = graft.registry.DefinitionRegistry.DefaultRegion): DataFrame = {
     val d = seriesKeys.select(
       col("alarm_key"),
       col("namespace").as("metricnamespace"),
@@ -49,8 +50,14 @@ object EnrichmentJoins {
       col("frequency").as("metricfrequency"),
       col("statistic").as("metricstatistic"),
       col("metadata"))
+    // the alarm-name suffix length depends on the REGION's hyphen
+    // token count — "us-east-1" carries 3, "local-1" carries 2; a
+    // hardcoded count would leave residue tokens in the derived key
+    // and the join would silently never match (all-null enrichment)
+    val regionTokens = region.count(_ == '-') + 1
     alarms.join(broadcast(d),
-      KeyFns.alarmNameToKey(alarms("alarmname")) === d("alarm_key"), "left")
+      KeyFns.alarmNameToKey(alarms("alarmname"), regionTokens) === d("alarm_key"),
+      "left")
       .drop("alarm_key")
   }
 

@@ -76,11 +76,20 @@ object Md5MinHash {
     false
   }
 
+  // the "i:" prefix byte-arrays depend only on k — cache per k instead
+  // of reallocating k strings + k arrays for EVERY document on the
+  // near-dup hot path
+  private val prefixCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, Array[Array[Byte]]]()
+  private def prefixesFor(k: Int): Array[Array[Byte]] =
+    prefixCache.computeIfAbsent(k,
+      kk => Array.tabulate(kk)(i => (i.toString + ":").getBytes))
+
   /** Shared eval: same hash family as md5(concat(i, ':', shingle)). */
   def signature(arr: ArrayData, k: Int): GenericArrayData = {
     val md = digests.get()
     val mins = new Array[Array[Byte]](k)
-    val prefixes = Array.tabulate(k)(i => (i.toString + ":").getBytes)
+    val prefixes = prefixesFor(k)
     var j = 0
     while (j < arr.numElements()) {
       val s = arr.getUTF8String(j)

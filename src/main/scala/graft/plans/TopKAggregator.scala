@@ -19,9 +19,15 @@ case class ScoredId(id: Long, score: Double)
 class TopKAggregator(k: Int)
   extends Aggregator[ScoredId, List[ScoredId], Seq[ScoredId]] {
 
-  /** Sort: best first — higher score, then smaller id. */
-  private def better(a: ScoredId, b: ScoredId): Boolean =
-    a.score > b.score || (a.score == b.score && a.id < b.id)
+  /** Sort: best first — higher score, then smaller id. Compares via
+    * java.lang.Double.compare so NaN orders LARGEST, matching Spark's
+    * window `ORDER BY score DESC` (plain > treats NaN as losing every
+    * comparison, which would silently drop a NaN-scored candidate the
+    * window path ranks #1 — the identical-sets contract). */
+  private def better(a: ScoredId, b: ScoredId): Boolean = {
+    val c = java.lang.Double.compare(a.score, b.score)
+    c > 0 || (c == 0 && a.id < b.id)
+  }
 
   override def zero: List[ScoredId] = Nil
 

@@ -38,9 +38,10 @@ case class VecDot(left: Expression, right: Expression, pad: Boolean = false)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "vec_dot"
 
-  // strict mode can produce NULL from non-null children (length
-  // mismatch), exactly like the zip_with null-poisoned fold
-  override def nullable: Boolean = !pad || super.nullable
+  // NULL can surface from non-null children: a length mismatch in
+  // strict mode, or a null ELEMENT in either vector (both modes) —
+  // exactly like the zip_with null-poisoned fold
+  override def nullable: Boolean = true
 
   override protected def withNewChildrenInternal(newLeft: Expression,
       newRight: Expression): VecDot = copy(left = newLeft, right = newRight)
@@ -52,13 +53,20 @@ case class VecDot(left: Expression, right: Expression, pad: Boolean = false)
     val av = a.asInstanceOf[ArrayData]
     val bv = b.asInstanceOf[ArrayData]
     if (!pad && av.numElements() != bv.numElements()) null
-    else VecDot.dot(av, bv, isFloat(left), isFloat(right))
+    else VecDot.dotOrNull(av, bv, isFloat(left), isFloat(right))
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
-      val call =
-        s"${ev.value} = graft.plans.VecDot.dot($a, $b, ${isFloat(left)}, ${isFloat(right)});"
+      // dotOrNull returns a boxed null for a malformed (null-element)
+      // vector — the codegen maps it onto isNull so the fold keeps the
+      // composed form's null-poisoning contract
+      val boxed = ctx.freshName("dotRes")
+      val call = s"""
+        java.lang.Double $boxed = graft.plans.VecDot.dotOrNull($a, $b,
+          ${isFloat(left)}, ${isFloat(right)});
+        if ($boxed == null) { ${ev.isNull} = true; }
+        else { ${ev.value} = $boxed.doubleValue(); }"""
       if (pad) call
       else s"""
         if ($a.numElements() != $b.numElements()) { ${ev.isNull} = true; }
@@ -75,12 +83,17 @@ object VecDot {
     * malformed vector yields NULL, never a plausible partial product —
     * while pad mode keeps the zero-pad identity (missing element
     * contributes +0.0), which srpSignature relies on when the stored
-    * vector is shorter than the literal hyperplane. */
-  def dot(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Double = {
+    * vector is shorter than the literal hyperplane. A null ELEMENT in
+    * either consumed slot also nulls the whole fold: ArrayData reads a
+    * nulled slot as 0.0, and summing it would hand a malformed vector
+    * a confident partial product instead of dropping it. */
+  def dotOrNull(a: ArrayData, b: ArrayData, aFloat: Boolean,
+      bFloat: Boolean): java.lang.Double = {
     val n = math.min(a.numElements(), b.numElements())
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
       val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
       acc += x * y

@@ -73,7 +73,17 @@ object DefinitionExport {
       set <- d.slaSets
       sla <- set.slas
     } yield Row(
-      null, sla.threshold.toInt, sla.comparisonOperator.name,
+      // the reference catalog types threshold as int
+      // (glue_catalog_construct.py:308-367); exporting a fractional
+      // threshold would silently truncate it (0.95 → 0, an alarm that
+      // can never breach) — fail loudly instead
+      null, {
+        require(sla.threshold.isWhole,
+          s"sla_defs schema stores threshold as int (reference catalog " +
+            s"parity); fractional threshold ${sla.threshold} for " +
+            s"${sla.metric.name} would truncate silently")
+        sla.threshold.toInt
+      }, sla.comparisonOperator.name,
       sla.datapointsToAlarm, sla.evaluationPeriods, sla.treatMissingData.name,
       sla.severity, sla.shortDescription, sla.details,
       sla.metric.namespace, sla.metric.name, set.name,

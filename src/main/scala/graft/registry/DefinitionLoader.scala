@@ -2,7 +2,7 @@ package graft.registry
 
 import org.apache.spark.sql.{Row, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{MapType, StringType}
+import org.apache.spark.sql.types.{ArrayType, MapType, StringType}
 import graft.catalog.Schemas
 import graft.model._
 
@@ -15,46 +15,102 @@ import graft.model._
  * this loader lets a deployment ship definition changes as data
  * (SURVEY.md §7 "What's hard" #3).
  *
- * Nested JSON-string columns (metadata/dimensions/dataset) are parsed
- * with Spark's from_json — full JSON escaping semantics, not string
- * surgery — so values containing quotes, commas, or escapes round-trip
- * exactly.
+ * Round-trip completeness: periodOverride (exported as `period`),
+ * BusinessMetric.referenceDatasets, and DataSetMetric (dataset
+ * without query) all restore — a loaded multi-table metric registers
+ * every table its query touches. Dimension/metadata ORDER is restored
+ * from the JSON text itself: uniqueId/alarmUniqueId concatenate
+ * dimensions in definition order, and from_json's Scala Map drops
+ * insertion order above 4 entries — so those two columns go through
+ * [[orderedPairs]], an order-preserving parser for exactly the flat
+ * string objects [[DefinitionExport.jsonObject]] emits. Array-valued
+ * columns stay on from_json (JSON array order is preserved; the
+ * objects inside are keyed, so map order is irrelevant there).
  */
 object DefinitionLoader {
 
   private val mapType = MapType(StringType, StringType)
 
-  private def rowMap(r: Row, field: String): Seq[(String, String)] =
-    Option(r.getAs[scala.collection.Map[String, String]](field))
-      .map(_.toSeq).getOrElse(Nil)
+  /** Order-preserving inverse of [[DefinitionExport.jsonObject]]:
+    * extracts ("k" : "v") pairs in text order and unescapes the
+    * \" \\ \n \r \t \uXXXX forms `quote` produces. */
+  private[registry] def orderedPairs(json: String): Seq[(String, String)] = {
+    if (json == null) return Nil
+    val pair = """"((?:[^"\\]|\\.)*)"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
+    def unescape(s: String): String = {
+      val sb = new StringBuilder(s.length)
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (c == '\\' && i + 1 < s.length) {
+          s.charAt(i + 1) match {
+            case '"' => sb += '"'; i += 2
+            case '\\' => sb += '\\'; i += 2
+            case 'n' => sb += '\n'; i += 2
+            case 'r' => sb += '\r'; i += 2
+            case 't' => sb += '\t'; i += 2
+            case 'u' if i + 5 < s.length =>
+              sb += Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar
+              i += 6
+            case other => sb += other; i += 2
+          }
+        } else { sb += c; i += 1 }
+      }
+      sb.toString
+    }
+    pair.findAllMatchIn(json)
+      .map(m => unescape(m.group(1)) -> unescape(m.group(2))).toSeq
+  }
+
+  private def tableRef(m: scala.collection.Map[String, String]): TableRef =
+    TableRef(m.getOrElse("database", ""), m.getOrElse("table", ""),
+      m.getOrElse("alias", ""), m.getOrElse("catalog", ""))
 
   /** Read metric_defs JSON (written by DefinitionExport.dump) into
     * model metric sets, grouped per account. */
   def loadMetricSets(spark: SparkSession, path: String): Seq[(String, MetricSet)] = {
     val parsed = spark.read.schema(Schemas.metricDefs).json(path)
-      .withColumn("metadata_m", from_json(col("metadata"), mapType))
-      .withColumn("dimensions_m", from_json(col("dimensions"), mapType))
       .withColumn("dataset_m", from_json(col("dataset"), mapType))
+      .withColumn("ref_datasets_m",
+        from_json(col("reference_datasets"), ArrayType(mapType)))
     val rows = parsed.collect()
     rows.groupBy(r => (r.getAs[String]("account"), r.getAs[String]("metric_set")))
       .toSeq.sortBy(_._1)
       .map { case ((account, setName), rs) =>
         val metrics: Seq[MetricLike] = rs.toSeq.map { r =>
-          val metadata = rowMap(r, "metadata_m").map { case (k, v) => Metadata(k, v) }
-          val dimensions = rowMap(r, "dimensions_m").map { case (k, v) => Dimension(k, v) }
-          val base = (r.getAs[String]("namespace"), r.getAs[String]("name"),
-            Frequency.fromName(r.getAs[String]("frequency")),
-            r.getAs[String]("statistic"), Widget(r.getAs[String]("dashboard")))
+          val metadata = orderedPairs(r.getAs[String]("metadata"))
+            .map { case (k, v) => Metadata(k, v) }
+          val dimensions = orderedPairs(r.getAs[String]("dimensions"))
+            .map { case (k, v) => Dimension(k, v) }
+          val frequency = Frequency.fromName(r.getAs[String]("frequency"))
+          // the export writes the EFFECTIVE period; a value differing
+          // from the frequency default restores as an override
+          val period = r.getAs[Int]("period")
+          val periodOverride =
+            if (period != frequency.periodSeconds) Some(period) else None
+          val namespace = r.getAs[String]("namespace")
+          val name = r.getAs[String]("name")
+          val statistic = r.getAs[String]("statistic")
+          val widget = Widget(r.getAs[String]("dashboard"))
           val query = r.getAs[String]("query")
+          val dsMap = Option(r.getAs[scala.collection.Map[String, String]]("dataset_m"))
           if (query != null) {
-            val ds = rowMap(r, "dataset_m").toMap
-            BusinessMetric(query,
-              TableRef(ds.getOrElse("database", ""), ds.getOrElse("table", ""),
-                ds.getOrElse("alias", ""), ds.getOrElse("catalog", "")),
-              referenceDatasets = Nil, // list form re-derivable if needed
-              base._1, base._2, base._3, base._4, base._5, metadata, dimensions)
-          } else Metric(base._1, base._2, base._3, base._4, base._5,
-            metadata, dimensions)
+            val refs = Option(r.getAs[scala.collection.Seq[
+                scala.collection.Map[String, String]]]("ref_datasets_m"))
+              .map(_.toSeq.map(tableRef)).getOrElse(Nil)
+            BusinessMetric(query, dsMap.map(tableRef).getOrElse(TableRef("", "", "", "")),
+              referenceDatasets = refs,
+              namespace, name, frequency, statistic, widget, metadata,
+              dimensions, periodOverride)
+          } else dsMap match {
+            // dataset without a query = DataSetMetric — collapsing it
+            // to a plain Metric would lose its table pointer
+            case Some(ds) => DataSetMetric(tableRef(ds), namespace, name,
+              frequency, statistic, widget, metadata, dimensions,
+              periodOverride)
+            case None => Metric(namespace, name, frequency, statistic,
+              widget, metadata, dimensions, periodOverride)
+          }
         }
         account -> MetricSet(setName, metrics)
       }

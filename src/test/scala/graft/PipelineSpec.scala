@@ -242,6 +242,40 @@ class PipelineSpec extends SparkTestBase {
     assert(loadedQueries.exists(_.contains("l_extendedprice")))
   }
 
+  test("definition loader restores every field the export writes, exactly") {
+    import graft.model._
+    import graft.registry.{DefinitionExport, DefinitionLoader}
+    // synthetic definition exercising every round-trip path the
+    // registry's own definitions don't: >4 dimensions (Scala Map drops
+    // insertion order there), a period override, reference datasets,
+    // a DataSetMetric, and escaped characters in values
+    val dims = (1 to 6).map(i => Dimension(s"dim$i", s"v$i"))
+    val meta = Seq(Metadata("function", "f\"quoted\""), Metadata("team", "a\nb"))
+    val bm = BusinessMetric("SELECT count(*) FROM lineitem JOIN part USING (p_partkey)",
+      TableRef("db", "lineitem", "lineitem", "cat"),
+      referenceDatasets = Seq(TableRef("db", "part", "part", "cat"),
+        TableRef("db", "orders", "orders", "cat")),
+      "NS", "BizMetric", Frequency.Hour, "Sum", Widget("dash"),
+      meta, dims, periodOverride = Some(300))
+    val dm = DataSetMetric(TableRef("db", "events", "ev", "cat"),
+      "NS", "DsMetric", Frequency.Day, "Average", Widget("dash"),
+      Nil, dims.take(5), periodOverride = None)
+    val plain = Metric("NS", "PlainMetric", Frequency.Minute, "Maximum",
+      Widget("dash"), meta, Nil, periodOverride = Some(30))
+    val defs = Seq(AccountDefinition("acct-rt",
+      Seq(MetricSet("rt_set", Seq(bm, dm, plain))), Nil))
+    val out = java.nio.file.Files.createTempDirectory("defs_rt").toString
+    DefinitionExport.dump(spark, defs, out)
+    val loaded = DefinitionLoader.loadMetricSets(spark, s"$out/metrics")
+    assert(loaded.map(_._1) == Seq("acct-rt"))
+    val byName = loaded.head._2.metrics.map(m => m.name -> m).toMap
+    // full object equality: dimension ORDER, period override,
+    // reference datasets, and the metric subtype all survive
+    assert(byName("BizMetric") == bm, s"got ${byName("BizMetric")}")
+    assert(byName("DsMetric") == dm, s"got ${byName("DsMetric")}")
+    assert(byName("PlainMetric") == plain, s"got ${byName("PlainMetric")}")
+  }
+
   test("brute-force top-k is exact on a constructed case") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)),
