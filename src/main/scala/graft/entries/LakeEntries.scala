@@ -30,7 +30,10 @@ private[graft] object LakeEntries {
     // O-28: partition-age retention relative to the newest data.
     "q_retention" -> { (s, dir) =>
       val o = Tables.read(s, dir, "orders")
-      val asOf = o.agg(max(unix_timestamp(col("o_orderdate")))).first().getLong(0)
+      // max over zero rows is one NULL row — getLong would NPE on an
+      // empty table where every other query just emits zero rows
+      val asOfRow = o.agg(max(unix_timestamp(col("o_orderdate")))).first()
+      val asOf = if (asOfRow.isNullAt(0)) 0L else asOfRow.getLong(0)
       val parts = o.select(lit("r0").as("region"),
         year(col("o_orderdate")).as("year"), month(col("o_orderdate")).as("month"),
         dayofmonth(col("o_orderdate")).as("day"), lit(0).as("hour"))

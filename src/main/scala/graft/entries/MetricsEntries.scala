@@ -277,7 +277,7 @@ private[graft] object MetricsEntries {
     val rows = reg.allAccounts.flatMap(_.metricSets).flatMap(_.metrics)
       .sortBy(_.uniqueId)
       .map { m =>
-        s"SELECT '${m.namespace}' AS namespace, '${m.name}' AS name, " +
+        s"SELECT '${sq(m.namespace)}' AS namespace, '${sq(m.name)}' AS name, " +
           s"'${m.frequency.name}' AS frequency, '${m.uniqueId}' AS unique_id, " +
           s"'${m.alarmUniqueId}' AS alarm_uid, '${m.widgetTitle}' AS widget_title"
       }
@@ -298,6 +298,23 @@ private[graft] object MetricsEntries {
     * prev_state + transitioned) — shared by both alarm oracles. */
   private def alarmOracleBoard: (String, String) = {
     val slas = reg.defaultDefinition.allSlas.zipWithIndex
+    // Guard the oracle's modeling envelope: the CTE chain counts votes
+    // over the last N SLOTS and never emits INSUFFICIENT_DATA, which
+    // matches the machine only for BREACHING/NOT_BREACHING policies;
+    // and the declared alarm queries aggregate the HOURLY board, so a
+    // non-hour SLA would silently produce a guaranteed false red. Fail
+    // at oracle build with a message instead.
+    slas.foreach { case (sla, _) =>
+      require(Set[TreatMissingData](TreatMissingData.Breaching,
+          TreatMissingData.NotBreaching).contains(sla.treatMissingData),
+        s"alarm oracle models BREACHING/NOT_BREACHING only; SLA for " +
+          s"${sla.metric.name} uses ${sla.treatMissingData.name} — extend " +
+          "the oracle's vote window to vote-indexed lookback first")
+      require(sla.metric.frequency == Frequency.Hour,
+        s"q_alarm_batch aggregates hourly series; SLA for " +
+          s"${sla.metric.name} is ${sla.metric.frequency.name} — widen the " +
+          "Spark side's frequency filter together with this oracle")
+    }
     val ctes = slas.flatMap { case (sla, i) =>
       val m = sla.metric
       val et = m.dimensions.find(_.name == "EventType").get.value
@@ -361,8 +378,8 @@ private[graft] object MetricsEntries {
         val m = sla.metric
         s"SELECT '1970-01-01T00:00:00' AS collectiontime, " +
           s"'arn:local:alarm/${m.alarmUniqueId}' AS alarmarn, " +
-          s"'${m.alarmName(reg.DefaultRegion)}' AS alarmname, " +
-          s"'${m.namespace}' AS metricnamespace, '${m.name}' AS metricname, " +
+          s"'${sq(m.alarmName(reg.DefaultRegion))}' AS alarmname, " +
+          s"'${sq(m.namespace)}' AS metricnamespace, '${sq(m.name)}' AS metricname, " +
           s"CAST(${m.period} AS INTEGER) AS metricperiod, " +
           s"'${m.frequency.name}' AS metricfrequency, '${m.statistic}' AS metricstatistic, " +
           s"CAST(${sla.threshold} AS REAL) AS threshold, " +
@@ -379,9 +396,17 @@ private[graft] object MetricsEntries {
     val rows = reg.defaultDefinition.allSlas.flatMap { sla =>
       val m = sla.metric
       val alarmName = m.alarmName(reg.DefaultRegion)
-      val prefix = alarmName.substring(0, alarmName.indexOf("-SLA"))
+      // mirror KeyFns.alarmDerivedTokens' lenient handling: a name
+      // without "-SLA" or with a short token list must not crash the
+      // ORACLE GENERATOR (a throw here zeroes the whole round's
+      // correctness artifact, not just q_incidents)
+      val prefix = alarmName.indexOf("-SLA") match {
+        case -1 => alarmName
+        case i => alarmName.substring(0, i)
+      }
       val toks = prefix.split("-")
-      val derived = Seq(toks(3), toks(4), toks.drop(6).mkString("-"))
+      val derived = Seq(toks.lift(3).orNull, toks.lift(4).orNull,
+        toks.drop(6).mkString("-"))
       val dimValue = lastDimValue(m)
       val matches = Seq(m.name.toLowerCase, m.frequency.name, dimValue.toLowerCase)
         .forall(derived.contains)
@@ -392,8 +417,8 @@ private[graft] object MetricsEntries {
           .lastOption.map(_.value).getOrElse("Unknown")
         Some(s"SELECT '${sq(sla.details)}' AS details, " +
           s"'${sq(sla.shortDescription)} caused by CloudWatch Alarm in ALARM state' AS short_description, " +
-          s"'${sla.severity}' AS impact, " +
-          s"'$dimValue-${m.name}-${m.frequency.name}' AS unique_id, " +
+          s"'${sq(sla.severity)}' AS impact, " +
+          s"'${sq(dimValue)}-${sq(m.name)}-${m.frequency.name}' AS unique_id, " +
           s"'Data Governance' AS alarm_origin, '$refId' AS reference_id")
       }
     }
@@ -404,7 +429,7 @@ private[graft] object MetricsEntries {
   private def seriesMapValuesFull: String =
     opsSeries.map { case (et, m) =>
       s"('$et', '${m.uniqueId}', '${m.statistic}', ${m.period}, " +
-        s"'${m.frequency.name}', '${m.namespace}', '${m.name}', " +
+        s"'${m.frequency.name}', '${sq(m.namespace)}', '${sq(m.name)}', " +
         s"${metadataJsonLit(m)}, ${dimensionsJsonLit(m)})"
     }.mkString(", ")
 
@@ -468,7 +493,7 @@ private[graft] object MetricsEntries {
             "CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)")
         case _ => ("CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)")
       }
-      s"SELECT '${m.namespace}' AS namespace, '${m.name}' AS name, " +
+      s"SELECT '${sq(m.namespace)}' AS namespace, '${sq(m.name)}' AS name, " +
         s"'${m.frequency.name}' AS frequency, CAST(${m.period} AS INTEGER) AS period, " +
         s"'${m.statistic}' AS statistic, ${metadataJsonLit(m)} AS metadata, " +
         s"${dimensionsJsonLit(m)} AS dimensions, '${set.name}' AS metric_set, " +
@@ -492,9 +517,9 @@ private[graft] object MetricsEntries {
         s"CAST(${sla.datapointsToAlarm} AS INTEGER) AS datapoints_to_alarm, " +
         s"CAST(${sla.evaluationPeriods} AS INTEGER) AS evaluation_periods, " +
         s"'${sla.treatMissingData.name}' AS treat_missing_data, " +
-        s"'${sla.severity}' AS severity, '${sq(sla.shortDescription)}' AS short_description, " +
-        s"'${sq(sla.details)}' AS details, '${m.namespace}' AS metric_namespace, " +
-        s"'${m.name}' AS metric_name, '${set.name}' AS metric_set, " +
+        s"'${sq(sla.severity)}' AS severity, '${sq(sla.shortDescription)}' AS short_description, " +
+        s"'${sq(sla.details)}' AS details, '${sq(m.namespace)}' AS metric_namespace, " +
+        s"'${sq(m.name)}' AS metric_name, '${sq(set.name)}' AS metric_set, " +
         s"${metadataJsonLit(m)} AS metric_metadata, " +
         s"${dimensionsJsonLit(m)} AS metric_dimensions, '${d.account}' AS account"
     }
@@ -504,7 +529,7 @@ private[graft] object MetricsEntries {
   private def alarmScanOracle: String = {
     val rows = reg.defaultDefinition.allSlas
       .map(sla => sla.metric.alarmName(reg.DefaultRegion)).sorted
-      .map(n => s"SELECT '$n' AS alarmname")
+      .map(n => s"SELECT '${sq(n)}' AS alarmname")
     rows.mkString("", " UNION ALL ", " ORDER BY alarmname")
   }
 

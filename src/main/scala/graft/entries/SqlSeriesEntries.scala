@@ -399,7 +399,7 @@ private[graft] object SqlSeriesEntries {
         |CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE)/COUNT(value) AS avg_value,
         |CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE) AS sum_value,
         |MIN(value) AS min_value, MAX(value) AS max_value,
-        |COUNT(*) AS n_points
+        |COUNT(value) AS n_points
         |FROM events GROUP BY 1, 2 ORDER BY series, day""".stripMargin,
 
     "q_rate" ->
