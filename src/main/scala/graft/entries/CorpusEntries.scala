@@ -225,31 +225,24 @@ private[graft] object CorpusEntries {
         |FROM idx ORDER BY doc_id, chunk_index""".stripMargin,
 
     "q_sample" ->
-      """SELECT doc_id, lang FROM documents
-        |WHERE (ascii(substr(md5('sample:' || text), 1, 1)) * 29791 +
-        |ascii(substr(md5('sample:' || text), 2, 1)) * 961 +
-        |ascii(substr(md5('sample:' || text), 3, 1)) * 31 +
-        |ascii(substr(md5('sample:' || text), 4, 1))) % 100 <
+      s"""SELECT doc_id, lang FROM documents
+        |WHERE ${bucketSql("'sample:' || text", 100)} <
         |CASE lang WHEN 'en' THEN 50 WHEN 'fr' THEN 30 WHEN 'de' THEN 20 ELSE 0 END
         |ORDER BY doc_id""".stripMargin,
 
     "q_mixture" ->
-      """WITH c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source)
+      s"""WITH c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source)
         |SELECT d.doc_id, d.source FROM documents d JOIN c USING (source)
         |WHERE (CASE d.source WHEN 'src1' THEN 5 WHEN 'src3' THEN 3 WHEN 'src7' THEN 2 ELSE 0 END) > 0
-        |AND (ascii(substr(md5('mix:' || text), 1, 1)) * 29791 +
-        |ascii(substr(md5('mix:' || text), 2, 1)) * 961 +
-        |ascii(substr(md5('mix:' || text), 3, 1)) * 31 +
-        |ascii(substr(md5('mix:' || text), 4, 1))) % 10000 <
+        |AND ${bucketSql("'mix:' || text", 10000)} <
         |LEAST(10000, (10000 * 200 *
         |CASE d.source WHEN 'src1' THEN 5 WHEN 'src3' THEN 3 WHEN 'src7' THEN 2 ELSE 0 END)
         |// (10 * c.n))
         |ORDER BY d.doc_id""".stripMargin,
 
     "q_source_cap" ->
-      """WITH b AS (SELECT doc_id, source,
-        |(ascii(substr(md5('cap:' || text), 1, 1)) * 29791 + ascii(substr(md5('cap:' || text), 2, 1)) * 961 +
-        | ascii(substr(md5('cap:' || text), 3, 1)) * 31 + ascii(substr(md5('cap:' || text), 4, 1))) % 10000 AS bk
+      s"""WITH b AS (SELECT doc_id, source,
+        |${bucketSql("'cap:' || text", 10000)} AS bk
         |FROM documents),
         |r AS (SELECT doc_id, source,
         |row_number() OVER (PARTITION BY source ORDER BY bk, doc_id) AS rn FROM b)

@@ -353,8 +353,7 @@ private[graft] object DedupEntries {
          |grp AS (SELECT d.doc_id, CAST(coalesce(c.cluster_id, d.doc_id) AS VARCHAR) AS gk
          |FROM all_docs d LEFT JOIN clus c USING (doc_id)),
          |bk AS (SELECT doc_id,
-         |(ascii(substr(md5(gk), 1, 1)) * 29791 + ascii(substr(md5(gk), 2, 1)) * 961 +
-         | ascii(substr(md5(gk), 3, 1)) * 31 + ascii(substr(md5(gk), 4, 1))) % 10000 AS b
+         |${bucketSql("gk", 10000)} AS b
          |FROM grp)
          |SELECT doc_id, CASE WHEN b < 1000 THEN 'test'
          |WHEN b < 2000 THEN 'val' ELSE 'train' END AS split

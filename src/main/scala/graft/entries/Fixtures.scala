@@ -79,4 +79,16 @@ private[graft] object Fixtures {
         s"coalesce(CAST($vecExpr[i] AS DOUBLE) * ($lits::DOUBLE[])[i], 0.0))) >= 0 " +
         "THEN '1' ELSE '0' END)"
     }.mkString("(", " || ", ")")
+
+  /** DuckDB replication of [[graft.pipeline.Corpus.hashBucket]] /
+    * hashBucket10k: the md5-hex ascii fold mod `mod`, over an already
+    * SQL-quoted expression (callers pass the operator salt inline,
+    * e.g. `"'cap:' || text"`). One definition keeps the four sampler
+    * oracles in lockstep with the Scala fold — the round-8 salt change
+    * had to edit four hand-inlined copies. */
+  def bucketSql(expr: String, mod: Int): String =
+    s"(ascii(substr(md5($expr), 1, 1)) * 29791 + " +
+      s"ascii(substr(md5($expr), 2, 1)) * 961 + " +
+      s"ascii(substr(md5($expr), 3, 1)) * 31 + " +
+      s"ascii(substr(md5($expr), 4, 1))) % $mod"
 }
