@@ -55,9 +55,16 @@ object Anomaly {
       .withColumn("__x", x)
       .withColumn("n_hist", count(col("__x")).over(w))
       .withColumn("is_anomaly",
+        // coalesce: a NaN-valued CURRENT row makes __x null and the
+        // comparison null-propagates — without it the flag would be
+        // NULL (not false), and a negated filter or pinned-boolean
+        // consumer would diverge from the "NaN is never anomalous"
+        // contract the NaN guard above establishes.
         when(col("n_hist") < minN, lit(false)).otherwise(
-          pow2(n * col("__x") - s) >
-            lit(z.toLong * z) * (n * sq - pow2(s))))
+          coalesce(
+            pow2(n * col("__x") - s) >
+              lit(z.toLong * z) * (n * sq - pow2(s)),
+            lit(false))))
       .drop("__x")
   }
 

@@ -22,16 +22,23 @@ object Rollups {
   /** Partial-aggregate state per (seriesCol, day): mergeable columns
     * only. `day` is the UTC day epoch (86 400-aligned). */
   def dayState(dp: DataFrame, seriesCol: String, tsCol: String,
-      valueCol: String): DataFrame =
+      valueCol: String): DataFrame = {
+    // Non-finite datapoints are no-data, matching the streaming path
+    // (StreamingAlarmPipeline's isFinite drop): under ANSI (Spark 4.x
+    // default) NaN→decimal throws CAST_INVALID_INPUT — it does NOT
+    // cast to null — and ±Inf overflows the cast; under non-ANSI a
+    // NaN is non-null, so count(value) would include rows the decimal
+    // sum dropped and decalibrate finalize's avg. Nulling them out
+    // BEFORE every aggregate keeps s/n/mn/mx consistent on one column.
+    val v = when(!isnan(col(valueCol)) &&
+      abs(col(valueCol)) < lit(Double.PositiveInfinity), col(valueCol))
     dp.groupBy(col(seriesCol).as("series"),
         (floor(unix_timestamp(col(tsCol)) / 86400) * 86400).cast("long").as("day"))
-      .agg(sum(col(valueCol).cast("decimal(28,8)")).as("s"),
-        // count the VALUE column: null/NaN rows (NaN→decimal casts to
-        // null under ANSI) are excluded from `s`, so counting them in
-        // `n` would shrink finalize's avg and overstate n_points
-        count(col(valueCol)).as("n"),
-        min(col(valueCol)).as("mn"),
-        max(col(valueCol)).as("mx"))
+      .agg(sum(v.cast("decimal(28,8)")).as("s"),
+        count(v).as("n"),
+        min(v).as("mn"),
+        max(v).as("mx"))
+  }
 
   /** Merge any number of state tables — same shape in, same shape out
     * (sum of sums, sum of counts, min of mins, max of maxes). */

@@ -175,11 +175,29 @@ object Multimodal {
             srcFmt.getSampleRate, 16, srcFmt.getChannels,
             srcFmt.getChannels * 2, srcFmt.getSampleRate,
             /* bigEndian = */ false)
+          // getAudioInputStream(target, raw) throws
+          // IllegalArgumentException when the JDK has no converter for
+          // the source encoding (e.g. PCM_FLOAT) — fall back to the
+          // raw stream rather than failing the whole partition: the
+          // peak scan below then reads the original bytes as 16-bit
+          // LE, which is exact for PCM_SIGNED/16/LE sources and a
+          // best-effort approximation otherwise (still a bounded,
+          // deterministic number — the contract multimodal features
+          // need).
           val ais =
             if (srcFmt.matches(target)) raw
-            else AudioSystem.getAudioInputStream(target, raw)
-          val n = ais.getFrameLength
+            else try AudioSystem.getAudioInputStream(target, raw)
+              catch { case _: IllegalArgumentException => raw }
           val bytes = ais.readAllBytes()
+          // a converted stream may report NOT_SPECIFIED (-1) frames;
+          // the source header usually knows, and the decoded byte
+          // count is an exact last resort (frames = bytes/frameSize —
+          // PCM conversion never changes the frame COUNT, only the
+          // frame size)
+          val n =
+            if (ais.getFrameLength >= 0) ais.getFrameLength
+            else if (raw.getFrameLength >= 0) raw.getFrameLength
+            else bytes.length.toLong / math.max(1, ais.getFormat.getFrameSize)
           // peak |sample| over the normalized 16-bit LE PCM
           var peak = 0
           var i = 0

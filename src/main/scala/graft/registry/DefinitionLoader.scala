@@ -84,7 +84,18 @@ object DefinitionLoader {
             .map { case (k, v) => Dimension(k, v) }
           val frequency = Frequency.fromName(r.getAs[String]("frequency"))
           // the export writes the EFFECTIVE period; a value differing
-          // from the frequency default restores as an override
+          // from the frequency default restores as an override.
+          // NORMALIZATION (intentional, lossy at object level): an
+          // explicit periodOverride equal to the frequency's default
+          // round-trips to None — semantically identical (the
+          // effective period is unchanged) but not object-equal, so
+          // full-equality consumers only hold for overrides that
+          // differ from the default. The export format carries the
+          // effective period, not the override provenance, exactly
+          // like the reference's period derivation
+          // (/root/reference/dataquality/metric.py:92-101) which
+          // computes period FROM frequency and never records whether
+          // a caller supplied it explicitly.
           val period = r.getAs[Int]("period")
           val periodOverride =
             if (period != frequency.periodSeconds) Some(period) else None
