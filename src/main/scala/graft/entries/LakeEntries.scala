@@ -57,6 +57,56 @@ private[graft] object LakeEntries {
           ZOrder.zValue2(pmod(col("user_id"), lit(1024L)),
             pmod(col("event_id"), lit(1024L)), bits = 10).as("z"))
         .orderBy("event_id")
+    },
+
+    // O-27: idempotent ADD PARTITION + multi-catalog loop, end to end.
+    // Parquet files land for THREE partitions but only TWO are
+    // registered (the reference's Firehose writes files, not catalog
+    // entries — visibility comes from add_partition.py:56-71's
+    // registration). The query proves (a) registered partitions are
+    // readable through both catalog copies, (b) the unregistered one
+    // stays invisible (catalog-gated scan, not file listing), (c) the
+    // whole loop is idempotent (second pass: no new errors), and
+    // (d) a broken catalog target is reported, never thrown.
+    "q_partition_add" -> { (s, dir) =>
+      import s.implicits._
+      val base = java.nio.file.Files.createTempDirectory("graft_q27").toString
+      val parts = Seq(("use1", 2024, 1, 2, 3, 11L), ("use1", 2024, 1, 2, 4, 22L),
+        ("usw2", 2024, 1, 3, 0, 33L))
+      parts.foreach { case (r, y, m, d, h, v) =>
+        Seq((v, v * 1.5)).toDF("id", "metricvalue").write
+          .parquet(s"$base/region=$r/year=$y/month=$m/day=$d/hour=$h")
+      }
+      val dbs = Seq("graft_cat_a", "graft_cat_b")
+      dbs.foreach { db =>
+        s.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+        s.sql(s"DROP TABLE IF EXISTS $db.q27_metrics")
+        s.sql(
+          s"""CREATE TABLE $db.q27_metrics (id BIGINT, metricvalue DOUBLE,
+             |region STRING, year INT, month INT, day INT, hour INT)
+             |USING parquet PARTITIONED BY (region, year, month, day, hour)
+             |LOCATION '$base'""".stripMargin)
+      }
+      val targets = dbs.map(db => s"$db.q27_metrics") :+ "graft_no_db.q27_metrics"
+      val registered = parts.take(2)
+      def addAll() = registered.flatMap { case (r, y, m, d, h, _) =>
+        PartitionOps.addPartitionAll(s, targets, r, y, m, d, h,
+          s"$base/region=$r/year=$y/month=$m/day=$d/hour=$h")
+      }
+      val firstErrs = addAll()
+      val secondErrs = addAll()
+      // both passes: exactly one reported (not thrown) failure per
+      // partition, all for the bogus catalog; real catalogs clean
+      val loopContract = Seq(firstErrs, secondErrs).forall(errs =>
+        errs.size == registered.size &&
+          errs.forall(_._1 == "graft_no_db.q27_metrics"))
+      dbs.map(db => s.table(s"$db.q27_metrics")
+          .groupBy("region", "year", "month", "day", "hour")
+          .agg(count(lit(1)).as("n_rows"), sum("id").as("sum_id"))
+          .withColumn("catalog", lit(db)))
+        .reduce(_.unionByName(_))
+        .withColumn("readd_noop", lit(loopContract))
+        .orderBy("catalog", "region", "year", "month", "day", "hour")
     }
   )
 
@@ -96,6 +146,24 @@ private[graft] object LakeEntries {
       }.mkString(" + ")
       s"""SELECT event_id, $terms AS z
          |FROM events WHERE event_id % 101 = 0 ORDER BY event_id""".stripMargin
+    },
+
+    // The registered-partition board: 2 catalogs × the 2 REGISTERED
+    // partitions (the third has files on disk but no catalog entry and
+    // must not appear); readd_noop pins idempotency + error-report
+    // contract.
+    "q_partition_add" -> {
+      val rows = for {
+        db <- Seq("graft_cat_a", "graft_cat_b")
+        (r, y, m, d, h, v) <- Seq(("use1", 2024, 1, 2, 3, 11L),
+          ("use1", 2024, 1, 2, 4, 22L))
+      } yield s"SELECT '$db' AS catalog, '$r' AS region, " +
+        s"CAST($y AS INTEGER) AS year, CAST($m AS INTEGER) AS month, " +
+        s"CAST($d AS INTEGER) AS day, CAST($h AS INTEGER) AS hour, " +
+        s"CAST(1 AS BIGINT) AS n_rows, CAST($v AS BIGINT) AS sum_id, " +
+        s"true AS readd_noop"
+      rows.mkString("", " UNION ALL ",
+        " ORDER BY catalog, region, year, month, day, hour")
     }
   )
 }

@@ -254,6 +254,85 @@ private[graft] object MetricsEntries {
       ev(s, dir).filter(col("event_id") < 100)
         .select(to_json(struct(col("event_id"), col("event_type"))).as("payload"))
         .orderBy("payload")
+    },
+
+    // O-18: MetricStream flattening — sets arrive as one row per SET
+    // carrying an array of metric structs, and the ENGINE does the
+    // flatten (explode) + per-frequency batch-entry projection
+    // (stream.py:20-45's flatMap + filter + MetricDataQuery render).
+    // The oracle is built from the MODEL-side MetricStream
+    // .metricDataQueries, so the columnar path and the Scala model
+    // path cross-validate row for row.
+    "q_stream_queries" -> { (s, dir) =>
+      import s.implicits._
+      // dims arrive pre-rendered in the shared jsonObject convention
+      // (the defs tables' format): the operator under test here is the
+      // flatten + filter + projection, not the entries→JSON fold
+      // (that is O-33, covered by q_metrics_records)
+      val sets = reg.allAccounts.flatMap(_.metricSets).map(ms =>
+        (ms.name, ms.metrics.map(m => (m.uniqueId, m.namespace, m.name,
+          m.frequency.name, m.period, m.statistic,
+          if (m.dimensions.isEmpty) null
+          else DefinitionExport.jsonObject(m.dimensions.map(x => x.name -> x.value))))))
+        .toDF("set_name", "metrics")
+      sets.select(explode(col("metrics")).as("m"))
+        .select(col("m._1").as("id"), col("m._2").as("namespace"),
+          col("m._3").as("name"), col("m._4").as("batch_frequency"),
+          col("m._5").cast("int").as("period"), col("m._6").as("stat"),
+          col("m._7").as("dims"))
+        .filter(col("batch_frequency").isin(Frequency.all.map(_.name): _*))
+        .orderBy("batch_frequency", "id")
+    },
+
+    // O-34: newest-datapoint head with null-safe fallback
+    // (metric_stream_producer.py:127-128 — CloudWatch returns values
+    // newest-first; an empty Values array must become null, not an
+    // out-of-bounds error). `newest_value` exercises the populated
+    // path on a real newest-first array per series; `newest_high`
+    // filters the array above the data's value envelope so EVERY row
+    // exercises the empty-array fallback.
+    "q_array_head" -> { (s, dir) =>
+      val newestFirst = sort_array(
+        collect_list(struct(col("ts"), col("event_id"), col("value"))),
+        asc = false)
+      ev(s, dir).groupBy("event_type")
+        .agg(newestFirst.as("dps"))
+        .select(col("event_type"),
+          RecordShape.arrayHead(col("dps")).getField("value").as("newest_value"),
+          RecordShape.arrayHead(filter(col("dps"),
+            d => d.getField("value") > lit(1e6)))
+            .getField("value").as("newest_high"))
+        .orderBy("event_type")
+    },
+
+    // O-37: scheduler fire-map — for the span of the events table,
+    // how many top-of-period firings each frequency's cron produces
+    // and when the first one lands. The fire arithmetic is the same
+    // floor alignment FrequencyScheduler.start uses for its initial
+    // delay (period - floorMod(now, period)), and the cron strings /
+    // trigger intervals are pinned against MetricsMain.cronFor /
+    // triggerFor (Firehose 60 s floor), so the executable scheduler
+    // and this declared form can't drift apart silently.
+    "q_schedule_fires" -> { (s, dir) =>
+      import s.implicits._
+      // bounded scalar fetch (one aggregated row), like MetricsJob's
+      // scalar extraction — not a driver-side loop over data
+      val span = ev(s, dir).agg(
+        min(unix_timestamp(col("ts"))).cast("long").as("t0"),
+        max(unix_timestamp(col("ts"))).cast("long").as("t1")).first()
+      val (t0, t1) = (span.getLong(0), span.getLong(1))
+      Frequency.all
+        .map(f => (f.name, f.periodSeconds.toLong,
+          graft.metrics.MetricsMain.cronFor(f),
+          math.max(f.periodSeconds.toLong, 60L)))
+        .toDF("frequency", "period_sec", "cron", "trigger_sec")
+        .select(col("frequency"), col("cron"), col("period_sec"),
+          col("trigger_sec"),
+          (floor(lit(t1) / col("period_sec")) -
+            floor(lit(t0) / col("period_sec"))).cast("long").as("fires"),
+          ((floor(lit(t0) / col("period_sec")) + 1) * col("period_sec"))
+            .cast("long").as("first_fire_epoch"))
+        .orderBy("period_sec")
     }
   )
 
@@ -271,6 +350,45 @@ private[graft] object MetricsEntries {
           s"CAST((${bm.query}) AS DOUBLE) AS metricvalue"
     }
     rows.mkString("", " UNION ALL ", " ORDER BY name")
+  }
+
+  /** O-18 oracle: the MODEL path (MetricStream.metricDataQueries per
+    * frequency) rendered as literals — the Spark explode/filter/
+    * projection must reproduce it row for row. */
+  private def streamQueriesOracle: String = {
+    val stream = MetricStream(reg.allAccounts.flatMap(_.metricSets))
+    val rows = Frequency.all.flatMap { f =>
+      stream.metricDataQueries(f).map { q =>
+        val dims =
+          if (q.dimensions.isEmpty) "CAST(NULL AS VARCHAR)"
+          else s"'${sq(DefinitionExport.jsonObject(q.dimensions.map(x => x.name -> x.value)))}'"
+        s"SELECT '${sq(q.id)}' AS id, '${sq(q.namespace)}' AS namespace, " +
+          s"'${sq(q.name)}' AS name, '${f.name}' AS batch_frequency, " +
+          s"CAST(${q.period} AS INTEGER) AS period, '${sq(q.stat)}' AS stat, " +
+          s"$dims AS dims"
+      }
+    }
+    rows.mkString("", " UNION ALL ", " ORDER BY batch_frequency, id")
+  }
+
+  /** O-37 oracle: same fire arithmetic in SQL over the same events
+    * span; cron/trigger literals come from MetricsMain so the oracle
+    * breaks if the executable scheduler's map drifts. */
+  private def scheduleFiresOracle: String = {
+    val rows = Frequency.all.map { f =>
+      val trig = math.max(f.periodSeconds.toLong, 60L)
+      s"SELECT '${f.name}' AS frequency, " +
+        s"'${sq(graft.metrics.MetricsMain.cronFor(f))}' AS cron, " +
+        s"CAST(${f.periodSeconds} AS BIGINT) AS period_sec, " +
+        s"CAST($trig AS BIGINT) AS trigger_sec"
+    }
+    s"""WITH span AS (SELECT CAST(floor(epoch(min(ts))) AS BIGINT) AS t0,
+       |CAST(floor(epoch(max(ts))) AS BIGINT) AS t1 FROM events),
+       |f AS (${rows.mkString(" UNION ALL ")})
+       |SELECT frequency, cron, period_sec, trigger_sec,
+       |CAST(floor(t1 / period_sec) - floor(t0 / period_sec) AS BIGINT) AS fires,
+       |CAST((floor(t0 / period_sec) + 1) * period_sec AS BIGINT) AS first_fire_epoch
+       |FROM f, span ORDER BY period_sec""".stripMargin
   }
 
   private def uniqueIdsOracle: String = {
@@ -607,6 +725,17 @@ private[graft] object MetricsEntries {
 
     "q_record_json" ->
       """SELECT to_json(struct_pack(event_id := event_id, event_type := event_type)) AS payload
-        |FROM events WHERE event_id < 100 ORDER BY payload""".stripMargin
+        |FROM events WHERE event_id < 100 ORDER BY payload""".stripMargin,
+
+    "q_stream_queries" -> streamQueriesOracle,
+
+    "q_array_head" ->
+      """SELECT event_type,
+        |(list(value ORDER BY ts DESC, event_id DESC))[1] AS newest_value,
+        |(list(value ORDER BY ts DESC, event_id DESC)
+        |  FILTER (WHERE value > 1000000))[1] AS newest_high
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_schedule_fires" -> scheduleFiresOracle
   )
 }
