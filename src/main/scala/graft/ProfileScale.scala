@@ -58,7 +58,7 @@ object ProfileScale {
     }
   }
 
-  private final case class RunStats(
+  private[graft] final case class RunStats(
       elapsedSec: Double, rows: Long, shuffleReadMB: Double,
       shuffleWriteMB: Double, worstSkew: Double, skewStageTasks: Int)
 
@@ -68,8 +68,25 @@ object ProfileScale {
     * max/median from a single GC pause or scheduler hiccup — that is
     * task-launch jitter, not data skew, and at real scale such a stage
     * is nowhere near the critical path. The median floor keeps the
-    * metric about load imbalance a cluster would feel. */
-  private def profiled(spark: SparkSession)(plan: => DataFrame): RunStats = {
+    * metric about load imbalance a cluster would feel.
+    *
+    * Min-of-N (round 9): each plan runs `profileTrials` times
+    * (SPARK_GRAFT_PROFILE_TRIALS, default 2) and the run with the
+    * smallest elapsed wins. Shuffle bytes and row counts are
+    * deterministic across runs — only elapsed and task-duration skew
+    * wobble with machine load, and a load spike during the single
+    * measured run is exactly what put an 18 s `ngram_jaccard` ×10 row
+    * (stable: ~5 s) into one round-9 draft artifact. The min run's
+    * skew is also the honest one: contention stretches whichever tasks
+    * share a core with the interloper, inflating max/median for
+    * reasons a real cluster would not see. */
+  private val profileTrials =
+    math.max(1, sys.env.getOrElse("SPARK_GRAFT_PROFILE_TRIALS", "2").toInt)
+
+  private[graft] def profiled(spark: SparkSession)(plan: => DataFrame): RunStats =
+    (1 to profileTrials).map(_ => profiledOnce(spark)(plan)).minBy(_.elapsedSec)
+
+  private def profiledOnce(spark: SparkSession)(plan: => DataFrame): RunStats = {
     val listener = new StageListener
     spark.sparkContext.addSparkListener(listener)
     val t0 = System.nanoTime()
@@ -111,7 +128,7 @@ object ProfileScale {
       .repartition(spark.sparkContext.defaultParallelism)
   }
 
-  private def scaledVecs(spark: SparkSession, sfDir: String, m: Int): DataFrame = {
+  private[graft] def scaledVecs(spark: SparkSession, sfDir: String, m: Int): DataFrame = {
     val base = Tables.read(spark, sfDir, "embeddings")
     (0 until m).map { k =>
       base.select((col("vec_id") + lit(k * 1000000L)).as("vec_id"),
@@ -151,7 +168,7 @@ object ProfileScale {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val outPath = if (args.length > 0) args(0) else "PROFILE_r08.json"
+    val outPath = if (args.length > 0) args(0) else "PROFILE_r09.json"
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.sql.adaptive.enabled", "true")
@@ -257,7 +274,57 @@ object ProfileScale {
         s""""shuffle_write_growth_5x_to_10x":${fmt(doubling)},""" +
         s""""elapsed_growth_1x_to_10x":${fmt(if (s1.elapsedSec > 0) s10.elapsedSec / s1.elapsedSec else 0.0)}}"""
     }
-    val json = entries.mkString(
+    // Targeted extensions beyond the 1×/5×/10× sweep:
+    //
+    // (1) leakage_split at 50×: its task skew was the one
+    // superlinear-trending metric across rounds (1.00 → 1.31 → 2.47 at
+    // 1×/5×/10×) — one more point decides whether the curve keeps
+    // climbing (→ salt the join key) or flattens (task-size
+    // granularity noise at small scale).
+    val split50 = profiled(spark) {
+      val docs = scaledDocs(spark, sfDir, 50)
+      val clusters = docs.filter(col("doc_id") % 5 < 2)
+        .select(col("doc_id"), (col("doc_id") / 3).cast("long").as("cluster_id"))
+      Corpus.leakageSafeSplit(docs, clusters, valPermyriad = 500,
+        testPermyriad = 500)
+    }
+    System.err.println(f"[profile] leakage_split_x50    " +
+      f"${split50.elapsedSec}%6.2fs ${split50.shuffleWriteMB}%8.1fMB " +
+      f"skew ${split50.worstSkew}%4.2f over ${split50.skewStageTasks} tasks")
+    // (2) semantic decontamination against a REALISTIC benchmark side
+    // (~100k vectors — a large eval-suite union — vs the 10-vector
+    // fixture the main sweep uses): verifies the broadcast path is
+    // still the planned shape at that size, and that the row-count
+    // guard in semanticDecontaminate keeps force-broadcast inside its
+    // contract (the corpus side stays one narrow linear pass). Each
+    // benchmark copy is ROTATED to a distinct position (rotation
+    // preserves norms, so vectors stay unit-scale realistic) —
+    // verbatim copies would make every corpus vector collide with all
+    // 50 of its benchmark twins, a 50× candidate fan-out no real eval
+    // union produces.
+    val deconBig = profiled(spark) {
+      val bench = scaledVecs(spark, sfDir, 50) // 50 × 2000 = 100k vectors
+        // rotate by (copy % 63) + 1 ∈ [1, 63] — never the identity, so
+        // no bench copy is a verbatim twin of the (unrotated) corpus
+        .withColumn("rot",
+          (pmod(expr("vec_id div 1000000"), lit(63L)) + 1).cast("int"))
+        .select(col("vec_id"), concat(
+          slice(col("embedding"), col("rot") + 1, lit(64) - col("rot")),
+          slice(col("embedding"), lit(1), col("rot"))).as("embedding"))
+      Corpus.semanticDecontaminate(
+        scaledVecs(spark, sfDir, 10), bench, threshold = 0.9)
+    }
+    System.err.println(f"[profile] semantic_decon_100k  " +
+      f"${deconBig.elapsedSec}%6.2fs ${deconBig.shuffleWriteMB}%8.1fMB " +
+      f"skew ${deconBig.worstSkew}%4.2f")
+    def extBlock(s: RunStats) =
+      s"""{"sec":${fmt(s.elapsedSec)},"rows":${s.rows},""" +
+        s""""shuffle_read_mb":${fmt(s.shuffleReadMB)},"shuffle_write_mb":${fmt(s.shuffleWriteMB)},""" +
+        s""""max_over_median_task":${fmt(s.worstSkew)}}"""
+    val extended = Seq(
+      s""""leakage_split_x50":${extBlock(split50)}""",
+      s""""semantic_decon_bench100k":${extBlock(deconBig)}""")
+    val json = (entries ++ extended).mkString(
       s"""{"sf":"$sfDir","scale_factors":[1,5,10],"linearity_check":"x10 shuffle bytes / x5 shuffle bytes ~ 2.0","skew_threshold":4.0,""",
       ",", "}")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), json)

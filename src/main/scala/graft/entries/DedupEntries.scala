@@ -101,6 +101,21 @@ private[graft] object DedupEntries {
         .select("id_a", "id_b").orderBy("id_a", "id_b")
     },
 
+    // The narrow-vector (carryVectors) shape of the same operator:
+    // vectors ride the band self-join instead of rejoining after the
+    // candidate distinct (see the crossover table in PLANS.md). Same
+    // oracle as q_embed_neardup — the two shapes are required to
+    // produce identical pair sets, so this row pins shape-equivalence
+    // against the external oracle, not just the ScalaTest parity check.
+    "q_embed_neardup_carry" -> { (s, dir) =>
+      val e = Tables.read(s, dir, "embeddings")
+      val withDups = spread(e.unionByName(e.filter(col("vec_id") % 20 === 0)
+        .withColumn("vec_id", col("vec_id") + 10000)))
+      Dedup.embeddingNearDupPairs(withDups, threshold = 0.9, bits = 16, bands = 4,
+          carryVectors = true)
+        .select("id_a", "id_b").orderBy("id_a", "id_b")
+    },
+
     // Near-dup clusters: connected components over the MinHash pairs
     // via distributed label propagation.
     "q_dedup_clusters" -> { (s, dir) =>
@@ -205,6 +220,20 @@ private[graft] object DedupEntries {
         |SELECT doc_id FROM keep ORDER BY doc_id""".stripMargin,
 
     "q_embed_neardup" ->
+      s"""WITH wd AS (SELECT vec_id, embedding FROM embeddings
+         |UNION ALL SELECT vec_id + 10000 AS vec_id, embedding FROM embeddings WHERE vec_id % 20 = 0),
+         |sig AS (SELECT vec_id, embedding, ${srpSigSql("embedding", 16)} AS sig FROM wd),
+         |banded AS (SELECT vec_id, embedding, band, substr(sig, band*4 + 1, 4) AS band_key
+         |FROM sig CROSS JOIN (SELECT unnest(range(0,4)) AS band) bs),
+         |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+         |a.embedding AS v_a, b.embedding AS v_b
+         |FROM banded a JOIN banded b ON a.band = b.band AND a.band_key = b.band_key
+         |WHERE a.vec_id < b.vec_id)
+         |SELECT id_a, id_b FROM cand WHERE ${cosineSql("v_a", "v_b")} >= 0.9
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // identical pair set required from the carryVectors shape
+    "q_embed_neardup_carry" ->
       s"""WITH wd AS (SELECT vec_id, embedding FROM embeddings
          |UNION ALL SELECT vec_id + 10000 AS vec_id, embedding FROM embeddings WHERE vec_id % 20 = 0),
          |sig AS (SELECT vec_id, embedding, ${srpSigSql("embedding", 16)} AS sig FROM wd),

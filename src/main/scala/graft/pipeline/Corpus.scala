@@ -248,10 +248,23 @@ object Corpus {
    * broadcasts — so the corpus takes ONE narrow pass (signature +
    * band explode + broadcast semi-join + anti-join); the corpus is
    * never shuffled, cost linear in corpus size like the n-gram guard.
+   *
+   * Size guard: "tiny by definition" is a contract, not a property the
+   * planner can verify — a caller handing a million-vector "benchmark"
+   * would force-broadcast gigabytes past AQE's judgment. A BOUNDED
+   * count (`limit(max+1).count()`) enforces it — each scan partition
+   * stops at the limit, so the guard never pays a full pass over an
+   * oversized benchmark: past `maxBroadcastBench` rows the hint is
+   * dropped and the band join becomes a plain equi-join whose strategy
+   * AQE picks at runtime.
+   * The default (100k rows ≈ a large eval union, ~110 MB banded at
+   * dim-64 float) errs broadcast-side; callers with fat embeddings
+   * (dim ≥ 1024) should lower it.
    */
   def semanticDecontaminate(corpus: DataFrame, benchmark: DataFrame,
       threshold: Double = 0.95, bits: Int = 16, bands: Int = 4,
-      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+      vecCol: String = "embedding", idCol: String = "vec_id",
+      maxBroadcastBench: Long = 100000L): DataFrame = {
     import graft.functions.VectorFns
     def banded(df: DataFrame, id: String, v: String) =
       df.select(col(idCol).as(id), col(vecCol).as(v),
@@ -260,8 +273,13 @@ object Corpus {
         .select(col(id), col(v),
           col("bk.band").as("band"), col("bk.key").as("band_key"))
     val bench = banded(benchmark, "__bid", "__bv")
+    val boundedMax = math.min(maxBroadcastBench, Int.MaxValue - 1L).toInt
+    val benchSide =
+      if (benchmark.limit(boundedMax + 1).count() <= maxBroadcastBench)
+        broadcast(bench)
+      else bench
     val contaminated = banded(corpus, "__cid", "__cv")
-      .join(broadcast(bench), Seq("band", "band_key"))
+      .join(benchSide, Seq("band", "band_key"))
       .filter(VectorFns.cosine(col("__cv"), col("__bv")) >= threshold)
       .select(col("__cid").as(idCol)).distinct()
     corpus.join(contaminated, Seq(idCol), "left_anti")

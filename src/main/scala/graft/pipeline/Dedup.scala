@@ -455,10 +455,39 @@ object Dedup {
    * projection bands generate candidates (equi-join), exact cosine
    * verifies. The scale path for "are these two documents semantically
    * identical" at 100 TB.
+   *
+   * Shape choice, measured (ProfileEmbedShape, sf0.1, local[32]):
+   * the default dedupes candidates on the ID PAIR and rejoins the
+   * vectors afterwards (two extra equi-joins); `carryVectors = true`
+   * keeps the pre-rejoin shape where both vectors ride the band
+   * self-join and the distinct. The crossover is vector width —
+   * dim 64: carry wins 0.90 s vs 1.46 s at 1×, 5.25 s vs 12.98 s at
+   * 10×; dim 1024 at 10×: REJOIN wins 40.6 s vs 60.9 s, because every
+   * multi-band collision ships ~8 KB of vector payload through the
+   * exchange once per shared band. Production text embeddings live in
+   * the wide regime, so rejoin is the default; flip `carryVectors` on
+   * for narrow (≲256-dim) vectors.
    */
   def embeddingNearDupPairs(vecs: DataFrame, vecCol: String = "embedding",
       idCol: String = "vec_id", threshold: Double = 0.95,
-      bits: Int = 16, bands: Int = 4): DataFrame = {
+      bits: Int = 16, bands: Int = 4,
+      carryVectors: Boolean = false): DataFrame = {
+    if (carryVectors) {
+      val banded = vecs.select(col(idCol), col(vecCol),
+          explode(VectorFns.srpBands(
+            VectorFns.srpSignature(col(vecCol), bits), bands, bits)).as("bk"))
+        .select(col(idCol), col(vecCol),
+          col("bk.band").as("band"), col("bk.key").as("band_key"))
+      val a = banded.select(col(idCol).as("id_a"), col(vecCol).as("v_a"),
+        col("band"), col("band_key"))
+      val b = banded.select(col(idCol).as("id_b"), col(vecCol).as("v_b"),
+        col("band"), col("band_key"))
+      return a.join(b, Seq("band", "band_key"))
+        .filter(col("id_a") < col("id_b"))
+        .withColumn("cosine", VectorFns.cosine(col("v_a"), col("v_b")))
+        .filter(col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine").distinct()
+    }
     val sig = vecs.select(col(idCol),
       VectorFns.srpSignature(col(vecCol), bits).as("sig"))
     // ids + band keys only — the vectors rejoin AFTER candidate dedup

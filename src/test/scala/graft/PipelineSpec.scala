@@ -57,6 +57,19 @@ class PipelineSpec extends SparkTestBase {
       s"missing dup pair $i"))
   }
 
+  test("embedding near-dup carryVectors shape agrees with rejoin shape") {
+    val e = Tables.read(spark, sf0001, "embeddings")
+    val dup = e.filter(col("vec_id") < 5).withColumn("vec_id", col("vec_id") + 1000)
+    val all = e.unionByName(dup)
+    val rejoin = Dedup.embeddingNearDupPairs(all, threshold = 0.99)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val carried = Dedup.embeddingNearDupPairs(all, threshold = 0.99,
+      carryVectors = true)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(rejoin == carried,
+      s"shapes disagree: only-rejoin=${rejoin -- carried} only-carry=${carried -- rejoin}")
+  }
+
   test("LSH top-k recall vs brute force is reasonable") {
     val e = Tables.read(spark, sf0001, "embeddings")
     val q = e.filter(col("vec_id") < 20)
@@ -212,6 +225,22 @@ class PipelineSpec extends SparkTestBase {
     // organic vectors are random — none should sit at cosine ≥0.95 to
     // a benchmark vector, so the survivor count is exactly the organics
     assert(kept.size == organic, s"${organic - kept.size} organic docs dropped")
+  }
+
+  test("semantic decon broadcast guard: hint present under the cap, dropped past it") {
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    val e = Tables.read(spark, sf0001, "embeddings")
+    val bench = e.filter(col("vec_id") < 10)
+    val corpus = e.filter(col("vec_id") >= 10)
+    def hints(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.analyzed.collect { case h: ResolvedHint => h }
+    val under = graft.pipeline.Corpus.semanticDecontaminate(corpus, bench,
+      threshold = 0.95)
+    assert(hints(under).nonEmpty, "in-contract benchmark should broadcast")
+    val over = graft.pipeline.Corpus.semanticDecontaminate(corpus, bench,
+      threshold = 0.95, maxBroadcastBench = 3L)
+    assert(hints(over).isEmpty,
+      "oversized benchmark must fall back to AQE-planned join")
   }
 
   test("leakage-safe split never forces a broadcast of the cluster side") {
