@@ -134,10 +134,35 @@ private[graft] object CorpusEntries {
     "q_packs" -> { (s, dir) =>
       graft.pipeline.Packing.streamPacks(docs(s, dir), 2048L)
         .orderBy("doc_id")
+    },
+
+    // Token-budget corpus selection: the best `budget` tokens by a
+    // deterministic quality proxy (content-hash bucket as the score —
+    // oracle-replicable; a real pipeline plugs qualityScore in). The
+    // two-phase bucket selection must land bit-identical to the
+    // oracle's single global running-sum window.
+    "q_token_budget" -> { (s, dir) =>
+      val scored = docs(s, dir).select(col("doc_id"),
+        graft.pipeline.Corpus.hashBucket10k(
+          concat(lit("budget:"), col("text"))).cast("double").as("score"),
+        TextFns.tokenCount(col("text")).cast("long").as("n_tokens"))
+      graft.pipeline.Corpus.tokenBudgetSelect(spread(scored), budget = 8000L)
+        .select("doc_id", "score", "n_tokens").orderBy("doc_id")
     }
   )
 
   def oracles: Map[String, String] = Map(
+    "q_token_budget" ->
+      s"""WITH t AS (SELECT doc_id,
+         |CAST(${bucketSql("'budget:' || text", 10000)} AS DOUBLE) AS score,
+         |CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
+         |FROM documents),
+         |c AS (SELECT doc_id, score, n_tokens,
+         |sum(n_tokens) OVER (ORDER BY score DESC, doc_id
+         |ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM t)
+         |SELECT doc_id, score, n_tokens FROM c WHERE cum <= 8000
+         |ORDER BY doc_id""".stripMargin,
+
     "q_token_stats" ->
       """SELECT doc_id,
         |CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens,

@@ -116,6 +116,29 @@ private[graft] object DedupEntries {
         .select("id_a", "id_b").orderBy("id_a", "id_b")
     },
 
+    // Corpus-wide exact paragraph dedup over a fixture of 3-paragraph
+    // documents (paragraphs are base-table texts joined with blank
+    // lines; every 3rd document's middle paragraph is the SAME
+    // boilerplate text — the crawled-header/footer regime). The first
+    // occurrence survives in place; every later verbatim copy is
+    // stripped and the documents reassembled.
+    "q_strip_paragraphs" -> { (s, dir) =>
+      val base = docs(s, dir).select(col("doc_id"), col("text"))
+      val boiler = base.filter(col("doc_id") === 1).select(col("text").as("__b"))
+      val slots = base.select(expr("doc_id div 3").as("d"),
+        pmod(col("doc_id"), lit(3)).as("slot"), col("text"))
+      val g = slots.groupBy("d").agg(
+        max(when(col("slot") === 0, col("text"))).as("t0"),
+        max(when(col("slot") === 1, col("text"))).as("t1"),
+        max(when(col("slot") === 2, col("text"))).as("t2"),
+        count(lit(1)).as("n")).filter(col("n") === 3)
+      val fixture = g.crossJoin(broadcast(boiler)).select(col("d").as("doc_id"),
+        concat_ws("\n\n", col("t0"),
+          when(pmod(col("d"), lit(3)) === 0, col("__b")).otherwise(col("t1")),
+          col("t2")).as("text"))
+      Dedup.stripDuplicateParagraphs(spread(fixture)).orderBy("doc_id")
+    },
+
     // Near-dup clusters: connected components over the MinHash pairs
     // via distributed label propagation.
     "q_dedup_clusters" -> { (s, dir) =>
@@ -231,6 +254,28 @@ private[graft] object DedupEntries {
          |WHERE a.vec_id < b.vec_id)
          |SELECT id_a, id_b FROM cand WHERE ${cosineSql("v_a", "v_b")} >= 0.9
          |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_strip_paragraphs" ->
+      """WITH base AS (SELECT doc_id, text FROM documents),
+        |slots AS (SELECT doc_id // 3 AS d, doc_id % 3 AS slot, text FROM base),
+        |g AS (SELECT d, max(CASE WHEN slot = 0 THEN text END) AS t0,
+        |max(CASE WHEN slot = 1 THEN text END) AS t1,
+        |max(CASE WHEN slot = 2 THEN text END) AS t2, count(*) AS n
+        |FROM slots GROUP BY d),
+        |fixture AS (SELECT d AS doc_id, t0 || e'\n\n' ||
+        |(CASE WHEN d % 3 = 0 THEN (SELECT text FROM base WHERE doc_id = 1) ELSE t1 END)
+        ||| e'\n\n' || t2 AS text FROM g WHERE n = 3),
+        |p0 AS (SELECT doc_id, regexp_split_to_array(text, '\n{2,}') AS parts FROM fixture),
+        |p1 AS (SELECT doc_id, parts, unnest(generate_series(1, len(parts))) AS i FROM p0),
+        |paras AS (SELECT doc_id, i - 1 AS pos, parts[i] AS para FROM p1),
+        |firsts AS (SELECT md5(para) AS pk, min(doc_id * 1000000 + pos) AS fk
+        |FROM paras GROUP BY md5(para)),
+        |kept AS (SELECT p.doc_id, p.pos, p.para FROM paras p JOIN firsts f
+        |ON md5(p.para) = f.pk AND p.doc_id * 1000000 + p.pos = f.fk),
+        |rebuilt AS (SELECT doc_id, string_agg(para, e'\n\n' ORDER BY pos) AS text
+        |FROM kept GROUP BY doc_id)
+        |SELECT f.doc_id, coalesce(r.text, '') AS text
+        |FROM fixture f LEFT JOIN rebuilt r USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     // identical pair set required from the carryVectors shape
     "q_embed_neardup_carry" ->

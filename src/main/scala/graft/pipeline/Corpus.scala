@@ -380,4 +380,72 @@ object Corpus {
       .withColumn("__rn", row_number().over(exact))
       .filter(col("__rn") <= maxDocs).drop("__pre", "__rn")
   }
+
+  /**
+   * Token-budget corpus selection: keep documents in quality order
+   * (`scoreCol` DESC, `idCol` ASC) while the running token total stays
+   * within `budget` — "the best N tokens of this corpus", the curation
+   * step between quality scoring and training.
+   *
+   * The naive form — one global sort + running-sum window — is a
+   * single-partition window at any scale, so selection is two-phase:
+   * (1) per-bucket token sums over [[BudgetBuckets]] ORDER-PRESERVING
+   * score buckets (affine map over the observed score range) → the
+   * driver walks the ≤ BudgetBuckets sums descending (a bounded
+   * metadata collect, like this engine's other driver-side scalars)
+   * and finds the cut bucket; buckets strictly better than the cut are
+   * kept wholesale, strictly worse dropped wholesale; (2) the EXACT
+   * running-sum window runs only inside the cut bucket (~1/10000 of
+   * the corpus) against the remaining budget. Bit-identical to the
+   * global window because bucket score ranges are disjoint and
+   * ordered, and the within-bucket window continues the same
+   * (score DESC, id ASC) order.
+   *
+   * Prefix semantics (cum ≤ budget stops at the crossing document,
+   * like the SQL window form), deterministic ties by id — two runs, or
+   * Spark vs an external oracle, select the same set. Degenerate
+   * constant-score corpus: one bucket, phase 2 is the global window
+   * (correct, just not distributed — there is no quality order to
+   * exploit anyway).
+   */
+  private[graft] val BudgetBuckets = 10000
+
+  def tokenBudgetSelect(docs: DataFrame, budget: Long,
+      scoreCol: String = "score", tokenCol: String = "n_tokens",
+      idCol: String = "doc_id"): DataFrame = {
+    require(budget >= 0, "budget must be non-negative")
+    val bounds = docs.agg(
+      min(col(scoreCol).cast("double")).as("mn"),
+      max(col(scoreCol).cast("double")).as("mx")).head()
+    if (bounds.isNullAt(0)) return docs // empty corpus
+    val (mn, mx) = (bounds.getDouble(0), bounds.getDouble(1))
+    val bucket =
+      if (mx == mn) lit(0)
+      else least(lit(BudgetBuckets - 1),
+        floor((col(scoreCol).cast("double") - mn) / (mx - mn) * BudgetBuckets))
+        .cast("int")
+    val withB = docs.withColumn("__bk", bucket)
+    val sums = withB.groupBy("__bk")
+      .agg(sum(col(tokenCol).cast("long")).as("t"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(-_._1)
+    var cum = 0L
+    var cutBucket = Int.MinValue // sentinel: every real bucket is >= 0
+    var remaining = 0L
+    sums.foreach { case (b, t) =>
+      if (cutBucket == Int.MinValue) {
+        if (cum + t <= budget) cum += t
+        else { cutBucket = b; remaining = budget - cum }
+      }
+    }
+    if (cutBucket == Int.MinValue) return docs // whole corpus fits
+    val keepWhole = withB.filter(col("__bk") > cutBucket)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col(scoreCol).cast("double").desc, col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val boundary = withB.filter(col("__bk") === cutBucket)
+      .withColumn("__cum", sum(col(tokenCol).cast("long")).over(w))
+      .filter(col("__cum") <= remaining)
+      .drop("__cum")
+    keepWhole.unionByName(boundary).drop("__bk")
+  }
 }

@@ -513,4 +513,45 @@ object Dedup {
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
   }
+
+  /**
+   * Corpus-wide exact PARAGRAPH deduplication — the sub-document
+   * complement of the doc-level dedup family (the practical variant of
+   * exact-substring dedup from the "Deduplicating Training Data Makes
+   * Language Models Better" line of work, with the paragraph as the
+   * unit: crawled boilerplate — headers, footers, cookie banners,
+   * license blocks — repeats verbatim at paragraph granularity, which
+   * doc-level near-dup cannot remove without discarding whole
+   * documents).
+   *
+   * Keeps the FIRST occurrence corpus-wide (lexicographic (id, pos)),
+   * strips every later verbatim copy, and reassembles each document
+   * with its surviving paragraphs in original order. Fully-stripped
+   * documents come back as empty text rather than vanishing — dropping
+   * them is the caller's decision (`filter(length(col) > 0)`).
+   *
+   * Scale shape: posexplode → md5 key → min-struct agg (map-side
+   * combinable, so a boilerplate paragraph with 10^8 copies folds to
+   * one row per partition before the exchange) → equi-join back on the
+   * key (AQE's skew-join splits the hot boilerplate keys) → per-doc
+   * reassembly on the id shuffle. Three linear shuffles; no driver
+   * state.
+   */
+  def stripDuplicateParagraphs(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val paras = docs.select(col(idCol),
+      posexplode(split(col(textCol), "\\n{2,}")).as(Seq("pos", "para")))
+    val keyed = paras.withColumn("__pk", md5(col("para")))
+    val first = keyed.groupBy("__pk")
+      .agg(min(struct(col(idCol), col("pos"))).as("__first"))
+    val kept = keyed.join(first, Seq("__pk"))
+      .filter(col(s"__first.$idCol") === col(idCol) &&
+        col("__first.pos") === col("pos"))
+    val rebuilt = kept.groupBy(idCol)
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("para")))),
+          x => x("para")), "\n\n").as(textCol))
+    docs.select(col(idCol)).join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col(textCol), lit("")).as(textCol))
+  }
 }

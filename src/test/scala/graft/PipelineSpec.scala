@@ -57,6 +57,40 @@ class PipelineSpec extends SparkTestBase {
       s"missing dup pair $i"))
   }
 
+  test("paragraph dedup strips later verbatim copies, keeps first in place") {
+    val pdocs = Seq(
+      (0L, "alpha one\n\nBOILER\n\ntail zero"),
+      (1L, "beta two\n\nBOILER\n\ntail one"),
+      (2L, "BOILER\n\ngamma three"),
+      (3L, "BOILER")).toDF("doc_id", "text")
+    val out = Dedup.stripDuplicateParagraphs(pdocs)
+      .orderBy("doc_id").as[(Long, String)].collect()
+    assert(out(0) == ((0L, "alpha one\n\nBOILER\n\ntail zero")),
+      "first occurrence must survive in place")
+    assert(out(1) == ((1L, "beta two\n\ntail one")), "later copy stripped")
+    assert(out(2) == ((2L, "gamma three")), "leading copy stripped")
+    assert(out(3) == ((3L, "")), "fully-stripped doc kept as empty row")
+  }
+
+  test("token budget selection matches the global running-sum window") {
+    val scored = Tables.read(spark, sf0001, "documents").select(col("doc_id"),
+      graft.pipeline.Corpus.hashBucket10k(
+        concat(lit("budget:"), col("text"))).cast("double").as("score"),
+      TextFns.tokenCount(col("text")).cast("long").as("n_tokens"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score").desc, col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val naive = scored.withColumn("cum", sum("n_tokens").over(w))
+      .filter(col("cum") <= 900).select("doc_id").as[Long].collect().toSet
+    val fast = graft.pipeline.Corpus.tokenBudgetSelect(scored, 900L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(fast == naive, s"two-phase diverged: only-fast=${fast -- naive} " +
+      s"only-naive=${naive -- fast}")
+    val total = scored.agg(sum("n_tokens")).head().getLong(0)
+    assert(graft.pipeline.Corpus.tokenBudgetSelect(scored, total).count()
+      == scored.count(), "whole corpus fits the budget")
+  }
+
   test("embedding near-dup carryVectors shape agrees with rejoin shape") {
     val e = Tables.read(spark, sf0001, "embeddings")
     val dup = e.filter(col("vec_id") < 5).withColumn("vec_id", col("vec_id") + 1000)
