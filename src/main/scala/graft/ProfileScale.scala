@@ -219,6 +219,26 @@ object ProfileScale {
       // group size bounded by document length, never by corpus size.
       "top_ngram" -> (m =>
         Corpus.topNgramCoverage(scaledDocs(spark, sfDir, m), n = 2)),
+      // paragraph dedup under the WORST hot key: one boilerplate
+      // paragraph shared by EVERY document, so the min-agg must fold
+      // map-side and the paragraph-key rejoin must survive a key held
+      // by 100% of the corpus (AQE skew-join splits it).
+      "strip_paragraphs" -> (m =>
+        Dedup.stripDuplicateParagraphs(
+          scaledDocs(spark, sfDir, m).select(col("doc_id"),
+            concat(col("text"),
+              lit("\n\nsubscribe to our newsletter for updates")).as("text")))),
+      // token-budget selection at a budget proportional to corpus size
+      // (~10% of tokens): phase-1 bucket sums + the cut-bucket window
+      // must stay flat while the corpus scales.
+      "token_budget" -> { m =>
+        val scored = scaledDocs(spark, sfDir, m).select(col("doc_id"),
+          Corpus.hashBucket10k(
+            concat(lit("budget:"), col("text"))).cast("double").as("score"),
+          graft.functions.TextFns.tokenCount(col("text")).cast("long")
+            .as("n_tokens"))
+        Corpus.tokenBudgetSelect(scored, 20000L * m)
+      },
       // semantic decontamination: benchmark side fixed (broadcast), so
       // corpus cost must stay one narrow linear pass at any scale.
       "semantic_decon" -> { m =>
