@@ -25,13 +25,14 @@ import org.apache.spark.sql.SparkSession
   * far wider than its own per-query window), which the cross-round
   * median discards.
   *
-  * Taint auto-repair (round 9): if aggregation still flags more
-  * unstable queries than the taint threshold, the bench re-runs ONE
-  * extra sweep over only the unstable queries and re-aggregates (4
-  * samples → median = mean of middle two, so a single spiked sample
-  * can no longer drag the median). Only after that does the artifact
-  * get marked tainted. The rerun is recorded in "reran" so a repaired
-  * artifact is distinguishable from a clean first pass.
+  * Taint auto-repair (round 9): whenever aggregation flags ANY
+  * unstable query, the bench re-sweeps only the unstable queries and
+  * re-aggregates, up to SPARK_GRAFT_RERUNS (default 2) passes — an
+  * unstable query ends up with 4-5 samples, whose median discards up
+  * to two stall-inflated ones. Only instability that survives every
+  * pass counts toward the taint threshold. "reran" records the repair
+  * pass count (0 = clean first try), so a repaired artifact is
+  * distinguishable from a clean one.
   *
   * Verification bucket (round 9): q_alarm_stream_parity is a
   * correctness VERIFICATION HARNESS (driver-collected fixture →
@@ -63,7 +64,11 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
-    val trials = math.max(1, sys.env.getOrElse("SPARK_GRAFT_TRIALS", "3").toInt)
+    // 5 base trials (round 9; was 3): host stall windows hit 10-30% of
+    // samples in bad stretches, and a 3-sample median flips as soon as
+    // 2 samples stall. 5 samples tolerate 2; with the repair passes an
+    // unstable query gets up to 7.
+    val trials = math.max(1, sys.env.getOrElse("SPARK_GRAFT_TRIALS", "5").toInt)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -210,17 +215,25 @@ object Bench {
       (r.median - r.min) / r.min > 0.2 && r.median - r.min > 0.1
     val taintThreshold = 8
     var results = aggregate()
-    // Auto-repair: one extra sweep over ONLY the unstable queries,
-    // then re-aggregate. With trials+1 samples the median is robust to
-    // one spiked sample per query; if instability persists past the
-    // rerun it is either genuine or a sustained outage, and the taint
-    // flag below reports it honestly.
-    val needRerun = results.count(isUnstable) > taintThreshold
-    if (needRerun) {
+    // Auto-repair: extra sweeps over ONLY the currently-unstable
+    // queries (up to SPARK_GRAFT_RERUNS, default 2), re-aggregating
+    // after each. An unstable query ends up with 4-5 samples, whose
+    // median discards up to two stall-inflated ones — repair fires on
+    // ANY instability, not only past the taint threshold, because the
+    // passes are cheap (unstable queries only) and a 7-unstable run
+    // that goes unrepaired reports inflated medians while still
+    // claiming to be clean. Instability that survives every pass is
+    // either genuine or a sustained outage; the taint flag reports it
+    // honestly. "reran" records the pass COUNT (0 = clean first try).
+    val maxRepairs = math.max(0, sys.env.getOrElse("SPARK_GRAFT_RERUNS", "2").toInt)
+    var repairs = 0
+    while (repairs < maxRepairs && results.exists(isUnstable)) {
       val unstableNames = results.filter(isUnstable).map(_.name).toSet
       sweep(names.filter { case (n, _) => unstableNames.contains(n) })
       results = aggregate()
+      repairs += 1
     }
+    val needRerun = repairs
     // failed queries report -1 (never a fake wall time) and are listed
     // in "errors" so a broken engine can't benchmark as a fast one.
     // Locale.ROOT: a comma-decimal default locale would emit invalid JSON.
@@ -235,6 +248,11 @@ object Bench {
     }.mkString("{", ",", "}")
     val (verif, engine) = results.partition(r => verificationQueries(r.name))
     val total = engine.collect { case r if r.ok => r.median }.sum
+    // "floor" = sum of per-query MINIMA: the engine's uncontended cost.
+    // On a quiet box floor ≈ value; under host stalls value inflates
+    // while floor stays put, so the pair separates engine regressions
+    // (both move) from environment noise (only value moves).
+    val floor = engine.collect { case r if r.ok => r.min }.sum
     val verifTotal = verif.collect { case r if r.ok => r.median }.sum
     val unstableCount = results.count(isUnstable)
     val tainted = unstableCount > taintThreshold
@@ -253,7 +271,7 @@ object Bench {
     def qmap(rs: Seq[Timing], f: Double => String) =
       rs.map(r => "\"" + r.name + "\":" + (if (r.ok) f(r.median) else "-1.0"))
         .mkString("{", ",", "}")
-    val detail = s"""{"format":3,"metric":"total","value":$total,"unit":"sec","warmup":$warmedUp,"trials":$trials,"reran":$needRerun,"tainted":$tainted,"queries":${qmap(engine, f6)},"verification":${qmap(verif, f6)},"verification_total":$verifTotal,"spread":$spread,"unstable":$unstable,"errors":$errors,"sf":"$sfDir"}"""
+    val detail = s"""{"format":3,"metric":"total","value":$total,"floor":$floor,"unit":"sec","warmup":$warmedUp,"trials":$trials,"reran":$needRerun,"tainted":$tainted,"queries":${qmap(engine, f6)},"verification":${qmap(verif, f6)},"verification_total":$verifTotal,"spread":$spread,"unstable":$unstable,"errors":$errors,"sf":"$sfDir"}"""
     try {
       val w = new java.io.PrintWriter("BENCH_DETAIL.json", "UTF-8")
       try w.println(detail) finally w.close()
@@ -261,7 +279,7 @@ object Bench {
     // "warmup" records whether the untimed warm-up pass ran, so
     // cross-round deltas stay attributable (warm vs cold JIT numbers
     // are not comparable).
-    println(s"""{"format":3,"metric":"total","value":${f3(total)},"unit":"sec","warmup":$warmedUp,"trials":$trials,"reran":$needRerun,"tainted":$tainted,"queries":${qmap(engine, f3)},"verification":${qmap(verif, f3)},"verification_total":${f3(verifTotal)},"sf":"$sfDir"}""")
+    println(s"""{"format":3,"metric":"total","value":${f3(total)},"floor":${f3(floor)},"unit":"sec","warmup":$warmedUp,"trials":$trials,"reran":$needRerun,"tainted":$tainted,"queries":${qmap(engine, f3)},"verification":${qmap(verif, f3)},"verification_total":${f3(verifTotal)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
