@@ -136,6 +136,13 @@ private[graft] object CorpusEntries {
         .orderBy("doc_id")
     },
 
+    // CCNet-style unigram-df quality scoring, integer-exact (df_sum /
+    // n_tokens is the mean corpus document-frequency of the doc's
+    // tokens — fluency/in-domain proxy without floats).
+    "q_unigram_df" -> { (s, dir) =>
+      graft.pipeline.Corpus.unigramDfScore(docs(s, dir)).orderBy("doc_id")
+    },
+
     // Token-budget corpus selection: the best `budget` tokens by a
     // deterministic quality proxy (content-hash bucket as the score —
     // oracle-replicable; a real pipeline plugs qualityScore in). The
@@ -152,6 +159,15 @@ private[graft] object CorpusEntries {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_unigram_df" ->
+      """WITH t AS (SELECT doc_id,
+        |unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS tok
+        |FROM documents),
+        |df AS (SELECT tok, count(DISTINCT doc_id) AS tok_df FROM t GROUP BY tok)
+        |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |CAST(sum(df.tok_df) AS BIGINT) AS df_sum
+        |FROM t JOIN df USING (tok) GROUP BY t.doc_id ORDER BY doc_id""".stripMargin,
+
     "q_token_budget" ->
       s"""WITH t AS (SELECT doc_id,
          |CAST(${bucketSql("'budget:' || text", 10000)} AS DOUBLE) AS score,

@@ -163,6 +163,34 @@ object Corpus {
   }
 
   /**
+   * Unigram document-frequency scoring — the integer-exact core of
+   * the CCNet-style LM-quality signal: documents whose tokens are
+   * common across the corpus read as fluent/in-domain, documents made
+   * of rare tokens as noise/OOD. Emits per doc: `n_tokens` and
+   * `df_sum` (sum over token OCCURRENCES of that token's corpus
+   * document frequency). Consumers derive mean-df (df_sum/n_tokens)
+   * or compare two docs rationally (df_sum_a·n_b vs df_sum_b·n_a)
+   * without touching floats — a log-prob formulation would drift in
+   * the last ulp between engines and break hash-exact verification.
+   *
+   * Scale: token explode → per-doc-distinct df count (both aggs
+   * map-side combinable) → df rejoin on the token (stopword-hot keys
+   * are AQE skew-join territory) → per-doc sum. All linear; the df
+   * table is vocabulary-bounded.
+   */
+  def unigramDfScore(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val toks = docs.select(col(idCol),
+      explode(TextFns.tokens(col(textCol))).as("tok"))
+    val df = toks.distinct()
+      .groupBy("tok").agg(count(lit(1)).as("__df"))
+    toks.join(df, Seq("tok"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).cast("long").as("n_tokens"),
+        sum("__df").cast("long").as("df_sum"))
+  }
+
+  /**
    * Top n-gram coverage — the Gopher-family repetition filter the
    * scalar docSignals can't express: the share of a document's n-gram
    * OCCURRENCES held by its single most frequent n-gram, as an
@@ -414,17 +442,22 @@ object Corpus {
       scoreCol: String = "score", tokenCol: String = "n_tokens",
       idCol: String = "doc_id"): DataFrame = {
     require(budget >= 0, "budget must be non-negative")
-    val bounds = docs.agg(
+    // NaN/null scores are unrankable and DROPPED up front: Spark's
+    // ordering puts NaN ABOVE every double, so one NaN-scored doc
+    // would outrank the whole corpus and silently eat the budget.
+    val ranked = docs.filter(col(scoreCol).isNotNull &&
+      !isnan(col(scoreCol).cast("double")))
+    val bounds = ranked.agg(
       min(col(scoreCol).cast("double")).as("mn"),
       max(col(scoreCol).cast("double")).as("mx")).head()
-    if (bounds.isNullAt(0)) return docs // empty corpus
+    if (bounds.isNullAt(0)) return ranked // no rankable docs
     val (mn, mx) = (bounds.getDouble(0), bounds.getDouble(1))
     val bucket =
       if (mx == mn) lit(0)
       else least(lit(BudgetBuckets - 1),
         floor((col(scoreCol).cast("double") - mn) / (mx - mn) * BudgetBuckets))
         .cast("int")
-    val withB = docs.withColumn("__bk", bucket)
+    val withB = ranked.withColumn("__bk", bucket)
     val sums = withB.groupBy("__bk")
       .agg(sum(col(tokenCol).cast("long")).as("t"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(-_._1)
@@ -437,7 +470,7 @@ object Corpus {
         else { cutBucket = b; remaining = budget - cum }
       }
     }
-    if (cutBucket == Int.MinValue) return docs // whole corpus fits
+    if (cutBucket == Int.MinValue) return ranked // whole corpus fits
     val keepWhole = withB.filter(col("__bk") > cutBucket)
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col(scoreCol).cast("double").desc, col(idCol))

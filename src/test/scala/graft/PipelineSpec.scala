@@ -72,6 +72,17 @@ class PipelineSpec extends SparkTestBase {
     assert(out(3) == ((3L, "")), "fully-stripped doc kept as empty row")
   }
 
+  test("unigram df score is integer-exact on a hand-checked fixture") {
+    val d = Seq(
+      (1L, "a b a"),
+      (2L, "a c"),
+      (3L, "c c c")).toDF("doc_id", "text")
+    // df: a in {1,2} = 2, b in {1} = 1, c in {2,3} = 2
+    val out = graft.pipeline.Corpus.unigramDfScore(d).orderBy("doc_id")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 3L, 5L), (2L, 2L, 4L), (3L, 3L, 6L)))
+  }
+
   test("token budget selection matches the global running-sum window") {
     val scored = Tables.read(spark, sf0001, "documents").select(col("doc_id"),
       graft.pipeline.Corpus.hashBucket10k(
