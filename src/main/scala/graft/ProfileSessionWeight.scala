@@ -15,7 +15,7 @@ import org.apache.spark.sql.SparkSession
  *
  * Measures each target query twice in one bench-shaped session —
  * FRESH (first touch after session build) and POST-SWEEP (after one
- * full 74-query sweep, the regime bench medians live in) — with the
+ * full query-board sweep, the regime bench medians live in) — with the
  * Catalyst phase breakdown from `QueryExecution.tracker` separated
  * from execution wall time. If post-sweep phase time ≈ fresh phase
  * time, session weight is NOT the cause and the drift is JVM-level
