@@ -228,6 +228,12 @@ object ProfileScale {
           scaledDocs(spark, sfDir, m).select(col("doc_id"),
             concat(col("text"),
               lit("\n\nsubscribe to our newsletter for updates")).as("text")))),
+      // unigram-df scoring: the df rejoin carries stopword-grade hot
+      // keys (a common token's df row joins every occurrence) — the
+      // explode/agg/join chain must stay linear and AQE must keep the
+      // hot-key join balanced.
+      "unigram_df" -> (m =>
+        Corpus.unigramDfScore(scaledDocs(spark, sfDir, m))),
       // token-budget selection at a budget proportional to corpus size
       // (~10% of tokens): phase-1 bucket sums + the cut-bucket window
       // must stay flat while the corpus scales.

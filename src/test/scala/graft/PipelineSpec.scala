@@ -102,6 +102,36 @@ class PipelineSpec extends SparkTestBase {
       == scored.count(), "whole corpus fits the budget")
   }
 
+  test("paragraph dedup invariant: every distinct paragraph survives exactly once") {
+    val base = Tables.read(spark, sf0001, "documents").select("doc_id", "text")
+    // inject a shared boilerplate paragraph into every doc
+    val fixture = base.select(col("doc_id"),
+      concat(col("text"), lit("\n\nshared boilerplate paragraph")).as("text"))
+    val out = Dedup.stripDuplicateParagraphs(fixture)
+    val outParas = out.select(explode(split(col("text"), "\n{2,}")).as("p"))
+      .filter(col("p") =!= "")
+    val dupCounts = outParas.groupBy("p").count().filter(col("count") > 1).count()
+    assert(dupCounts == 0, "a paragraph appears more than once after dedup")
+    val inParas = fixture.select(explode(split(col("text"), "\n{2,}")).as("p"))
+      .filter(col("p") =!= "").distinct().count()
+    assert(outParas.count() == inParas,
+      "output must carry each distinct input paragraph exactly once")
+  }
+
+  test("token budget monotonicity: a larger budget selects a superset") {
+    val scored = Tables.read(spark, sf0001, "documents").select(col("doc_id"),
+      graft.pipeline.Corpus.hashBucket10k(
+        concat(lit("budget:"), col("text"))).cast("double").as("score"),
+      TextFns.tokenCount(col("text")).cast("long").as("n_tokens"))
+    val small = graft.pipeline.Corpus.tokenBudgetSelect(scored, 400L)
+      .select("doc_id").as[Long].collect().toSet
+    val large = graft.pipeline.Corpus.tokenBudgetSelect(scored, 1200L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(small.subsetOf(large),
+      s"prefix semantics violated: ${small -- large} lost at the larger budget")
+    assert(large.size > small.size, "fixture budgets should differ materially")
+  }
+
   test("embedding near-dup carryVectors shape agrees with rejoin shape") {
     val e = Tables.read(spark, sf0001, "embeddings")
     val dup = e.filter(col("vec_id") < 5).withColumn("vec_id", col("vec_id") + 1000)
