@@ -136,6 +136,23 @@ private[graft] object CorpusEntries {
         .orderBy("doc_id")
     },
 
+    // URL feature extraction over deterministically synthesized crawl
+    // URLs (ports on every 3rd, query strings on every 2nd — both
+    // sides build the identical fixture).
+    "q_url_features" -> { (s, dir) =>
+      val urls = docs(s, dir).select(col("doc_id"),
+        concat(lit("https://www.site-"), pmod(col("doc_id"), lit(7)),
+          lit(".example.com"),
+          when(col("doc_id") % 3 === 0, lit(":8080")).otherwise(lit("")),
+          lit("/docs/page-"), col("doc_id"),
+          when(col("doc_id") % 2 === 0, lit("?ref=search&lang=en"))
+            .otherwise(lit(""))).as("url"))
+      graft.pipeline.Corpus.urlFeatures(urls)
+        .select("doc_id", "scheme", "host", "domain_guess", "path_depth",
+          "n_params")
+        .orderBy("doc_id")
+    },
+
     // CCNet-style unigram-df quality scoring, integer-exact (df_sum /
     // n_tokens is the mean corpus document-frequency of the doc's
     // tokens — fluency/in-domain proxy without floats).
@@ -159,6 +176,26 @@ private[graft] object CorpusEntries {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_url_features" ->
+      """WITH u AS (SELECT doc_id,
+        |'https://www.site-' || (doc_id % 7) || '.example.com' ||
+        |(CASE WHEN doc_id % 3 = 0 THEN ':8080' ELSE '' END) ||
+        |'/docs/page-' || doc_id ||
+        |(CASE WHEN doc_id % 2 = 0 THEN '?ref=search&lang=en' ELSE '' END) AS url
+        |FROM documents),
+        |f AS (SELECT doc_id, url,
+        |lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.\-]*)://', 1)) AS scheme,
+        |lower(regexp_replace(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]+)', 1), ':[0-9]+$', '')) AS host,
+        |regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]+(/[^?#]*)', 1) AS path,
+        |regexp_extract(url, '\?([^#]*)', 1) AS query FROM u)
+        |SELECT doc_id, scheme, host,
+        |CASE WHEN len(string_split(host, '.')) >= 2
+        |THEN string_split(host, '.')[-2] || '.' || string_split(host, '.')[-1]
+        |ELSE host END AS domain_guess,
+        |CAST(len(list_filter(string_split(path, '/'), x -> x <> '')) AS INTEGER) AS path_depth,
+        |CAST(len(list_filter(string_split(query, '&'), x -> x <> '')) AS INTEGER) AS n_params
+        |FROM f ORDER BY doc_id""".stripMargin,
+
     "q_unigram_df" ->
       """WITH t AS (SELECT doc_id,
         |unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS tok

@@ -163,6 +163,38 @@ object Corpus {
   }
 
   /**
+   * URL features for web-crawl corpora: scheme, host, a registered-
+   * domain HEURISTIC (last two dot-labels — right for .com/.org,
+   * wrong for two-level public suffixes like .co.uk; production joins
+   * a public-suffix TABLE, which is data, not engine logic — the
+   * column is named `domain_guess` so nobody mistakes it for PSL
+   * truth), path depth, and query-parameter count. Pure codegen'd
+   * regexp/split arithmetic, deliberately NOT parse_url: its
+   * authority/query semantics differ between engines, which would
+   * break hash-exact verification. Linear, no shuffle.
+   */
+  def urlFeatures(df: DataFrame, urlCol: String = "url"): DataFrame = {
+    val u = col(urlCol)
+    val auth = regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#]+)", 1)
+    val host = lower(regexp_replace(auth, ":[0-9]+$", ""))
+    val labels = split(host, "\\.")
+    val domain = when(size(labels) >= 2,
+      concat_ws(".", element_at(labels, -2), element_at(labels, -1)))
+      .otherwise(host)
+    val path = regexp_extract(u,
+      "^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]+(/[^?#]*)", 1)
+    val query = regexp_extract(u, "\\?([^#]*)", 1)
+    df.withColumn("scheme",
+        lower(regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.\\-]*)://", 1)))
+      .withColumn("host", host)
+      .withColumn("domain_guess", domain)
+      .withColumn("path_depth",
+        size(filter(split(path, "/"), s => s =!= "")).cast("int"))
+      .withColumn("n_params",
+        size(filter(split(query, "&"), s => s =!= "")).cast("int"))
+  }
+
+  /**
    * Unigram document-frequency scoring — the integer-exact core of
    * the CCNet-style LM-quality signal: documents whose tokens are
    * common across the corpus read as fluent/in-domain, documents made

@@ -72,6 +72,24 @@ class PipelineSpec extends SparkTestBase {
     assert(out(3) == ((3L, "")), "fully-stripped doc kept as empty row")
   }
 
+  test("url features handle ports, missing paths and single-label hosts") {
+    val urls = Seq(
+      (1L, "https://www.example.com/a/b/c?x=1&y=2"),
+      (2L, "http://localhost:9000"),
+      (3L, "ftp://files.co.uk/data"),
+      (4L, "not a url")).toDF("doc_id", "url")
+    val out = graft.pipeline.Corpus.urlFeatures(urls)
+      .select("doc_id", "scheme", "host", "domain_guess", "path_depth",
+        "n_params")
+      .orderBy("doc_id").collect()
+    assert(out(0).toSeq == Seq(1L, "https", "www.example.com", "example.com", 3, 2))
+    assert(out(1).toSeq == Seq(2L, "http", "localhost", "localhost", 0, 0))
+    // last-two-labels heuristic: co.uk is the DOCUMENTED wrong answer
+    // for two-level public suffixes (production joins a PSL table)
+    assert(out(2).toSeq == Seq(3L, "ftp", "files.co.uk", "co.uk", 1, 0))
+    assert(out(3).getAs[String]("scheme") == "")
+  }
+
   test("unigram df score is integer-exact on a hand-checked fixture") {
     val d = Seq(
       (1L, "a b a"),
