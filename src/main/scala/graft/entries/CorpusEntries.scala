@@ -185,7 +185,7 @@ private[graft] object CorpusEntries {
         |FROM documents),
         |f AS (SELECT doc_id, url,
         |lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.\-]*)://', 1)) AS scheme,
-        |lower(regexp_replace(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]+)', 1), ':[0-9]+$', '')) AS host,
+        |lower(regexp_replace(regexp_replace(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]+)', 1), '^[^@]*@', ''), ':[0-9]+$', '')) AS host,
         |regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]+(/[^?#]*)', 1) AS path,
         |regexp_extract(url, '\?([^#]*)', 1) AS query FROM u)
         |SELECT doc_id, scheme, host,

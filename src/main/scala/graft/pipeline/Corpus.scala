@@ -176,7 +176,9 @@ object Corpus {
   def urlFeatures(df: DataFrame, urlCol: String = "url"): DataFrame = {
     val u = col(urlCol)
     val auth = regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#]+)", 1)
-    val host = lower(regexp_replace(auth, ":[0-9]+$", ""))
+    // authority = [userinfo@]host[:port] — strip both ends
+    val host = lower(regexp_replace(
+      regexp_replace(auth, "^[^@]*@", ""), ":[0-9]+$", ""))
     val labels = split(host, "\\.")
     val domain = when(size(labels) >= 2,
       concat_ws(".", element_at(labels, -2), element_at(labels, -1)))

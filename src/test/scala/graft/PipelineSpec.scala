@@ -77,7 +77,8 @@ class PipelineSpec extends SparkTestBase {
       (1L, "https://www.example.com/a/b/c?x=1&y=2"),
       (2L, "http://localhost:9000"),
       (3L, "ftp://files.co.uk/data"),
-      (4L, "not a url")).toDF("doc_id", "url")
+      (4L, "not a url"),
+      (5L, "https://user:pw@secure.example.org:443/private")).toDF("doc_id", "url")
     val out = graft.pipeline.Corpus.urlFeatures(urls)
       .select("doc_id", "scheme", "host", "domain_guess", "path_depth",
         "n_params")
@@ -88,6 +89,9 @@ class PipelineSpec extends SparkTestBase {
     // for two-level public suffixes (production joins a PSL table)
     assert(out(2).toSeq == Seq(3L, "ftp", "files.co.uk", "co.uk", 1, 0))
     assert(out(3).getAs[String]("scheme") == "")
+    assert(out(4).toSeq ==
+      Seq(5L, "https", "secure.example.org", "example.org", 1, 0),
+      "userinfo and port must both strip from the authority")
   }
 
   test("unigram df score is integer-exact on a hand-checked fixture") {
