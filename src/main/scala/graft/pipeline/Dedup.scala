@@ -456,17 +456,21 @@ object Dedup {
    * verifies. The scale path for "are these two documents semantically
    * identical" at 100 TB.
    *
-   * Shape choice, measured (ProfileEmbedShape, sf0.1, local[32]):
+   * Shape choice (measured record in PLANS.md, ProfileEmbedShape):
    * the default dedupes candidates on the ID PAIR and rejoins the
    * vectors afterwards (two extra equi-joins); `carryVectors = true`
    * keeps the pre-rejoin shape where both vectors ride the band
-   * self-join and the distinct. The crossover is vector width —
-   * dim 64: carry wins 0.90 s vs 1.46 s at 1×, 5.25 s vs 12.98 s at
-   * 10×; dim 1024 at 10×: REJOIN wins 40.6 s vs 60.9 s, because every
-   * multi-band collision ships ~8 KB of vector payload through the
-   * exchange once per shared band. Production text embeddings live in
-   * the wide regime, so rejoin is the default; flip `carryVectors` on
-   * for narrow (≲256-dim) vectors.
+   * self-join and the distinct. Locally the carry shape wins narrow
+   * vectors outright (dim 64: 3.87 s vs 11.57 s at 10×) and ties wide
+   * ones (dim 1024 at 10×: 28.5 s vs 29.0 s) — but the local wide
+   * fixture is tiled and compresses ~16:1 in the shuffle, hiding the
+   * carry shape's dominant scale cost: with b bands it ships every
+   * vector through the band exchange once per band (b·N incompressible
+   * payloads at real scale) and evaluates cosine once per candidate
+   * OCCURRENCE, where the rejoin ships 2N payloads and evaluates once
+   * per DISTINCT pair. Rejoin therefore stays the default for the
+   * wide-embedding regime; flip `carryVectors` on for narrow
+   * (≲256-dim) vectors, where payload is genuinely cheap.
    */
   def embeddingNearDupPairs(vecs: DataFrame, vecCol: String = "embedding",
       idCol: String = "vec_id", threshold: Double = 0.95,
