@@ -140,6 +140,17 @@ class PipelineSpec extends SparkTestBase {
       "output must carry each distinct input paragraph exactly once")
   }
 
+  test("paragraph dedup is idempotent") {
+    val base = Tables.read(spark, sf0001, "documents").select("doc_id", "text")
+    val fixture = base.select(col("doc_id"),
+      concat(col("text"), lit("\n\nshared boilerplate paragraph")).as("text"))
+    val once = Dedup.stripDuplicateParagraphs(fixture)
+    val twice = Dedup.stripDuplicateParagraphs(once)
+    val diff = once.unionByName(twice).distinct().count()
+    assert(diff == once.distinct().count(),
+      "a second pass over already-deduped docs must be a no-op")
+  }
+
   test("token budget monotonicity: a larger budget selects a superset") {
     val scored = Tables.read(spark, sf0001, "documents").select(col("doc_id"),
       graft.pipeline.Corpus.hashBucket10k(
