@@ -55,10 +55,24 @@ object ProfileEmbedShape {
     shapes.foreach { case (_, f) => f(vecsAt(1, 1)).count() }
     spark.catalog.clearCache()
 
-    val rows = for {
+    // INTERLEAVED min-of-2 (the bench/profile round-9 methodology):
+    // back-to-back trials of one cell can both land inside a single
+    // multi-second host stall; a full sweep between a cell's samples
+    // makes that near-impossible.
+    val cells = for {
       tiles <- Seq(1, 16); m <- Seq(1, 10); (name, f) <- shapes
-    } yield {
-      val s = ProfileScale.profiled(spark)(f(vecsAt(m, tiles)))
+    } yield (tiles, m, name, f)
+    val best = scala.collection.mutable.Map.empty[(Int, Int, String),
+      graft.ProfileScale.RunStats]
+    (1 to 2).foreach { _ =>
+      cells.foreach { case (tiles, m, name, f) =>
+        val s = ProfileScale.profiledOnce(spark)(f(vecsAt(m, tiles)))
+        val k = (tiles, m, name)
+        if (!best.contains(k) || s.elapsedSec < best(k).elapsedSec) best(k) = s
+      }
+    }
+    val rows = cells.map { case (tiles, m, name, _) =>
+      val s = best((tiles, m, name))
       val line = f"dim=${64 * tiles}%4d x$m%-2d $name%-10s " +
         f"${s.elapsedSec}%6.2fs shuffleW ${s.shuffleWriteMB}%8.1fMB " +
         f"rows ${s.rows}%7d skew ${s.worstSkew}%4.2f"

@@ -41,8 +41,16 @@ object ProfileSessionWeight {
     spark.sparkContext.setLogLevel("ERROR")
 
     def shoot(name: String, when: String): Shot = {
-      val df = SparkEntry.queries(name)(spark, sfDir)
       val t0 = System.nanoTime()
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      // Materialize optimization + physical planning on THIS
+      // DataFrame's own tracker before reading phases: count() plans a
+      // derived QueryExecution, so without this touch the tracker only
+      // ever records the analysis phase and the breakdown silently
+      // omits optimize/plan — the phases the tool exists to measure.
+      // Construction is inside the timed window too (analysis runs
+      // eagerly at construction).
+      df.queryExecution.executedPlan
       df.count()
       val wall = (System.nanoTime() - t0) / 1e9
       val phases = df.queryExecution.tracker.phases

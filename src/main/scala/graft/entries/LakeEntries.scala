@@ -70,7 +70,17 @@ private[graft] object LakeEntries {
     // (d) a broken catalog target is reported, never thrown.
     "q_partition_add" -> { (s, dir) =>
       import s.implicits._
-      val base = java.nio.file.Files.createTempDirectory("graft_q27").toString
+      // FIXED fixture path, wiped per invocation: a fresh
+      // createTempDirectory per call leaks a directory every bench
+      // trial / verify run (6+ per bench round) until /tmp fills.
+      val baseDir = new java.io.File(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_q27_fixture")
+      def wipe(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(wipe)
+        f.delete(): Unit
+      }
+      wipe(baseDir)
+      val base = baseDir.toString
       val parts = Seq(("use1", 2024, 1, 2, 3, 11L), ("use1", 2024, 1, 2, 4, 22L),
         ("usw2", 2024, 1, 3, 0, 33L))
       parts.foreach { case (r, y, m, d, h, v) =>

@@ -318,7 +318,11 @@ object Corpus {
    * stops at the limit, so the guard never pays a full pass over an
    * oversized benchmark: past `maxBroadcastBench` rows the hint is
    * dropped and the band join becomes a plain equi-join whose strategy
-   * AQE picks at runtime.
+   * AQE picks at runtime. The count is an EAGER job at plan-build time
+   * — the one departure from the engine's lazy-builder convention, and
+   * opt-out-able: `maxBroadcastBench = Long.MaxValue` means "I know
+   * it's small, always broadcast" and `0` means "never broadcast"; both
+   * skip the job entirely.
    * The default (100k rows ≈ a large eval union, ~110 MB banded at
    * dim-64 float) errs broadcast-side; callers with fat embeddings
    * (dim ≥ 1024) should lower it.
@@ -335,11 +339,15 @@ object Corpus {
         .select(col(id), col(v),
           col("bk.band").as("band"), col("bk.key").as("band_key"))
     val bench = banded(benchmark, "__bid", "__bv")
-    val boundedMax = math.min(maxBroadcastBench, Int.MaxValue - 1L).toInt
     val benchSide =
-      if (benchmark.limit(boundedMax + 1).count() <= maxBroadcastBench)
-        broadcast(bench)
-      else bench
+      if (maxBroadcastBench == Long.MaxValue) broadcast(bench)
+      else if (maxBroadcastBench <= 0L) bench
+      else {
+        val boundedMax = math.min(maxBroadcastBench, Int.MaxValue - 1L).toInt
+        if (benchmark.limit(boundedMax + 1).count() <= maxBroadcastBench)
+          broadcast(bench)
+        else bench
+      }
     val contaminated = banded(corpus, "__cid", "__cv")
       .join(benchSide, Seq("band", "band_key"))
       .filter(VectorFns.cosine(col("__cv"), col("__bv")) >= threshold)

@@ -146,8 +146,9 @@ class PipelineSpec extends SparkTestBase {
       concat(col("text"), lit("\n\nshared boilerplate paragraph")).as("text"))
     val once = Dedup.stripDuplicateParagraphs(fixture)
     val twice = Dedup.stripDuplicateParagraphs(once)
-    val diff = once.unionByName(twice).distinct().count()
-    assert(diff == once.distinct().count(),
+    // symmetric: neither side may have rows the other lacks — a union/
+    // distinct count alone would miss a second pass that DROPS rows
+    assert(twice.exceptAll(once).isEmpty && once.exceptAll(twice).isEmpty,
       "a second pass over already-deduped docs must be a no-op")
   }
 
@@ -349,6 +350,14 @@ class PipelineSpec extends SparkTestBase {
       threshold = 0.95, maxBroadcastBench = 3L)
     assert(hints(over).isEmpty,
       "oversized benchmark must fall back to AQE-planned join")
+    // opt-outs skip the eager count entirely: MaxValue = always
+    // broadcast, 0 = never broadcast
+    val always = graft.pipeline.Corpus.semanticDecontaminate(corpus, bench,
+      threshold = 0.95, maxBroadcastBench = Long.MaxValue)
+    assert(hints(always).nonEmpty, "MaxValue must force the broadcast hint")
+    val never = graft.pipeline.Corpus.semanticDecontaminate(corpus, bench,
+      threshold = 0.95, maxBroadcastBench = 0L)
+    assert(hints(never).isEmpty, "0 must drop the broadcast hint")
   }
 
   test("leakage-safe split never forces a broadcast of the cluster side") {
