@@ -331,6 +331,15 @@ object ProfileScale {
           s"$name#x10" -> (() => f(10)))
       } ++ Seq(
         "leakage_split_x50#ext" -> (() => split50Plan()),
+        // (3) paragraph dedup at 50x with the 100%-hot boilerplate key:
+        // the map-side min fold and AQE skew-join must hold when one
+        // paragraph key carries 270k+ occurrences.
+        "strip_paragraphs_x50#ext" -> (() =>
+          Dedup.stripDuplicateParagraphs(
+            scaledDocs(spark, sfDir, 50).select(col("doc_id"),
+              concat(col("text"),
+                lit("\n\nsubscribe to our newsletter for updates"))
+                .as("text")))),
         "semantic_decon_bench100k#ext" -> (() => deconBigPlan()))
     // Per-METRIC min across rounds: a stall only ever INFLATES elapsed
     // and task-duration skew (contention stretches whichever tasks
@@ -405,7 +414,11 @@ object ProfileScale {
         s""""elapsed_growth_1x_to_10x":${fmt(if (s1.elapsedSec > 0) s10.elapsedSec / s1.elapsedSec else 0.0)}}"""
     }
     val split50 = best("leakage_split_x50#ext")
+    val strip50 = best("strip_paragraphs_x50#ext")
     val deconBig = best("semantic_decon_bench100k#ext")
+    System.err.println(f"[profile] strip_paragraphs_x50 " +
+      f"${strip50.elapsedSec}%6.2fs ${strip50.shuffleWriteMB}%8.1fMB " +
+      f"skew ${strip50.worstSkew}%4.2f")
     System.err.println(f"[profile] leakage_split_x50    " +
       f"${split50.elapsedSec}%6.2fs ${split50.shuffleWriteMB}%8.1fMB " +
       f"skew ${split50.worstSkew}%4.2f over ${split50.skewStageTasks} tasks")
@@ -414,6 +427,7 @@ object ProfileScale {
       f"skew ${deconBig.worstSkew}%4.2f")
     val extended = Seq(
       s""""leakage_split_x50":${block(split50)}""",
+      s""""strip_paragraphs_x50":${block(strip50)}""",
       s""""semantic_decon_bench100k":${block(deconBig)}""")
     val json = (entries ++ extended).mkString(
       s"""{"sf":"$sfDir","scale_factors":[1,5,10],"linearity_check":"x10 shuffle bytes / x5 shuffle bytes ~ 2.0","skew_threshold":4.0,""",

@@ -534,6 +534,12 @@ object Dedup {
    * documents come back as empty text rather than vanishing — dropping
    * them is the caller's decision (`filter(length(col) > 0)`).
    *
+   * `minParagraphChars`: paragraphs SHORTER than the floor are exempt
+   * from dedup and always kept in place — short headers ("Abstract",
+   * "Introduction", a date line) legitimately repeat across documents
+   * and stripping them would mutilate every doc but one. 0 (default)
+   * dedups everything.
+   *
    * Scale shape: posexplode → md5 key → min-struct agg (map-side
    * combinable, so a boilerplate paragraph with 10^8 copies folds to
    * one row per partition before the exchange) → equi-join back on the
@@ -542,15 +548,19 @@ object Dedup {
    * state.
    */
   def stripDuplicateParagraphs(docs: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text", minParagraphChars: Int = 0): DataFrame = {
     val paras = docs.select(col(idCol),
       posexplode(split(col(textCol), "\\n{2,}")).as(Seq("pos", "para")))
-    val keyed = paras.withColumn("__pk", md5(col("para")))
+    val (dedupable, exempt) = (length(col("para")) >= minParagraphChars,
+      length(col("para")) < minParagraphChars)
+    val keyed = paras.filter(dedupable).withColumn("__pk", md5(col("para")))
     val first = keyed.groupBy("__pk")
       .agg(min(struct(col(idCol), col("pos"))).as("__first"))
     val kept = keyed.join(first, Seq("__pk"))
       .filter(col(s"__first.$idCol") === col(idCol) &&
         col("__first.pos") === col("pos"))
+      .select(col(idCol), col("pos"), col("para"))
+      .unionByName(paras.filter(exempt))
     val rebuilt = kept.groupBy(idCol)
       .agg(array_join(
         transform(array_sort(collect_list(struct(col("pos"), col("para")))),

@@ -140,6 +140,19 @@ class PipelineSpec extends SparkTestBase {
       "output must carry each distinct input paragraph exactly once")
   }
 
+  test("paragraph dedup length floor exempts short repeating headers") {
+    val pdocs = Seq(
+      (1L, "Intro\n\na long shared boilerplate paragraph here\n\nbody one"),
+      (2L, "Intro\n\na long shared boilerplate paragraph here\n\nbody two"))
+      .toDF("doc_id", "text")
+    val out = Dedup.stripDuplicateParagraphs(pdocs, minParagraphChars = 10)
+      .orderBy("doc_id").as[(Long, String)].collect()
+    assert(out(0)._2 ==
+      "Intro\n\na long shared boilerplate paragraph here\n\nbody one")
+    assert(out(1)._2 == "Intro\n\nbody two",
+      "short header kept everywhere, long boilerplate stripped")
+  }
+
   test("paragraph dedup is idempotent") {
     val base = Tables.read(spark, sf0001, "documents").select("doc_id", "text")
     val fixture = base.select(col("doc_id"),
