@@ -460,15 +460,16 @@ object Dedup {
    * the default dedupes candidates on the ID PAIR and rejoins the
    * vectors afterwards (two extra equi-joins); `carryVectors = true`
    * keeps the pre-rejoin shape where both vectors ride the band
-   * self-join and the distinct. Locally the carry shape wins narrow
-   * vectors outright (dim 64: 3.87 s vs 11.57 s at 10×) and ties wide
-   * ones (dim 1024 at 10×: 28.5 s vs 29.0 s) — but the local wide
-   * fixture is tiled and compresses ~16:1 in the shuffle, hiding the
-   * carry shape's dominant scale cost: with b bands it ships every
-   * vector through the band exchange once per band (b·N incompressible
-   * payloads at real scale) and evaluates cosine once per candidate
-   * OCCURRENCE, where the rejoin ships 2N payloads and evaluates once
-   * per DISTINCT pair. Rejoin therefore stays the default for the
+   * self-join and the distinct. Measured: the carry shape wins narrow
+   * vectors in every session (dim 64 at 10×: ~4.4 s vs ~8.7 s); at
+   * dim 1024 × 10 its cost is cosine over every banded candidate
+   * occurrence and swings 28.5–60.9 s across sessions, where the
+   * rejoin holds a stable 29–41 s. The local wide fixture also tiles
+   * (compresses ~16:1 in shuffle), hiding the carry shape's dominant
+   * scale cost: with b bands it ships every vector through the band
+   * exchange once per band (b·N incompressible payloads at real
+   * scale), where the rejoin ships 2N and evaluates cosine once per
+   * DISTINCT pair. Rejoin therefore stays the default for the
    * wide-embedding regime; flip `carryVectors` on for narrow
    * (≲256-dim) vectors, where payload is genuinely cheap.
    */
