@@ -28,8 +28,9 @@ import org.apache.spark.sql.SparkSession
   * Taint auto-repair (round 9): whenever aggregation flags ANY
   * unstable query, the bench re-sweeps only the unstable queries and
   * re-aggregates, up to SPARK_GRAFT_RERUNS (default 2) passes — an
-  * unstable query ends up with 4-5 samples, whose median discards up
-  * to two stall-inflated ones. Only instability that survives every
+  * unstable query ends up with 6-7 samples at the default 5 base
+  * trials, whose median discards up to three stall-inflated ones.
+  * Only instability that survives every
   * pass counts toward the taint threshold. "reran" records the repair
   * pass count (0 = clean first try), so a repaired artifact is
   * distinguishable from a clean one.
@@ -217,8 +218,9 @@ object Bench {
     var results = aggregate()
     // Auto-repair: extra sweeps over ONLY the currently-unstable
     // queries (up to SPARK_GRAFT_RERUNS, default 2), re-aggregating
-    // after each. An unstable query ends up with 4-5 samples, whose
-    // median discards up to two stall-inflated ones — repair fires on
+    // after each. An unstable query ends up with 6-7 samples at the
+    // default 5 base trials, whose median discards up to three
+    // stall-inflated ones — repair fires on
     // ANY instability, not only past the taint threshold, because the
     // passes are cheap (unstable queries only) and a 7-unstable run
     // that goes unrepaired reports inflated medians while still
@@ -280,6 +282,13 @@ object Bench {
     // cross-round deltas stay attributable (warm vs cold JIT numbers
     // are not comparable).
     println(s"""{"format":3,"metric":"total","value":${f3(total)},"floor":${f3(floor)},"unit":"sec","warmup":$warmedUp,"trials":$trials,"reran":$needRerun,"tainted":$tainted,"queries":${qmap(engine, f3)},"verification":${qmap(verif, f3)},"verification_total":${f3(verifTotal)},"sf":"$sfDir"}""")
+    // The driver's artifact keeps only the last ~2000 characters of
+    // stdout; round 9's compact line outgrew that window and the
+    // capture clipped value/floor off the FRONT (BENCH_r09.json starts
+    // mid-line). A final totals-only line — printed last, so the tail
+    // capture always retains it whole — keeps the official artifact
+    // self-contained however many queries the compact line carries.
+    println(s"""{"format":3,"metric":"total","value":${f3(total)},"floor":${f3(floor)},"unit":"sec","trials":$trials,"reran":$needRerun,"tainted":$tainted,"unstable_n":$unstableCount,"nqueries":${engine.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -348,16 +348,38 @@ object ProfileScale {
     // and shuffle bytes are deterministic — asserted equal across
     // rounds rather than assumed.
     def merged(a: RunStats, b: RunStats): RunStats = {
-      require(a.rows == b.rows && (a.shuffleWriteMB - b.shuffleWriteMB).abs < 1.0,
-        s"nondeterministic plan across trials: $a vs $b")
-      val (skew, tasks) = if (b.worstSkew < a.worstSkew)
-        (b.worstSkew, b.skewStageTasks) else (a.worstSkew, a.skewStageTasks)
-      // read bytes from the min-elapsed run: task retries / fetch
-      // locality in a stalled run can inflate reads, and the stalled
-      // run is exactly the one the per-metric-min policy discards
+      // Rows must agree — a row-count difference is a genuine
+      // nondeterministic PLAN and the whole cell is suspect. Shuffle
+      // WRITE bytes, though, are load-sensitive too: retried and
+      // speculative tasks re-write their shuffle output, and AQE can
+      // replan between trials, so a >1MB write delta is most likely
+      // the same host-stall scenario the min-of-N policy exists to
+      // absorb. Hard-failing here (pre-round-10 behavior) aborted the
+      // multi-hour sweep on exactly the noisy trials it should
+      // discard — now it warns and keeps the min-elapsed run's stats
+      // wholesale (elapsed, reads, writes all from the least-
+      // contaminated run).
+      require(a.rows == b.rows,
+        s"nondeterministic result across trials: $a vs $b")
       val fast = if (b.elapsedSec < a.elapsedSec) b else a
-      RunStats(fast.elapsedSec, a.rows,
-        fast.shuffleReadMB, a.shuffleWriteMB, skew, tasks)
+      if ((a.shuffleWriteMB - b.shuffleWriteMB).abs >= 1.0) {
+        System.err.println(
+          f"[profile] WARN shuffle-write differs across trials " +
+            f"(${a.shuffleWriteMB}%.1fMB vs ${b.shuffleWriteMB}%.1fMB) — " +
+            "task retries or AQE replan; keeping min-elapsed run")
+        val (skew, tasks) = if (b.worstSkew < a.worstSkew)
+          (b.worstSkew, b.skewStageTasks) else (a.worstSkew, a.skewStageTasks)
+        RunStats(fast.elapsedSec, a.rows,
+          fast.shuffleReadMB, fast.shuffleWriteMB, skew, tasks)
+      } else {
+        val (skew, tasks) = if (b.worstSkew < a.worstSkew)
+          (b.worstSkew, b.skewStageTasks) else (a.worstSkew, a.skewStageTasks)
+        // read bytes from the min-elapsed run: task retries / fetch
+        // locality in a stalled run can inflate reads, and the stalled
+        // run is exactly the one the per-metric-min policy discards
+        RunStats(fast.elapsedSec, a.rows,
+          fast.shuffleReadMB, a.shuffleWriteMB, skew, tasks)
+      }
     }
     val best = scala.collection.mutable.Map.empty[String, RunStats]
     (1 to profileTrials).foreach { round =>

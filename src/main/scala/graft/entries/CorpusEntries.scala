@@ -212,7 +212,8 @@ private[graft] object CorpusEntries {
          |FROM documents),
          |c AS (SELECT doc_id, score, n_tokens,
          |sum(n_tokens) OVER (ORDER BY score DESC, doc_id
-         |ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM t)
+         |ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM t
+         |WHERE n_tokens IS NOT NULL)
          |SELECT doc_id, score, n_tokens FROM c WHERE cum <= 8000
          |ORDER BY doc_id""".stripMargin,
 

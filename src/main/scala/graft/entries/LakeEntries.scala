@@ -70,13 +70,23 @@ private[graft] object LakeEntries {
     // (d) a broken catalog target is reported, never thrown.
     "q_partition_add" -> { (s, dir) =>
       import s.implicits._
-      // FIXED fixture path, wiped per invocation: a fresh
+      // PER-JVM fixture path, wiped per invocation: a fresh
       // createTempDirectory per call leaks a directory every bench
-      // trial / verify run (6+ per bench round) until /tmp fills.
+      // trial / verify run (6+ per bench round) until /tmp fills, and
+      // a single FIXED path (round 9) traded the leak for a
+      // concurrency hazard — two JVMs (gate + bench) wiping/reading
+      // the same directory corrupt each other mid-read. Suffixing
+      // with the process id keeps it bounded (one dir per JVM,
+      // reused/wiped across that JVM's invocations) and
+      // concurrency-safe.
       val baseDir = new java.io.File(
-        sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_q27_fixture")
+        sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+        s"graft_q27_fixture_${ProcessHandle.current().pid()}")
       def wipe(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(wipe)
+        // listFiles() returns null on a racing delete or IO error —
+        // treat as already-gone rather than NPE
+        if (f.isDirectory)
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(wipe)
         f.delete(): Unit
       }
       wipe(baseDir)

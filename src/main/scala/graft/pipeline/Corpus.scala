@@ -458,69 +458,137 @@ object Corpus {
    * step between quality scoring and training.
    *
    * The naive form — one global sort + running-sum window — is a
-   * single-partition window at any scale, so selection is two-phase:
-   * (1) per-bucket token sums over [[BudgetBuckets]] ORDER-PRESERVING
-   * score buckets (affine map over the observed score range) → the
-   * driver walks the ≤ BudgetBuckets sums descending (a bounded
-   * metadata collect, like this engine's other driver-side scalars)
-   * and finds the cut bucket; buckets strictly better than the cut are
-   * kept wholesale, strictly worse dropped wholesale; (2) the EXACT
-   * running-sum window runs only inside the cut bucket (~1/10000 of
-   * the corpus) against the remaining budget. Bit-identical to the
-   * global window because bucket score ranges are disjoint and
-   * ordered, and the within-bucket window continues the same
-   * (score DESC, id ASC) order.
+   * single-partition window at any scale, so selection buckets first:
+   * score-range buckets whose sums the driver walks in descending
+   * score order (a bounded metadata collect, like this engine's other
+   * driver-side scalars); buckets strictly better than the cut bucket
+   * are kept wholesale, strictly worse dropped wholesale, and the
+   * EXACT running-sum window runs only inside the cut bucket against
+   * the remaining budget. Bit-identical to the global window because
+   * bucket score ranges are disjoint and ordered, and the
+   * within-bucket window continues the same (score DESC, id ASC)
+   * order.
+   *
+   * ONE Spark job before the cut decision (round 10; previously a
+   * min/max bounds pass then an affine bucketing pass — two eager
+   * driver jobs per call, which made this the most scheduler-latency-
+   * sensitive query on the bench): buckets are the top 16 bits of the
+   * score's order-preserving IEEE-754 bit image
+   * ([[graft.plans.SortableDoubleBits]]) — at most 65536 disjoint
+   * ordered ranges (16 per power-of-two binade) needing NO prior
+   * bounds, so bucket sums + counts come from a single aggregation.
+   * When the cut bucket is small (≤ [[BudgetDirectWindowRows]] —
+   * always, at moderate scale) the window runs inside it directly and
+   * the cut cost one job total. Only when the cut bucket is still
+   * huge (a 100 TB corpus concentrated in one binade sixteenth) does
+   * a second job refine it with [[BudgetBuckets]] affine sub-buckets
+   * over the bucket's exact bit-derived bounds — bounding the final
+   * window at corpus/16/10000 rows without ever paying the second
+   * job at ordinary scale.
    *
    * Prefix semantics (cum ≤ budget stops at the crossing document,
    * like the SQL window form), deterministic ties by id — two runs, or
-   * Spark vs an external oracle, select the same set. Degenerate
-   * constant-score corpus: one bucket, phase 2 is the global window
-   * (correct, just not distributed — there is no quality order to
-   * exploit anyway).
+   * Spark vs an external oracle, select the same set. NaN/null scores
+   * AND null token counts are dropped up front (see below). Degenerate
+   * constant-score corpus: one bucket, the refinement can't split it
+   * (dHi == dLo), so the window is global (correct, just not
+   * distributed — there is no quality order to exploit anyway).
    */
   private[graft] val BudgetBuckets = 10000
 
+  /** Cut-bucket row count above which a refinement pass sub-buckets it
+    * before the exact window: 2M rows sort in one task comfortably;
+    * anything bigger gets the second (affine) bucketing job. */
+  private[graft] val BudgetDirectWindowRows = 2000000L
+
   def tokenBudgetSelect(docs: DataFrame, budget: Long,
       scoreCol: String = "score", tokenCol: String = "n_tokens",
-      idCol: String = "doc_id"): DataFrame = {
+      idCol: String = "doc_id",
+      directWindowMaxRows: Long = BudgetDirectWindowRows): DataFrame = {
     require(budget >= 0, "budget must be non-negative")
+    graft.plans.NativeFns.register(docs.sparkSession)
     // NaN/null scores are unrankable and DROPPED up front: Spark's
     // ordering puts NaN ABOVE every double, so one NaN-scored doc
     // would outrank the whole corpus and silently eat the budget.
+    // Null token counts are dropped with them — a document of unknown
+    // cost cannot be budgeted, and a null would otherwise poison the
+    // bucket sums (an all-null bucket sums to null → driver NPE).
     val ranked = docs.filter(col(scoreCol).isNotNull &&
-      !isnan(col(scoreCol).cast("double")))
-    val bounds = ranked.agg(
-      min(col(scoreCol).cast("double")).as("mn"),
-      max(col(scoreCol).cast("double")).as("mx")).head()
-    if (bounds.isNullAt(0)) return ranked // no rankable docs
-    val (mn, mx) = (bounds.getDouble(0), bounds.getDouble(1))
-    val bucket =
-      if (mx == mn) lit(0)
-      else least(lit(BudgetBuckets - 1),
-        floor((col(scoreCol).cast("double") - mn) / (mx - mn) * BudgetBuckets))
-        .cast("int")
-    val withB = ranked.withColumn("__bk", bucket)
-    val sums = withB.groupBy("__bk")
-      .agg(sum(col(tokenCol).cast("long")).as("t"))
-      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(-_._1)
+      !isnan(col(scoreCol).cast("double")) && col(tokenCol).isNotNull)
+    val sbits = graft.plans.SortableDoubleBits
+      .sortableBits(col(scoreCol).cast("double"))
+    val withP = ranked.withColumn("__pb",
+      shiftrightunsigned(sbits, 48).cast("int"))
+    // the single pre-cut job: ≤65536 rows of (bucket, sum, count)
+    val sums = withP.groupBy("__pb")
+      .agg(sum(col(tokenCol).cast("long")).as("t"), count(lit(1)).as("c"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      // prefix buckets order by score when compared as 16-bit
+      // sign-flipped ints (negative doubles land in [32768,65535],
+      // positives in [0,32767]); XOR 0x8000 makes the walk key
+      // monotone in score. Descending = best first.
+      .sortBy { case (p, _, _) => -(p ^ 0x8000) }
+    if (sums.isEmpty) return withP.drop("__pb") // no rankable docs
     var cum = 0L
-    var cutBucket = Int.MinValue // sentinel: every real bucket is >= 0
+    var cutBucket = -1 // sentinel: real buckets are 0..65535
+    var cutRows = 0L
     var remaining = 0L
-    sums.foreach { case (b, t) =>
-      if (cutBucket == Int.MinValue) {
+    sums.foreach { case (p, t, c) =>
+      if (cutBucket == -1) {
         if (cum + t <= budget) cum += t
-        else { cutBucket = b; remaining = budget - cum }
+        else { cutBucket = p; cutRows = c; remaining = budget - cum }
       }
     }
-    if (cutBucket == Int.MinValue) return ranked // whole corpus fits
-    val keepWhole = withB.filter(col("__bk") > cutBucket)
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col(scoreCol).cast("double").desc, col(idCol))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    val boundary = withB.filter(col("__bk") === cutBucket)
-      .withColumn("__cum", sum(col(tokenCol).cast("long")).over(w))
-      .filter(col("__cum") <= remaining)
-      .drop("__cum")
-    keepWhole.unionByName(boundary).drop("__bk")
+    if (cutBucket == -1) return withP.drop("__pb") // whole corpus fits
+    val keepWhole = withP.filter(
+      col("__pb").bitwiseXOR(lit(0x8000)) > lit(cutBucket ^ 0x8000))
+    val inCut = withP.filter(col("__pb") === cutBucket)
+    def prefixWindow(df: DataFrame, rem: Long): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col(scoreCol).cast("double").desc, col(idCol))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      df.withColumn("__cum", sum(col(tokenCol).cast("long")).over(w))
+        .filter(col("__cum") <= rem)
+        .drop("__cum")
+    }
+    // the cut bucket's exact score range, decoded from its bit prefix
+    // on the driver — no data pass needed
+    val sLo = cutBucket.toLong << 48
+    val dLo = graft.plans.SortableDoubleBits.fromSortable(sLo)
+    val dHi = graft.plans.SortableDoubleBits.fromSortable(sLo | 0xFFFFFFFFFFFFL)
+    val boundary =
+      if (cutRows <= directWindowMaxRows ||
+          !java.lang.Double.isFinite(dLo) || !java.lang.Double.isFinite(dHi) ||
+          dHi <= dLo) {
+        // common path: window directly inside the cut bucket — the
+        // non-finite guard covers prefixes overlapping the ±Inf bit
+        // patterns, where an affine rescale is meaningless (all
+        // infinite scores compare equal anyway)
+        prefixWindow(inCut, remaining)
+      } else {
+        // refinement (second job, huge cut bucket only): affine
+        // sub-buckets over the bucket's exact range, same walk
+        val bucket = least(lit(BudgetBuckets - 1),
+          floor((col(scoreCol).cast("double") - dLo) / (dHi - dLo) * BudgetBuckets))
+          .cast("int")
+        val withB = inCut.withColumn("__bk", bucket)
+        val sums2 = withB.groupBy("__bk")
+          .agg(sum(col(tokenCol).cast("long")).as("t"))
+          .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(-_._1)
+        var cum2 = 0L
+        var cut2 = Int.MinValue
+        var rem2 = 0L
+        sums2.foreach { case (b, t) =>
+          if (cut2 == Int.MinValue) {
+            if (cum2 + t <= remaining) cum2 += t
+            else { cut2 = b; rem2 = remaining - cum2 }
+          }
+        }
+        if (cut2 == Int.MinValue) withB.drop("__bk") // cannot happen: t(cut) > remaining
+        else withB.filter(col("__bk") > cut2).drop("__bk")
+          .unionByName(prefixWindow(
+            withB.filter(col("__bk") === cut2).drop("__bk"), rem2))
+      }
+    keepWhole.unionByName(boundary).drop("__pb")
   }
 }

@@ -541,6 +541,18 @@ object Dedup {
    * and stripping them would mutilate every doc but one. 0 (default)
    * dedups everything.
    *
+   * Separator normalization (observable output mutation): documents
+   * are split on `\n{2,}` and surviving paragraphs rejoined with
+   * exactly `"\n\n"`, so a 3-newline (or longer) separator comes back
+   * as a double newline even in a document that lost no paragraphs —
+   * the corpus does NOT round-trip byte-identical unless every
+   * separator was already exactly `\n\n`. Deliberate: a canonical
+   * separator keeps the operator idempotent (re-running it is a no-op)
+   * and makes paragraph keys independent of incidental blank-line
+   * padding. Callers needing byte-exact passthrough of clean docs
+   * should diff against the input and keep the original text where no
+   * paragraph was stripped.
+   *
    * Scale shape: posexplode → md5 key → min-struct agg (map-side
    * combinable, so a boilerplate paragraph with 10^8 copies folds to
    * one row per partition before the exchange) → equi-join back on the

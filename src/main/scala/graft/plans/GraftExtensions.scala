@@ -40,5 +40,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => WordShingles(exprs.head,
         n = FnArgs.intArg("word_shingles", "n", exprs(1)),
         distinct = FnArgs.flagArg("word_shingles", "distinct", exprs.lift(2)))))
+    ext.injectFunction((
+      new FunctionIdentifier("sortable_double_bits"),
+      new ExpressionInfo(classOf[SortableDoubleBits].getName, "sortable_double_bits"),
+      (exprs: Seq[Expression]) => SortableDoubleBits(exprs.head)))
   }
 }

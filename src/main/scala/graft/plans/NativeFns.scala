@@ -22,5 +22,6 @@ object NativeFns {
       SimHash64.register(spark)
       VecDot.register(spark)
       WordShingles.register(spark)
+      SortableDoubleBits.register(spark)
     }
 }

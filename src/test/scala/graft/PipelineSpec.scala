@@ -165,6 +165,48 @@ class PipelineSpec extends SparkTestBase {
       "a second pass over already-deduped docs must be a no-op")
   }
 
+  test("token budget refinement path (forced) matches the direct-window path") {
+    val scored = Tables.read(spark, sf0001, "documents").select(col("doc_id"),
+      graft.pipeline.Corpus.hashBucket10k(
+        concat(lit("budget:"), col("text"))).cast("double").as("score"),
+      TextFns.tokenCount(col("text")).cast("long").as("n_tokens"))
+    // directWindowMaxRows = 0 forces the affine-refinement second job
+    // on every cut bucket; the selected set must be identical
+    val direct = graft.pipeline.Corpus.tokenBudgetSelect(scored, 900L)
+      .select("doc_id").as[Long].collect().toSet
+    val refined = graft.pipeline.Corpus.tokenBudgetSelect(scored, 900L,
+        directWindowMaxRows = 0L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(refined == direct, s"refinement diverged: only-refined=" +
+      s"${refined -- direct} only-direct=${direct -- refined}")
+  }
+
+  test("token budget drops null token counts and NaN scores up front") {
+    val rows = Seq(
+      (1L, 5.0, Some(10L)), (2L, 4.0, Some(10L)), (3L, 3.0, None),
+      (4L, Double.NaN, Some(10L)), (5L, 2.0, Some(10L)))
+      .toDF("doc_id", "score", "n_tokens")
+    val kept = graft.pipeline.Corpus.tokenBudgetSelect(rows, 25L)
+      .select("doc_id").as[Long].collect().toSet
+    // null-token doc 3 and NaN-score doc 4 are unbudgetable; the
+    // 25-token budget then covers docs 1 and 2 only (doc 5 crosses)
+    assert(kept == Set(1L, 2L))
+  }
+
+  test("sortable double bits is strictly monotone and normalizes -0.0") {
+    import graft.plans.SortableDoubleBits.{sortable, fromSortable}
+    val vals = Seq(Double.NegativeInfinity, -1e300, -2.5, -1e-300, -0.0,
+      0.0, 1e-300, 2.5, 1e300, Double.PositiveInfinity)
+    vals.sliding(2).foreach { case Seq(a, b) =>
+      if (a == b) assert(sortable(a) == sortable(b))
+      else assert(sortable(a) < sortable(b), s"$a vs $b")
+    }
+    assert(sortable(-0.0) == sortable(0.0))
+    vals.filter(java.lang.Double.isFinite).foreach { v =>
+      assert(fromSortable(sortable(v)) == (v + 0.0), s"round-trip $v")
+    }
+  }
+
   test("token budget monotonicity: a larger budget selects a superset") {
     val scored = Tables.read(spark, sf0001, "documents").select(col("doc_id"),
       graft.pipeline.Corpus.hashBucket10k(
