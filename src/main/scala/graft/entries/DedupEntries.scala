@@ -139,6 +139,26 @@ private[graft] object DedupEntries {
       Dedup.stripDuplicateParagraphs(spread(fixture)).orderBy("doc_id")
     },
 
+    // Substring-window exact dedup: a 30-token chunk of doc 1's prefix
+    // is appended to every doc_id % 4 == 2 document — a duplicated
+    // span that crosses whatever paragraph boundary precedes it, the
+    // case paragraph dedup is structurally blind to. Doc 1 keeps its
+    // prefix (globally-first occurrence at (1, 0)); every injected
+    // copy is stripped.
+    "q_dedup_substring" -> { (s, dir) =>
+      val base = docs(s, dir).select(col("doc_id"), col("text"))
+      graft.plans.NativeFns.register(s)
+      val chunk = base.filter(col("doc_id") === 1).select(
+        array_join(slice(graft.plans.WordShingles.shingles(col("text"), 1),
+          1, 30), " ").as("__c"))
+      val fixture = base.crossJoin(broadcast(chunk)).select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(4)) === 2,
+          concat(col("text"), lit(" "), col("__c")))
+          .otherwise(col("text")).as("text"))
+      Dedup.stripDuplicateWindows(spread(fixture), windowTokens = 10)
+        .orderBy("doc_id")
+    },
+
     // Near-dup clusters: connected components over the MinHash pairs
     // via distributed label propagation.
     "q_dedup_clusters" -> { (s, dir) =>
@@ -273,6 +293,37 @@ private[graft] object DedupEntries {
         |kept AS (SELECT p.doc_id, p.pos, p.para FROM paras p JOIN firsts f
         |ON md5(p.para) = f.pk AND p.doc_id * 1000000 + p.pos = f.fk),
         |rebuilt AS (SELECT doc_id, string_agg(para, e'\n\n' ORDER BY pos) AS text
+        |FROM kept GROUP BY doc_id)
+        |SELECT f.doc_id, coalesce(r.text, '') AS text
+        |FROM fixture f LEFT JOIN rebuilt r USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // Same window fingerprints (md5 over space-joined 10-grams), same
+    // first-occurrence rule ((doc_id, pos) lexicographic via the
+    // doc_id*1e6+pos scalar, valid while pos < 1e6), independently
+    // window/list-based rather than the engine's join shape.
+    "q_dedup_substring" ->
+      """WITH fixture AS (SELECT doc_id,
+        |CASE WHEN doc_id % 4 = 2 THEN text || ' ' ||
+        |(SELECT array_to_string(list_filter(regexp_split_to_array(text, '\s+'),
+        |x -> x <> '')[1:30], ' ') FROM documents WHERE doc_id = 1)
+        |ELSE text END AS text FROM documents),
+        |ta AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'),
+        |x -> x <> '') AS toks FROM fixture),
+        |w0 AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 9)) AS i
+        |FROM ta WHERE len(toks) >= 10),
+        |wk AS (SELECT doc_id, i - 1 AS pos,
+        |md5(array_to_string(toks[i:i+9], ' ')) AS k FROM w0),
+        |firsts AS (SELECT k, min(doc_id * 1000000 + pos) AS fk, count(*) AS n
+        |FROM wk GROUP BY k),
+        |dups AS (SELECT wk.doc_id, wk.pos FROM wk JOIN firsts f ON wk.k = f.k
+        |WHERE f.n > 1 AND wk.doc_id * 1000000 + wk.pos <> f.fk),
+        |cov AS (SELECT DISTINCT doc_id, idx FROM
+        |(SELECT doc_id, unnest(generate_series(pos, pos + 9)) AS idx FROM dups)),
+        |t1 AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS i FROM ta),
+        |tk AS (SELECT doc_id, i - 1 AS idx, toks[i] AS tok FROM t1),
+        |kept AS (SELECT t.doc_id, t.idx, t.tok FROM tk t LEFT JOIN cov c
+        |ON t.doc_id = c.doc_id AND t.idx = c.idx WHERE c.doc_id IS NULL),
+        |rebuilt AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY idx) AS text
         |FROM kept GROUP BY doc_id)
         |SELECT f.doc_id, coalesce(r.text, '') AS text
         |FROM fixture f LEFT JOIN rebuilt r USING (doc_id) ORDER BY doc_id""".stripMargin,

@@ -581,4 +581,84 @@ object Dedup {
     docs.select(col(idCol)).join(rebuilt, Seq(idCol), "left")
       .select(col(idCol), coalesce(col(textCol), lit("")).as(textCol))
   }
+
+  /**
+   * Substring-window exact dedup — the flat-token-stream member of the
+   * dedup family (exact doc / paragraph / near-dup), catching verbatim
+   * spans that CROSS paragraph boundaries, which
+   * [[stripDuplicateParagraphs]] is structurally blind to. The
+   * distributed rendering of the Lee et al. exact-substring idea
+   * ("Deduplicating Training Data Makes Language Models Better",
+   * ACL 2022): their suffix array finds duplicated substrings of at
+   * least some length L on one machine; here every `windowTokens`-token
+   * sliding window (stride 1) is fingerprinted, and a window whose
+   * fingerprint occurs anywhere else in the corpus keeps only its
+   * globally-first occurrence (lexicographic (id, pos), the
+   * [[stripDuplicateParagraphs]] rule). Overlapping duplicate windows
+   * coalesce into spans via their covered token positions, so any
+   * duplicated run of `>= windowTokens` tokens is stripped from every
+   * copy but the first, wherever paragraph breaks fall.
+   *
+   * `windowTokens` is thus the minimum duplicated-span length (Lee et
+   * al. use 50 BPE tokens); runs shorter than the window are never
+   * touched, and documents shorter than the window have no fingerprint
+   * at all.
+   *
+   * Whitespace normalization (observable output mutation, same
+   * contract as [[stripDuplicateParagraphs]]'s separator
+   * normalization): documents are whitespace-tokenized and reassembled
+   * with single spaces, so runs of whitespace collapse even in
+   * documents that lost nothing. Deliberate — it makes window keys
+   * independent of incidental spacing, so a re-run never strips on
+   * spacing alone. (Strict idempotence is not a theorem: stripping a
+   * span makes its neighbors adjacent, and that junction can in
+   * principle form a new duplicated window for a later pass — the
+   * same property Lee et al.'s iterated substring dedup has.)
+   * Fully-stripped documents come back as empty text rather than
+   * vanishing.
+   *
+   * Scale shape (all token-granularity but linear, no driver state):
+   * windows carry only `(id, pos, md5)` into the shuffle — the W-token
+   * gram string is hashed BEFORE the exchange, so shuffle volume is
+   * ~24 bytes per token position, not W tokens of text per position.
+   * First-occurrence is the same min-struct agg as paragraph dedup
+   * (map-side combinable: a boilerplate window with 10^8 copies folds
+   * to one row per partition before the exchange); the window→first
+   * equi-join rides AQE skew-join on hot keys; covered positions
+   * dedupe on (id, idx) — fine-grained keys, no hot key possible —
+   * and the kept-token anti-join + per-doc reassembly shuffle on the
+   * id. Per-task memory is bounded by the longest single document
+   * (the rebuild's collect_list), exactly like paragraph dedup.
+   */
+  def stripDuplicateWindows(docs: DataFrame, windowTokens: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(windowTokens > 0, "window must be at least one token")
+    graft.plans.NativeFns.register(docs.sparkSession)
+    val toks = docs.select(col(idCol),
+      posexplode(graft.plans.WordShingles.shingles(col(textCol), 1))
+        .as(Seq("idx", "tok")))
+    val windows = docs.select(col(idCol),
+      posexplode(graft.plans.WordShingles.shingles(col(textCol), windowTokens))
+        .as(Seq("pos", "gram")))
+      .select(col(idCol), col("pos"), md5(col("gram")).as("__wk"))
+    val first = windows.groupBy("__wk")
+      .agg(min(struct(col(idCol), col("pos"))).as("__first"),
+        count(lit(1)).as("__n"))
+      .filter(col("__n") > 1) // unique windows can't strip anything
+    val dups = windows.join(first, Seq("__wk"))
+      .filter(col(s"__first.$idCol") =!= col(idCol) ||
+        col("__first.pos") =!= col("pos"))
+      .select(col(idCol), col("pos"))
+    val covered = dups.select(col(idCol),
+      explode(sequence(col("pos"), col("pos") + lit(windowTokens - 1)))
+        .as("idx"))
+      .distinct()
+    val kept = toks.join(covered, Seq(idCol, "idx"), "left_anti")
+    val rebuilt = kept.groupBy(idCol)
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("idx"), col("tok")))),
+          x => x("tok")), " ").as(textCol))
+    docs.select(col(idCol)).join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col(textCol), lit("")).as(textCol))
+  }
 }

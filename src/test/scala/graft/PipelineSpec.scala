@@ -153,6 +153,46 @@ class PipelineSpec extends SparkTestBase {
       "short header kept everywhere, long boilerplate stripped")
   }
 
+  test("substring-window dedup strips cross-paragraph and repeated spans, keeps first occurrence") {
+    val sp = (1 to 12).map(i => s"w$i").mkString(" ") // 12-token span
+    val half = ((1 to 6).map(i => s"w$i").mkString(" "),
+      (7 to 12).map(i => s"w$i").mkString(" "))
+    val d = Seq(
+      (1L, s"intro $sp outro"),
+      // the same span, but split ACROSS a paragraph boundary — the
+      // case paragraph-level dedup is structurally blind to
+      (2L, s"alpha beta\n\ngamma ${half._1}\n\n${half._2} delta"),
+      // self-repetition within one document
+      (3L, s"$sp pad1 pad2 $sp")).toDF("doc_id", "text")
+    val out = Dedup.stripDuplicateWindows(d, windowTokens = 10)
+      .orderBy("doc_id").as[(Long, String)].collect()
+    assert(out(0)._2 == s"intro $sp outro",
+      "first occurrence (doc 1) survives intact")
+    assert(out(1)._2 == "alpha beta gamma delta",
+      "cross-paragraph duplicated span stripped")
+    assert(out(2)._2 == "pad1 pad2",
+      "both self-repeated copies stripped (doc 1 holds the first occurrence)")
+  }
+
+  test("substring-window dedup: short docs untouched beyond whitespace normalization; idempotent") {
+    val d = Seq(
+      (1L, "only   a few\ttokens here"),
+      (2L, "only   a few\ttokens here")).toDF("doc_id", "text")
+    // 5 tokens < window 10: no fingerprints, nothing stripped — even
+    // though the docs are exact duplicates of each other
+    val out = Dedup.stripDuplicateWindows(d, windowTokens = 10)
+      .orderBy("doc_id").as[(Long, String)].collect()
+    assert(out.map(_._2).toSeq ==
+      Seq("only a few tokens here", "only a few tokens here"))
+    val base = Tables.read(spark, sf0001, "documents").select("doc_id", "text")
+    val injected = base.unionByName(base.filter(col("doc_id") % 9 === 0)
+      .select((col("doc_id") + 30000).as("doc_id"), col("text")))
+    val once = Dedup.stripDuplicateWindows(injected, windowTokens = 10)
+    val twice = Dedup.stripDuplicateWindows(once, windowTokens = 10)
+    assert(twice.exceptAll(once).isEmpty && once.exceptAll(twice).isEmpty,
+      "a second pass over already-stripped docs must be a no-op")
+  }
+
   test("paragraph dedup is idempotent") {
     val base = Tables.read(spark, sf0001, "documents").select("doc_id", "text")
     val fixture = base.select(col("doc_id"),
