@@ -35,6 +35,24 @@ private[graft] object VectorEntries {
         .select("query_id", "neighbor_id", "rank").orderBy("query_id", "rank")
     },
 
+    // Incremental IVF: the maintained assignment index absorbs a new
+    // batch (every 20th vector re-ingested under vec_id + 10000 — 25
+    // exact duplicates, so the new rows provably land at rank 1 for
+    // their originals' queries) without re-assigning the standing
+    // corpus; ids disjoint by construction, centroids held fixed.
+    // Results must equal full ivfTopK over the union corpus — the
+    // oracle computes exactly that.
+    "q_ann_ivf_incr" -> { (s, dir) =>
+      val e = spread(Tables.read(s, dir, "embeddings"))
+      val cents = Similarity.centroids(e)
+      val index = Similarity.ivfAssign(e, cents)
+      val newVecs = e.filter(col("vec_id") % 20 === 0)
+        .withColumn("vec_id", col("vec_id") + 10000)
+      Similarity.ivfTopKIncremental(index, newVecs,
+          e.filter(col("vec_id") < 10), cents, k = 5, nprobe = 3)
+        .select("query_id", "neighbor_id", "rank").orderBy("query_id", "rank")
+    },
+
     // Semantic decontamination: drop corpus vectors whose embedding is
     // SRP-band-candidate AND cosine-near a benchmark vector — the
     // paraphrase-robust complement to the n-gram q_decontaminate.
@@ -113,6 +131,42 @@ private[graft] object VectorEntries {
         |(sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
         | sqrt(list_dot_product(cv.centroid, cv.centroid))) AS sim
         |FROM embeddings e, cvec cv),
+        |corp AS (SELECT vec_id AS neighbor_id, embedding AS v_c, cell FROM
+        |(SELECT *, row_number() OVER (PARTITION BY vec_id
+        |ORDER BY sim DESC, cell) AS r FROM cs) WHERE r = 1),
+        |qc AS (SELECT vec_id AS query_id, embedding AS v_q, cell FROM
+        |(SELECT *, row_number() OVER (PARTITION BY vec_id
+        |ORDER BY sim DESC, cell) AS r FROM cs WHERE vec_id < 10) WHERE r <= 3),
+        |cand AS (SELECT query_id, neighbor_id,
+        |list_dot_product(v_q::DOUBLE[], v_c::DOUBLE[]) /
+        |(sqrt(list_dot_product(v_q::DOUBLE[], v_q::DOUBLE[])) *
+        | sqrt(list_dot_product(v_c::DOUBLE[], v_c::DOUBLE[]))) AS cosine
+        |FROM corp JOIN qc USING (cell) WHERE query_id <> neighbor_id),
+        |r AS (SELECT query_id, neighbor_id, row_number() OVER
+        |(PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank FROM cand)
+        |SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank
+        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // full IVF over the union corpus — what the incremental path must
+    // reproduce without re-assigning the standing index. Centroids
+    // deliberately from the ORIGINAL corpus only (the maintained
+    // quantizer is held fixed across ingest batches).
+    "q_ann_ivf_incr" ->
+      """WITH cent AS (SELECT label, pos,
+        |CAST(SUM(CAST(v AS DECIMAL(28,8))) AS DOUBLE)/COUNT(*) AS c
+        |FROM (SELECT label, unnest(embedding) AS v,
+        |generate_subscripts(embedding, 1) AS pos FROM embeddings)
+        |GROUP BY 1, 2),
+        |cvec AS (SELECT label AS cell, array_agg(c ORDER BY pos) AS centroid
+        |FROM cent GROUP BY 1),
+        |corpus AS (SELECT vec_id, embedding FROM embeddings
+        |UNION ALL SELECT vec_id + 10000 AS vec_id, embedding
+        |FROM embeddings WHERE vec_id % 20 = 0),
+        |cs AS (SELECT e.vec_id, e.embedding, cv.cell,
+        |list_dot_product(e.embedding::DOUBLE[], cv.centroid) /
+        |(sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+        | sqrt(list_dot_product(cv.centroid, cv.centroid))) AS sim
+        |FROM corpus e, cvec cv),
         |corp AS (SELECT vec_id AS neighbor_id, embedding AS v_c, cell FROM
         |(SELECT *, row_number() OVER (PARTITION BY vec_id
         |ORDER BY sim DESC, cell) AS r FROM cs) WHERE r = 1),

@@ -65,30 +65,82 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, cents: DataFrame,
       k: Int, nprobe: Int = 3, vecCol: String = "embedding",
       idCol: String = "vec_id", labelCol: String = "label"): DataFrame = {
+    val corpusCells = ivfAssign(corpus, cents, vecCol, idCol, labelCol)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("v_c"), col("cell"))
+    probeCells(corpusCells, queries, cents, k, nprobe, vecCol, idCol, labelCol)
+  }
+
+  /**
+   * The persistable IVF index: each vector's nearest-centroid cell,
+   * carrying the vector for candidate re-ranking — the ANN analog of
+   * the MinHash signature index ([[Dedup.minhashIncrementalPairs]]'s
+   * `index` argument). Plain columns `(idCol, vecCol, cell)`, so the
+   * result writes directly as a lake table (partition by `cell`: a
+   * probe then prunes to its nprobe cells' files); the centroid table
+   * persists alongside it, and [[ivfTopKIncremental]] probes the
+   * maintained pair without ever re-assigning the corpus.
+   *
+   * Struct-max aggregation (map-side combinable, no per-vector sort):
+   * max on (sim, -cell) is "highest sim, then lowest cell", the same
+   * tie order as the nprobe window path.
+   */
+  def ivfAssign(vecs: DataFrame, cents: DataFrame,
+      vecCol: String = "embedding", idCol: String = "vec_id",
+      labelCol: String = "label"): DataFrame = {
     val c = cents.select(col(labelCol).as("cell"), col("centroid"))
+    vecs.select(col(idCol), col(vecCol))
+      .join(broadcast(c), lit(true))
+      .withColumn("__sim", VectorFns.cosine(col(vecCol), col("centroid")))
+      .groupBy(col(idCol))
+      .agg(max(struct(col("__sim"), (-col("cell")).as("nc"),
+        col(vecCol).as("vv"))).as("r"))
+      .select(col(idCol), col("r.vv").as(vecCol), (-col("r.nc")).as("cell"))
+  }
 
-    def assignCells(df: DataFrame, id: String, v: String, keep: Int) = {
-      val scored = df.select(col(idCol).as(id), col(vecCol).as(v))
-        .join(broadcast(c), lit(true))
-        .withColumn("__sim", VectorFns.cosine(col(v), col("centroid")))
-      if (keep == 1) {
-        // the corpus-side hot path: struct-max aggregation (map-side
-        // combinable, no per-vector sort) — max on (sim, -cell) is
-        // "highest sim, then lowest cell", the window's tie order
-        scored.groupBy(col(id))
-          .agg(max(struct(col("__sim"), (-col("cell")).as("nc"),
-            col(v).as("vv"))).as("r"))
-          .select(col(id), col("r.vv").as(v), (-col("r.nc")).as("cell"))
-      } else {
-        val w = Window.partitionBy(id).orderBy(col("__sim").desc, col("cell"))
-        scored.withColumn("__r", row_number().over(w))
-          .filter(col("__r") <= keep)
-          .select(col(id), col(v), col("cell"))
-      }
-    }
+  /**
+   * Incremental IVF top-k — the daily-ingest path that mirrors
+   * [[Dedup.minhashIncrementalPairs]]'s contract: `index` is a
+   * maintained assignment table from [[ivfAssign]] (typically read
+   * back from its lake table), `newVecs` an UNASSIGNED new batch, and
+   * only the new batch pays the centroid-assignment pass — the
+   * standing corpus never re-assigns, re-shuffles, or re-scans beyond
+   * the probe itself. Queries probe the union of the index and the
+   * fresh assignments, so results are identical to [[ivfTopK]] over
+   * the full corpus with the same centroids (asserted by the spec).
+   *
+   * Ids in `index` and `newVecs` must be DISJOINT (the minhash-index
+   * contract): an id present in both would be probed twice and rank
+   * against itself. Centroids are the maintained quantizer — held
+   * fixed across batches by design; re-training them invalidates the
+   * index and warrants a full [[ivfAssign]] rebuild. To roll the
+   * index forward, persist `index ∪ ivfAssign(newVecs, cents)` (the
+   * assignment is deterministic, so the recompute matches what this
+   * probe saw).
+   */
+  def ivfTopKIncremental(index: DataFrame, newVecs: DataFrame,
+      queries: DataFrame, cents: DataFrame, k: Int, nprobe: Int = 3,
+      vecCol: String = "embedding", idCol: String = "vec_id",
+      labelCol: String = "label"): DataFrame = {
+    val fresh = ivfAssign(newVecs, cents, vecCol, idCol, labelCol)
+    val corpusCells = index.select(col(idCol), col(vecCol), col("cell"))
+      .unionByName(fresh)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("v_c"), col("cell"))
+    probeCells(corpusCells, queries, cents, k, nprobe, vecCol, idCol, labelCol)
+  }
 
-    val corpusCells = assignCells(corpus, "neighbor_id", "v_c", 1)
-    val queryCells = assignCells(queries, "query_id", "v_q", nprobe)
+  /** Shared probe: nprobe-cell query routing + exact cosine re-rank
+    * against an assigned corpus `(neighbor_id, v_c, cell)`. */
+  private def probeCells(corpusCells: DataFrame, queries: DataFrame,
+      cents: DataFrame, k: Int, nprobe: Int, vecCol: String, idCol: String,
+      labelCol: String): DataFrame = {
+    val c = cents.select(col(labelCol).as("cell"), col("centroid"))
+    val w = Window.partitionBy("query_id").orderBy(col("__sim").desc, col("cell"))
+    val queryCells = queries.select(col(idCol).as("query_id"), col(vecCol).as("v_q"))
+      .join(broadcast(c), lit(true))
+      .withColumn("__sim", VectorFns.cosine(col("v_q"), col("centroid")))
+      .withColumn("__r", row_number().over(w))
+      .filter(col("__r") <= nprobe)
+      .select(col("query_id"), col("v_q"), col("cell"))
     val candidates = corpusCells.join(broadcast(queryCells), Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
     rank(candidates.withColumn("cosine", VectorFns.cosine(col("v_q"), col("v_c"))), k)

@@ -299,6 +299,33 @@ class PipelineSpec extends SparkTestBase {
     assert(recall >= 0.6, s"IVF recall $recall too low")
   }
 
+  test("incremental IVF over a persisted index equals a full rebuild") {
+    val e = Tables.read(spark, sf0001, "embeddings")
+    val cents = Similarity.centroids(e)
+    val newVecs = e.filter(col("vec_id") % 15 === 0)
+      .withColumn("vec_id", col("vec_id") + 50000)
+    val q = e.filter(col("vec_id") < 15)
+    // persist the index as a lake table (parquet round-trip) the way a
+    // maintained deployment would, then probe the read-back copy
+    val dir = java.nio.file.Files.createTempDirectory("ivf_index").toString
+    Similarity.ivfAssign(e, cents).write.mode("overwrite")
+      .partitionBy("cell").parquet(dir)
+    val index = spark.read.parquet(dir)
+    val incr = Similarity.ivfTopKIncremental(index, newVecs, q, cents, k = 5)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    val full = Similarity.ivfTopK(e.unionByName(newVecs), q, cents, k = 5)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(incr == full, s"incremental diverged from full rebuild: " +
+      s"only-incr=${incr -- full} only-full=${full -- incr}")
+    // the re-ingested duplicates must surface at rank 1 for their
+    // originals (cosine 1.0 beats every other neighbor)
+    val dupHits = incr.filter { case (qid, nid, rk) =>
+      qid % 15 == 0 && nid == qid + 50000 && rk == 1 }
+    assert(dupHits.nonEmpty, "injected duplicate should rank first")
+  }
+
   test("salted skew join matches plain join results") {
     import graft.operators.SkewJoin
     val fact = (1 to 1000).map(i => (if (i % 10 == 0) "hot" else s"k$i", i.toDouble))
