@@ -234,6 +234,30 @@ object ProfileScale {
       // hot-key join balanced.
       "unigram_df" -> (m =>
         Corpus.unigramDfScore(scaledDocs(spark, sfDir, m))),
+      // substring-window dedup under the worst hot window: a 12-token
+      // tail appended to EVERY document, so its interior window keys
+      // carry 100% of the corpus (the strip_paragraphs stress, one
+      // level down) — the min-struct fold must combine map-side and
+      // the covered-position distinct/anti-join must stay linear in
+      // token count.
+      "dedup_substring" -> (m =>
+        Dedup.stripDuplicateWindows(
+          scaledDocs(spark, sfDir, m).select(col("doc_id"),
+            concat(col("text"),
+              lit(" subscribe to our newsletter for updates and never miss a post"))
+              .as("text")), windowTokens = 10)),
+      // incremental IVF: the standing index (all vectors) is probed
+      // while only a fixed-size new batch pays assignment — elapsed
+      // must track the index SCAN (linear), never an index rebuild.
+      "ann_ivf_incr" -> { m =>
+        val vecs = scaledVecs(spark, sfDir, m)
+        val cents = Similarity.centroids(vecs)
+        val newVecs = vecs.filter(col("vec_id") % 1000000L < 100 &&
+            col("vec_id") < 1000000L)
+          .withColumn("vec_id", col("vec_id") + 500000000L)
+        Similarity.ivfTopKIncremental(Similarity.ivfAssign(vecs, cents),
+          newVecs, vecs.filter(col("vec_id") < 10), cents, k = 5, nprobe = 3)
+      },
       // token-budget selection at a budget proportional to corpus size
       // (~10% of tokens): phase-1 bucket sums + the cut-bucket window
       // must stay flat while the corpus scales.
@@ -340,7 +364,13 @@ object ProfileScale {
               concat(col("text"),
                 lit("\n\nsubscribe to our newsletter for updates"))
                 .as("text")))),
-        "semantic_decon_bench100k#ext" -> (() => deconBigPlan()))
+        "semantic_decon_bench100k#ext" -> (() => deconBigPlan()),
+        // (4) unigram_df at 50×: its 10× rejoin skew (2.53) was round
+        // 9's highest, and stopword keys provably stay hot at any
+        // corpus size — one 50× point decides whether AQE skew-join
+        // suffices or the hot token head needs a broadcast split.
+        "unigram_df_x50#ext" -> (() =>
+          Corpus.unigramDfScore(scaledDocs(spark, sfDir, 50))))
     // Per-METRIC min across rounds: a stall only ever INFLATES elapsed
     // and task-duration skew (contention stretches whichever tasks
     // share the window), never deflates them, so the minimum of each
@@ -438,6 +468,10 @@ object ProfileScale {
     val split50 = best("leakage_split_x50#ext")
     val strip50 = best("strip_paragraphs_x50#ext")
     val deconBig = best("semantic_decon_bench100k#ext")
+    val unigram50 = best("unigram_df_x50#ext")
+    System.err.println(f"[profile] unigram_df_x50       " +
+      f"${unigram50.elapsedSec}%6.2fs ${unigram50.shuffleWriteMB}%8.1fMB " +
+      f"skew ${unigram50.worstSkew}%4.2f over ${unigram50.skewStageTasks} tasks")
     System.err.println(f"[profile] strip_paragraphs_x50 " +
       f"${strip50.elapsedSec}%6.2fs ${strip50.shuffleWriteMB}%8.1fMB " +
       f"skew ${strip50.worstSkew}%4.2f")
@@ -450,7 +484,8 @@ object ProfileScale {
     val extended = Seq(
       s""""leakage_split_x50":${block(split50)}""",
       s""""strip_paragraphs_x50":${block(strip50)}""",
-      s""""semantic_decon_bench100k":${block(deconBig)}""")
+      s""""semantic_decon_bench100k":${block(deconBig)}""",
+      s""""unigram_df_x50":${block(unigram50)}""")
     val json = (entries ++ extended).mkString(
       s"""{"sf":"$sfDir","scale_factors":[1,5,10],"linearity_check":"x10 shuffle bytes / x5 shuffle bytes ~ 2.0","skew_threshold":4.0,""",
       ",", "}")

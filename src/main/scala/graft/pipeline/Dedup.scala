@@ -456,31 +456,39 @@ object Dedup {
    * verifies. The scale path for "are these two documents semantically
    * identical" at 100 TB.
    *
-   * Shape choice (measured record in PLANS.md, ProfileEmbedShape):
-   * the default dedupes candidates on the ID PAIR and rejoins the
-   * vectors afterwards (two extra equi-joins); `carryVectors = true`
-   * keeps the pre-rejoin shape where both vectors ride the band
-   * self-join and the distinct. Measured: the carry shape wins narrow
-   * vectors in every session (dim 64 at 10×: ~4.4 s vs ~8.7 s); at
-   * dim 1024 × 10 its cost is cosine over every banded candidate
-   * occurrence and swings 28.5–60.9 s across sessions, where the
-   * rejoin holds a stable 29–41 s. The local wide fixture also tiles
-   * (compresses ~16:1 in shuffle), hiding the carry shape's dominant
-   * scale cost: with b bands it ships every vector through the band
-   * exchange once per band (b·N incompressible payloads at real
-   * scale), where the rejoin ships 2N and evaluates cosine once per
-   * DISTINCT pair. Rejoin therefore stays the default for the
-   * wide-embedding regime; flip `carryVectors` on for narrow
-   * (≲256-dim) vectors, where payload is genuinely cheap.
+   * Shape choice (measured record in PLANS.md, ProfileEmbedShape;
+   * re-derived round 10 on materialized incompressible fixtures —
+   * earlier tables were invalid, see the PLANS.md note): the default
+   * dedupes candidates on the ID PAIR and rejoins the vectors
+   * afterwards (two extra equi-joins); `carryVectors = true` keeps
+   * the pre-rejoin shape where both vectors ride the band self-join
+   * and the distinct. Cost model, now actually exhibited by the
+   * measurements: the carry shape ships ~bands·N vector payloads
+   * through one reused band exchange and evaluates cosine per
+   * candidate OCCURRENCE; the rejoin ships ~2 payloads per DISTINCT
+   * candidate pair and evaluates cosine once per pair. Crossover at
+   * P ≈ bands·N/2 candidate pairs: production corpora (dup rates of
+   * a few percent, P ≪ N) sit firmly on the rejoin's side, so it
+   * stays the default; flip `carryVectors` on for narrow (≲256-dim)
+   * vectors or pathologically dup-dense batches. Neither shape
+   * survives undersized band keys — see the `bits` note below.
    */
   def embeddingNearDupPairs(vecs: DataFrame, vecCol: String = "embedding",
       idCol: String = "vec_id", threshold: Double = 0.95,
       bits: Int = 16, bands: Int = 4,
-      carryVectors: Boolean = false): DataFrame = {
+      carryVectors: Boolean = false, dim: Int = 64): DataFrame = {
+    // `bits` (and the bits/bands band-key width) is the FIRST scale
+    // knob: band-key space must grow with the corpus, or every bucket
+    // holds a constant fraction of it and candidate generation
+    // degenerates toward all-pairs regardless of join shape. `dim` is
+    // the hyperplane width — leave at 64 to band on a 64-dim prefix
+    // (recall-safe: a shared prefix is necessary for near-identity),
+    // or set to the embedding width to discriminate on the full
+    // vector.
     if (carryVectors) {
       val banded = vecs.select(col(idCol), col(vecCol),
           explode(VectorFns.srpBands(
-            VectorFns.srpSignature(col(vecCol), bits), bands, bits)).as("bk"))
+            VectorFns.srpSignature(col(vecCol), bits, dim), bands, bits)).as("bk"))
         .select(col(idCol), col(vecCol),
           col("bk.band").as("band"), col("bk.key").as("band_key"))
       val a = banded.select(col(idCol).as("id_a"), col(vecCol).as("v_a"),
@@ -494,7 +502,7 @@ object Dedup {
         .select("id_a", "id_b", "cosine").distinct()
     }
     val sig = vecs.select(col(idCol),
-      VectorFns.srpSignature(col(vecCol), bits).as("sig"))
+      VectorFns.srpSignature(col(vecCol), bits, dim).as("sig"))
     // ids + band keys only — the vectors rejoin AFTER candidate dedup
     val banded = sig.select(col(idCol),
       explode(VectorFns.srpBands(col("sig"), bands, bits)).as("bk"))
