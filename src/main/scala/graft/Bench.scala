@@ -42,9 +42,18 @@ import org.apache.spark.sql.SparkSession
   * the single largest and most variable term in the round-8 headline.
   * It still runs (the correctness gate is untouchable) but its median
   * is reported under "verification" and EXCLUDED from "value", so the
-  * headline number is engine-only. "format":3 versions this artifact
-  * schema (format 2 = round 8: errors as name→message object,
-  * hygiene outside the timed window; format 1 = rounds ≤7).
+  * headline number is engine-only. "format":4 versions this artifact
+  * schema (format 3 = round 9: floor/reran/verification fields,
+  * queries driven by Dataset.count(); format 2 = round 8: errors as
+  * name→message object, hygiene outside the timed window; format 1 =
+  * rounds ≤7). FORMAT 4 (round 10) changes WHAT IS TIMED: queries
+  * execute via queryExecution.toRdd.count(), materializing every
+  * output column, because Dataset.count() re-optimizes an Aggregate
+  * plan in which Catalyst deletes final sorts, pure compute
+  * projections, and reassembly left-joins — several format≤3
+  * per-query numbers were bare scans (see ENGINE.md round-10
+  * forensics). Format-4 totals are therefore NOT comparable to
+  * format≤3 totals: they time strictly more work, honestly.
   *
   * Streaming isolation (round 8): streaming queries run LAST within
   * every sweep, and after each one the bench tears down streaming
@@ -150,7 +159,7 @@ object Bench {
     }
     if (warmedUp) {
       names.foreach { case (name, fn) =>
-        try fn(spark, warmDir.getPath).count()
+        try fn(spark, warmDir.getPath).queryExecution.toRdd.count()
         catch { case scala.util.control.NonFatal(_) => () }
         spark.catalog.clearCache()
         if (streamingQueries.contains(name)) drainStreamingResidue()
@@ -173,7 +182,16 @@ object Bench {
           s"streaming residue before $name: " +
             leakedStreams().map(_.name).mkString(","))
         val t0 = System.nanoTime()
-        val ok = try { fn(spark, sfDir).count(); true }
+        // toRdd.count(), NOT Dataset.count() (round 10, format 4):
+        // count() re-optimizes a new Aggregate plan and Catalyst then
+        // deletes whatever the count doesn't need — final sorts, pure
+        // compute projections (q_normalize, q_url_features, ... timed
+        // as bare scans through format 3), and entire left-outer joins
+        // with uniquely-keyed aggregated right sides (q_strip_paragraphs
+        // / q_dedup_substring timed as scans). toRdd executes the
+        // query's own physical plan with every output column
+        // materialized — what a consumer of the result actually pays.
+        val ok = try { fn(spark, sfDir).queryExecution.toRdd.count(); true }
           catch { case scala.util.control.NonFatal(e) =>
             // first failure message per query goes into the artifact —
             // a silent -1 is undiagnosable from the driver's capture.
@@ -273,7 +291,7 @@ object Bench {
     def qmap(rs: Seq[Timing], f: Double => String) =
       rs.map(r => "\"" + r.name + "\":" + (if (r.ok) f(r.median) else "-1.0"))
         .mkString("{", ",", "}")
-    val detail = s"""{"format":3,"metric":"total","value":$total,"floor":$floor,"unit":"sec","warmup":$warmedUp,"trials":$trials,"reran":$needRerun,"tainted":$tainted,"queries":${qmap(engine, f6)},"verification":${qmap(verif, f6)},"verification_total":$verifTotal,"spread":$spread,"unstable":$unstable,"errors":$errors,"sf":"$sfDir"}"""
+    val detail = s"""{"format":4,"metric":"total","value":$total,"floor":$floor,"unit":"sec","warmup":$warmedUp,"trials":$trials,"reran":$needRerun,"tainted":$tainted,"queries":${qmap(engine, f6)},"verification":${qmap(verif, f6)},"verification_total":$verifTotal,"spread":$spread,"unstable":$unstable,"errors":$errors,"sf":"$sfDir"}"""
     try {
       val w = new java.io.PrintWriter("BENCH_DETAIL.json", "UTF-8")
       try w.println(detail) finally w.close()
@@ -281,14 +299,14 @@ object Bench {
     // "warmup" records whether the untimed warm-up pass ran, so
     // cross-round deltas stay attributable (warm vs cold JIT numbers
     // are not comparable).
-    println(s"""{"format":3,"metric":"total","value":${f3(total)},"floor":${f3(floor)},"unit":"sec","warmup":$warmedUp,"trials":$trials,"reran":$needRerun,"tainted":$tainted,"queries":${qmap(engine, f3)},"verification":${qmap(verif, f3)},"verification_total":${f3(verifTotal)},"sf":"$sfDir"}""")
+    println(s"""{"format":4,"metric":"total","value":${f3(total)},"floor":${f3(floor)},"unit":"sec","warmup":$warmedUp,"trials":$trials,"reran":$needRerun,"tainted":$tainted,"queries":${qmap(engine, f3)},"verification":${qmap(verif, f3)},"verification_total":${f3(verifTotal)},"sf":"$sfDir"}""")
     // The driver's artifact keeps only the last ~2000 characters of
     // stdout; round 9's compact line outgrew that window and the
     // capture clipped value/floor off the FRONT (BENCH_r09.json starts
     // mid-line). A final totals-only line — printed last, so the tail
     // capture always retains it whole — keeps the official artifact
     // self-contained however many queries the compact line carries.
-    println(s"""{"format":3,"metric":"total","value":${f3(total)},"floor":${f3(floor)},"unit":"sec","trials":$trials,"reran":$needRerun,"tainted":$tainted,"unstable_n":$unstableCount,"nqueries":${engine.size},"sf":"$sfDir"}""")
+    println(s"""{"format":4,"metric":"total","value":${f3(total)},"floor":${f3(floor)},"unit":"sec","trials":$trials,"reran":$needRerun,"tainted":$tainted,"unstable_n":$unstableCount,"nqueries":${engine.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

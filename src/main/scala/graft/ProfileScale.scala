@@ -97,7 +97,16 @@ object ProfileScale {
     val listener = new StageListener
     spark.sparkContext.addSparkListener(listener)
     val t0 = System.nanoTime()
-    val rows = plan.count()
+    // toRdd.count(), NOT Dataset.count() (round 10): count() builds a
+    // NEW Aggregate plan over the query and re-optimizes it, and
+    // Catalyst then legally deletes everything the count doesn't need —
+    // final sorts, unreferenced compute projections, and entire
+    // left-outer joins whose aggregated right side is keyed uniquely
+    // (the paragraph/substring dedup reassembly shape optimizes to a
+    // BARE PARQUET SCAN under count()). toRdd executes the dataframe's
+    // own physical plan — every output column materialized, AQE still
+    // active — and counting the RDD adds nothing Catalyst can exploit.
+    val rows = plan.queryExecution.toRdd.count()
     val elapsed = (System.nanoTime() - t0) / 1e9
     Thread.sleep(1000) // let the listener bus drain
     spark.sparkContext.removeSparkListener(listener)
