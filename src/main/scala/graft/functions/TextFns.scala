@@ -63,9 +63,13 @@ object TextFns {
 
   /** Rolling-hash-style shingle fingerprint: the minimum md5 over the
     * document's word n-grams (a 1-hash MinHash), null for very short
-    * docs. */
+    * docs. Shingles come from the native single-pass
+    * [[graft.plans.WordShingles]] (byte-identical to the composed
+    * `wordNgrams`, whose interpreted transform/slice chain re-split
+    * the text per gram); callers must have native functions registered
+    * — free for anything reading through `Tables.read`. */
   def shingleFingerprint(text: Column, n: Int = 3): Column =
-    array_min(transform(wordNgrams(text, n), s => md5(s)))
+    array_min(transform(graft.plans.WordShingles.shingles(text, n), s => md5(s)))
 
   private def countIn(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t => t.isin(words.map(_.asInstanceOf[Any]): _*)))
@@ -98,16 +102,32 @@ object TextFns {
     * length, symbol-to-word ratio. Integer counts + single divisions →
     * deterministic and oracle-replicable. */
   def docSignals(text: Column, n: Int = 2): Column = {
-    val toks = tokens(text)
-    val grams = wordNgrams(text, n)
+    // Native WordShingles for token/gram counts (round 10): the
+    // composed tokens/wordNgrams chained interpreted higher-order
+    // functions (CodegenFallback), which both run per-element lambdas
+    // AND defeat common-subexpression elimination — through the
+    // 3-field struct projection every document was re-tokenized up to
+    // a dozen times and q_doc_signals alone cost 16 s of the sf0.1
+    // bench. Results are bit-identical (WordShingles is byte-for-byte
+    // the composed form; distinct=true folds array_distinct into the
+    // same pass). Callers need native functions registered — free via
+    // `Tables.read`.
+    val grams = graft.plans.WordShingles.shingles(text, n)
+    val gramsDistinct = graft.plans.WordShingles.shingles(text, n, distinct = true)
+    val nToks = size(graft.plans.WordShingles.shingles(text, 1))
     val rep = when(size(grams) > 0,
-      lit(1.0) - size(array_distinct(grams)).cast("double") / size(grams))
+      lit(1.0) - size(gramsDistinct).cast("double") / size(grams))
       .otherwise(0.0)
-    val meanLen = when(size(toks) > 0,
-      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") /
-        size(toks)).otherwise(0.0)
+    // sum of token lengths without a per-token fold: tokens partition
+    // the non-whitespace characters exactly (same \s class as the
+    // tokenizer), so it equals length(text) minus the whitespace-char
+    // count — two codegen'd scalar ops replacing the interpreted
+    // `aggregate` lambda, same integers, bit-identical quotient.
+    val tokChars = (length(text) - regexp_count(text, lit("\\s"))).cast("long")
+    val meanLen = when(nToks > 0,
+      tokChars.cast("double") / nToks).otherwise(0.0)
     val symbols = regexp_count(text, lit("[#@/\\\\{}\\[\\]<>|~^]")).cast("double")
-    val symbolRatio = symbols / greatest(size(toks), lit(1)).cast("double")
+    val symbolRatio = symbols / greatest(nToks, lit(1)).cast("double")
     struct(round(rep, 6).as("rep_ratio"),
       round(meanLen, 6).as("mean_word_len"),
       round(symbolRatio, 6).as("symbol_ratio"))
