@@ -642,9 +642,6 @@ object Dedup {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(windowTokens > 0, "window must be at least one token")
     graft.plans.NativeFns.register(docs.sparkSession)
-    val toks = docs.select(col(idCol),
-      posexplode(graft.plans.WordShingles.shingles(col(textCol), 1))
-        .as(Seq("idx", "tok")))
     val windows = docs.select(col(idCol),
       posexplode(graft.plans.WordShingles.shingles(col(textCol), windowTokens))
         .as(Seq("pos", "gram")))
@@ -657,6 +654,17 @@ object Dedup {
       .filter(col(s"__first.$idCol") =!= col(idCol) ||
         col("__first.pos") =!= col("pos"))
       .select(col(idCol), col("pos"))
+    // Only documents that actually lost a window pay the
+    // token-granularity rebuild (explode → anti-join → sorted
+    // reassembly). The untouched majority — in a typical corpus most
+    // docs shed nothing — exit through a pure per-row projection:
+    // tokens rejoined with single spaces IS the whitespace
+    // normalization the rebuild applies, with zero token shuffle.
+    val affected = dups.select(col(idCol)).distinct()
+    val affectedDocs = docs.join(affected, Seq(idCol), "left_semi")
+    val toks = affectedDocs.select(col(idCol),
+      posexplode(graft.plans.WordShingles.shingles(col(textCol), 1))
+        .as(Seq("idx", "tok")))
     val covered = dups.select(col(idCol),
       explode(sequence(col("pos"), col("pos") + lit(windowTokens - 1)))
         .as("idx"))
@@ -666,7 +674,14 @@ object Dedup {
       .agg(array_join(
         transform(array_sort(collect_list(struct(col("idx"), col("tok")))),
           x => x("tok")), " ").as(textCol))
-    docs.select(col(idCol)).join(rebuilt, Seq(idCol), "left")
-      .select(col(idCol), coalesce(col(textCol), lit("")).as(textCol))
+    val untouched = docs.join(affected, Seq(idCol), "left_anti")
+      .select(col(idCol),
+        array_join(graft.plans.WordShingles.shingles(col(textCol), 1), " ")
+          .as(textCol))
+    // a fully-stripped doc has no kept token → absent from `rebuilt`
+    // → comes back as empty text rather than vanishing
+    untouched.unionByName(
+      affectedDocs.select(col(idCol)).join(rebuilt, Seq(idCol), "left")
+        .select(col(idCol), coalesce(col(textCol), lit("")).as(textCol)))
   }
 }
