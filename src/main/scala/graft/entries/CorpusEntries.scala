@@ -160,6 +160,15 @@ private[graft] object CorpusEntries {
       graft.pipeline.Corpus.unigramDfScore(docs(s, dir)).orderBy("doc_id")
     },
 
+    // LM-proxy filtering, contextual member: bigram familiarity
+    // against the corpus itself (self-trained reference), integer
+    // permille + exact count sums.
+    "q_bigram_lm" -> { (s, dir) =>
+      val d = docs(s, dir)
+      graft.pipeline.Corpus.bigramFamiliarity(spread(d), d, minCount = 3)
+        .orderBy("doc_id")
+    },
+
     // Token-budget corpus selection: the best `budget` tokens by a
     // deterministic quality proxy (content-hash bucket as the score —
     // oracle-replicable; a real pipeline plugs qualityScore in). The
@@ -204,6 +213,21 @@ private[graft] object CorpusEntries {
         |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
         |CAST(sum(df.tok_df) AS BIGINT) AS df_sum
         |FROM t JOIN df USING (tok) GROUP BY t.doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_bigram_lm" ->
+      """WITH toks AS (SELECT doc_id,
+        |list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w
+        |FROM documents),
+        |bg AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS bigram
+        |FROM toks, LATERAL (SELECT unnest(range(1, len(w))) AS i)
+        |WHERE len(w) >= 2),
+        |rc AS (SELECT bigram, count(DISTINCT doc_id) AS c FROM bg GROUP BY bigram)
+        |SELECT bg.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |CAST(sum(rc.c) AS BIGINT) AS count_sum,
+        |CAST((1000 * sum(CASE WHEN rc.c >= 3 THEN 1 ELSE 0 END)) // count(*) AS BIGINT)
+        |AS familiar_permille
+        |FROM bg JOIN rc USING (bigram)
+        |GROUP BY bg.doc_id ORDER BY doc_id""".stripMargin,
 
     "q_token_budget" ->
       s"""WITH t AS (SELECT doc_id,

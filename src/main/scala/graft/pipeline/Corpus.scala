@@ -607,4 +607,52 @@ object Corpus {
       }
     keepWhole.unionByName(boundary).drop("__pb")
   }
+
+  /**
+   * Bigram familiarity — the contextual member of the LM-proxy family
+   * ([[unigramDfScore]] is the unigram member): the share of a
+   * document's word BIGRAMS that a reference corpus has seen at least
+   * `minCount` times, as an integer permille, plus the exact sum of
+   * reference counts over the doc's bigram occurrences. Low
+   * familiarity ≈ high perplexity under a bigram LM — the CCNet-style
+   * filter signal — but rendered entirely in integers: a log-prob
+   * perplexity would drift in the last ulp between engines and break
+   * hash-exact verification (the same trade [[unigramDfScore]]
+   * documents). Consumers threshold `familiar_permille` directly or
+   * compare docs rationally via (`count_sum`, `n_bigrams`).
+   *
+   * Self-training (`reference` = the corpus itself) scores every doc
+   * against collective usage; a curated reference gives the classic
+   * in-domain filter. A doc with fewer than 2 tokens has no bigram
+   * and does not appear — route short docs through a length floor.
+   *
+   * Scale: the reference collapses to a (bigram, n_docs) count table
+   * (map-side combinable; vocabulary-bounded but much wider than the
+   * unigram vocab — it stays a shuffle join, never a broadcast), and
+   * the corpus side is one explode + left join on the bigram, where
+   * stopword-pair hot keys ("of the") are AQE skew-join territory,
+   * then one per-doc sum. All linear in corpus tokens.
+   */
+  def bigramFamiliarity(docs: DataFrame, reference: DataFrame,
+      minCount: Long = 2L, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    graft.plans.NativeFns.register(docs.sparkSession)
+    // document frequency, not occurrence frequency: a single spammy
+    // doc repeating one bigram 10^6 times must not make it "familiar"
+    val refCounts = reference
+      .select(col(idCol).as("__rid"),
+        explode(graft.plans.WordShingles.shingles(col(textCol), 2, distinct = true))
+          .as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("__rc"))
+    val docBigrams = docs.select(col(idCol),
+      explode(graft.plans.WordShingles.shingles(col(textCol), 2)).as("bigram"))
+    docBigrams.join(refCounts, Seq("bigram"), "left")
+      .groupBy(idCol)
+      .agg(count(lit(1)).cast("long").as("n_bigrams"),
+        sum(when(col("__rc") >= minCount, 1L).otherwise(0L)).as("familiar"),
+        sum(coalesce(col("__rc"), lit(0L))).cast("long").as("count_sum"))
+      .withColumn("familiar_permille",
+        expr("(1000L * familiar) div n_bigrams").cast("long"))
+      .drop("familiar")
+  }
 }

@@ -105,6 +105,23 @@ class PipelineSpec extends SparkTestBase {
     assert(out == Seq((1L, 3L, 5L), (2L, 2L, 4L), (3L, 3L, 6L)))
   }
 
+  test("bigram familiarity: document frequency, not occurrence frequency") {
+    val d = Seq(
+      (1L, "the cat sat"),          // bigrams: "the cat", "cat sat"
+      (2L, "the cat ran"),          // bigrams: "the cat", "cat ran"
+      (3L, "the cat the cat the cat"), // "the cat"×3, "cat the"×2
+      (4L, "solo")).toDF("doc_id", "text") // <2 tokens → absent
+    // doc-frequency: "the cat" in {1,2,3} = 3; "cat sat"/"cat ran" = 1;
+    // "cat the" = 1 — doc 3's repetition must NOT raise any count.
+    val out = graft.pipeline.Corpus.bigramFamiliarity(d, d, minCount = 3)
+      .select("doc_id", "n_bigrams", "count_sum", "familiar_permille")
+      .orderBy("doc_id").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, 2L, 4L, 500L),  // the cat(3) + cat sat(1); 1/2 familiar
+      (2L, 2L, 4L, 500L),
+      (3L, 5L, 11L, 600L))) // 3×"the cat"(3) + 2×"cat the"(1); 3/5
+  }
+
   test("token budget selection matches the global running-sum window") {
     val scored = Tables.read(spark, sf0001, "documents").select(col("doc_id"),
       graft.pipeline.Corpus.hashBucket10k(
