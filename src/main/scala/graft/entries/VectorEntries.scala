@@ -53,6 +53,16 @@ private[graft] object VectorEntries {
         .select("query_id", "neighbor_id", "rank").orderBy("query_id", "rank")
     },
 
+    // Lloyd's k-means (2 assignment passes, 1 centroid update) from
+    // the label-derived init — every iteration decimal-exact and
+    // tie-deterministic, so DuckDB replays the full trajectory.
+    "q_kmeans" -> { (s, dir) =>
+      val e = spread(Tables.read(s, dir, "embeddings"))
+      Similarity.kmeans(e, Similarity.centroids(e), iters = 2)
+        .select(col("vec_id"), col("cell").as("cluster"))
+        .orderBy("vec_id")
+    },
+
     // Semantic decontamination: drop corpus vectors whose embedding is
     // SRP-band-candidate AND cosine-near a benchmark vector — the
     // paraphrase-robust complement to the n-gram q_decontaminate.
@@ -182,6 +192,43 @@ private[graft] object VectorEntries {
         |(PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank FROM cand)
         |SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank
         |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // two unrolled Lloyd iterations: label-init centroids → assign →
+    // decimal-mean recompute → assign; tie order (sim DESC, cell) is
+    // the engine's struct-max order
+    "q_kmeans" ->
+      """WITH cent AS (SELECT label, pos,
+        |CAST(SUM(CAST(v AS DECIMAL(28,8))) AS DOUBLE)/COUNT(*) AS c
+        |FROM (SELECT label, unnest(embedding) AS v,
+        |generate_subscripts(embedding, 1) AS pos FROM embeddings)
+        |GROUP BY 1, 2),
+        |cvec AS (SELECT label AS cell, array_agg(c ORDER BY pos) AS centroid
+        |FROM cent GROUP BY 1),
+        |s1 AS (SELECT e.vec_id, e.embedding, cv.cell,
+        |list_dot_product(e.embedding::DOUBLE[], cv.centroid) /
+        |(sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+        | sqrt(list_dot_product(cv.centroid, cv.centroid))) AS sim
+        |FROM embeddings e, cvec cv),
+        |a1 AS (SELECT vec_id, embedding, cell FROM
+        |(SELECT *, row_number() OVER (PARTITION BY vec_id
+        |ORDER BY sim DESC, cell) AS r FROM s1) WHERE r = 1),
+        |cent1 AS (SELECT cell, pos,
+        |CAST(SUM(CAST(v AS DECIMAL(28,8))) AS DOUBLE)/COUNT(*) AS c
+        |FROM (SELECT cell, unnest(embedding) AS v,
+        |generate_subscripts(embedding, 1) AS pos FROM a1)
+        |GROUP BY 1, 2),
+        |cvec1 AS (SELECT cell, array_agg(c ORDER BY pos) AS centroid
+        |FROM cent1 GROUP BY 1),
+        |s2 AS (SELECT e.vec_id, cv.cell,
+        |list_dot_product(e.embedding::DOUBLE[], cv.centroid) /
+        |(sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+        | sqrt(list_dot_product(cv.centroid, cv.centroid))) AS sim
+        |FROM embeddings e, cvec1 cv),
+        |a2 AS (SELECT vec_id, cell FROM
+        |(SELECT *, row_number() OVER (PARTITION BY vec_id
+        |ORDER BY sim DESC, cell) AS r FROM s2) WHERE r = 1)
+        |SELECT vec_id, CAST(cell AS INTEGER) AS cluster FROM a2
+        |ORDER BY vec_id""".stripMargin,
 
     "q_semantic_decon" ->
       s"""WITH bench AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),

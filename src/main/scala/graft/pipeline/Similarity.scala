@@ -181,6 +181,47 @@ object Similarity {
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
 
+  /**
+   * Lloyd's k-means over an embedding column — the LEARNED coarse
+   * quantizer, where [[centroids]] alone is the label-derived
+   * shortcut. Each iteration is one broadcast assignment pass
+   * ([[ivfAssign]]: centroids are k-bounded and tiny, the corpus
+   * never shuffles for the join) followed by the decimal-exact
+   * centroid recompute ([[centroids]]: map-side-combinable per-(cell,
+   * dim) sums) — so an iteration costs a corpus scan plus two
+   * vocabulary-bounded shuffles regardless of corpus size, the
+   * canonical distributed k-means shape.
+   *
+   * Deterministic end to end: assignment ties break to the lowest
+   * cell (the [[ivfAssign]] struct-max), means are decimal sums cast
+   * to double (merge-order independent), and `init` fixes the
+   * starting point — the same data and init always converge
+   * identically, so an external engine can replay every iteration.
+   *
+   * A cell that captures no vectors this round drops out of the model
+   * (its row simply doesn't appear in the recomputed centroid table)
+   * — k can only shrink, never pad with ghost cells.
+   *
+   * Returns the final ASSIGNMENT `(idCol, vecCol, cell)` — the IVF
+   * index shape, directly persistable as a lake table; derive the
+   * model via [[centroids]] on it. Callers iterating many rounds
+   * should persist `vecs` (each round re-reads it) — the returned
+   * plan composes lazily.
+   */
+  def kmeans(vecs: DataFrame, init: DataFrame, iters: Int,
+      vecCol: String = "embedding", idCol: String = "vec_id",
+      labelCol: String = "label"): DataFrame = {
+    require(iters >= 1, "at least one assignment pass")
+    var cents = init
+    var assigned = ivfAssign(vecs, cents, vecCol, idCol, labelCol)
+    (2 to iters).foreach { _ =>
+      cents = centroids(
+        assigned.withColumnRenamed("cell", labelCol), vecCol, labelCol)
+      assigned = ivfAssign(vecs, cents, vecCol, idCol, labelCol)
+    }
+    assigned
+  }
+
   /** Centroid of each labeled group — the IVF coarse quantizer built
     * from data (k-means step collapsed to one assignment pass when
     * labels exist). Element-wise mean via posexplode + groupBy. */

@@ -105,6 +105,25 @@ class PipelineSpec extends SparkTestBase {
     assert(out == Seq((1L, 3L, 5L), (2L, 2L, 4L), (3L, 3L, 6L)))
   }
 
+  test("kmeans: Lloyd iteration reassigns, empty init cell drops out") {
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.95f, 0.05f)),
+      (3L, Seq(0.0f, 1.0f)), (4L, Seq(0.05f, 0.95f)))
+      .toDF("vec_id", "embedding")
+    // cell 2 points away from every vector and captures nothing in
+    // pass 1 → it must vanish from the updated model, k shrinks 3→2
+    val init = Seq(
+      (0, Seq(1.0, 0.0)), (1, Seq(0.5, 0.5)), (2, Seq(-1.0, 0.0)))
+      .toDF("label", "centroid")
+    val out = graft.pipeline.Similarity.kmeans(vecs, init, iters = 2)
+      .select("vec_id", "cell").orderBy("vec_id")
+      .as[(Long, Int)].collect().toSeq
+    // pass 1: {1,2}→0, {3,4}→1; update: c0=(.975,.025), c1=(.025,.975);
+    // pass 2: same membership, now against learned centroids
+    assert(out == Seq((1L, 0), (2L, 0), (3L, 1), (4L, 1)))
+    assert(out.map(_._2).toSet == Set(0, 1))
+  }
+
   test("bigram familiarity: document frequency, not occurrence frequency") {
     val d = Seq(
       (1L, "the cat sat"),          // bigrams: "the cat", "cat sat"
