@@ -118,6 +118,28 @@ private[graft] object CorpusEntries {
         .select("doc_id").orderBy("doc_id")
     },
 
+    // Contamination audit: per benchmark item, leaked-gram and
+    // hit-doc counts. Fixture: items 0-2 fully copied into the corpus
+    // (id+30000), 20 tokens of item 3 appended to corpus doc 42
+    // (partial leak), item 4 untouched (must report zeros).
+    "q_contamination_report" -> { (s, dir) =>
+      val d = docs(s, dir).select("doc_id", "text")
+      graft.plans.NativeFns.register(s)
+      val bench = d.filter(col("doc_id") < 5)
+      val chunk3 = bench.filter(col("doc_id") === 3).select(
+        array_join(slice(graft.plans.WordShingles.shingles(col("text"), 1),
+          1, 20), " ").as("__c"))
+      val corpus0 = d.filter(col("doc_id") >= 5)
+        .unionByName(bench.filter(col("doc_id") < 3)
+          .withColumn("doc_id", col("doc_id") + 30000))
+      val corpus = spread(corpus0.crossJoin(broadcast(chunk3))
+        .select(col("doc_id"),
+          when(col("doc_id") === 42, concat(col("text"), lit(" "), col("__c")))
+            .otherwise(col("text")).as("text")))
+      graft.pipeline.Corpus.contaminationReport(corpus, bench, n = 8)
+        .orderBy("bench_id")
+    },
+
     // Corpus prep: composed filter → dedup → per-language stats.
     "q_corpus_prep" -> { (s, dir) =>
       graft.pipeline.Corpus.prepare(spread(docs(s, dir)), Seq("en", "fr"), 0.5)
@@ -374,6 +396,38 @@ private[graft] object CorpusEntries {
         |CAST((1000 * COUNT(b.gram)) // COUNT(*) AS BIGINT) AS boiler_permille
         |FROM g LEFT JOIN b USING (gram)
         |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin,
+
+    "q_contamination_report" ->
+      """WITH base AS (SELECT doc_id, text FROM documents),
+        |chunk AS (SELECT array_to_string(
+        |(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''))[1:20], ' ') AS c
+        |FROM base WHERE doc_id = 3),
+        |corpus AS (SELECT doc_id,
+        |CASE WHEN doc_id = 42 THEN text || ' ' || (SELECT c FROM chunk) ELSE text END AS text
+        |FROM base WHERE doc_id >= 5
+        |UNION ALL SELECT doc_id + 30000, text FROM base WHERE doc_id < 3),
+        |bt AS (SELECT doc_id AS bench_id,
+        |list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w
+        |FROM base WHERE doc_id < 5),
+        |bg AS (SELECT bench_id, CASE WHEN len(w) >= 8
+        |THEN list_distinct(list_transform(range(1, len(w)-6), i -> array_to_string(w[i:i+7], ' ')))
+        |ELSE [] END AS grams FROM bt),
+        |totals AS (SELECT bench_id, CAST(len(grams) AS BIGINT) AS n_grams FROM bg),
+        |bgrams AS (SELECT bench_id, unnest(grams) AS gram FROM bg),
+        |ct AS (SELECT doc_id,
+        |list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w FROM corpus),
+        |cg AS (SELECT doc_id, unnest(CASE WHEN len(w) >= 8
+        |THEN list_transform(range(1, len(w)-6), i -> array_to_string(w[i:i+7], ' '))
+        |ELSE [] END) AS gram FROM ct),
+        |leaked AS (SELECT b.bench_id,
+        |CAST(count(DISTINCT b.gram) AS BIGINT) AS grams_leaked,
+        |CAST(count(DISTINCT c.doc_id) AS BIGINT) AS docs_hit
+        |FROM cg c JOIN bgrams b ON c.gram = b.gram GROUP BY b.bench_id)
+        |SELECT t.bench_id, t.n_grams,
+        |COALESCE(l.grams_leaked, 0) AS grams_leaked,
+        |COALESCE(l.docs_hit, 0) AS docs_hit
+        |FROM totals t LEFT JOIN leaked l USING (bench_id)
+        |ORDER BY bench_id""".stripMargin,
 
     "q_decontaminate" ->
       """WITH t AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w FROM documents),

@@ -315,6 +315,51 @@ object Corpus {
   }
 
   /**
+   * Contamination AUDIT — the report [[decontaminate]] doesn't give
+   * you: per benchmark item, how much of it leaks into the training
+   * corpus (distinct shared n-grams) and how widely (distinct corpus
+   * docs sharing at least one gram). Dropping contaminated docs is
+   * one policy; knowing WHICH eval items are compromised — and
+   * whether a benchmark is salvageable at all — needs the per-item
+   * view. Items with zero leakage appear with zeros (that's the
+   * attestation), and items shorter than n tokens appear with
+   * n_grams = 0: they produce no gram, were never guarded, and a
+   * silent absence would read as "clean" — the [[decontaminate]]
+   * blind spot made visible instead of inherited.
+   *
+   * Scale: the benchmark's (item, gram-hash) set is tiny by the same
+   * contract as [[decontaminate]] and broadcasts; the corpus is one
+   * explode + broadcast inner join — only LEAKED occurrences survive
+   * into the aggregation, so the corpus never shuffles and the
+   * groupBy state is bounded by benchmark size, not corpus size.
+   * No pre-distinct on the corpus grams: count(DISTINCT) in the final
+   * agg absorbs within-doc repetition without a corpus-wide shuffle.
+   */
+  def contaminationReport(docs: DataFrame, benchmark: DataFrame, n: Int = 8,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    graft.plans.NativeFns.register(docs.sparkSession)
+    val benchGrams = benchmark
+      .select(col(idCol).as("bench_id"),
+        explode(graft.plans.WordShingles.shingles(col(textCol), n, distinct = true))
+          .as("g"))
+      .select(col("bench_id"), md5(col("g")).as("gh"))
+    val totals = benchmark.select(col(idCol).as("bench_id"),
+      size(graft.plans.WordShingles.shingles(col(textCol), n, distinct = true))
+        .cast("long").as("n_grams"))
+    val leaked = docs
+      .select(col(idCol), explode(graft.plans.WordShingles.shingles(col(textCol), n)).as("g"))
+      .select(col(idCol), md5(col("g")).as("gh"))
+      .join(broadcast(benchGrams), Seq("gh"))
+      .groupBy("bench_id")
+      .agg(countDistinct(col("gh")).as("grams_leaked"),
+        countDistinct(col(idCol)).as("docs_hit"))
+    totals.join(leaked, Seq("bench_id"), "left")
+      .select(col("bench_id"), col("n_grams"),
+        coalesce(col("grams_leaked"), lit(0L)).as("grams_leaked"),
+        coalesce(col("docs_hit"), lit(0L)).as("docs_hit"))
+  }
+
+  /**
    * Semantic decontamination: drop corpus members whose EMBEDDING is
    * near a benchmark embedding — catches paraphrased/reworded eval
    * leakage that the n-gram [[decontaminate]] cannot see (no shared

@@ -105,6 +105,20 @@ class PipelineSpec extends SparkTestBase {
     assert(out == Seq((1L, 3L, 5L), (2L, 2L, 4L), (3L, 3L, 6L)))
   }
 
+  test("contamination report: short benchmark items visible, not silently clean") {
+    val bench = Seq((1L, "a b c"),
+      (2L, "one two three four five six seven eight nine"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (10L, "one two three four five six seven eight nine and more"))
+      .toDF("doc_id", "text")
+    val out = graft.pipeline.Corpus.contaminationReport(corpus, bench, n = 8)
+      .orderBy("bench_id").as[(Long, Long, Long, Long)].collect().toSeq
+    // item 1 has no 8-gram — it was never guarded and must surface as
+    // n_grams = 0 rather than vanish; item 2's 2 grams both leak
+    assert(out == Seq((1L, 0L, 0L, 0L), (2L, 2L, 2L, 1L)))
+  }
+
   test("kmeans: Lloyd iteration reassigns, empty init cell drops out") {
     val vecs = Seq(
       (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.95f, 0.05f)),
