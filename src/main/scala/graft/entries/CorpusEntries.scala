@@ -140,6 +140,20 @@ private[graft] object CorpusEntries {
         .orderBy("bench_id")
     },
 
+    // Host-graph authority: fixed-point PageRank over a deterministic
+    // synthetic link graph (20 hosts, ≤2 out-edges each, derived from
+    // doc ids) — integer rank units, bit-exact across engines.
+    "q_pagerank" -> { (s, dir) =>
+      val d = docs(s, dir)
+      def host(c: org.apache.spark.sql.Column) = concat(lit("h"), c)
+      val edges = d.select(host(pmod(col("doc_id"), lit(20))).as("src"),
+          host(pmod(col("doc_id") * 7 + 3, lit(20))).as("dst"))
+        .unionByName(d.select(host(pmod(col("doc_id"), lit(20))).as("src"),
+          host(pmod(col("doc_id") * 13 + 7, lit(20))).as("dst")))
+      graft.pipeline.Graphs.pageRankFixedPoint(spread(edges), iters = 2)
+        .orderBy("node")
+    },
+
     // Corpus prep: composed filter → dedup → per-language stats.
     "q_corpus_prep" -> { (s, dir) =>
       graft.pipeline.Corpus.prepare(spread(docs(s, dir)), Seq("en", "fr"), 0.5)
@@ -396,6 +410,36 @@ private[graft] object CorpusEntries {
         |CAST((1000 * COUNT(b.gram)) // COUNT(*) AS BIGINT) AS boiler_permille
         |FROM g LEFT JOIN b USING (gram)
         |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin,
+
+    // two unrolled fixed-point iterations; integer div (// in DuckDB,
+    // div in Spark) truncates identically on non-negative ranks
+    "q_pagerank" ->
+      """WITH e AS (
+        |SELECT DISTINCT 'h' || CAST(doc_id % 20 AS VARCHAR) AS src,
+        |'h' || CAST((doc_id*7+3) % 20 AS VARCHAR) AS dst FROM documents
+        |UNION
+        |SELECT DISTINCT 'h' || CAST(doc_id % 20 AS VARCHAR),
+        |'h' || CAST((doc_id*13+7) % 20 AS VARCHAR) FROM documents),
+        |nodes AS (SELECT DISTINCT node FROM
+        |(SELECT src AS node FROM e UNION SELECT dst FROM e)),
+        |deg AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+        |p AS (SELECT 1000000000 // count(*) AS init,
+        |(150 * (1000000000 // count(*))) // 1000 AS base FROM nodes),
+        |r0 AS (SELECT node, (SELECT init FROM p) AS rank FROM nodes),
+        |c1 AS (SELECT e.dst AS node, SUM(r0.rank // deg.d) AS m
+        |FROM e JOIN r0 ON e.src = r0.node JOIN deg ON e.src = deg.src
+        |GROUP BY e.dst),
+        |r1 AS (SELECT nodes.node,
+        |(SELECT base FROM p) + ((850 * COALESCE(c1.m, 0)) // 1000) AS rank
+        |FROM nodes LEFT JOIN c1 USING (node)),
+        |c2 AS (SELECT e.dst AS node, SUM(r1.rank // deg.d) AS m
+        |FROM e JOIN r1 ON e.src = r1.node JOIN deg ON e.src = deg.src
+        |GROUP BY e.dst),
+        |r2 AS (SELECT nodes.node,
+        |(SELECT base FROM p) + ((850 * COALESCE(c2.m, 0)) // 1000) AS rank
+        |FROM nodes LEFT JOIN c2 USING (node))
+        |SELECT node, CAST(rank AS BIGINT) AS rank FROM r2
+        |ORDER BY node""".stripMargin,
 
     "q_contamination_report" ->
       """WITH base AS (SELECT doc_id, text FROM documents),

@@ -105,6 +105,18 @@ class PipelineSpec extends SparkTestBase {
     assert(out == Seq((1L, 3L, 5L), (2L, 2L, 4L), (3L, 3L, 6L)))
   }
 
+  test("pagerank fixed-point: hand-computed star graph, exact rank units") {
+    val edges = Seq(("a", "h"), ("b", "h"), ("c", "h"), ("h", "a"))
+      .toDF("src", "dst")
+    val out = graft.pipeline.Graphs.pageRankFixedPoint(edges, iters = 1)
+      .orderBy("node").as[(String, Long)].collect().toSeq
+    // n=4, init=250M, base=(150·250M)/1000=37.5M; hub collects 3×250M
+    // damped: 37.5M + (850·750M)/1000 = 675M; a gets the hub's single
+    // out-edge: 37.5M + (850·250M)/1000 = 250M; b,c only the base.
+    assert(out == Seq(("a", 250000000L), ("b", 37500000L),
+      ("c", 37500000L), ("h", 675000000L)))
+  }
+
   test("contamination report: short benchmark items visible, not silently clean") {
     val bench = Seq((1L, "a b c"),
       (2L, "one two three four five six seven eight nine"))
