@@ -8,7 +8,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.catalog.Tables
 import graft.operators.{AlarmStateMachine, StatWindowAgg}
-import graft.pipeline.{Corpus, Dedup, Packing, Similarity}
+import graft.pipeline.{Corpus, Dedup, Graphs, Packing, Similarity}
 
 /**
  * Scale-evidence profiler for the dedup/ANN/packing family plus the
@@ -297,6 +297,41 @@ object ProfileScale {
           .select(col("doc_id"), (col("doc_id") / 3).cast("long").as("cluster_id"))
         Corpus.leakageSafeSplit(docs, clusters, valPermyriad = 500,
           testPermyriad = 500)
+      },
+      // bigram familiarity (self-trained): the reference count table
+      // grows with the bigram vocabulary and the corpus-side rejoin
+      // carries stopword-pair hot keys — both axes must stay linear.
+      "bigram_lm" -> (m =>
+        Corpus.bigramFamiliarity(scaledDocs(spark, sfDir, m),
+          scaledDocs(spark, sfDir, m), minCount = 3)),
+      // Lloyd's k-means, 2 passes: per-iteration cost must track the
+      // corpus scan (broadcast assignment + map-side-combinable
+      // decimal sums), never a pairwise term.
+      "kmeans" -> { m =>
+        val vecs = scaledVecs(spark, sfDir, m)
+        Similarity.kmeans(vecs, Similarity.centroids(vecs), iters = 2)
+      },
+      // fixed-point PageRank on a graph whose node count scales with
+      // the corpus (20m hosts, ≤2 out-edges each): edge dedup plus two
+      // rank iterations, all linear in edges.
+      "pagerank" -> { m =>
+        val d = scaledDocs(spark, sfDir, m)
+        val mod = lit(20 * m)
+        def host(c: org.apache.spark.sql.Column) = concat(lit("h"), c)
+        val edges = d.select(host(pmod(col("doc_id"), mod)).as("src"),
+            host(pmod(col("doc_id") * 7 + 3, mod)).as("dst"))
+          .unionByName(d.select(host(pmod(col("doc_id"), mod)).as("src"),
+            host(pmod(col("doc_id") * 13 + 7, mod)).as("dst")))
+        Graphs.pageRankFixedPoint(edges, iters = 2)
+      },
+      // contamination audit: benchmark fixed (broadcast side), corpus
+      // scaled — the leaked-occurrence join must keep the corpus
+      // unshuffled so cost is one linear pass.
+      "contamination_report" -> { m =>
+        val base = Tables.read(spark, sfDir, "documents")
+          .select("doc_id", "text")
+        Corpus.contaminationReport(scaledDocs(spark, sfDir, m),
+          base.filter(col("doc_id") < 5), n = 8)
       },
       "stat_window_agg" -> (m =>
         StatWindowAgg.aggregateOne(scaledDatapoints(spark, sfDir, m), "Sum", 3600)),
