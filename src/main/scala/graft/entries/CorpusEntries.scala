@@ -196,6 +196,18 @@ private[graft] object CorpusEntries {
       graft.pipeline.Corpus.unigramDfScore(docs(s, dir)).orderBy("doc_id")
     },
 
+    // Per-source score calibration: exact two-phase percentile rank
+    // (bucket prefix + within-bucket window), bit-identical to the
+    // oracle's single global per-source window.
+    "q_score_calibrate" -> { (s, dir) =>
+      val scored = docs(s, dir).select(col("doc_id"), col("source"),
+        graft.pipeline.Corpus.hashBucket10k(
+          concat(lit("cal:"), col("text"))).cast("double").as("score"))
+      graft.pipeline.Corpus.groupPercentile(spread(scored), "source", "score")
+        .select(col("doc_id"), col("source"), col("rank"), col("permyriad"))
+        .orderBy("doc_id")
+    },
+
     // LM-proxy filtering, contextual member: bigram familiarity
     // against the corpus itself (self-trained reference), integer
     // permille + exact count sums.
@@ -249,6 +261,19 @@ private[graft] object CorpusEntries {
         |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
         |CAST(sum(df.tok_df) AS BIGINT) AS df_sum
         |FROM t JOIN df USING (tok) GROUP BY t.doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_score_calibrate" ->
+      s"""WITH t AS (SELECT doc_id, source,
+         |CAST(${bucketSql("'cal:' || text", 10000)} AS DOUBLE) AS score
+         |FROM documents),
+         |r AS (SELECT doc_id, source,
+         |CAST(row_number() OVER (PARTITION BY source
+         |ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
+         |count(*) OVER (PARTITION BY source) AS n FROM t)
+         |SELECT doc_id, source, rank,
+         |CAST(CASE WHEN n > 1 THEN ((rank - 1) * 10000) // (n - 1)
+         |ELSE 0 END AS BIGINT) AS permyriad
+         |FROM r ORDER BY doc_id""".stripMargin,
 
     "q_bigram_lm" ->
       """WITH toks AS (SELECT doc_id,

@@ -654,6 +654,83 @@ object Corpus {
   }
 
   /**
+   * Per-group score calibration — exact percentile rank of every
+   * document WITHIN its source (rank 1 = best score, `permyriad` 0 =
+   * best, 10000 = worst; singleton groups rank 0). Raw quality scores
+   * are not comparable across sources — a crawl dump's score
+   * distribution shifts with its boilerplate mix — so per-source
+   * percentile thresholds ("keep each source's top 30%") are the
+   * calibrated form of a global score cut, the role per-dump
+   * percentile filtering plays in public web-corpus pipelines
+   * (FineWeb-era recipes). Integer permyriad from integer ranks —
+   * hash-exact, no float percentile drift.
+   *
+   * The naive form — `row_number` over a per-source window — sorts
+   * each source in ONE task, and a dominant source (half the corpus
+   * behind one crawl) becomes a single-task sort at any cluster size.
+   * Two-phase instead, the [[tokenBudgetSelect]] bucket trick turned
+   * into exact ranking: order-preserving 16-bit score-range buckets
+   * ([[graft.plans.SortableDoubleBits]], no bounds pass needed), a
+   * bucket-level descending prefix sum per group (rows = occupied
+   * buckets per group, ≤65536 — never document-granularity), and the
+   * exact (score DESC, id) window only WITHIN each (group, bucket)
+   * partition — bounded by bucket occupancy ≈ |group|/65536.
+   * rank = buckets-above prefix + within-bucket row number; equal
+   * scores share identical bits, so a tie class never straddles a
+   * bucket boundary and the composed rank equals the global window's.
+   *
+   * Skew caveat (same class as [[capPerGroup]]'s fanout note): a
+   * degenerate score distribution — one VALUE carried by a large
+   * fraction of a group — collapses into one (group, bucket)
+   * partition, because ranking equal keys requires a total order
+   * decision in one place. Score functions with real spread (content
+   * hashes, df sums, familiarity permilles) occupy the bucket space;
+   * constant-score corpora should rank on a composite score instead.
+   *
+   * NaN scores are dropped (unrankable — Spark orders NaN above every
+   * double, DuckDB below; the one row would shift every rank in its
+   * group and break cross-engine verification), mirroring
+   * [[tokenBudgetSelect]]'s guard. Null scores drop with them.
+   */
+  def groupPercentile(docs: DataFrame, groupCol: String,
+      scoreCol: String, idCol: String = "doc_id"): DataFrame = {
+    graft.plans.NativeFns.register(docs.sparkSession)
+    val ranked = docs.filter(col(scoreCol).isNotNull &&
+      !isnan(col(scoreCol).cast("double")))
+    val sbits = graft.plans.SortableDoubleBits
+      .sortableBits(col(scoreCol).cast("double"))
+    // bucket XOR 0x8000 is monotone ascending in score (sign-flipped
+    // 16-bit prefix — see tokenBudgetSelect's walk key)
+    val withB = ranked.withColumn("__bord",
+      shiftrightunsigned(sbits, 48).cast("int").bitwiseXOR(lit(0x8000)))
+    val bucketCounts = withB.groupBy(col(groupCol), col("__bord"))
+      .agg(count(lit(1)).as("__bc"))
+    // per group: rows in strictly BETTER (higher-score) buckets
+    val wAbove = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy(col("__bord").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val above = bucketCounts.withColumn("__above",
+      coalesce(sum(col("__bc")).over(wAbove), lit(0L)))
+      .select(col(groupCol), col("__bord"), col("__above"))
+    val nPerGroup = withB.groupBy(groupCol).agg(count(lit(1)).as("__n"))
+    val wIn = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol), col("__bord"))
+      .orderBy(col(scoreCol).cast("double").desc, col(idCol))
+    withB
+      .join(above, Seq(groupCol, "__bord"))
+      // no broadcast hint: sources are typically few, but the group
+      // column can be host-granular (millions) — AQE measures and
+      // picks broadcast only when the group table is actually small
+      .join(nPerGroup, Seq(groupCol))
+      .withColumn("rank", (col("__above") + row_number().over(wIn)).cast("long"))
+      .withColumn("permyriad",
+        when(col("__n") > 1,
+          expr("((rank - 1) * 10000) div (__n - 1)")).otherwise(0L)
+          .cast("long"))
+      .drop("__bord", "__above", "__n")
+  }
+
+  /**
    * Bigram familiarity — the contextual member of the LM-proxy family
    * ([[unigramDfScore]] is the unigram member): the share of a
    * document's word BIGRAMS that a reference corpus has seen at least

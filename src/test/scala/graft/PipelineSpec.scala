@@ -105,6 +105,29 @@ class PipelineSpec extends SparkTestBase {
     assert(out == Seq((1L, 3L, 5L), (2L, 2L, 4L), (3L, 3L, 6L)))
   }
 
+  test("group percentile: two-phase rank equals the naive per-group window") {
+    val scored = Tables.read(spark, sf0001, "documents")
+      .select(col("doc_id"), col("source"),
+        graft.pipeline.Corpus.hashBucket10k(
+          concat(lit("cal:"), col("text"))).cast("double").as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("score").desc, col("doc_id"))
+    val naive = scored.withColumn("rank", row_number().over(w).cast("long"))
+      .select("doc_id", "rank").as[(Long, Long)].collect().toMap
+    val fast = graft.pipeline.Corpus.groupPercentile(scored, "source", "score")
+      .select("doc_id", "rank").as[(Long, Long)].collect().toMap
+    assert(fast == naive)
+  }
+
+  test("group percentile: singleton group ranks 0, NaN dropped") {
+    val d = Seq((1L, "a", 5.0), (2L, "b", 1.0), (3L, "b", 2.0),
+      (4L, "b", Double.NaN)).toDF("doc_id", "source", "score")
+    val out = graft.pipeline.Corpus.groupPercentile(d, "source", "score")
+      .select("doc_id", "rank", "permyriad").orderBy("doc_id")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 1L, 0L), (2L, 2L, 10000L), (3L, 1L, 0L)))
+  }
+
   test("pagerank fixed-point: hand-computed star graph, exact rank units") {
     val edges = Seq(("a", "h"), ("b", "h"), ("c", "h"), ("h", "a"))
       .toDF("src", "dst")
