@@ -217,6 +217,44 @@ private[graft] object DedupEntries {
         .orderBy("id_a", "id_b")
     },
 
+    // Bloom-prefiltered exact dedup of a new batch against the
+    // historical content-hash index: fresh docs (doc_id % 5 == 0) plus
+    // re-ingested exact copies of indexed docs (doc_id % 10 == 1 under
+    // new ids). The copies must be dropped, the fresh docs kept — the
+    // result is required to be IDENTICAL to a plain anti-join (bloom
+    // false positives may only cost confirm-join work, never rows).
+    "q_dedup_bloom" -> { (s, dir) =>
+      val d = docs(s, dir).select("doc_id", "text")
+      val index = spread(d.filter(col("doc_id") % 5 =!= 0))
+        .select(md5(col("text")).as("content_hash"))
+      val newBatch = spread(d.filter(col("doc_id") % 5 === 0)
+        .unionByName(d.filter(col("doc_id") % 10 === 1)
+          .select((col("doc_id") + 30000).as("doc_id"), col("text"))))
+      Dedup.exactDedupAgainstIndex(newBatch, index)
+        .select("doc_id").orderBy("doc_id")
+    },
+
+    // Corpus-wide common-line strip: a subscription prompt is injected
+    // into every 3rd doc and a copyright line into every 2nd (both
+    // well over the df threshold → stripped from ALL docs, no
+    // first-occurrence exemption), plus a 1-char "©" line into every
+    // 7th doc — under the 4-char floor, so it survives at any df.
+    // Original text lines (df 1) must round-trip byte-identical.
+    "q_strip_common_lines" -> { (s, dir) =>
+      val base = docs(s, dir).select(col("doc_id"), col("text"))
+      val fixture = base.select(col("doc_id"), concat(
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          lit("SUBSCRIBE TO OUR NEWSLETTER\n")).otherwise(lit("")),
+        col("text"),
+        when(pmod(col("doc_id"), lit(7)) === 0, lit("\n©"))
+          .otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(2)) === 0,
+          lit("\nAll rights reserved worldwide")).otherwise(lit("")))
+        .as("text"))
+      Dedup.stripCommonLines(spread(fixture), maxDf = 50, minLineChars = 4)
+        .orderBy("doc_id")
+    },
+
     // Leakage-safe train/val/test split: assignment decided per
     // near-dup cluster (not per doc), so a near-copy of a held-out doc
     // can never survive in train. 10% val / 10% test by the
@@ -451,6 +489,36 @@ private[graft] object DedupEntries {
         |FROM cand JOIN shf x ON x.doc_id = id_a JOIN shf y ON y.doc_id = id_b)
         |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.5
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // The oracle is the PLAIN anti-join the bloom path must equal.
+    "q_dedup_bloom" ->
+      """WITH batch AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+        |UNION ALL SELECT doc_id + 30000, text FROM documents WHERE doc_id % 10 = 1),
+        |idx AS (SELECT DISTINCT md5(text) AS fp FROM documents WHERE doc_id % 5 <> 0)
+        |SELECT doc_id FROM batch WHERE md5(text) NOT IN (SELECT fp FROM idx)
+        |ORDER BY doc_id""".stripMargin,
+
+    // Independent line/window rendering of the common-line strip: df
+    // by distinct doc over md5 line keys, strip df >= 50 lines of
+    // length >= 4, rejoin on chr(10).
+    "q_strip_common_lines" ->
+      """WITH fixture AS (SELECT doc_id,
+        |(CASE WHEN doc_id % 3 = 0 THEN 'SUBSCRIBE TO OUR NEWSLETTER' || chr(10) ELSE '' END)
+        ||| text
+        ||| (CASE WHEN doc_id % 7 = 0 THEN chr(10) || '©' ELSE '' END)
+        ||| (CASE WHEN doc_id % 2 = 0 THEN chr(10) || 'All rights reserved worldwide' ELSE '' END)
+        |AS text FROM documents),
+        |p0 AS (SELECT doc_id, string_split(text, chr(10)) AS parts FROM fixture),
+        |p1 AS (SELECT doc_id, parts, unnest(generate_series(1, len(parts))) AS i FROM p0),
+        |lines AS (SELECT doc_id, i - 1 AS pos, parts[i] AS line FROM p1),
+        |hot AS (SELECT md5(line) AS lk FROM lines WHERE length(line) >= 4
+        |GROUP BY md5(line) HAVING count(DISTINCT doc_id) >= 50),
+        |kept AS (SELECT doc_id, pos, line FROM lines WHERE NOT
+        |(length(line) >= 4 AND md5(line) IN (SELECT lk FROM hot))),
+        |rebuilt AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+        |FROM kept GROUP BY doc_id)
+        |SELECT f.doc_id, coalesce(r.text, '') AS text
+        |FROM fixture f LEFT JOIN rebuilt r USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     "q_split_safe" ->
       s"""WITH RECURSIVE $nearDupCorpusSql,

@@ -684,4 +684,121 @@ object Dedup {
       affectedDocs.select(col(idCol)).join(rebuilt, Seq(idCol), "left")
         .select(col(idCol), coalesce(col(textCol), lit("")).as(textCol)))
   }
+
+  /**
+   * Exact dedup of a new batch against a massive historical corpus
+   * index — the daily-ingest counterpart of [[exactDedup]], shaped so
+   * the INDEX side (at production scale: 10^11+ content hashes, far
+   * larger than any batch) is never shuffled.
+   *
+   * A plain `newDocs.join(index, fp, "left_anti")` hash-partitions
+   * BOTH sides — re-shuffling the full index per daily batch is the
+   * scale-killer. A broadcast semi-join of the index against the
+   * batch's hashes avoids that, but a broadcast HashedRelation ships
+   * every key verbatim and caps the batch at broadcast-budget /
+   * ~32 bytes-per-md5. The bloom prefilter extends that regime ~10×:
+   * a Bloom filter over the BATCH hashes (~1.2 bytes/key at 1% fpp)
+   * is embedded in a scan-side predicate
+   * ([[graft.plans.BloomMightContain]]), so the index is reduced AT
+   * THE SCAN to true matches plus an fpp-fraction of false positives.
+   * Only that sliver enters the exact anti-join that confirms
+   * membership — the result is IDENTICAL to the plain anti-join
+   * (bloom filters have no false negatives; false positives survive
+   * the prefilter only to lose the exact comparison), which is what
+   * the DuckDB oracle checks.
+   *
+   * Eager work at plan-build time (documented departure from the
+   * lazy-builder convention, same contract as
+   * [[graft.pipeline.Corpus.semanticDecontaminate]]'s size guard):
+   * building the filter is one Spark job over the batch — the SMALL
+   * side by the operator's own premise. Pass `expectedBatchItems` to
+   * skip the sizing `count()` and make it exactly one job.
+   *
+   * @param index   historical content hashes; only `fpCol` is read,
+   *                so a column-pruned parquet scan reads one column
+   * @param fpp     false-positive rate: fraction of the index that
+   *                needlessly enters the confirm join (1% default)
+   * @param expectedBatchItems bloom sizing hint; 0 = count the batch
+   *                first (one extra job). Undersizing only raises the
+   *                effective fpp — never correctness.
+   * @return the rows of `newDocs` whose content hash does NOT appear
+   *         in the index, original columns preserved
+   */
+  def exactDedupAgainstIndex(newDocs: DataFrame, index: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id",
+      fpCol: String = "content_hash", fpp: Double = 0.01,
+      expectedBatchItems: Long = 0L): DataFrame = {
+    require(fpp > 0 && fpp < 1, "fpp must be in (0, 1)")
+    val batch = newDocs.withColumn("__fp", md5(col(textCol)))
+    val items =
+      if (expectedBatchItems > 0) expectedBatchItems
+      else math.max(1L, batch.select("__fp").distinct().count())
+    val bloom = batch.stat.bloomFilter(col("__fp"), items, fpp)
+    val bytes = graft.plans.BloomMightContain.serialize(bloom)
+    graft.plans.NativeFns.register(newDocs.sparkSession)
+    // survivors: O(batch + fpp·|index|) rows, one pruned column — the
+    // only part of the index that ever reaches an exchange. AQE picks
+    // the confirm-join strategy from the survivors' ACTUAL size (tiny
+    // → broadcast), which a static hint couldn't know.
+    val survivors = index
+      .select(col(fpCol).as("__fp"))
+      .filter(graft.plans.BloomMightContain.mightContain(col("__fp"), bytes))
+    batch.join(survivors, Seq("__fp"), "left_anti").drop("__fp")
+  }
+
+  /**
+   * Corpus-wide common-line strip: remove every line that appears in
+   * at least `maxDf` DISTINCT documents — navigation menus, cookie
+   * banners, subscription prompts, the RefinedWeb/CCNet line-level
+   * filter. Complements the family: [[stripDuplicateParagraphs]]
+   * keeps a FIRST occurrence of each duplicate paragraph;
+   * this operator strips high-df lines from EVERY document including
+   * the first — boilerplate has no meaningful "first" owner — and
+   * leaves rarer duplicates alone.
+   *
+   * `minLineChars`: lines SHORTER than the floor are exempt and kept
+   * in place — blank lines and one-character separators appear in
+   * nearly every document, and stripping them would collapse
+   * structure corpus-wide. The default floor of 1 exempts exactly the
+   * empty line, preserving paragraph breaks.
+   *
+   * Byte-exactness: documents are split on `\n` and rejoined with
+   * `\n`, so a document that loses no line round-trips byte-identical
+   * (unlike the window/paragraph ops' whitespace normalization).
+   * CRLF line endings are NOT normalized — the `\r` stays attached to
+   * its line and distinguishes keys; normalize upstream if mixing
+   * conventions.
+   *
+   * Scale shape: the df count is two stages — distinct (line-key,
+   * doc) pairs first (fine-grained composite key, no hot key
+   * possible), then a count-by-key whose partial aggregation is
+   * map-side combinable, so a line in 10^8 documents folds to one row
+   * per partition before the exchange. The strip anti-join's build
+   * side (keys with df ≥ maxDf) is vocabulary-bounded and small at
+   * any sane threshold — AQE broadcasts it at runtime. Rebuild
+   * shuffles on the doc id; per-task memory bounded by the longest
+   * single document.
+   */
+  def stripCommonLines(docs: DataFrame, maxDf: Long,
+      idCol: String = "doc_id", textCol: String = "text",
+      minLineChars: Int = 1): DataFrame = {
+    require(maxDf > 1, "maxDf must be at least 2")
+    val lines = docs.select(col(idCol),
+      posexplode(split(col(textCol), "\n", -1)).as(Seq("pos", "line")))
+    val dedupable = lines.filter(length(col("line")) >= minLineChars)
+      .withColumn("__lk", md5(col("line")))
+    val hot = dedupable.select(col("__lk"), col(idCol)).distinct()
+      .groupBy("__lk").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= maxDf)
+      .select("__lk")
+    val kept = dedupable.join(hot, Seq("__lk"), "left_anti")
+      .select(col(idCol), col("pos"), col("line"))
+      .unionByName(lines.filter(length(col("line")) < minLineChars))
+    val rebuilt = kept.groupBy(idCol)
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+          x => x("line")), "\n").as(textCol))
+    docs.select(col(idCol)).join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col(textCol), lit("")).as(textCol))
+  }
 }

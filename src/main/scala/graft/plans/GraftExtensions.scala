@@ -44,5 +44,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("sortable_double_bits"),
       new ExpressionInfo(classOf[SortableDoubleBits].getName, "sortable_double_bits"),
       (exprs: Seq[Expression]) => SortableDoubleBits(exprs.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("bloom_might_contain"),
+      new ExpressionInfo(classOf[BloomMightContain].getName, "bloom_might_contain"),
+      (exprs: Seq[Expression]) => BloomMightContain(exprs.head, exprs(1))))
   }
 }

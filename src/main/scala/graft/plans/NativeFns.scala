@@ -23,5 +23,6 @@ object NativeFns {
       VecDot.register(spark)
       WordShingles.register(spark)
       SortableDoubleBits.register(spark)
+      BloomMightContain.register(spark)
     }
 }

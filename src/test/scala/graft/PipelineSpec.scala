@@ -1024,4 +1024,48 @@ class PipelineSpec extends SparkTestBase {
     }
     assert(e2.getMessage.contains("vec_dot"), e2.getMessage)
   }
+
+  test("bloom-prefiltered index dedup equals the plain anti-join exactly") {
+    import org.apache.spark.sql.functions.md5
+    val d = Tables.read(spark, sf0001, "documents").select("doc_id", "text")
+    val existing = d.filter(col("doc_id") % 5 =!= 0)
+    val index = existing.select(md5(col("text")).as("content_hash"))
+    // fresh docs + re-ingested exact copies of indexed docs
+    val batch = d.filter(col("doc_id") % 5 === 0).unionByName(
+      existing.limit(20)
+        .select((col("doc_id") + 90000).as("doc_id"), col("text")))
+    val out = Dedup.exactDedupAgainstIndex(batch, index)
+    val plain = batch.withColumn("__fp", md5(col("text")))
+      .join(index.select(col("content_hash").as("__fp")), Seq("__fp"),
+        "left_anti").drop("__fp")
+    val got = out.select("doc_id").as[Long].collect().sorted.toSeq
+    assert(got == plain.select("doc_id").as[Long].collect().sorted.toSeq,
+      "bloom prefilter must not change the anti-join result")
+    // no false negatives: every re-ingested copy was dropped
+    assert(!got.exists(_ >= 90000L), s"re-ingested copies survived: $got")
+    // the prefilter is actually in the plan, on the index side
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("bloom_might_contain"), s"prefilter missing:\n$plan")
+    // output schema is the batch's, fingerprint column not leaked
+    assert(out.columns.toSeq == Seq("doc_id", "text"))
+  }
+
+  test("common-line strip: high-df lines gone everywhere, short/rare kept, " +
+      "clean docs byte-identical") {
+    val docs = ((0L until 10L).map { i =>
+      (i, s"unique line $i\nVISIT OUR STORE\n-\nbody text number $i")
+    } :+ (10L, "solo\n\n\nend")).toDF("doc_id", "text")
+    val out = Dedup.stripCommonLines(docs, maxDf = 5, minLineChars = 2)
+      .orderBy("doc_id").as[(Long, String)].collect()
+    (0 until 10).foreach { i =>
+      // boilerplate stripped from EVERY doc (no first-occurrence
+      // exemption); the 1-char "-" line is under the floor and stays
+      assert(out(i)._2 == s"unique line $i\n-\nbody text number $i",
+        s"doc $i: ${out(i)._2}")
+    }
+    // no hot line, empty lines exempt → byte-identical round-trip
+    // including the 3-newline run (split keeps trailing/interior
+    // empties, rejoin restores them)
+    assert(out(10)._2 == "solo\n\n\nend")
+  }
 }
