@@ -72,6 +72,22 @@ private[graft] object Fixtures {
     * are deterministic plan literals, so the oracle inlines the same
     * values and reproduces every sign bit-exactly (verified 500/500 at
     * sf0.01). */
+  /** DuckDB replication of [[graft.plans.VecProject]]: per output
+    * component, the ±1 sign row is inlined as a BIGINT[] literal from
+    * the SAME generator the engine uses, and each input component is
+    * floored to fixed-point BEFORE the sum — all-integer arithmetic,
+    * so fold order can't drift the hash. */
+  def projSql(vecExpr: String, k: Int, dim: Int, seed: Long,
+      scale: Long): String = {
+    val signs = graft.plans.VecProject.signs(k, dim, seed)
+    (0 until k).map { j =>
+      val lits = (0 until dim).map(i => signs(j * dim + i)).mkString("[", ",", "]")
+      s"CAST(list_sum(list_transform(range(1,${dim + 1}), i -> " +
+        s"CAST(floor(coalesce(CAST($vecExpr[i] AS DOUBLE), 0.0) * $scale.0) " +
+        s"AS BIGINT) * ($lits::BIGINT[])[i])) AS BIGINT)"
+    }.mkString("[", ", ", "]")
+  }
+
   def srpSigSql(vecExpr: String, bits: Int): String =
     VectorFns.srpPlanes(bits, 64, 42L).map { plane =>
       val lits = plane.mkString("[", ",", "]")

@@ -12,6 +12,18 @@ import graft.pipeline.{Multimodal, Similarity}
 private[graft] object VectorEntries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Integer-exact JL random projection: the pre-ANN compression step
+    // (project wide embeddings to a compact sketch once at ingest).
+    // Narrow per-row native expression, no shuffle; hash-exact because
+    // components are fixed-point longs before the sum.
+    "q_embed_project" -> { (s, dir) =>
+      graft.plans.NativeFns.register(s)
+      Tables.read(s, dir, "embeddings")
+        .select(col("vec_id"),
+          graft.plans.VecProject.project(col("embedding"), k = 16).as("proj"))
+        .orderBy("vec_id")
+    },
+
     // Brute-force cosine top-k (exact ANN baseline).
     "q_ann_topk" -> { (s, dir) =>
       val e = spread(Tables.read(s, dir, "embeddings"))
@@ -105,6 +117,12 @@ private[graft] object VectorEntries {
   )
 
   def oracles: Map[String, String] = Map(
+    // Same ±1 sign rows (inlined literals from the shared generator),
+    // same fixed-point floor — all-integer, so the hash can't drift.
+    "q_embed_project" ->
+      s"""SELECT vec_id, ${projSql("embedding", 16, 64, 42L, 1000000L)} AS proj
+         |FROM embeddings ORDER BY vec_id""".stripMargin,
+
     "q_ann_topk" ->
       """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
         s AS (SELECT qid, vec_id AS nid,

@@ -48,5 +48,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("bloom_might_contain"),
       new ExpressionInfo(classOf[BloomMightContain].getName, "bloom_might_contain"),
       (exprs: Seq[Expression]) => BloomMightContain(exprs.head, exprs(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("vec_project_i64"),
+      new ExpressionInfo(classOf[VecProject].getName, "vec_project_i64"),
+      (exprs: Seq[Expression]) => VecProject(exprs.head,
+        k = FnArgs.intArg("vec_project_i64", "k", exprs(1)),
+        dim = FnArgs.intArg("vec_project_i64", "dim", exprs(2)),
+        seed = FnArgs.longArg("vec_project_i64", "seed", exprs(3)),
+        scale = FnArgs.longArg("vec_project_i64", "scale", exprs(4)))))
   }
 }

@@ -24,5 +24,6 @@ object NativeFns {
       WordShingles.register(spark)
       SortableDoubleBits.register(spark)
       BloomMightContain.register(spark)
+      VecProject.register(spark)
     }
 }

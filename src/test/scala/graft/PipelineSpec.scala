@@ -1068,4 +1068,30 @@ class PipelineSpec extends SparkTestBase {
     // empties, rejoin restores them)
     assert(out(10)._2 == "solo\n\n\nend")
   }
+
+  test("vec_project_i64: matches the Scala reference, zero-pads short " +
+      "vectors, ignores extras, nulls on null element") {
+    import graft.plans.VecProject
+    val short = Array(0.5f, -0.25f, 0.125f)
+    val full = Array.tabulate(64)(i => (i - 32) / 64.0f)
+    val long = Array.tabulate(80)(i => i / 80.0f)
+    val out = Seq((1L, short), (2L, full), (3L, long))
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"), VecProject.project(col("embedding"), 8).as("p"))
+      .orderBy("vec_id").as[(Long, Seq[Long])].collect()
+    val signs = VecProject.signs(8, 64, 42L)
+    def ref(v: Array[Float]): Seq[Long] = (0 until 8).map { j =>
+      (0 until math.min(v.length, 64)).map { i =>
+        signs(j * 64 + i) * math.floor(v(i).toDouble * 1000000L).toLong
+      }.sum
+    }
+    assert(out(0)._2 == ref(short), "zero-pad: missing components add 0")
+    assert(out(1)._2 == ref(full))
+    assert(out(2)._2 == ref(long), "components beyond dim ignored")
+    // a null element must null the sketch, not mint a partial one
+    graft.plans.NativeFns.register(spark)
+    val nulled = spark.sql("SELECT vec_project_i64(array(CAST(1.0 AS FLOAT), " +
+      "CAST(NULL AS FLOAT)), 4, 64, 42, 1000000) AS p").collect()
+    assert(nulled.head.isNullAt(0))
+  }
 }
