@@ -255,6 +255,46 @@ object ProfileScale {
             concat(col("text"),
               lit(" subscribe to our newsletter for updates and never miss a post"))
               .as("text")), windowTokens = 10)),
+      // bloom-prefiltered index dedup: the INDEX scales with m while
+      // the batch stays fixed at 1× — elapsed must track the index
+      // scan (linear, one pruned column) and shuffle must track the
+      // batch plus the fpp sliver of the index, never the index
+      // itself. Batch copy-0 text space overlaps index copy-0, so the
+      // confirm join sees real hits at every scale.
+      "dedup_bloom" -> { m =>
+        val index = scaledDocs(spark, sfDir, m)
+          .filter(col("doc_id") % 5 =!= 0)
+          .select(md5(col("text")).as("content_hash"))
+        val batch = scaledDocs(spark, sfDir, 1)
+          .filter(col("doc_id") % 5 === 0)
+        Dedup.exactDedupAgainstIndex(batch, index)
+      },
+      // common-line strip under the worst hot line: the injected
+      // banner is in EVERY document (the per-copy token suffix leaves
+      // the literal line identical across copies), so its df count
+      // must fold map-side before the exchange and the strip
+      // anti-join's hot key must stay on the tiny build side.
+      "strip_common_lines" -> (m =>
+        Dedup.stripCommonLines(
+          scaledDocs(spark, sfDir, m).select(col("doc_id"),
+            concat(lit("VISIT OUR SPONSOR TODAY\n"), col("text")).as("text")),
+          maxDf = 50)),
+      // bloom decontamination: the CORPUS scales with m while the
+      // bench side stays fixed — the scan-side bloom prune must keep
+      // the confirm join's shuffle at O(bench + hits), so shuffle
+      // bytes must stay ~flat as the corpus grows (only the pruned
+      // sliver scales), while elapsed tracks the corpus gram scan.
+      "decon_bloom" -> { m =>
+        val base = Tables.read(spark, sfDir, "documents")
+          .select("doc_id", "text")
+        Corpus.decontaminateBloom(scaledDocs(spark, sfDir, m),
+          base.filter(col("doc_id") < 50), n = 8)
+      },
+      // JL projection: pure narrow per-row map — elapsed linear,
+      // shuffle ~zero (no exchange in the plan at all).
+      "embed_project" -> (m =>
+        scaledVecs(spark, sfDir, m).select(col("vec_id"),
+          graft.plans.VecProject.project(col("embedding"), 16).as("proj"))),
       // incremental IVF: the standing index (all vectors) is probed
       // while only a fixed-size new batch pays assignment — elapsed
       // must track the index SCAN (linear), never an index rebuild.

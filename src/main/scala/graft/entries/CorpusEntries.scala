@@ -118,6 +118,22 @@ private[graft] object CorpusEntries {
         .select("doc_id").orderBy("doc_id")
     },
 
+    // Bloom-prefiltered decontamination: a 10×-larger benchmark side
+    // (doc_id < 50) than q_decontaminate's — the regime where the
+    // bench gram set outgrows a HashedRelation broadcast and only the
+    // bloom fits. Result must be IDENTICAL to the plain guard: leaked
+    // copies (id+30000 of bench docs 0-9) removed, everything else
+    // kept, bloom false positives invisible after the confirm join.
+    "q_decon_bloom" -> { (s, dir) =>
+      val d = docs(s, dir).select("doc_id", "text")
+      val bench = d.filter(col("doc_id") < 50)
+      val corpus = spread(d.filter(col("doc_id") >= 50)
+        .unionByName(d.filter(col("doc_id") < 10)
+          .withColumn("doc_id", col("doc_id") + 30000)))
+      graft.pipeline.Corpus.decontaminateBloom(corpus, bench, n = 8)
+        .select("doc_id").orderBy("doc_id")
+    },
+
     // Contamination audit: per benchmark item, leaked-gram and
     // hit-doc counts. Fixture: items 0-2 fully copied into the corpus
     // (id+30000), 20 tokens of item 3 appended to corpus doc 42
@@ -506,6 +522,20 @@ private[graft] object CorpusEntries {
         |gc AS (SELECT doc_id, grams FROM g WHERE doc_id >= 5
         |UNION ALL SELECT doc_id + 30000, grams FROM g WHERE doc_id < 5),
         |bench AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id < 5),
+        |corp AS (SELECT doc_id, unnest(grams) AS gram FROM gc),
+        |bad AS (SELECT DISTINCT c.doc_id FROM corp c JOIN bench b ON c.gram = b.gram)
+        |SELECT doc_id FROM gc WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+        |ORDER BY doc_id""".stripMargin,
+
+    // The PLAIN n-gram guard the bloom path must equal exactly.
+    "q_decon_bloom" ->
+      """WITH t AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w FROM documents),
+        |g AS (SELECT doc_id, CASE WHEN len(w) >= 8
+        |THEN list_transform(range(1, len(w)-6), i -> array_to_string(w[i:i+7], ' '))
+        |ELSE [] END AS grams FROM t),
+        |gc AS (SELECT doc_id, grams FROM g WHERE doc_id >= 50
+        |UNION ALL SELECT doc_id + 30000, grams FROM g WHERE doc_id < 10),
+        |bench AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id < 50),
         |corp AS (SELECT doc_id, unnest(grams) AS gram FROM gc),
         |bad AS (SELECT DISTINCT c.doc_id FROM corp c JOIN bench b ON c.gram = b.gram)
         |SELECT doc_id FROM gc WHERE doc_id NOT IN (SELECT doc_id FROM bad)

@@ -315,6 +315,61 @@ object Corpus {
   }
 
   /**
+   * [[decontaminate]] for benchmark sets past the broadcast regime.
+   * The plain guard broadcasts the bench gram-hash set as a
+   * HashedRelation — every 32-byte md5 key verbatim, which caps the
+   * bench side at broadcast-budget / ~32B. A large eval union (every
+   * benchmark's train/dev/test splits, 10⁸+ distinct grams) blows
+   * that budget; this variant broadcasts a Bloom filter over the
+   * bench grams instead (~1.2 bytes/key at 1% fpp — an
+   * order-of-magnitude larger guard set under the same budget) and
+   * prunes the corpus gram stream AT THE SCAN, before any exchange.
+   * Survivors (true hits + the fpp sliver) are then CONFIRMED against
+   * the exact bench gram set in an equi-join — so the result is
+   * IDENTICAL to [[decontaminate]] (no false negatives; false
+   * positives lose the confirm join), which the oracle checks. The
+   * confirm join shuffles only the pruned sliver plus the bench gram
+   * hashes — a plain O(bench) exchange, fine at 10⁸ rows; it is the
+   * broadcast that was impossible.
+   *
+   * Eager work at plan-build time: building the filter is one job
+   * over the bench side (same documented contract as
+   * [[graft.pipeline.Dedup.exactDedupAgainstIndex]]). Bench grams are
+   * NOT pre-distincted for the bloom build — putting a duplicate is a
+   * no-op, and skipping the distinct saves a full bench shuffle;
+   * `expectedBenchGrams` therefore sizes by OCCURRENCES when left at
+   * 0 (auto-count), which only oversizes the filter, never breaks it.
+   *
+   * Same blind spot as [[decontaminate]]: bench items shorter than n
+   * tokens produce no gram and are never guarded.
+   */
+  def decontaminateBloom(docs: DataFrame, benchmark: DataFrame, n: Int = 8,
+      textCol: String = "text", idCol: String = "doc_id",
+      fpp: Double = 0.01, expectedBenchGrams: Long = 0L): DataFrame = {
+    require(fpp > 0 && fpp < 1, "fpp must be in (0, 1)")
+    graft.plans.NativeFns.register(docs.sparkSession)
+    val benchGrams = benchmark
+      .select(explode(graft.plans.WordShingles.shingles(col(textCol), n,
+        distinct = true)).as("g"))
+      .select(md5(col("g")).as("gh"))
+    val items =
+      if (expectedBenchGrams > 0) expectedBenchGrams
+      else math.max(1L, benchGrams.count())
+    val bloom = benchGrams.stat.bloomFilter(col("gh"), items, fpp)
+    val bytes = graft.plans.BloomMightContain.serialize(bloom)
+    val contaminated = docs
+      .select(col(idCol),
+        explode(graft.plans.WordShingles.shingles(col(textCol), n)).as("g"))
+      .select(col(idCol), md5(col("g")).as("gh"))
+      // scan-side prune: the overwhelming majority of corpus grams
+      // exit here, before any exchange
+      .filter(graft.plans.BloomMightContain.mightContain(col("gh"), bytes))
+      .join(benchGrams.distinct(), Seq("gh"), "left_semi")
+      .select(idCol).distinct()
+    docs.join(contaminated, Seq(idCol), "left_anti")
+  }
+
+  /**
    * Contamination AUDIT — the report [[decontaminate]] doesn't give
    * you: per benchmark item, how much of it leaks into the training
    * corpus (distinct shared n-grams) and how widely (distinct corpus

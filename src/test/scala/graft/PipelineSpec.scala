@@ -1069,6 +1069,20 @@ class PipelineSpec extends SparkTestBase {
     assert(out(10)._2 == "solo\n\n\nend")
   }
 
+  test("bloom decontamination equals the plain broadcast guard") {
+    import graft.pipeline.Corpus
+    val d = Tables.read(spark, sf0001, "documents").select("doc_id", "text")
+    val bench = d.filter(col("doc_id") < 8)
+    val corpus = d.filter(col("doc_id") >= 8).unionByName(
+      bench.withColumn("doc_id", col("doc_id") + 70000))
+    val plain = Corpus.decontaminate(corpus, bench, n = 8)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val bloomed = Corpus.decontaminateBloom(corpus, bench, n = 8)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(bloomed == plain, "bloom prefilter must not change the guard")
+    assert(!bloomed.exists(_ >= 70000L), "leaked copies must be removed")
+  }
+
   test("vec_project_i64: matches the Scala reference, zero-pads short " +
       "vectors, ignores extras, nulls on null element") {
     import graft.plans.VecProject
