@@ -15,13 +15,16 @@ private[graft] object VectorEntries {
     // Integer-exact JL random projection: the pre-ANN compression step
     // (project wide embeddings to a compact sketch once at ingest).
     // Narrow per-row native expression, no shuffle; hash-exact because
-    // components are fixed-point longs before the sum.
+    // components are fixed-point longs before the sum. Declared as
+    // scalar (vec_id, pos, component) rows — posexplode of the sketch
+    // array — so the comparator hashes plain integers.
     "q_embed_project" -> { (s, dir) =>
       graft.plans.NativeFns.register(s)
       Tables.read(s, dir, "embeddings")
         .select(col("vec_id"),
-          graft.plans.VecProject.project(col("embedding"), k = 16).as("proj"))
-        .orderBy("vec_id")
+          posexplode(graft.plans.VecProject.project(col("embedding"), k = 16)))
+        .select(col("vec_id"), col("pos"), col("col").as("component"))
+        .orderBy("vec_id", "pos")
     },
 
     // Brute-force cosine top-k (exact ANN baseline).
@@ -119,9 +122,14 @@ private[graft] object VectorEntries {
   def oracles: Map[String, String] = Map(
     // Same ±1 sign rows (inlined literals from the shared generator),
     // same fixed-point floor — all-integer, so the hash can't drift.
+    // Unnested to one row per sketch component (same shape as the
+    // Spark entry's posexplode) so every compared cell is a scalar.
     "q_embed_project" ->
-      s"""SELECT vec_id, ${projSql("embedding", 16, 64, 42L, 1000000L)} AS proj
-         |FROM embeddings ORDER BY vec_id""".stripMargin,
+      s"""WITH p AS (SELECT vec_id, ${projSql("embedding", 16, 64, 42L, 1000000L)} AS proj
+         |FROM embeddings)
+         |SELECT vec_id, CAST(i AS INTEGER) AS pos, proj[i + 1] AS component
+         |FROM p CROSS JOIN (SELECT unnest(range(0, 16)) AS i) idx
+         |ORDER BY vec_id, pos""".stripMargin,
 
     "q_ann_topk" ->
       """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
