@@ -266,6 +266,28 @@ object Bench {
     val errors = results.collect { case r if !r.ok =>
       "\"" + r.name + "\":\"" + errMsgs.getOrElse(r.name, "unknown") + "\""
     }.mkString("{", ",", "}")
+    // Per-query regression ratios vs the committed format-4 baseline
+    // (BENCH_BASELINE_F4.json: clean-run per-query floors at the same
+    // sf — see tools/make_baseline.py). Ratio = this run's MIN over
+    // the baseline floor: floor-vs-floor, so host stalls (which
+    // inflate medians, not minima) can't fake a regression. >1.5x is
+    // flagged; all pre-format-4 numbers are void for this purpose
+    // (they timed count()-pruned plans).
+    val baseline: Map[String, Double] = {
+      val f = new java.io.File("BENCH_BASELINE_F4.json")
+      if (!f.isFile) Map.empty
+      else try {
+        val txt = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+        val sfOk = """"sf"\s*:\s*"([^"]*)"""".r.findFirstMatchIn(txt)
+          .forall(m => new java.io.File(m.group(1)).getName ==
+            new java.io.File(sfDir).getName)
+        if (!sfOk) Map.empty
+        else """"(q_[A-Za-z0-9_]+|bm_[A-Za-z0-9_]+)"\s*:\s*([0-9.eE+-]+)""".r
+          .findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toDouble)
+          .filter(_._2 > 0).toMap
+      } catch { case scala.util.control.NonFatal(_) => Map.empty }
+    }
     val (verif, engine) = results.partition(r => verificationQueries(r.name))
     val total = engine.collect { case r if r.ok => r.median }.sum
     // "floor" = sum of per-query MINIMA: the engine's uncontended cost.
@@ -291,7 +313,22 @@ object Bench {
     def qmap(rs: Seq[Timing], f: Double => String) =
       rs.map(r => "\"" + r.name + "\":" + (if (r.ok) f(r.median) else "-1.0"))
         .mkString("{", ",", "}")
-    val detail = s"""{"format":4,"metric":"total","value":$total,"floor":$floor,"unit":"sec","warmup":$warmedUp,"trials":$trials,"reran":$needRerun,"tainted":$tainted,"queries":${qmap(engine, f6)},"verification":${qmap(verif, f6)},"verification_total":$verifTotal,"spread":$spread,"unstable":$unstable,"errors":$errors,"sf":"$sfDir"}"""
+    val ratios = results.flatMap(r => baseline.get(r.name).collect {
+      case b if r.ok && r.min > 0 => r.name -> r.min / b })
+    val regressions = ratios.filter(_._2 > 1.5)
+    val ratioJson = ratios
+      .map { case (n, v) => "\"" + n + "\":" + f3(v) }.mkString("{", ",", "}")
+    val regJson = regressions.sortBy(-_._2)
+      .map { case (n, v) => "\"" + n + "\":" + f3(v) }.mkString("{", ",", "}")
+    // the final stdout line must survive the driver's ~2000-char tail
+    // capture: top-8 worst only there (full list in BENCH_DETAIL.json)
+    val regJsonTop = regressions.sortBy(-_._2).take(8)
+      .map { case (n, v) => "\"" + n + "\":" + f3(v) }.mkString("{", ",", "}")
+    if (regressions.nonEmpty) System.err.println(
+      s"BENCH REGRESSIONS vs BENCH_BASELINE_F4 (min > 1.5x baseline floor): " +
+        regressions.sortBy(-_._2).map { case (n, v) => f"$n=$v%.2fx" }
+          .mkString(", "))
+    val detail = s"""{"format":4,"metric":"total","value":$total,"floor":$floor,"unit":"sec","warmup":$warmedUp,"trials":$trials,"reran":$needRerun,"tainted":$tainted,"queries":${qmap(engine, f6)},"verification":${qmap(verif, f6)},"verification_total":$verifTotal,"spread":$spread,"unstable":$unstable,"errors":$errors,"baseline_n":${ratios.size},"baseline_ratios":$ratioJson,"regressions":$regJson,"sf":"$sfDir"}"""
     try {
       val w = new java.io.PrintWriter("BENCH_DETAIL.json", "UTF-8")
       try w.println(detail) finally w.close()
@@ -306,7 +343,7 @@ object Bench {
     // mid-line). A final totals-only line — printed last, so the tail
     // capture always retains it whole — keeps the official artifact
     // self-contained however many queries the compact line carries.
-    println(s"""{"format":4,"metric":"total","value":${f3(total)},"floor":${f3(floor)},"unit":"sec","trials":$trials,"reran":$needRerun,"tainted":$tainted,"unstable_n":$unstableCount,"nqueries":${engine.size},"sf":"$sfDir"}""")
+    println(s"""{"format":4,"metric":"total","value":${f3(total)},"floor":${f3(floor)},"unit":"sec","trials":$trials,"reran":$needRerun,"tainted":$tainted,"unstable_n":$unstableCount,"nqueries":${engine.size},"baseline_n":${ratios.size},"regressions_n":${regressions.size},"regressions_top":$regJsonTop,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
