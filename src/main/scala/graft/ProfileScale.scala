@@ -2,6 +2,7 @@ package graft
 
 import scala.collection.concurrent.TrieMap
 import scala.collection.mutable.ArrayBuffer
+import scala.util.chaining._
 
 import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -426,6 +427,20 @@ object ProfileScale {
       Corpus.semanticDecontaminate(
         scaledVecs(spark, sfDir, 10), bench, threshold = 0.9)
     }
+    // (2b) same 100k-benchmark fixture through the Bloom tier
+    // (bits=64/bands=8 selective geometry + scan-side Bloom prune):
+    // the head-to-head row that shows the oversized-benchmark regime
+    // fix — same corpus, same rotated bench, same threshold.
+    def deconBigBloomPlan(): DataFrame = {
+      val bench = scaledVecs(spark, sfDir, 50)
+        .withColumn("rot",
+          (pmod(expr("vec_id div 1000000"), lit(63L)) + 1).cast("int"))
+        .select(col("vec_id"), concat(
+          slice(col("embedding"), col("rot") + 1, lit(64) - col("rot")),
+          slice(col("embedding"), lit(1), col("rot"))).as("embedding"))
+      Corpus.semanticDecontaminateBloom(
+        scaledVecs(spark, sfDir, 10), bench, threshold = 0.9)
+    }
 
     // Every (op, scale) cell plus the extended rows as one flat sweep;
     // trials INTERLEAVE at sweep granularity (see profiled's scaladoc —
@@ -434,7 +449,7 @@ object ProfileScale {
     // the min-elapsed run wins; shuffle bytes and rows are
     // deterministic, so only the load-sensitive metrics differ.
     val cells: Seq[(String, () => DataFrame)] =
-      ops.flatMap { case (name, f) =>
+      (ops.flatMap { case (name, f) =>
         Seq(s"$name#x1" -> (() => f(1)), s"$name#x5" -> (() => f(5)),
           s"$name#x10" -> (() => f(10)))
       } ++ Seq(
@@ -449,12 +464,24 @@ object ProfileScale {
                 lit("\n\nsubscribe to our newsletter for updates"))
                 .as("text")))),
         "semantic_decon_bench100k#ext" -> (() => deconBigPlan()),
+        "semantic_decon_bloom100k#ext" -> (() => deconBigBloomPlan()),
         // (4) unigram_df at 50×: its 10× rejoin skew (2.53) was round
         // 9's highest, and stopword keys provably stay hot at any
         // corpus size — one 50× point decides whether AQE skew-join
         // suffices or the hot token head needs a broadcast split.
         "unigram_df_x50#ext" -> (() =>
-          Corpus.unigramDfScore(scaledDocs(spark, sfDir, 50))))
+          Corpus.unigramDfScore(scaledDocs(spark, sfDir, 50)))))
+      .pipe { all =>
+        // quick-A/B filter: SPARK_GRAFT_PROFILE_ONLY=substr1,substr2
+        // profiles matching cells and SKIPS artifact emission (the
+        // official PROFILE json must always cover the full board)
+        sys.env.get("SPARK_GRAFT_PROFILE_ONLY")
+          .map(_.split(",").map(_.trim).filter(_.nonEmpty))
+          .filter(_.nonEmpty)
+          .fold(all)(pats => all.filter { case (k, _) =>
+            pats.exists(k.contains) })
+      }
+    val filteredRun = cells.size < ops.size * 3
     // Per-METRIC min across rounds: a stall only ever INFLATES elapsed
     // and task-duration skew (contention stretches whichever tasks
     // share the window), never deflates them, so the minimum of each
@@ -522,6 +549,11 @@ object ProfileScale {
       }
     }
 
+    if (filteredRun) {
+      System.err.println("[profile] SPARK_GRAFT_PROFILE_ONLY set — " +
+        "cells profiled above, artifact NOT written")
+      spark.stop(); return
+    }
     // one JSON-row formatter for main-sweep and extended rows alike —
     // a second copy would let a schema tweak desynchronize them
     def block(s: RunStats) =
@@ -552,6 +584,7 @@ object ProfileScale {
     val split50 = best("leakage_split_x50#ext")
     val strip50 = best("strip_paragraphs_x50#ext")
     val deconBig = best("semantic_decon_bench100k#ext")
+    val deconBigBloom = best("semantic_decon_bloom100k#ext")
     val unigram50 = best("unigram_df_x50#ext")
     System.err.println(f"[profile] unigram_df_x50       " +
       f"${unigram50.elapsedSec}%6.2fs ${unigram50.shuffleWriteMB}%8.1fMB " +
@@ -565,10 +598,14 @@ object ProfileScale {
     System.err.println(f"[profile] semantic_decon_100k  " +
       f"${deconBig.elapsedSec}%6.2fs ${deconBig.shuffleWriteMB}%8.1fMB " +
       f"skew ${deconBig.worstSkew}%4.2f")
+    System.err.println(f"[profile] semantic_decon_bloom100k " +
+      f"${deconBigBloom.elapsedSec}%6.2fs ${deconBigBloom.shuffleWriteMB}%8.1fMB " +
+      f"skew ${deconBigBloom.worstSkew}%4.2f")
     val extended = Seq(
       s""""leakage_split_x50":${block(split50)}""",
       s""""strip_paragraphs_x50":${block(strip50)}""",
       s""""semantic_decon_bench100k":${block(deconBig)}""",
+      s""""semantic_decon_bloom100k":${block(deconBigBloom)}""",
       s""""unigram_df_x50":${block(unigram50)}""")
     val json = (entries ++ extended).mkString(
       s"""{"sf":"$sfDir","scale_factors":[1,5,10],"linearity_check":"x10 shuffle bytes / x5 shuffle bytes ~ 2.0","skew_threshold":4.0,""",

@@ -94,6 +94,23 @@ private[graft] object VectorEntries {
         .select("vec_id", "label").orderBy("vec_id")
     },
 
+    // Bloom-prefiltered semantic decontamination: the oversized-
+    // benchmark regime (bits=64/bands=8 selective geometry + broadcast
+    // Bloom over bench band keys + exact band/cosine confirm). Same
+    // fixture and contamination contract as q_semantic_decon; the
+    // oracle independently replays the 64-bit banding and exact
+    // cosine, so a Bloom false positive surviving the confirm — or a
+    // lost true candidate — breaks the hash.
+    "q_semantic_decon_bloom" -> { (s, dir) =>
+      val e = spread(Tables.read(s, dir, "embeddings"))
+      val bench = e.filter(col("vec_id") < 10)
+      val corpus = e.filter(col("vec_id") >= 10).unionByName(
+        bench.withColumn("vec_id", col("vec_id") + 10000))
+      graft.pipeline.Corpus.semanticDecontaminateBloom(corpus, bench,
+          threshold = 0.9)
+        .select("vec_id", "label").orderBy("vec_id")
+    },
+
     // Corpus prep: int8 embedding quantization (summarized per vector).
     "q_quantize" -> { (s, dir) =>
       val e = Tables.read(s, dir, "embeddings")
@@ -267,6 +284,29 @@ private[graft] object VectorEntries {
          |FROM bsig CROSS JOIN (SELECT unnest(range(0,4)) AS band) s),
          |cb AS (SELECT vec_id, embedding, band, substr(sig, band*4 + 1, 4) AS band_key
          |FROM csig CROSS JOIN (SELECT unnest(range(0,4)) AS band) s),
+         |cont AS (SELECT DISTINCT c.vec_id FROM
+         |(SELECT vec_id, embedding AS cv, band, band_key FROM cb) c
+         |JOIN (SELECT embedding AS bv, band, band_key FROM bb) b
+         |USING (band, band_key)
+         |WHERE ${cosineSql("cv", "bv")} >= 0.9)
+         |SELECT vec_id, label FROM corp
+         |WHERE vec_id NOT IN (SELECT vec_id FROM cont) ORDER BY vec_id""".stripMargin,
+
+    // The Bloom tier must be output-identical to the plain guard at
+    // the same band geometry — so the oracle IS the plain algorithm
+    // at bits=64/bands=8: any Bloom-induced false positive/negative
+    // diverges from this derivation.
+    "q_semantic_decon_bloom" ->
+      s"""WITH bench AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+         |corp AS (SELECT vec_id, label, embedding FROM embeddings WHERE vec_id >= 10
+         |UNION ALL SELECT vec_id + 10000 AS vec_id, label, embedding
+         |FROM embeddings WHERE vec_id < 10),
+         |bsig AS (SELECT vec_id, embedding, ${srpSigSql("embedding", 64)} AS sig FROM bench),
+         |csig AS (SELECT vec_id, embedding, ${srpSigSql("embedding", 64)} AS sig FROM corp),
+         |bb AS (SELECT vec_id, embedding, band, substr(sig, band*8 + 1, 8) AS band_key
+         |FROM bsig CROSS JOIN (SELECT unnest(range(0,8)) AS band) s),
+         |cb AS (SELECT vec_id, embedding, band, substr(sig, band*8 + 1, 8) AS band_key
+         |FROM csig CROSS JOIN (SELECT unnest(range(0,8)) AS band) s),
          |cont AS (SELECT DISTINCT c.vec_id FROM
          |(SELECT vec_id, embedding AS cv, band, band_key FROM cb) c
          |JOIN (SELECT embedding AS bv, band, band_key FROM bb) b

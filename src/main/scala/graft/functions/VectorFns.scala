@@ -59,17 +59,11 @@ object VectorFns {
    * width (vectors shorter than `dim` are zero-padded by zip_with
    * null→0 semantics).
    */
-  def srpSignature(vec: Column, bits: Int, dim: Int = 64, seed: Long = 42L): Column = {
-    import org.apache.spark.sql.functions.typedlit
-    val planes = srpPlanes(bits, dim, seed)
-    // padded mode keeps the zero-pad identity of the composed form: a
-    // vector shorter than the literal plane contributes +0.0 per
-    // missing element to the running double sum.
-    val sig = planes.map { plane =>
-      when(graft.plans.VecDot.padded(vec, typedlit(plane)) >= 0, "1").otherwise("0")
-    }
-    concat(sig: _*)
-  }
+  def srpSignature(vec: Column, bits: Int, dim: Int = 64, seed: Long = 42L): Column =
+    // one-pass native expression: every bit is the same left-to-right
+    // VecDot.padded fold as the composed per-plane form it replaced —
+    // see SrpSig's scaladoc for the bit-exactness and null contracts
+    graft.plans.SrpSig(vec, bits, dim, seed)
 
   /** Split an SRP signature into `bands` equal substrings — the LSH
     * band keys two vectors must share (on any band) to become a

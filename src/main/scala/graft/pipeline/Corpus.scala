@@ -447,6 +447,7 @@ object Corpus {
       threshold: Double = 0.95, bits: Int = 16, bands: Int = 4,
       vecCol: String = "embedding", idCol: String = "vec_id",
       maxBroadcastBench: Long = 100000L): DataFrame = {
+    graft.plans.NativeFns.register(corpus.sparkSession)
     import graft.functions.VectorFns
     def banded(df: DataFrame, id: String, v: String) =
       df.select(col(idCol).as(id), col(vecCol).as(v),
@@ -467,6 +468,92 @@ object Corpus {
     val contaminated = banded(corpus, "__cid", "__cv")
       .join(benchSide, Seq("band", "band_key"))
       .filter(VectorFns.cosine(col("__cv"), col("__bv")) >= threshold)
+      .select(col("__cid").as(idCol)).distinct()
+    corpus.join(contaminated, Seq(idCol), "left_anti")
+  }
+
+  /**
+   * [[semanticDecontaminate]] for benchmark sets past the broadcast
+   * regime — the embedding-side analogue of [[decontaminateBloom]].
+   *
+   * Two things break at a 100k+ vector benchmark union, and this
+   * variant fixes both:
+   *
+   * 1. **Bucket selectivity.** The plain guard's default geometry
+   *    (bits=16, bands=4 → 4-bit band keys, 16 values per band) is
+   *    fine for a tiny eval set but collapses at scale: a 100k bench
+   *    side puts ~6k vectors in EVERY band bucket, so the band join
+   *    emits ~#corpusBands × bench/16 candidate pairs — hundreds of
+   *    millions of exact-cosine confirms (the profiled 21.8 s at the
+   *    100k row). This variant defaults to bits=64 / bands=8 (8-bit
+   *    keys, 256 values per band): candidate recall at threshold 0.9
+   *    is nearly unchanged (P[candidate] 0.935 vs 0.954 for a 0.9-
+   *    cosine pair; 1.0 for verbatim leaks, which share every band),
+   *    but bucket occupancy — and with it confirm-join fan-out —
+   *    drops 16×.
+   * 2. **Broadcast budget.** A 100k×dim-64 banded bench side is
+   *    ~100 MB as a HashedRelation — at or past the budget the plain
+   *    guard's row-count guard enforces. Here the corpus-side prune
+   *    broadcasts only a Bloom filter over the bench composite band
+   *    keys (~1.2 bytes/key at 1% fpp — sub-MB for a million keys);
+   *    corpus band rows that can't match any bench band exit AT THE
+   *    SCAN, before any exchange. Survivors (true candidates + the
+   *    fpp sliver) are CONFIRMED by the exact band equi-join and the
+   *    exact cosine threshold, so the result is IDENTICAL to
+   *    [[semanticDecontaminate]] at the same (bits, bands) geometry —
+   *    false positives lose the confirm join, and the Bloom admits no
+   *    false negatives.
+   *
+   * Eager work at plan-build time: building the filter is one job
+   * over the bench side (same documented contract as
+   * [[decontaminateBloom]]). Bench band keys are not pre-distincted —
+   * duplicate puts are no-ops — so `expectedBenchBands` sizes by
+   * occurrences (bench rows × bands) when left at 0, which only
+   * oversizes the filter.
+   */
+  def semanticDecontaminateBloom(corpus: DataFrame, benchmark: DataFrame,
+      threshold: Double = 0.95, bits: Int = 64, bands: Int = 8,
+      vecCol: String = "embedding", idCol: String = "vec_id",
+      fpp: Double = 0.01, expectedBenchBands: Long = 0L): DataFrame = {
+    require(fpp > 0 && fpp < 1, "fpp must be in (0, 1)")
+    graft.plans.NativeFns.register(corpus.sparkSession)
+    import graft.functions.VectorFns
+    // squared norm rides along from BEFORE the band explode: one
+    // dot(v,v) per VECTOR instead of two norm recomputes per candidate
+    // PAIR — the confirm join's flop count drops 3× while every
+    // compared value stays bit-identical to VectorFns.cosine (same
+    // dot fold, same sqrt, same operand order).
+    def banded(df: DataFrame, id: String, v: String, n2: String) =
+      df.select(col(idCol).as(id), col(vecCol).as(v),
+          VectorFns.dot(col(vecCol), col(vecCol)).as(n2),
+          explode(VectorFns.srpBands(
+            VectorFns.srpSignature(col(vecCol), bits), bands, bits)).as("bk"))
+        .select(col(id), col(v), col(n2),
+          col("bk.band").as("band"), col("bk.key").as("band_key"))
+    def compositeKey = concat_ws(":", col("band"), col("band_key"))
+    // NO persist, deliberately: the banded bench feeds two consumers
+    // (Bloom build + confirm join) and caching it looks like it would
+    // save the second signature pass — measured, it LOSES: 8.8 s →
+    // 17.9-20.6 s at the profiled 100k row, because the confirm join
+    // then reads InMemoryTableScan rows (deserialized wide arrays,
+    // outside whole-stage codegen) instead of re-running the compiled
+    // scan→SrpSig pipeline. Recomputing the native signature is
+    // cheaper than caching around it.
+    val bench = banded(benchmark, "__bid", "__bv", "__bn2")
+    val items =
+      if (expectedBenchBands > 0) expectedBenchBands
+      else math.max(1L, benchmark.count() * bands)
+    val bloom = bench.stat.bloomFilter(compositeKey, items, fpp)
+    val bytes = graft.plans.BloomMightContain.serialize(bloom)
+    val pairNorm = sqrt(col("__cn2")) * sqrt(col("__bn2"))
+    val pairCosine = when(pairNorm > 0,
+      VectorFns.dot(col("__cv"), col("__bv")) / pairNorm)
+    val contaminated = banded(corpus, "__cid", "__cv", "__cn2")
+      // scan-side prune: a corpus band row whose composite key hits no
+      // bench band exits here, before any exchange
+      .filter(graft.plans.BloomMightContain.mightContain(compositeKey, bytes))
+      .join(bench, Seq("band", "band_key"))
+      .filter(pairCosine >= threshold)
       .select(col("__cid").as(idCol)).distinct()
     corpus.join(contaminated, Seq(idCol), "left_anti")
   }

@@ -477,6 +477,7 @@ object Dedup {
       idCol: String = "vec_id", threshold: Double = 0.95,
       bits: Int = 16, bands: Int = 4,
       carryVectors: Boolean = false, dim: Int = 64): DataFrame = {
+    graft.plans.NativeFns.register(vecs.sparkSession)
     // `bits` (and the bits/bands band-key width) is the FIRST scale
     // knob: band-key space must grow with the corpus, or every bucket
     // holds a constant fraction of it and candidate generation

@@ -38,6 +38,7 @@ object Similarity {
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       vecCol: String = "embedding", idCol: String = "vec_id",
       bits: Int = 16, bands: Int = 8): DataFrame = {
+    graft.plans.NativeFns.register(corpus.sparkSession)
     def banded(df: DataFrame, id: String, v: String) =
       df.select(col(idCol).as(id), col(vecCol).as(v),
           explode(VectorFns.srpBands(

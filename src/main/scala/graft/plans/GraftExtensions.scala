@@ -56,5 +56,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         dim = FnArgs.intArg("vec_project_i64", "dim", exprs(2)),
         seed = FnArgs.longArg("vec_project_i64", "seed", exprs(3)),
         scale = FnArgs.longArg("vec_project_i64", "scale", exprs(4)))))
+    ext.injectFunction((
+      new FunctionIdentifier("srp_sig"),
+      new ExpressionInfo(classOf[SrpSig].getName, "srp_sig"),
+      (exprs: Seq[Expression]) => SrpSig(exprs.head,
+        bits = FnArgs.intArg("srp_sig", "bits", exprs(1)),
+        dim = FnArgs.intArg("srp_sig", "dim", exprs(2)),
+        seed = FnArgs.longArg("srp_sig", "seed", exprs(3)))))
   }
 }

@@ -25,5 +25,6 @@ object NativeFns {
       SortableDoubleBits.register(spark)
       BloomMightContain.register(spark)
       VecProject.register(spark)
+      SrpSig.register(spark)
     }
 }

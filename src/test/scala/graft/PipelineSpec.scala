@@ -543,6 +543,55 @@ class PipelineSpec extends SparkTestBase {
     assert(kept.size == organic, s"${organic - kept.size} organic docs dropped")
   }
 
+  test("bloom semantic decon matches the plain guard at the same band geometry") {
+    val e = Tables.read(spark, sf0001, "embeddings")
+    val bench = e.filter(col("vec_id") < 5)
+    val scaled = bench.select((col("vec_id") + 20000).as("vec_id"),
+      transform(col("embedding"), x => (x * lit(1.25)).cast("float")).as("embedding"),
+      col("label"))
+    val corpus = e.filter(col("vec_id") >= 5).unionByName(scaled)
+    // identical-output contract: the Bloom tier may only PRUNE rows the
+    // exact band join would drop anyway, so at equal (bits, bands) the
+    // survivor sets must be equal
+    val plain = graft.pipeline.Corpus.semanticDecontaminate(corpus, bench,
+        threshold = 0.95, bits = 64, bands = 8)
+      .select("vec_id").as[Long].collect().toSet
+    val bloom = graft.pipeline.Corpus.semanticDecontaminateBloom(corpus, bench,
+        threshold = 0.95)
+      .select("vec_id").as[Long].collect().toSet
+    assert(bloom == plain, "bloom tier diverged from the plain guard")
+    assert(!bloom.exists(_ >= 20000), "scaled benchmark copies survived")
+  }
+
+  test("native srp_sig: bit parity with the per-plane fold, all-zeros null contract") {
+    import graft.functions.VectorFns
+    val e = Tables.read(spark, sf0001, "embeddings").limit(64)
+    // composed reference form (what srpSignature compiled to before
+    // the one-pass native expression): per-plane VecDot.padded folds
+    def composed(vec: org.apache.spark.sql.Column, bits: Int): org.apache.spark.sql.Column = {
+      import org.apache.spark.sql.functions.typedlit
+      concat(VectorFns.srpPlanes(bits, 64, 42L).map { plane =>
+        when(graft.plans.VecDot.padded(vec, typedlit(plane)) >= 0, "1")
+          .otherwise("0")
+      }: _*)
+    }
+    Seq(16, 64).foreach { bits =>
+      val mismatches = e.select(
+          VectorFns.srpSignature(col("embedding"), bits).as("native"),
+          composed(col("embedding"), bits).as("ref"))
+        .filter(col("native") =!= col("ref")).count()
+      assert(mismatches == 0, s"srp_sig($bits) diverged from composed form")
+    }
+    // null vector and null element both collapse to the all-zeros
+    // signature (the composed form's when-coalesced contract), not NULL
+    val nulls = spark.sql(
+      """SELECT srp_sig(CAST(NULL AS ARRAY<DOUBLE>), 16, 64, 42) AS a,
+        |srp_sig(array(CAST(NULL AS DOUBLE), 1.0), 16, 64, 42) AS b""".stripMargin)
+      .collect().head
+    assert(nulls.getString(0) == "0" * 16, "null vector must give all-zeros")
+    assert(nulls.getString(1) == "0" * 16, "null element must give all-zeros")
+  }
+
   test("semantic decon broadcast guard: hint present under the cap, dropped past it") {
     import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
     val e = Tables.read(spark, sf0001, "embeddings")
