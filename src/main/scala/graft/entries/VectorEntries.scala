@@ -68,6 +68,29 @@ private[graft] object VectorEntries {
         .select("query_id", "neighbor_id", "rank").orderBy("query_id", "rank")
     },
 
+    // IVF maintenance under drift: a x10-scaled copy of every label-2
+    // vector (ids +10000) is ingested into the index, then the
+    // quantizer re-trains warm-start on the vec_id%4 sample and ONLY
+    // cells whose centroid moved >0.5 squared-L2 (or dropped) pay
+    // re-assignment — the fixture yields BOTH changed and unchanged
+    // cells at every sf, so the selective path and the keep path are
+    // each exercised. The oracle replays the whole trajectory: old
+    // quantizer, index assignment, sampled retrain means, displacement
+    // diff, selective re-assign.
+    "q_ann_ivf_retrain" -> { (s, dir) =>
+      val e = spread(Tables.read(s, dir, "embeddings"))
+      val cents = Similarity.centroids(e)
+      val drift = e.filter(col("label") === 2)
+        .select((col("vec_id") + 10000).as("vec_id"),
+          transform(col("embedding"), x => (x * lit(10.0f)).cast("float"))
+            .as("embedding"))
+      val index = Similarity.ivfAssign(
+        e.select("vec_id", "embedding").unionByName(drift), cents)
+      val newCents = Similarity.ivfRetrainCentroids(index, cents, iters = 1)
+      Similarity.ivfReassignDrifted(index, cents, newCents, epsilon = 0.5)
+        .select(col("vec_id"), col("cell")).orderBy("vec_id")
+    },
+
     // Lloyd's k-means (2 assignment passes, 1 centroid update) from
     // the label-derived init — every iteration decimal-exact and
     // tie-deterministic, so DuckDB replays the full trajectory.
@@ -239,6 +262,55 @@ private[graft] object VectorEntries {
     // two unrolled Lloyd iterations: label-init centroids → assign →
     // decimal-mean recompute → assign; tie order (sim DESC, cell) is
     // the engine's struct-max order
+    // Full replay of the maintenance trajectory. The retrained means
+    // group sampled index rows by their EXISTING cell: warm-start
+    // iters=1 re-assigns the sample to the same old quantizer that
+    // assigned the index, so the cells provably coincide.
+    "q_ann_ivf_retrain" ->
+      """WITH drift AS (SELECT vec_id + 10000 AS vec_id,
+        |list_transform(embedding, x -> CAST(x * CAST(10.0 AS FLOAT) AS FLOAT)) AS embedding
+        |FROM embeddings WHERE label = 2),
+        |corp AS (SELECT vec_id, embedding FROM embeddings
+        |UNION ALL SELECT vec_id, embedding FROM drift),
+        |cent AS (SELECT label, pos,
+        |CAST(SUM(CAST(v AS DECIMAL(28,8))) AS DOUBLE)/COUNT(*) AS c
+        |FROM (SELECT label, unnest(embedding) AS v,
+        |generate_subscripts(embedding, 1) AS pos FROM embeddings)
+        |GROUP BY 1, 2),
+        |cvec AS (SELECT label AS cell, array_agg(c ORDER BY pos) AS centroid
+        |FROM cent GROUP BY 1),
+        |s1 AS (SELECT corp.vec_id, corp.embedding, cv.cell,
+        |list_dot_product(corp.embedding::DOUBLE[], cv.centroid) /
+        |(sqrt(list_dot_product(corp.embedding::DOUBLE[], corp.embedding::DOUBLE[])) *
+        | sqrt(list_dot_product(cv.centroid, cv.centroid))) AS sim
+        |FROM corp, cvec cv),
+        |a1 AS (SELECT vec_id, embedding, cell FROM
+        |(SELECT *, row_number() OVER (PARTITION BY vec_id
+        |ORDER BY sim DESC, cell) AS r FROM s1) WHERE r = 1),
+        |cent2 AS (SELECT cell, pos,
+        |CAST(SUM(CAST(v AS DECIMAL(28,8))) AS DOUBLE)/COUNT(*) AS c
+        |FROM (SELECT cell, unnest(embedding) AS v,
+        |generate_subscripts(embedding, 1) AS pos FROM a1 WHERE vec_id % 4 = 0)
+        |GROUP BY 1, 2),
+        |cvec2 AS (SELECT cell, array_agg(c ORDER BY pos) AS centroid
+        |FROM cent2 GROUP BY 1),
+        |chg AS (SELECT o.cell FROM cvec o LEFT JOIN cvec2 n USING (cell)
+        |WHERE n.cell IS NULL OR list_sum(list_transform(range(1,65), i ->
+        |(o.centroid[i] - n.centroid[i]) * (o.centroid[i] - n.centroid[i]))) > 0.5),
+        |moved AS (SELECT vec_id, embedding FROM a1
+        |WHERE cell IN (SELECT cell FROM chg)),
+        |s2 AS (SELECT m.vec_id, cv.cell,
+        |list_dot_product(m.embedding::DOUBLE[], cv.centroid) /
+        |(sqrt(list_dot_product(m.embedding::DOUBLE[], m.embedding::DOUBLE[])) *
+        | sqrt(list_dot_product(cv.centroid, cv.centroid))) AS sim
+        |FROM moved m, cvec2 cv),
+        |a2 AS (SELECT vec_id, cell FROM
+        |(SELECT *, row_number() OVER (PARTITION BY vec_id
+        |ORDER BY sim DESC, cell) AS r FROM s2) WHERE r = 1)
+        |SELECT vec_id, CAST(cell AS INTEGER) AS cell FROM
+        |(SELECT vec_id, cell FROM a1 WHERE cell NOT IN (SELECT cell FROM chg)
+        |UNION ALL SELECT vec_id, cell FROM a2) ORDER BY vec_id""".stripMargin,
+
     "q_kmeans" ->
       """WITH cent AS (SELECT label, pos,
         |CAST(SUM(CAST(v AS DECIMAL(28,8))) AS DOUBLE)/COUNT(*) AS c

@@ -129,6 +129,81 @@ object Similarity {
     probeCells(corpusCells, queries, cents, k, nprobe, vecCol, idCol, labelCol)
   }
 
+  /**
+   * IVF maintenance under distribution drift, step 1 — re-trained
+   * coarse quantizer: warm-start Lloyd's ([[kmeans]] initialized from
+   * the CURRENT centroids) over a deterministic id-modulo sample of
+   * the maintained index. The maintained quantizer degrades as the
+   * corpus drifts (hot cells grow unboundedly, probe recall decays);
+   * holding centroids fixed is [[ivfTopKIncremental]]'s contract, and
+   * this is the escape hatch that does NOT cost a full
+   * [[ivfAssign]] rebuild: the retrain pass touches only
+   * sampleKeep/sampleMod of the index, and the warm start keeps cell
+   * identities comparable so [[ivfReassignDrifted]] can re-assign
+   * selectively.
+   *
+   * Deterministic end to end (modulo sample, [[kmeans]]'s
+   * decimal-exact trajectory), so an external engine can replay the
+   * retrained model — the oracle does. Returns the `(labelCol,
+   * centroid)` quantizer shape of [[centroids]]; cells that capture no
+   * sampled vectors drop out (k-shrink), which downstream treats as
+   * "changed" (their vectors must re-home).
+   */
+  def ivfRetrainCentroids(index: DataFrame, oldCents: DataFrame,
+      iters: Int = 1, sampleMod: Int = 4, sampleKeep: Int = 1,
+      vecCol: String = "embedding", idCol: String = "vec_id",
+      labelCol: String = "label"): DataFrame = {
+    require(sampleMod >= 1 && sampleKeep >= 1 && sampleKeep <= sampleMod,
+      s"need 1 <= sampleKeep <= sampleMod, got $sampleKeep/$sampleMod")
+    val sample = index.filter(pmod(col(idCol), lit(sampleMod)) < sampleKeep)
+      .select(col(idCol), col(vecCol))
+    centroids(kmeans(sample, oldCents, iters, vecCol, idCol, labelCol)
+      .withColumnRenamed("cell", labelCol), vecCol, labelCol)
+  }
+
+  /**
+   * IVF maintenance under distribution drift, step 2 — selective
+   * re-assignment: vectors keep their cell unless their cell's
+   * centroid MOVED (squared-L2 displacement between old and new
+   * centroid above `epsilon`) or was dropped by the retrain
+   * (k-shrink); only vectors in changed cells pay the
+   * nearest-centroid pass, against the full NEW quantizer. The index
+   * analogue of [[graft.operators.PartitionOps.compactPartition]]:
+   * bounded maintenance work proportional to how much the model
+   * actually drifted, not to index size.
+   *
+   * Approximation, stated: a vector in an UNCHANGED cell could in
+   * principle sit closer to a moved centroid, and this path keeps it
+   * put — the standard IVF maintenance trade (bounded work per
+   * maintenance round; the probe still searches nprobe cells, so a
+   * borderline vector is still found via its retained cell). The
+   * decision rule is exact and replayable: displacement is a
+   * deterministic double fold over decimal-exact centroids, so the
+   * changed-cell set — and therefore the full output — is
+   * oracle-replicable.
+   */
+  def ivfReassignDrifted(index: DataFrame, oldCents: DataFrame,
+      newCents: DataFrame, epsilon: Double,
+      vecCol: String = "embedding", idCol: String = "vec_id",
+      labelCol: String = "label"): DataFrame = {
+    graft.plans.NativeFns.register(index.sparkSession)
+    val oldC = oldCents.select(col(labelCol).as("cell"), col("centroid").as("__oc"))
+    val newC = newCents.select(col(labelCol).as("cell"), col("centroid").as("__nc"))
+    val diff = zip_with(col("__oc"), col("__nc"), (a, b) => a - b)
+    // k-bounded frame: the zip_with lambda here is interpreted, but it
+    // runs once per CELL, never per vector
+    val changed = oldC.join(newC, Seq("cell"), "left")
+      .filter(col("__nc").isNull ||
+        graft.plans.VecDot(diff, diff) > epsilon)
+      .select("cell")
+    val moved = index.join(broadcast(changed), Seq("cell"), "left_semi")
+    val unchanged = index.join(broadcast(changed), Seq("cell"), "left_anti")
+      .select(col(idCol), col(vecCol), col("cell"))
+    unchanged.unionByName(
+      ivfAssign(moved.select(col(idCol), col(vecCol)), newCents,
+        vecCol, idCol, labelCol))
+  }
+
   /** Shared probe: nprobe-cell query routing + exact cosine re-rank
     * against an assigned corpus `(neighbor_id, v_c, cell)`. */
   private def probeCells(corpusCells: DataFrame, queries: DataFrame,

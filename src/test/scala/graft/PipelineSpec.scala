@@ -411,6 +411,45 @@ class PipelineSpec extends SparkTestBase {
     assert(dupHits.nonEmpty, "injected duplicate should rank first")
   }
 
+  test("IVF retrain re-assigns drifted cells only; untouched cells keep their rows") {
+    val e = Tables.read(spark, sf0001, "embeddings")
+    val cents = Similarity.centroids(e)
+    val drift = e.filter(col("label") === 2)
+      .select((col("vec_id") + 10000).as("vec_id"),
+        transform(col("embedding"), x => (x * lit(10.0f)).cast("float"))
+          .as("embedding"))
+    val index = Similarity.ivfAssign(
+      e.select("vec_id", "embedding").unionByName(drift), cents)
+    val newCents = Similarity.ivfRetrainCentroids(index, cents, iters = 1)
+    // the fixture must exercise BOTH paths: some cells past the
+    // displacement epsilon, some under it
+    val oldC = cents.select(col("label").as("cell"), col("centroid").as("oc"))
+    val newC = newCents.select(col("label").as("cell"), col("centroid").as("nc"))
+    val d = zip_with(col("oc"), col("nc"), (a, b) => a - b)
+    val dists = oldC.join(newC, Seq("cell"), "left")
+      .select(col("cell"), graft.plans.VecDot(d, d).as("d2"))
+      .collect().map(r => r.getInt(0) ->
+        (if (r.isNullAt(1)) Double.MaxValue else r.getDouble(1))).toMap
+    val eps = 0.5
+    val changedCells = dists.filter(_._2 > eps).keySet
+    assert(changedCells.nonEmpty, "no cell drifted past epsilon")
+    assert(changedCells.size < dists.size, "every cell drifted — no selective path")
+    val before = index.select(col("vec_id"), col("cell"))
+      .as[(Long, Int)].collect().toMap
+    val after = Similarity.ivfReassignDrifted(index, cents, newCents, eps)
+      .select(col("vec_id"), col("cell")).as[(Long, Int)].collect().toMap
+    assert(after.keySet == before.keySet, "re-assignment lost or invented rows")
+    // contract: a vector whose cell is unchanged keeps EXACTLY its cell
+    before.foreach { case (id, cell) =>
+      if (!changedCells.contains(cell))
+        assert(after(id) == cell, s"vector $id left unchanged cell $cell")
+    }
+    // the drifted copies sit in changed cells (that is what drift
+    // means here), so at least one vector must actually move cells
+    assert(before.exists { case (id, c) => after(id) != c },
+      "no vector re-homed despite changed cells")
+  }
+
   test("salted skew join matches plain join results") {
     import graft.operators.SkewJoin
     val fact = (1 to 1000).map(i => (if (i % 10 == 0) "hot" else s"k$i", i.toDouble))
