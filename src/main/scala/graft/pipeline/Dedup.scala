@@ -643,10 +643,33 @@ object Dedup {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(windowTokens > 0, "window must be at least one token")
     graft.plans.NativeFns.register(docs.sparkSession)
+    // Window key (round 11; was md5): a 128-bit pair of xxhash64s —
+    // 16 bytes against the md5 hex string's 32, on the operator's
+    // dominant shuffle (the ~W rows per token position that made this
+    // the heaviest shuffle per byte of text on the board), and both
+    // big exchanges (first-occurrence agg AND the window→first
+    // rejoin) shrink. Collision-safety is the SAME assumption the md5
+    // key made: two distinct grams must collide in all 128 bits
+    // (xxhash64 of the gram, and of the (gram, 1) tuple) to merge.
+    // The oracle is unaffected — it defines duplicates by gram
+    // equality (its md5 key is collision-free on the same grounds),
+    // and the output hash-check pins equivalence.
+    //
+    // A two-tier variant (8-byte xx64 first pass finding duplicated
+    // keys, Bloom-pruned exact confirm — the decontaminateBloom
+    // pattern applied intra-operator) was built and MEASURED WORSE
+    // here: on dup-dense corpora (the profiled fixture: a boilerplate
+    // tail on every doc plus templated doc families) nearly every
+    // window is a candidate, so the prefilter pass is pure overhead
+    // (176.8 MB shuffle and +2 eager jobs vs 182.9 MB one-pass).
+    // Key narrowing wins on every density; prefiltering only wins
+    // when duplicates are rare.
     val windows = docs.select(col(idCol),
       posexplode(graft.plans.WordShingles.shingles(col(textCol), windowTokens))
         .as(Seq("pos", "gram")))
-      .select(col(idCol), col("pos"), md5(col("gram")).as("__wk"))
+      .select(col(idCol), col("pos"),
+        struct(xxhash64(col("gram")).as("h1"),
+          xxhash64(col("gram"), lit(1L)).as("h2")).as("__wk"))
     val first = windows.groupBy("__wk")
       .agg(min(struct(col(idCol), col("pos"))).as("__first"),
         count(lit(1)).as("__n"))
@@ -655,35 +678,50 @@ object Dedup {
       .filter(col(s"__first.$idCol") =!= col(idCol) ||
         col("__first.pos") =!= col("pos"))
       .select(col(idCol), col("pos"))
-    // Only documents that actually lost a window pay the
-    // token-granularity rebuild (explode → anti-join → sorted
-    // reassembly). The untouched majority — in a typical corpus most
-    // docs shed nothing — exit through a pure per-row projection:
-    // tokens rejoined with single spaces IS the whitespace
-    // normalization the rebuild applies, with zero token shuffle.
+    // Rebuild (round 11; was explode → covered-position anti-join →
+    // collect_list reassembly): token text NEVER shuffles. The only
+    // per-token-position rows in any exchange are the (id, pos) dup
+    // occurrences; they collapse to ONE sorted position array per
+    // affected document, and the rebuild is a narrow per-row
+    // projection that slices the KEPT token segments straight out of
+    // the document's own token array. The kept segments are the
+    // complement of ∪[p, p+W-1] over dup positions p, which falls out
+    // of the sorted array directly — segment k runs from
+    // (k == 0 ? 0 : P[k] + W) through (k == |P| ? n-1 : P[k+1] - 1),
+    // empty segments vanishing via a zero-length slice — so no
+    // interval merge, no covered-index expansion (the old shape
+    // exploded W rows per dup position), no per-token anti-join, and
+    // no collect_list of token structs. The old shape shuffled every
+    // affected token THREE times (anti-join probe, covered distinct,
+    // rebuild agg) — profiled 182 MB at the 10× row with every doc
+    // affected; this one shuffles dup positions once and the affected
+    // doc row once. Per-task memory stays bounded by the longest
+    // single document (its token array in one row), the same bound
+    // collect_list had.
     val affected = dups.select(col(idCol)).distinct()
-    val affectedDocs = docs.join(affected, Seq(idCol), "left_semi")
-    val toks = affectedDocs.select(col(idCol),
-      posexplode(graft.plans.WordShingles.shingles(col(textCol), 1))
-        .as(Seq("idx", "tok")))
-    val covered = dups.select(col(idCol),
-      explode(sequence(col("pos"), col("pos") + lit(windowTokens - 1)))
-        .as("idx"))
-      .distinct()
-    val kept = toks.join(covered, Seq(idCol, "idx"), "left_anti")
-    val rebuilt = kept.groupBy(idCol)
-      .agg(array_join(
-        transform(array_sort(collect_list(struct(col("idx"), col("tok")))),
-          x => x("tok")), " ").as(textCol))
+    val dupPos = dups.groupBy(idCol)
+      .agg(array_sort(collect_set(col("pos"))).as("__dp"))
+    val rebuiltToks = {
+      val toks = graft.plans.WordShingles.shingles(col(textCol), 1)
+      val p = col("__dp")
+      flatten(transform(sequence(lit(0), size(p)), k => {
+        val start = when(k === 0, lit(0))
+          .otherwise(element_at(p, k) + lit(windowTokens))
+        val end = when(k === size(p), size(toks) - 1)
+          .otherwise(element_at(p, k + 1) - 1)
+        slice(toks, start + 1, greatest(lit(0), end - start + 1))
+      }))
+    }
     val untouched = docs.join(affected, Seq(idCol), "left_anti")
       .select(col(idCol),
         array_join(graft.plans.WordShingles.shingles(col(textCol), 1), " ")
           .as(textCol))
-    // a fully-stripped doc has no kept token → absent from `rebuilt`
-    // → comes back as empty text rather than vanishing
+    // a fully-covered doc yields only empty segments → empty text
+    // rather than vanishing; tokens rejoined with single spaces IS the
+    // whitespace normalization, identical on both paths
     untouched.unionByName(
-      affectedDocs.select(col(idCol)).join(rebuilt, Seq(idCol), "left")
-        .select(col(idCol), coalesce(col(textCol), lit("")).as(textCol)))
+      docs.join(dupPos, Seq(idCol))
+        .select(col(idCol), array_join(rebuiltToks, " ").as(textCol)))
   }
 
   /**

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.functions.{call_function, lit}
-import org.apache.spark.sql.types.{BinaryType, BooleanType, DataType, StringType}
+import org.apache.spark.sql.types.{BinaryType, BooleanType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.util.sketch.BloomFilter
 
@@ -41,10 +41,13 @@ case class BloomMightContain(left: Expression, right: Expression)
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
-      case (StringType, BinaryType) if right.foldable =>
+      // long keys probe via mightContainLong — the SAME hashing
+      // DataFrameStatFunctions.bloomFilter uses to PUT a LongType
+      // column (putLong), so build and probe stay consistent per type
+      case (StringType | LongType, BinaryType) if right.foldable =>
         TypeCheckResult.TypeCheckSuccess
       case other => TypeCheckResult.TypeCheckFailure(
-        "bloom_might_contain requires (string, foldable binary), got " + other)
+        "bloom_might_contain requires (string|bigint, foldable binary), got " + other)
     }
 
   override def dataType: DataType = BooleanType
@@ -56,14 +59,18 @@ case class BloomMightContain(left: Expression, right: Expression)
   @transient private lazy val bloom: BloomFilter =
     BloomFilter.readFrom(right.eval(null).asInstanceOf[Array[Byte]])
 
+  private def isLongKey = left.dataType == LongType
+
   override def nullSafeEval(v: Any, bytes: Any): Any =
-    bloom.mightContainBinary(v.asInstanceOf[UTF8String].getBytes)
+    if (isLongKey) bloom.mightContainLong(v.asInstanceOf[Long])
+    else bloom.mightContainBinary(v.asInstanceOf[UTF8String].getBytes)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val bf = ctx.addReferenceObj("bloomFilter", bloom,
       classOf[BloomFilter].getName)
     nullSafeCodeGen(ctx, ev, (v, _) =>
-      s"${ev.value} = $bf.mightContainBinary($v.getBytes());")
+      if (isLongKey) s"${ev.value} = $bf.mightContainLong($v);"
+      else s"${ev.value} = $bf.mightContainBinary($v.getBytes());")
   }
 
   override protected def withNewChildrenInternal(

@@ -582,6 +582,23 @@ class PipelineSpec extends SparkTestBase {
     assert(kept.size == organic, s"${organic - kept.size} organic docs dropped")
   }
 
+  test("bloom_might_contain long keys: no false negatives, build/probe hashing consistent") {
+    import spark.implicits._
+    val keys = (1L to 2000L).map(_ * 7919L).toDF("k")
+    val bloom = keys.stat.bloomFilter(col("k"), 2000L, 0.01)
+    val bytes = graft.plans.BloomMightContain.serialize(bloom)
+    // every inserted long must test true (putLong/mightContainLong
+    // hashing must agree end to end through the expression)
+    val missed = keys.filter(
+      !graft.plans.BloomMightContain.mightContain(col("k"), bytes)).count()
+    assert(missed == 0, s"$missed inserted keys tested false")
+    // non-members mostly excluded (fpp-bounded, loose bar)
+    val strangers = (1L to 2000L).map(_ * 7919L + 1L).toDF("k")
+    val admitted = strangers.filter(
+      graft.plans.BloomMightContain.mightContain(col("k"), bytes)).count()
+    assert(admitted < 200, s"$admitted of 2000 non-members admitted")
+  }
+
   test("bloom semantic decon matches the plain guard at the same band geometry") {
     val e = Tables.read(spark, sf0001, "embeddings")
     val bench = e.filter(col("vec_id") < 5)
