@@ -454,15 +454,26 @@ object ProfileScale {
           s"$name#x10" -> (() => f(10)))
       } ++ Seq(
         "leakage_split_x50#ext" -> (() => split50Plan()),
-        // (3) paragraph dedup at 50x with the 100%-hot boilerplate key:
-        // the map-side min fold and AQE skew-join must hold when one
-        // paragraph key carries 270k+ occurrences.
+        // (3) paragraph dedup under the adversarial hot key (the
+        // VERDICT r10 #4 fixture): ONE paragraph appended to 50% of
+        // docs, at 50x and 100x — the universal-boilerplate case whose
+        // hot key provably exists at any corpus scale. The slim-row
+        // join + per-row rebuild must keep task skew bounded when one
+        // key carries 1.3M+ occurrences.
         "strip_paragraphs_x50#ext" -> (() =>
           Dedup.stripDuplicateParagraphs(
             scaledDocs(spark, sfDir, 50).select(col("doc_id"),
-              concat(col("text"),
-                lit("\n\nsubscribe to our newsletter for updates"))
-                .as("text")))),
+              when(col("doc_id") % 2 === 0,
+                concat(col("text"),
+                  lit("\n\nsubscribe to our newsletter for updates")))
+                .otherwise(col("text")).as("text")))),
+        "strip_paragraphs_x100#ext" -> (() =>
+          Dedup.stripDuplicateParagraphs(
+            scaledDocs(spark, sfDir, 100).select(col("doc_id"),
+              when(col("doc_id") % 2 === 0,
+                concat(col("text"),
+                  lit("\n\nsubscribe to our newsletter for updates")))
+                .otherwise(col("text")).as("text")))),
         "semantic_decon_bench100k#ext" -> (() => deconBigPlan()),
         "semantic_decon_bloom100k#ext" -> (() => deconBigBloomPlan()),
         // (4) unigram_df at 50×: its 10× rejoin skew (2.53) was round
@@ -583,6 +594,7 @@ object ProfileScale {
     }
     val split50 = best("leakage_split_x50#ext")
     val strip50 = best("strip_paragraphs_x50#ext")
+    val strip100 = best("strip_paragraphs_x100#ext")
     val deconBig = best("semantic_decon_bench100k#ext")
     val deconBigBloom = best("semantic_decon_bloom100k#ext")
     val unigram50 = best("unigram_df_x50#ext")
@@ -592,6 +604,9 @@ object ProfileScale {
     System.err.println(f"[profile] strip_paragraphs_x50 " +
       f"${strip50.elapsedSec}%6.2fs ${strip50.shuffleWriteMB}%8.1fMB " +
       f"skew ${strip50.worstSkew}%4.2f")
+    System.err.println(f"[profile] strip_paragraphs_x100 " +
+      f"${strip100.elapsedSec}%6.2fs ${strip100.shuffleWriteMB}%8.1fMB " +
+      f"skew ${strip100.worstSkew}%4.2f")
     System.err.println(f"[profile] leakage_split_x50    " +
       f"${split50.elapsedSec}%6.2fs ${split50.shuffleWriteMB}%8.1fMB " +
       f"skew ${split50.worstSkew}%4.2f over ${split50.skewStageTasks} tasks")
@@ -604,6 +619,7 @@ object ProfileScale {
     val extended = Seq(
       s""""leakage_split_x50":${block(split50)}""",
       s""""strip_paragraphs_x50":${block(strip50)}""",
+      s""""strip_paragraphs_x100":${block(strip100)}""",
       s""""semantic_decon_bench100k":${block(deconBig)}""",
       s""""semantic_decon_bloom100k":${block(deconBigBloom)}""",
       s""""unigram_df_x50":${block(unigram50)}""")

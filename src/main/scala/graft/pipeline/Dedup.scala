@@ -562,33 +562,50 @@ object Dedup {
    * should diff against the input and keep the original text where no
    * paragraph was stripped.
    *
-   * Scale shape: posexplode → md5 key → min-struct agg (map-side
-   * combinable, so a boilerplate paragraph with 10^8 copies folds to
-   * one row per partition before the exchange) → equi-join back on the
-   * key (AQE's skew-join splits the hot boilerplate keys) → per-doc
-   * reassembly on the id shuffle. Three linear shuffles; no driver
-   * state.
+   * Scale shape (round 11; NO hot-key join and paragraph TEXT never
+   * shuffles — the previous shape joined every paragraph occurrence
+   * back on its key, and the universal-boilerplate key sat under
+   * AQE's skew-split threshold while still being 5×+ a median task:
+   * the board's worst recorded skew). The identity that removes the
+   * join: a doc's DROPPED positions are exactly its dedupable
+   * positions minus the positions where it owns the corpus-wide
+   * first — and both sides of that difference are available without
+   * re-joining occurrences. Pipeline: posexplode → 128-bit
+   * xxhash64-pair key (16 bytes, the [[stripDuplicateWindows]]
+   * collision contract) → min-struct first-occurrence agg (map-side
+   * combinable: the 10^8-copy boilerplate key folds to one row per
+   * partition BEFORE its only exchange, so no task ever sees the hot
+   * key's occurrence list) → winners regroup by doc id (one row per
+   * DISTINCT paragraph, uniform keys) → docs left-join their won-
+   * position arrays (uniform id keys) → narrow per-row rebuild keeps
+   * a paragraph iff exempt or won. Nowhere does a hot key meet an
+   * exchange; per-task memory is bounded by the longest single
+   * document.
    */
   def stripDuplicateParagraphs(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", minParagraphChars: Int = 0): DataFrame = {
-    val paras = docs.select(col(idCol),
-      posexplode(split(col(textCol), "\\n{2,}")).as(Seq("pos", "para")))
-    val (dedupable, exempt) = (length(col("para")) >= minParagraphChars,
-      length(col("para")) < minParagraphChars)
-    val keyed = paras.filter(dedupable).withColumn("__pk", md5(col("para")))
-    val first = keyed.groupBy("__pk")
+    graft.plans.NativeFns.register(docs.sparkSession)
+    def paras = split(col(textCol), "\\n{2,}")
+    val keyed = docs.select(col(idCol),
+        posexplode(paras).as(Seq("pos", "para")))
+      .filter(length(col("para")) >= minParagraphChars) // exempt never drop
+      .select(col(idCol), col("pos"),
+        struct(xxhash64(col("para")).as("h1"),
+          xxhash64(col("para"), lit(1L)).as("h2")).as("__pk"))
+    val won = keyed.groupBy("__pk")
       .agg(min(struct(col(idCol), col("pos"))).as("__first"))
-    val kept = keyed.join(first, Seq("__pk"))
-      .filter(col(s"__first.$idCol") === col(idCol) &&
-        col("__first.pos") === col("pos"))
-      .select(col(idCol), col("pos"), col("para"))
-      .unionByName(paras.filter(exempt))
-    val rebuilt = kept.groupBy(idCol)
-      .agg(array_join(
-        transform(array_sort(collect_list(struct(col("pos"), col("para")))),
-          x => x("para")), "\n\n").as(textCol))
-    docs.select(col(idCol)).join(rebuilt, Seq(idCol), "left")
-      .select(col(idCol), coalesce(col(textCol), lit("")).as(textCol))
+      .groupBy(col(s"__first.$idCol").as(idCol))
+      .agg(array_sort(collect_set(col("__first.pos"))).as("__won"))
+    // separator normalization on every path (split + rejoin with
+    // exactly "\n\n"); a doc whose every paragraph drops comes back as
+    // empty text rather than vanishing. A doc absent from `won` kept
+    // no dedupable paragraph — exempt ones still survive the filter.
+    docs.join(won, Seq(idCol), "left")
+      .select(col(idCol), array_join(
+        filter(paras, (p, i) => length(p) < minParagraphChars ||
+          array_contains(
+            coalesce(col("__won"), typedlit(Array.empty[Int])), i)),
+        "\n\n").as(textCol))
   }
 
   /**
@@ -627,17 +644,18 @@ object Dedup {
    * vanishing.
    *
    * Scale shape (all token-granularity but linear, no driver state):
-   * windows carry only `(id, pos, md5)` into the shuffle — the W-token
-   * gram string is hashed BEFORE the exchange, so shuffle volume is
-   * ~24 bytes per token position, not W tokens of text per position.
-   * First-occurrence is the same min-struct agg as paragraph dedup
-   * (map-side combinable: a boilerplate window with 10^8 copies folds
-   * to one row per partition before the exchange); the window→first
-   * equi-join rides AQE skew-join on hot keys; covered positions
-   * dedupe on (id, idx) — fine-grained keys, no hot key possible —
-   * and the kept-token anti-join + per-doc reassembly shuffle on the
-   * id. Per-task memory is bounded by the longest single document
-   * (the rebuild's collect_list), exactly like paragraph dedup.
+   * windows carry only `(id, pos, 128-bit key)` into the shuffle —
+   * the W-token gram string is hashed BEFORE the exchange, so shuffle
+   * volume is ~28 bytes per token position, not W tokens of text per
+   * position. First-occurrence is the same min-struct agg as
+   * paragraph dedup (map-side combinable: a boilerplate window with
+   * 10^8 copies folds to one row per partition before the exchange);
+   * the window→first equi-join rides AQE skew-join on hot keys; dup
+   * positions collapse to one sorted array per affected doc; and the
+   * rebuild is a narrow per-row segment slice — token text never
+   * enters an exchange (see the rebuild comment below). Per-task
+   * memory is bounded by the longest single document (its token array
+   * in one row), exactly like paragraph dedup.
    */
   def stripDuplicateWindows(docs: DataFrame, windowTokens: Int,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
