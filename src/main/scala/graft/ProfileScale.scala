@@ -476,6 +476,16 @@ object ProfileScale {
                 .otherwise(col("text")).as("text")))),
         "semantic_decon_bench100k#ext" -> (() => deconBigPlan()),
         "semantic_decon_bloom100k#ext" -> (() => deconBigBloomPlan()),
+        // (5) alarm machine at 50×: its 1×→10× elapsed growth was the
+        // worst curve in the round-10 profile (and ~17% super-linear
+        // shuffle on the 5×→10× doubling); one 50× point decides
+        // whether the densify→window→vote-join pipeline stays linear
+        // when series cardinality grows 50-fold.
+        "alarm_machine_x50#ext" -> (() => {
+          val series = StatWindowAgg.aggregateOne(
+            scaledDatapoints(spark, sfDir, 50), "Sum", 3600)
+          AlarmStateMachine.evaluate(series, scaledSlas(spark, 50))
+        }),
         // (4) unigram_df at 50×: its 10× rejoin skew (2.53) was round
         // 9's highest, and stopword keys provably stay hot at any
         // corpus size — one 50× point decides whether AQE skew-join
@@ -597,6 +607,7 @@ object ProfileScale {
     val strip100 = best("strip_paragraphs_x100#ext")
     val deconBig = best("semantic_decon_bench100k#ext")
     val deconBigBloom = best("semantic_decon_bloom100k#ext")
+    val alarm50 = best("alarm_machine_x50#ext")
     val unigram50 = best("unigram_df_x50#ext")
     System.err.println(f"[profile] unigram_df_x50       " +
       f"${unigram50.elapsedSec}%6.2fs ${unigram50.shuffleWriteMB}%8.1fMB " +
@@ -616,12 +627,16 @@ object ProfileScale {
     System.err.println(f"[profile] semantic_decon_bloom100k " +
       f"${deconBigBloom.elapsedSec}%6.2fs ${deconBigBloom.shuffleWriteMB}%8.1fMB " +
       f"skew ${deconBigBloom.worstSkew}%4.2f")
+    System.err.println(f"[profile] alarm_machine_x50    " +
+      f"${alarm50.elapsedSec}%6.2fs ${alarm50.shuffleWriteMB}%8.1fMB " +
+      f"skew ${alarm50.worstSkew}%4.2f")
     val extended = Seq(
       s""""leakage_split_x50":${block(split50)}""",
       s""""strip_paragraphs_x50":${block(strip50)}""",
       s""""strip_paragraphs_x100":${block(strip100)}""",
       s""""semantic_decon_bench100k":${block(deconBig)}""",
       s""""semantic_decon_bloom100k":${block(deconBigBloom)}""",
+      s""""alarm_machine_x50":${block(alarm50)}""",
       s""""unigram_df_x50":${block(unigram50)}""")
     val json = (entries ++ extended).mkString(
       s"""{"sf":"$sfDir","scale_factors":[1,5,10],"linearity_check":"x10 shuffle bytes / x5 shuffle bytes ~ 2.0","skew_threshold":4.0,""",
