@@ -44,6 +44,21 @@ private[graft] object DedupEntries {
       Dedup.exactDedup(base.unionByName(dups)).select("doc_id").orderBy("doc_id")
     },
 
+    // Quality-aware near-dup keep policy: one winner per near-dup
+    // cluster (highest quality score, ties to lowest id) plus all
+    // unclustered docs — keep-first generalized to cluster members
+    // that DIFFER. The oracle independently re-derives the clusters
+    // (recursive-CTE connected components), the quality scores, and
+    // the per-cluster argmax.
+    "q_dedup_keep_best" -> { (s, dir) =>
+      val corpus = nearDupCorpus(s, dir)
+      val pairs = Dedup.minhashNearDupPairs(corpus, shingleN = 3, k = 12,
+        bands = 4, threshold = 0.5)
+      Dedup.nearDupKeepBest(corpus, Dedup.nearDupClusters(pairs),
+          graft.functions.TextFns.qualityScore(col("text")))
+        .select("doc_id").orderBy("doc_id")
+    },
+
     // MinHash + LSH near-dup (fully oracle-replicable via md5 minhash).
     "q_dedup_minhash" -> { (s, dir) =>
       Dedup.minhashNearDupPairs(nearDupCorpus(s, dir), shingleN = 3, k = 12,
@@ -403,6 +418,54 @@ private[graft] object DedupEntries {
          |UNION SELECT r.src, e.id_b FROM reach r JOIN edges e ON r.dst = e.id_a)
          |SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
          |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
+
+    // same cluster derivation as q_dedup_clusters, then quality scores
+    // (the q_quality formula over all_docs) and the per-cluster argmax
+    "q_dedup_keep_best" ->
+      s"""WITH RECURSIVE $nearDupCorpusSql,
+         |w AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS w FROM all_docs),
+         |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(w) >= 3
+         |THEN list_transform(range(1, len(w)-1), i -> array_to_string(w[i:i+2], ' '))
+         |ELSE [] END) AS shingles FROM w),
+         |shf AS (SELECT * FROM sh WHERE len(shingles) > 0),
+         |sig AS (SELECT doc_id, shingles, list_transform(range(0, 12),
+         |i -> list_min(list_transform(shingles, s -> md5(CAST(i AS VARCHAR) || ':' || s)))) AS sig FROM shf),
+         |band AS (SELECT doc_id, t.b AS band, md5(array_to_string(sig[t.b*3+1:t.b*3+3], '|')) AS band_key
+         |FROM sig, range(0, 4) t(b)),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM band a
+         |JOIN band b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+         |j AS (SELECT id_a, id_b,
+         |CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE) /
+         |len(list_distinct(list_concat(x.shingles, y.shingles))) AS jaccard
+         |FROM cand JOIN shf x ON x.doc_id = id_a JOIN shf y ON y.doc_id = id_b),
+         |pairs AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.5),
+         |edges AS (SELECT id_a, id_b FROM pairs UNION SELECT id_b, id_a FROM pairs),
+         |reach(src, dst) AS (SELECT id_a, id_b FROM edges
+         |UNION SELECT r.src, e.id_b FROM reach r JOIN edges e ON r.dst = e.id_a),
+         |clus AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+         |FROM reach GROUP BY src),
+         |t AS (SELECT doc_id, text,
+         |list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS toks FROM all_docs),
+         |c AS (SELECT doc_id,
+         |CAST(length(text) AS DOUBLE) AS chars,
+         |CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) AS alpha,
+         |CAST(len(list_filter(toks, x -> list_contains(
+         |['the','a','of','and','is','le','la','les','et','des','der','die','und','das','ist','el','los','las','y','es'], x))) AS DOUBLE) AS stop,
+         |greatest(len(toks), 1) AS ntoks
+         |FROM t),
+         |q AS (SELECT doc_id, round((
+         |least(chars/500.0, 1.0) +
+         |(CASE WHEN chars > 0 THEN alpha/chars ELSE 0.0 END) +
+         |least(stop*10.0/CAST(ntoks AS DOUBLE), 1.0)) / 3.0, 6) AS quality
+         |FROM c),
+         |wn AS (SELECT doc_id FROM (SELECT cl.doc_id, cl.cluster_id,
+         |row_number() OVER (PARTITION BY cl.cluster_id
+         |ORDER BY q.quality DESC, cl.doc_id) AS r
+         |FROM clus cl JOIN q USING (doc_id)) WHERE r = 1)
+         |SELECT doc_id FROM all_docs
+         |WHERE doc_id NOT IN (SELECT doc_id FROM clus)
+         |UNION ALL SELECT doc_id FROM wn
+         |ORDER BY doc_id""".stripMargin,
 
     "q_dedup_minhash" ->
       s"""WITH $nearDupCorpusSql,

@@ -387,6 +387,43 @@ object Dedup {
   }
 
   /**
+   * Quality-aware near-dup winner selection: keep exactly ONE document
+   * per near-dup cluster — the best by (`score` desc, id asc) — plus
+   * every unclustered document. The production keep-policy for
+   * near-dup dedup: "first occurrence" is the right rule for EXACT
+   * duplicates (copies are interchangeable), but near-dup cluster
+   * members differ, and keep-first discards the best variant whenever
+   * it isn't the oldest id — the standard pipeline rule is keep the
+   * highest-quality member (longest, best quality score, preferred
+   * source) of each cluster.
+   *
+   * `clusters` is a (idCol, cluster_id) table ([[nearDupClusters]]
+   * output); `score` is any deterministic Column over the doc row
+   * (e.g. [[graft.functions.TextFns.qualityScore]]). Ties break to
+   * the lowest id, so selection is total and replayable.
+   *
+   * Scale shape: the winner per cluster is ONE map-side-combinable
+   * max-struct aggregation over (cluster_id, score, id) rows — never
+   * a window sort over cluster members, so a pathological million-doc
+   * cluster folds to one row per partition before its exchange. The
+   * cluster table joins on the id with NO broadcast hint (at crawl
+   * scale it is a sizable fraction of the corpus — the
+   * [[graft.pipeline.Corpus.leakageSafeSplit]] contract); AQE
+   * broadcasts when it actually measures small.
+   */
+  def nearDupKeepBest(docs: DataFrame, clusters: DataFrame, score: Column,
+      idCol: String = "doc_id"): DataFrame = {
+    val clusterIds = clusters.select(col(idCol), col("cluster_id"))
+    val winners = docs.select(col(idCol), score.as("__score"))
+      .join(clusterIds, Seq(idCol))
+      .groupBy("cluster_id")
+      .agg(max(struct(col("__score"), (-col(idCol)).as("__nid"))).as("__w"))
+      .select((-col("__w.__nid")).as(idCol))
+    docs.join(clusterIds.select(idCol), Seq(idCol), "left_anti")
+      .unionByName(docs.join(winners, Seq(idCol), "left_semi"))
+  }
+
+  /**
    * N-gram Jaccard near-dup pairs without MinHash: candidates share at
    * least `minSharedShingles` (rare) shingles. Blocking on the shingle
    * itself explodes hot shingles, so shingles appearing in more than

@@ -411,6 +411,29 @@ class PipelineSpec extends SparkTestBase {
     assert(dupHits.nonEmpty, "injected duplicate should rank first")
   }
 
+  test("near-dup keep-best keeps the highest-scoring cluster member, not the first") {
+    import org.apache.spark.sql.Row
+    val docs = Seq(
+      (1L, "short"),                                  // cluster A, low score
+      (2L, "a much longer and better document " * 20), // cluster A, high score
+      (7L, "lonely unclustered document")              // no cluster
+    ).toDF("doc_id", "text")
+    val clusters = Seq((1L, 1L), (2L, 1L)).toDF("doc_id", "cluster_id")
+    val kept = graft.pipeline.Dedup.nearDupKeepBest(docs, clusters,
+        graft.functions.TextFns.qualityScore(col("text")))
+      .select("doc_id").as[Long].collect().toSet
+    // keep-first would keep doc 1; keep-best must keep doc 2
+    assert(kept == Set(2L, 7L), s"expected {2, 7}, got $kept")
+    // tie on score breaks to the LOWEST id (total, replayable order)
+    val tied = Seq((5L, "same text"), (3L, "same text"))
+      .toDF("doc_id", "text")
+    val tiedClusters = Seq((5L, 3L), (3L, 3L)).toDF("doc_id", "cluster_id")
+    val tieKept = graft.pipeline.Dedup.nearDupKeepBest(tied, tiedClusters,
+        graft.functions.TextFns.qualityScore(col("text")))
+      .select("doc_id").as[Long].collect().toSet
+    assert(tieKept == Set(3L), s"tie must break to lowest id, got $tieKept")
+  }
+
   test("IVF retrain re-assigns drifted cells only; untouched cells keep their rows") {
     val e = Tables.read(spark, sf0001, "embeddings")
     val cents = Similarity.centroids(e)
