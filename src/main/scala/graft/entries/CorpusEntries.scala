@@ -245,6 +245,55 @@ private[graft] object CorpusEntries {
         TextFns.tokenCount(col("text")).cast("long").as("n_tokens"))
       graft.pipeline.Corpus.tokenBudgetSelect(spread(scored), budget = 8000L)
         .select("doc_id", "score", "n_tokens").orderBy("doc_id")
+    },
+
+    // BM25 ranked retrieval: top-10 docs for a fixed probe-term set,
+    // integer-ppm arithmetic end to end (k1=1.2, b=0.75).
+    "q_bm25" -> { (s, dir) =>
+      graft.pipeline.Bm25.topDocs(spread(docs(s, dir)),
+          Seq("spark", "window", "customer", "vector", "merge"), k = 10)
+        .orderBy("rank")
+    },
+
+    // Gopher structural repetition rules over a lined fixture: docs
+    // have no newlines, so compose each fixture doc from 4 base docs
+    // as two 2-line paragraphs, with a duplicated line for d % 3 == 0
+    // and a duplicated paragraph for d % 5 == 0 — both sides build
+    // the identical fixture.
+    "q_gopher_rules" -> { (s, dir) =>
+      val base = docs(s, dir).select(col("doc_id"), col("text"))
+      val slots = base.select(expr("doc_id div 4").as("d"),
+        pmod(col("doc_id"), lit(4)).as("slot"), col("text"))
+      val g = slots.groupBy("d").agg(
+        max(when(col("slot") === 0, col("text"))).as("t0"),
+        max(when(col("slot") === 1, col("text"))).as("t1"),
+        max(when(col("slot") === 2, col("text"))).as("t2"),
+        max(when(col("slot") === 3, col("text"))).as("t3"),
+        count(lit(1)).as("n")).filter(col("n") === 4)
+      val l1 = when(pmod(col("d"), lit(3)) === 0, col("t0")).otherwise(col("t1"))
+      val p1 = concat_ws("\n", col("t0"), l1)
+      val p2 = when(pmod(col("d"), lit(5)) === 0, p1)
+        .otherwise(concat_ws("\n", col("t2"), col("t3")))
+      val fixture = g.select(col("d").as("doc_id"),
+        concat(p1, lit("\n\n"), p2).as("text"))
+      graft.pipeline.Corpus.gopherRepetition(spread(fixture))
+        .orderBy("doc_id")
+    },
+
+    // Snapshot diff between two corpus releases: v2 drops doc_id%11,
+    // rewrites doc_id%7, and adds +1000000-keyed docs for doc_id%13 —
+    // the audit join classifies every id.
+    "q_snapshot_diff" -> { (s, dir) =>
+      val v1 = docs(s, dir).select(col("doc_id"), col("text"))
+      val v2 = v1.filter(col("doc_id") % 11 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(v1.filter(col("doc_id") % 13 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      graft.pipeline.Corpus.snapshotDiff(v1, v2)
+        .filter(col("status") =!= "unchanged")
+        .orderBy("doc_id")
     }
   )
 
@@ -580,6 +629,96 @@ private[graft] object CorpusEntries {
         |CAST(SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_tokens AS before
         |FROM t)
         |SELECT doc_id, n_tokens, CAST(before // 2048 AS BIGINT) AS pack_id
-        |FROM c ORDER BY doc_id""".stripMargin
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q_bm25" ->
+      """WITH t AS (SELECT doc_id,
+        |list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks FROM documents),
+        |dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM t),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS l FROM dl),
+        |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        |FROM (SELECT doc_id, unnest(toks) AS term FROM t)
+        |WHERE term IN ('spark','window','customer','vector','merge') GROUP BY 1, 2),
+        |df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |sc AS (SELECT tf.doc_id, tf.tf,
+        |((2 * (tot.n - df.df) + 1) * 1000000) // (2 * df.df + 1) AS idf_ppm,
+        |(1000000 * (tot.l + 3 * dl.dl * tot.n)) // tot.l AS norm_ppm
+        |FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN tot),
+        |s2 AS (SELECT doc_id,
+        |(idf_ppm * (22 * tf * 1000000)) // (10 * tf * 1000000 + 3 * norm_ppm) AS score
+        |FROM sc),
+        |pd AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
+        |CAST(SUM(score) AS BIGINT) AS score FROM s2 GROUP BY 1),
+        |r AS (SELECT doc_id, n_terms, score,
+        |row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM pd)
+        |SELECT doc_id, n_terms, score, CAST(rank AS INTEGER) AS rank
+        |FROM r WHERE rank <= 10 ORDER BY rank""".stripMargin,
+
+    "q_gopher_rules" ->
+      """WITH base AS (SELECT doc_id, text FROM documents),
+        |slots AS (SELECT doc_id // 4 AS d, doc_id % 4 AS slot, text FROM base),
+        |g AS (SELECT d, max(CASE WHEN slot = 0 THEN text END) AS t0,
+        |max(CASE WHEN slot = 1 THEN text END) AS t1,
+        |max(CASE WHEN slot = 2 THEN text END) AS t2,
+        |max(CASE WHEN slot = 3 THEN text END) AS t3, count(*) AS n
+        |FROM slots GROUP BY d),
+        |fx0 AS (SELECT d AS doc_id,
+        |t0 || chr(10) || (CASE WHEN d % 3 = 0 THEN t0 ELSE t1 END) AS p1,
+        |CASE WHEN d % 5 = 0
+        |THEN t0 || chr(10) || (CASE WHEN d % 3 = 0 THEN t0 ELSE t1 END)
+        |ELSE t2 || chr(10) || t3 END AS p2
+        |FROM g WHERE n = 4),
+        |fixture AS (SELECT doc_id, p1 || chr(10) || chr(10) || p2 AS text FROM fx0),
+        |l1 AS (SELECT doc_id, unnest(list_filter(string_split(text, chr(10)),
+        |x -> x <> '')) AS u FROM fixture),
+        |lc AS (SELECT doc_id, u, COUNT(*) AS c, length(u) AS len FROM l1 GROUP BY 1, 2),
+        |la AS (SELECT doc_id, SUM(c) AS nl, SUM(c - 1) AS dup,
+        |SUM(c * len) AS ch, SUM((c - 1) * len) AS dch FROM lc GROUP BY 1),
+        |px AS (SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '\n{2,}'),
+        |x -> x <> '')) AS u FROM fixture),
+        |pc AS (SELECT doc_id, u, COUNT(*) AS c, length(u) AS len FROM px GROUP BY 1, 2),
+        |pa AS (SELECT doc_id, SUM(c) AS np, SUM(c - 1) AS dup,
+        |SUM(c * len) AS ch, SUM((c - 1) * len) AS dch FROM pc GROUP BY 1),
+        |w AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'),
+        |x -> x <> '') AS w FROM fixture),
+        |bg AS (SELECT doc_id, unnest(CASE WHEN len(w) >= 2
+        |THEN list_transform(range(1, len(w)), i -> array_to_string(w[i:i+1], ' '))
+        |ELSE [] END) AS gram FROM w),
+        |bc AS (SELECT doc_id, gram, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+        |br AS (SELECT doc_id, c * length(gram) AS top_chars,
+        |row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, gram) AS r FROM bc),
+        |tb AS (SELECT doc_id, top_chars FROM br WHERE r = 1),
+        |nc AS (SELECT doc_id, length(text) AS nchars FROM fixture),
+        |res AS (SELECT nc.doc_id,
+        |CAST(la.nl AS BIGINT) AS n_lines,
+        |CAST((1000000 * la.dup) // la.nl AS BIGINT) AS dup_line_ppm,
+        |CAST((1000000 * la.dch) // greatest(la.ch, 1) AS BIGINT) AS dup_line_char_ppm,
+        |CAST(pa.np AS BIGINT) AS n_paras,
+        |CAST((1000000 * pa.dup) // pa.np AS BIGINT) AS dup_para_ppm,
+        |CAST((1000000 * pa.dch) // greatest(pa.ch, 1) AS BIGINT) AS dup_para_char_ppm,
+        |CAST((1000000 * coalesce(tb.top_chars, 0)) // greatest(nc.nchars, 1) AS BIGINT)
+        |AS top_bigram_char_ppm
+        |FROM nc JOIN la USING (doc_id) JOIN pa USING (doc_id)
+        |LEFT JOIN tb USING (doc_id))
+        |SELECT *,
+        |(dup_line_ppm <= 300000 AND dup_line_char_ppm <= 200000 AND
+        |dup_para_ppm <= 300000 AND dup_para_char_ppm <= 200000 AND
+        |top_bigram_char_ppm <= 200000) AS keep
+        |FROM res ORDER BY doc_id""".stripMargin,
+
+    "q_snapshot_diff" ->
+      """WITH v1 AS (SELECT doc_id, text FROM documents),
+        |v2 AS (SELECT doc_id,
+        |CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text
+        |FROM v1 WHERE doc_id % 11 <> 0
+        |UNION ALL SELECT doc_id + 1000000 AS doc_id, text FROM v1 WHERE doc_id % 13 = 0),
+        |j AS (SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+        |CASE WHEN o.doc_id IS NULL THEN 'added'
+        |WHEN n.doc_id IS NULL THEN 'removed'
+        |WHEN md5(o.text) <> md5(n.text) THEN 'changed'
+        |ELSE 'unchanged' END AS status
+        |FROM v1 o FULL OUTER JOIN v2 n ON o.doc_id = n.doc_id)
+        |SELECT doc_id, status FROM j WHERE status <> 'unchanged'
+        |ORDER BY doc_id""".stripMargin
   )
 }

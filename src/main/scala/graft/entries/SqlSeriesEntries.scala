@@ -283,6 +283,13 @@ private[graft] object SqlSeriesEntries {
         }
         .toDF("event_type", "user_id", "cents", "rank")
         .orderBy("event_type", "rank")
+    },
+
+    // Ordered funnel: view → click → purchase, stage times chaining
+    // strictly forward per user, conversion as ppm of stage 1.
+    "q_funnel" -> { (s, dir) =>
+      graft.operators.Funnel.funnel(ev(s, dir),
+        Seq("view", "click", "purchase")).orderBy("stage")
     }
   )
 
@@ -476,6 +483,24 @@ private[graft] object SqlSeriesEntries {
         |r AS (SELECT *, row_number() OVER (PARTITION BY event_type
         |ORDER BY cents DESC, user_id) AS rank FROM c)
         |SELECT event_type, user_id, cents, CAST(rank AS INTEGER) AS rank
-        |FROM r WHERE rank <= 3 ORDER BY event_type, rank""".stripMargin
+        |FROM r WHERE rank <= 3 ORDER BY event_type, rank""".stripMargin,
+
+    "q_funnel" ->
+      """WITH s1 AS (SELECT user_id, MIN(ts) AS t FROM events
+        |WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e
+        |JOIN s1 ON e.user_id = s1.user_id
+        |WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY 1),
+        |s3 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e
+        |JOIN s2 ON e.user_id = s2.user_id
+        |WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY 1),
+        |c AS (SELECT 1 AS stage, 'view' AS event_type,
+        |CAST(COUNT(*) AS BIGINT) AS users FROM s1
+        |UNION ALL SELECT 2, 'click', COUNT(*) FROM s2
+        |UNION ALL SELECT 3, 'purchase', COUNT(*) FROM s3),
+        |f AS (SELECT users AS u1 FROM c WHERE stage = 1)
+        |SELECT CAST(stage AS INTEGER) AS stage, event_type, users,
+        |CAST((1000000 * users) // greatest(u1, 1) AS BIGINT) AS conv_ppm
+        |FROM c CROSS JOIN f ORDER BY stage""".stripMargin
   )
 }

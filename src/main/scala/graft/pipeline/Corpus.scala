@@ -919,4 +919,116 @@ object Corpus {
         expr("(1000L * familiar) div n_bigrams").cast("long"))
       .drop("familiar")
   }
+
+  /**
+   * Gopher-style structural repetition filter (Rae et al. 2021,
+   * Table A1) — the line/paragraph members of the repetition family
+   * that the scalar `TextFns.docSignals` (n-gram repetition ratio)
+   * and [[topNgramCoverage]] (occurrence share) can't express:
+   *
+   *   - duplicate LINE fraction and duplicate-line CHARACTER fraction
+   *     (a duplicate = every occurrence of a line past its first),
+   *   - the same two for paragraphs (split on blank lines),
+   *   - top-bigram character coverage (chars of the most frequent
+   *     word bigram over total chars; ties resolved to the
+   *     lexicographically smallest gram — deterministic),
+   *   - a composite `keep` decision at the published thresholds
+   *     (dup-line ≤ 0.30, dup-line-chars ≤ 0.20, dup-para ≤ 0.30,
+   *     dup-para-chars ≤ 0.20, top-bigram-chars ≤ 0.20).
+   *
+   * All fractions are integer parts-per-million (floor division) so
+   * the operator stays hash-exact across engines — same trade as
+   * [[unigramDfScore]].
+   *
+   * Plan: three per-doc aggregates (lines, paragraphs, bigrams), each
+   * explode → (doc, unit) count → per-doc sum, all map-side
+   * combinable and keyed by doc id; the bigram argmax is a per-doc
+   * window whose group is bounded by document length. The three
+   * aggregates then join on the id — co-partitioned by the same key,
+   * so AQE folds the exchanges. No corpus-wide state: every row of
+   * every shuffle belongs to one document.
+   */
+  def gopherRepetition(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    graft.plans.NativeFns.register(docs.sparkSession)
+    val base = docs.select(col(idCol), col(textCol).as("__text"))
+
+    // per-doc duplicate stats over one split unit (lines/paragraphs)
+    def dupStats(splitPattern: String, prefix: String): DataFrame = {
+      val units = base.select(col(idCol),
+          explode(split(col("__text"), splitPattern)).as("__u"))
+        .filter(length(col("__u")) > 0)
+      units.groupBy(col(idCol), col("__u"))
+        .agg(count(lit(1)).cast("long").as("__c"))
+        .withColumn("__len", length(col("__u")).cast("long"))
+        .groupBy(idCol)
+        .agg(sum("__c").as("__n"),
+          sum(expr("__c - 1")).as("__dup"),
+          sum(expr("__c * __len")).as("__chars"),
+          sum(expr("(__c - 1) * __len")).as("__dupChars"))
+        .select(col(idCol),
+          col("__n").cast("long").as(s"n_$prefix"),
+          expr("(1000000 * __dup) div __n").cast("long")
+            .as(s"dup_${prefix.dropRight(1)}_ppm"),
+          expr("(1000000 * __dupChars) div greatest(__chars, 1)").cast("long")
+            .as(s"dup_${prefix.dropRight(1)}_char_ppm"))
+    }
+
+    val lines = dupStats("\n", "lines")
+    val paras = dupStats("\n{2,}", "paras")
+
+    // most frequent bigram's character coverage, ties to smallest gram
+    val bigrams = base.select(col(idCol),
+        explode(graft.plans.WordShingles.shingles(col("__text"), 2)).as("__g"))
+      .groupBy(col(idCol), col("__g"))
+      .agg(count(lit(1)).cast("long").as("__c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("__c").desc, col("__g"))
+    val topBigram = bigrams.withColumn("__r", row_number().over(w))
+      .filter(col("__r") === 1)
+      .select(col(idCol), (col("__c") * length(col("__g"))).as("__topChars"))
+
+    base.select(col(idCol), length(col("__text")).cast("long").as("__nchars"))
+      .join(lines, Seq(idCol))
+      .join(paras, Seq(idCol))
+      .join(topBigram, Seq(idCol), "left")
+      .withColumn("top_bigram_char_ppm",
+        expr("(1000000 * coalesce(__topChars, 0L)) div greatest(__nchars, 1)")
+          .cast("long"))
+      .withColumn("keep",
+        col("dup_line_ppm") <= 300000 && col("dup_line_char_ppm") <= 200000 &&
+        col("dup_para_ppm") <= 300000 && col("dup_para_char_ppm") <= 200000 &&
+        col("top_bigram_char_ppm") <= 200000)
+      .select(col(idCol), col("n_lines"), col("dup_line_ppm"),
+        col("dup_line_char_ppm"), col("n_paras"), col("dup_para_ppm"),
+        col("dup_para_char_ppm"), col("top_bigram_char_ppm"), col("keep"))
+  }
+
+  /**
+   * Corpus snapshot diff — classify every document as added /
+   * removed / changed / unchanged between two corpus versions, the
+   * audit step between two training-data releases ("what actually
+   * moved since v1?"). Content identity is md5 of the text, so a
+   * rewritten doc under the same id is `changed`, not `unchanged`.
+   *
+   * Plan: each side reduces to (id, md5) — a narrow projection, no
+   * shuffle — then ONE full-outer hash join on the id classifies
+   * everything. At 100 TB this is the minimal shape: the join carries
+   * 48-byte rows, never document text, and partitions by the id key.
+   * Output: (idCol, status) with status ∈ {added, removed, changed,
+   * unchanged}.
+   */
+  def snapshotDiff(oldDocs: DataFrame, newDocs: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val o = oldDocs.select(col(idCol).as("__oid"),
+      md5(col(textCol)).as("__oh"))
+    val n = newDocs.select(col(idCol).as("__nid"),
+      md5(col(textCol)).as("__nh"))
+    o.join(n, col("__oid") === col("__nid"), "full_outer")
+      .select(coalesce(col("__oid"), col("__nid")).as(idCol),
+        when(col("__oid").isNull, "added")
+          .when(col("__nid").isNull, "removed")
+          .when(col("__oh") =!= col("__nh"), "changed")
+          .otherwise("unchanged").as("status"))
+  }
 }

@@ -1236,4 +1236,115 @@ class PipelineSpec extends SparkTestBase {
       "CAST(NULL AS FLOAT)), 4, 64, 42, 1000000) AS p").collect()
     assert(nulled.head.isNullAt(0))
   }
+
+  test("bm25: integer formula matches reference, saturation and df order, " +
+      "top-k prune is rank-neutral") {
+    import graft.pipeline.Bm25
+    val corpus = Seq(
+      (1L, "spark spark spark spark engine"),       // high tf, short
+      (2L, "spark engine engine engine engine engine engine engine engine spark"),
+      (3L, "engine room with no probe terms here at all today ok"),
+      (4L, "spark"),                                // tf 1, tiny doc
+      (5L, "merge merge spark")).toDF("doc_id", "text")
+    val terms = Seq("spark", "merge")
+    val rows = Bm25.termScores(corpus, terms)
+      .select("doc_id", "term", "tf", "df", "score")
+      .as[(Long, String, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4, r._5)).toMap
+    // Scala reference of the documented integer semantics
+    val docs = Map(1L -> "spark spark spark spark engine",
+      2L -> "spark engine engine engine engine engine engine engine engine spark",
+      3L -> "engine room with no probe terms here at all today ok",
+      4L -> "spark", 5L -> "merge merge spark")
+      .map { case (id, t) => id -> t.split("\\s+").toSeq }
+    val n = docs.size.toLong
+    val l = docs.values.map(_.size.toLong).sum
+    def ref(id: Long, term: String): (Long, Long, Long) = {
+      val tf = docs(id).count(_ == term).toLong
+      val df = docs.values.count(_.contains(term)).toLong
+      val norm = (1000000L * (l + 3 * docs(id).size * n)) / l
+      val idf = ((2 * (n - df) + 1) * 1000000L) / (2 * df + 1)
+      (tf, df, (idf * (22 * tf * 1000000L)) / (10 * tf * 1000000L + 3 * norm))
+    }
+    rows.keys.foreach { case (id, t) =>
+      assert(rows((id, t)) == ref(id, t), s"integer BM25 mismatch at ($id,$t)")
+    }
+    // df ordering: 'merge' (df 1) outweighs 'spark' (df 4) at equal tf/dl
+    assert(ref(5L, "merge")._3 > ref(5L, "spark")._3)
+    // saturation: 4x the tf is far less than 4x the score
+    assert(ref(1L, "spark")._3 < 4 * ref(4L, "spark")._3)
+    // top-k prune must not change the full ranking
+    val full = Bm25.topDocs(corpus, terms, k = 10)
+      .select("doc_id", "rank").as[(Long, Int)].collect().toMap
+    assert(full.size == 4 && !full.contains(3L), "doc 3 matches no term")
+    val top2 = Bm25.topDocs(corpus, terms, k = 2)
+      .select("doc_id", "rank").as[(Long, Int)].collect().toMap
+    assert(top2 == full.filter(_._2 <= 2), "prune changed the top-k")
+  }
+
+  test("gopher repetition: dup line/para fractions exact, top-bigram " +
+      "coverage, composite keep thresholds") {
+    import graft.pipeline.Corpus
+    // long enough that no single bigram covers 20% of the characters
+    // (the top-bigram rule presumes non-trivial docs, as in Gopher)
+    val clean = "alpha beta\ngamma delta\n\nepsilon zeta\neta theta " +
+      "iota kappa lambda mu\nnu xi omicron pi\n\nrho sigma tau upsilon"
+    val dupLine = "alpha beta\nalpha beta\n\ngamma delta\nepsilon zeta"
+    val dupPara = "alpha beta\ngamma delta\n\nalpha beta\ngamma delta"
+    val out = Corpus.gopherRepetition(
+        Seq((1L, clean), (2L, dupLine), (3L, dupPara)).toDF("doc_id", "text"))
+      .orderBy("doc_id").collect()
+    def row(i: Int) = out(i)
+    // clean doc: no duplicate units anywhere, kept
+    assert(row(0).getAs[Long]("dup_line_ppm") == 0L
+      && row(0).getAs[Long]("dup_para_ppm") == 0L
+      && row(0).getAs[Boolean]("keep"))
+    // one of 4 lines is a dup -> 250000 ppm; its 10 chars over the
+    // 43 line-chars (10+10+11+12) -> floor(10^7/43) ppm
+    assert(row(1).getAs[Long]("n_lines") == 4L
+      && row(1).getAs[Long]("dup_line_ppm") == 250000L
+      && row(1).getAs[Long]("dup_line_char_ppm") == 1000000L * 10 / 43)
+    // duplicated paragraph: 1 of 2 paras dup (500000 ppm) and its
+    // lines double too (2 of 4) -> dropped by both para rules
+    assert(row(2).getAs[Long]("dup_para_ppm") == 500000L
+      && row(2).getAs[Long]("dup_line_ppm") == 500000L
+      && !row(2).getAs[Boolean]("keep"))
+    // top-bigram coverage: "alpha beta" appears twice in doc 2 at
+    // 10 chars each over the 43-char doc
+    val expectPpm = 1000000L * 20 / dupLine.length
+    assert(row(1).getAs[Long]("top_bigram_char_ppm") == expectPpm)
+  }
+
+  test("snapshot diff classifies added/removed/changed/unchanged") {
+    import graft.pipeline.Corpus
+    val v1 = Seq((1L, "same"), (2L, "old text"), (3L, "going away"))
+      .toDF("doc_id", "text")
+    val v2 = Seq((1L, "same"), (2L, "new text"), (4L, "brand new"))
+      .toDF("doc_id", "text")
+    val got = Corpus.snapshotDiff(v1, v2)
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "removed", 4L -> "added"))
+  }
+
+  test("funnel: stages chain strictly forward per user, ppm of stage one") {
+    import java.sql.Timestamp
+    def ts(m: Int) = new Timestamp(m * 60000L)
+    val ev = Seq(
+      // user 1 converts fully in order
+      (1L, ts(0), "view"), (1L, ts(1), "click"), (1L, ts(2), "purchase"),
+      // user 2: purchase without a click -> stops after stage 1
+      (2L, ts(0), "view"), (2L, ts(1), "purchase"),
+      // user 3: click BEFORE the first view only -> not stage 2
+      (3L, ts(5), "view"), (3L, ts(1), "click"),
+      // user 4: never views -> in no stage
+      (4L, ts(0), "click"), (4L, ts(1), "purchase"))
+      .toDF("user_id", "ts", "event_type")
+    val got = graft.operators.Funnel.funnel(ev, Seq("view", "click", "purchase"))
+      .orderBy("stage")
+      .select("stage", "event_type", "users", "conv_ppm")
+      .as[(Int, String, Long, Long)].collect().toSeq
+    assert(got == Seq((1, "view", 3L, 1000000L),
+      (2, "click", 1L, 333333L), (3, "purchase", 1L, 333333L)))
+  }
 }
