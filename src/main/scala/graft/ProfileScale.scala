@@ -374,6 +374,48 @@ object ProfileScale {
         Corpus.contaminationReport(scaledDocs(spark, sfDir, m),
           base.filter(col("doc_id") < 5), n = 8)
       },
+      // BM25 retrieval: probe terms live in copy 0 only (a growing
+      // corpus, a fixed topical probe — the realistic regime), so the
+      // pruned posting shuffle stays ~flat while the tokenize scan
+      // and the per-doc length aggregate scale linearly.
+      "bm25" -> (m =>
+        graft.pipeline.Bm25.topDocs(scaledDocs(spark, sfDir, m),
+          Seq("spark_c0", "window_c0", "customer_c0", "vector_c0",
+            "merge_c0"), k = 10)),
+      // Gopher repetition rules: every unit key is (doc, line/para/
+      // gram) — per-document by construction, so no corpus-wide hot
+      // key can exist; the three explode→agg chains must stay linear.
+      // Each doc carries its own duplicated paragraph + a universal
+      // banner line so the dup math has real work at every scale.
+      "gopher_rules" -> (m =>
+        Corpus.gopherRepetition(
+          scaledDocs(spark, sfDir, m).select(col("doc_id"),
+            concat(col("text"), lit("\nsubscribe to our newsletter\n\n"),
+              col("text")).as("text")))),
+      // Snapshot diff: both releases scale together; the (id, md5)
+      // full-outer join must carry 48-byte rows only — shuffle bytes
+      // linear in row COUNT, independent of document size.
+      "snapshot_diff" -> { m =>
+        val v1 = scaledDocs(spark, sfDir, m)
+        val v2 = v1.filter(col("doc_id") % 11 =!= 0)
+          .select(col("doc_id"),
+            when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
+              .otherwise(col("text")).as("text"))
+        Corpus.snapshotDiff(v1, v2)
+      },
+      // Funnel: user cardinality scales with m (ids shifted per copy);
+      // each stage is a type-pruned scan + per-user min + a join whose
+      // build side only shrinks — everything keyed by user, linear.
+      "funnel" -> { m =>
+        val base = Tables.read(spark, sfDir, "events")
+          .select(col("user_id"), col("ts"), col("event_type"))
+        val ev = (0 until m).map(k =>
+            base.select((col("user_id") + lit(k * 1000000L)).as("user_id"),
+              col("ts"), col("event_type")))
+          .reduce(_ unionByName _)
+          .repartition(spark.sparkContext.defaultParallelism)
+        graft.operators.Funnel.funnel(ev, Seq("view", "click", "purchase"))
+      },
       "stat_window_agg" -> (m =>
         StatWindowAgg.aggregateOne(scaledDatapoints(spark, sfDir, m), "Sum", 3600)),
       "alarm_machine" -> { m =>

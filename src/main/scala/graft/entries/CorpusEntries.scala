@@ -294,6 +294,13 @@ private[graft] object CorpusEntries {
       graft.pipeline.Corpus.snapshotDiff(v1, v2)
         .filter(col("status") =!= "unchanged")
         .orderBy("doc_id")
+    },
+
+    // Vocabulary coverage: top-20 tokens with cumulative share of all
+    // occurrences — tokenizer-prep vocab sizing, two-phase top-N.
+    "q_vocab" -> { (s, dir) =>
+      graft.pipeline.Corpus.vocabCoverage(spread(docs(s, dir)), topN = 20)
+        .orderBy("rank")
     }
   )
 
@@ -719,6 +726,20 @@ private[graft] object CorpusEntries {
         |ELSE 'unchanged' END AS status
         |FROM v1 o FULL OUTER JOIN v2 n ON o.doc_id = n.doc_id)
         |SELECT doc_id, status FROM j WHERE status <> 'unchanged'
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_vocab" ->
+      """WITH t AS (SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'),
+        |x -> x <> '')) AS token FROM documents),
+        |c AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt FROM t GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM c),
+        |r AS (SELECT token, cnt,
+        |row_number() OVER (ORDER BY cnt DESC, token) AS rank FROM c),
+        |k AS (SELECT token, cnt, rank,
+        |SUM(cnt) OVER (ORDER BY rank ROWS UNBOUNDED PRECEDING) AS cum
+        |FROM r WHERE rank <= 20)
+        |SELECT token, cnt, CAST(rank AS INTEGER) AS rank,
+        |CAST((1000000 * cum) // greatest(total, 1) AS BIGINT) AS coverage_ppm
+        |FROM k CROSS JOIN tot ORDER BY rank""".stripMargin
   )
 }

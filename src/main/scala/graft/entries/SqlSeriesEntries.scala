@@ -290,6 +290,13 @@ private[graft] object SqlSeriesEntries {
     "q_funnel" -> { (s, dir) =>
       graft.operators.Funnel.funnel(ev(s, dir),
         Seq("view", "click", "purchase")).orderBy("stage")
+    },
+
+    // Cohort retention matrix: users cohorted by first active day,
+    // per-offset activity as ppm of the cohort.
+    "q_cohorts" -> { (s, dir) =>
+      graft.operators.Cohorts.retention(ev(s, dir))
+        .orderBy("cohort_day", "offset_days")
     }
   )
 
@@ -501,6 +508,19 @@ private[graft] object SqlSeriesEntries {
         |f AS (SELECT users AS u1 FROM c WHERE stage = 1)
         |SELECT CAST(stage AS INTEGER) AS stage, event_type, users,
         |CAST((1000000 * users) // greatest(u1, 1) AS BIGINT) AS conv_ppm
-        |FROM c CROSS JOIN f ORDER BY stage""".stripMargin
+        |FROM c CROSS JOIN f ORDER BY stage""".stripMargin,
+
+    "q_cohorts" ->
+      """WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |c AS (SELECT user_id, MIN(day) AS cohort_day FROM d GROUP BY 1),
+        |cells AS (SELECT c.cohort_day,
+        |date_diff('day', c.cohort_day, d.day) AS offset_days,
+        |CAST(COUNT(*) AS BIGINT) AS users
+        |FROM d JOIN c ON d.user_id = c.user_id GROUP BY 1, 2),
+        |sz AS (SELECT cohort_day, CAST(COUNT(*) AS BIGINT) AS n FROM c GROUP BY 1)
+        |SELECT cells.cohort_day, CAST(offset_days AS INTEGER) AS offset_days,
+        |users, CAST((1000000 * users) // greatest(n, 1) AS BIGINT) AS retained_ppm
+        |FROM cells JOIN sz USING (cohort_day)
+        |ORDER BY cohort_day, offset_days""".stripMargin
   )
 }

@@ -68,6 +68,17 @@ private[graft] object VectorEntries {
         .select("query_id", "neighbor_id", "rank").orderBy("query_id", "rank")
     },
 
+    // Recall@k of the IVF index against the exact brute-force ground
+    // truth — the continuous index-quality monitor; integer-ppm.
+    "q_ann_recall" -> { (s, dir) =>
+      val e = spread(Tables.read(s, dir, "embeddings"))
+      val queries = e.filter(col("vec_id") < 10)
+      val exact = Similarity.bruteForceTopK(e, queries, k = 5)
+      val approx = Similarity.ivfTopK(e, queries,
+        Similarity.centroids(e), k = 5, nprobe = 3)
+      Similarity.recallAtK(approx, exact).orderBy("query_id")
+    },
+
     // IVF maintenance under drift: a x10-scaled copy of every label-2
     // vector (ids +10000) is ingested into the index, then the
     // quantizer re-trains warm-start on the vec_id%4 sample and ONLY
@@ -258,6 +269,54 @@ private[graft] object VectorEntries {
         |(PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank FROM cand)
         |SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank
         |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // exact brute-force top-5 vs the IVF top-5 (both replicated as in
+    // q_ann_topk / q_ann_ivf), intersected per query: rank boundaries
+    // are integer, so the recall ppm is float-noise-immune
+    "q_ann_recall" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
+        |s AS (SELECT qid, vec_id AS nid,
+        |list_cosine_similarity(qe, embedding) AS sim FROM q, embeddings WHERE vec_id <> qid),
+        |bf AS (SELECT qid AS query_id, nid AS neighbor_id,
+        |row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank FROM s),
+        |exact AS (SELECT query_id, neighbor_id FROM bf WHERE rank <= 5),
+        |cent AS (SELECT label, pos,
+        |CAST(SUM(CAST(v AS DECIMAL(28,8))) AS DOUBLE)/COUNT(*) AS c
+        |FROM (SELECT label, unnest(embedding) AS v,
+        |generate_subscripts(embedding, 1) AS pos FROM embeddings)
+        |GROUP BY 1, 2),
+        |cvec AS (SELECT label AS cell, array_agg(c ORDER BY pos) AS centroid
+        |FROM cent GROUP BY 1),
+        |cs AS (SELECT e.vec_id, e.embedding, cv.cell,
+        |list_dot_product(e.embedding::DOUBLE[], cv.centroid) /
+        |(sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+        | sqrt(list_dot_product(cv.centroid, cv.centroid))) AS sim
+        |FROM embeddings e, cvec cv),
+        |corp AS (SELECT vec_id AS neighbor_id, embedding AS v_c, cell FROM
+        |(SELECT *, row_number() OVER (PARTITION BY vec_id
+        |ORDER BY sim DESC, cell) AS r FROM cs) WHERE r = 1),
+        |qc AS (SELECT vec_id AS query_id, embedding AS v_q, cell FROM
+        |(SELECT *, row_number() OVER (PARTITION BY vec_id
+        |ORDER BY sim DESC, cell) AS r FROM cs WHERE vec_id < 10) WHERE r <= 3),
+        |cand AS (SELECT query_id, neighbor_id,
+        |list_dot_product(v_q::DOUBLE[], v_c::DOUBLE[]) /
+        |(sqrt(list_dot_product(v_q::DOUBLE[], v_q::DOUBLE[])) *
+        | sqrt(list_dot_product(v_c::DOUBLE[], v_c::DOUBLE[]))) AS cosine
+        |FROM corp JOIN qc USING (cell) WHERE query_id <> neighbor_id),
+        |ir AS (SELECT query_id, neighbor_id, row_number() OVER
+        |(PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank FROM cand),
+        |ivf AS (SELECT query_id, neighbor_id FROM ir WHERE rank <= 5),
+        |truth AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_exact
+        |FROM exact GROUP BY 1),
+        |hits AS (SELECT e.query_id, CAST(COUNT(*) AS BIGINT) AS hits
+        |FROM exact e JOIN ivf a
+        |ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id GROUP BY 1)
+        |SELECT t.query_id, t.n_exact,
+        |CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
+        |CAST((1000000 * coalesce(h.hits, 0)) // greatest(t.n_exact, 1) AS BIGINT)
+        |AS recall_ppm
+        |FROM truth t LEFT JOIN hits h ON t.query_id = h.query_id
+        |ORDER BY t.query_id""".stripMargin,
 
     // two unrolled Lloyd iterations: label-init centroids → assign →
     // decimal-mean recompute → assign; tie order (sim DESC, cell) is

@@ -1005,6 +1005,47 @@ object Corpus {
   }
 
   /**
+   * Vocabulary coverage — the top-N corpus tokens by occurrence count
+   * with each prefix's cumulative share of ALL token occurrences, as
+   * integer ppm. This is the tokenizer-prep step before vocabulary
+   * induction: "how small a vocab still covers 95% of the stream?"
+   * reads straight off the coverage column. Ties rank
+   * lexicographically — deterministic in any engine.
+   *
+   * Plan: explode → per-token count (map-side combinable; the only
+   * full-corpus shuffle, keyed by token) → two-phase top-N (≤ N
+   * survivors per 64-way hash bucket, then one bounded global window
+   * over ≤ 64·N rows — never a corpus-wide sort) → running sum over
+   * the ranked N rows. The denominator is a single-row broadcast.
+   * Bit-neutral prune: a row dropped by its bucket is beaten by N
+   * rows of that bucket, hence ranked > N globally.
+   */
+  def vocabCoverage(docs: DataFrame, topN: Int, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    graft.plans.NativeFns.register(docs.sparkSession)
+    val counts = docs.select(
+        explode(graft.plans.WordShingles.shingles(col(textCol), 1)).as("token"))
+      .groupBy("token").agg(count(lit(1)).cast("long").as("cnt"))
+    val total = counts.agg(sum("cnt").cast("long").as("__total"))
+    val bucketW = org.apache.spark.sql.expressions.Window
+      .partitionBy(pmod(hash(col("token")), lit(64)))
+      .orderBy(col("cnt").desc, col("token"))
+    val pruned = counts.withColumn("__br", row_number().over(bucketW))
+      .filter(col("__br") <= topN).drop("__br")
+    val rankW = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, col("token"))
+    pruned.withColumn("rank", row_number().over(rankW))
+      .filter(col("rank") <= topN)
+      .withColumn("__cum", sum("cnt").over(
+        org.apache.spark.sql.expressions.Window.orderBy("rank")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .crossJoin(broadcast(total))
+      .withColumn("coverage_ppm",
+        expr("(1000000 * __cum) div greatest(__total, 1L)").cast("long"))
+      .select(col("token"), col("cnt"), col("rank"), col("coverage_ppm"))
+  }
+
+  /**
    * Corpus snapshot diff — classify every document as added /
    * removed / changed / unchanged between two corpus versions, the
    * audit step between two training-data releases ("what actually

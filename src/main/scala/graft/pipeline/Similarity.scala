@@ -314,4 +314,37 @@ object Similarity {
       .groupBy(col(labelCol))
       .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
       .select(col(labelCol), transform(col("pc"), p => p.getField("c")).as("centroid"))
+
+  /**
+   * Recall@k evaluation of an approximate neighbor result against the
+   * exact ground truth — the index-quality monitor a production ANN
+   * deployment runs continuously (an IVF/LSH index silently decaying
+   * under distribution drift shows up HERE first, before users notice
+   * worse retrieval). Per query: ground-truth size, hit count
+   * (approx ∩ exact), and recall as integer ppm of the ground truth
+   * (floor division — hash-exact across engines).
+   *
+   * Plan: one equi-join on (query, neighbor) — a LEFT SEMI from the
+   * exact side, so approx rows never outlive the probe — then a
+   * per-query count; the exact side's per-query total left-joins
+   * back so zero-hit queries keep a row (recall 0, not a dropped
+   * query — the failure mode you most need to see). Both sides are
+   * top-k results: k·|queries| rows, broadcastable at any corpus
+   * scale because the CORPUS never enters this operator.
+   */
+  def recallAtK(approx: DataFrame, exact: DataFrame,
+      queryCol: String = "query_id", neighborCol: String = "neighbor_id")
+      : DataFrame = {
+    val a = approx.select(col(queryCol), col(neighborCol))
+    val e = exact.select(col(queryCol), col(neighborCol))
+    val truth = e.groupBy(queryCol)
+      .agg(count(lit(1)).cast("long").as("n_exact"))
+    val hits = e.join(a, Seq(queryCol, neighborCol), "left_semi")
+      .groupBy(queryCol).agg(count(lit(1)).cast("long").as("hits"))
+    truth.join(hits, Seq(queryCol), "left")
+      .withColumn("hits", coalesce(col("hits"), lit(0L)))
+      .withColumn("recall_ppm",
+        expr("(1000000 * hits) div greatest(n_exact, 1L)").cast("long"))
+      .select(col(queryCol), col("n_exact"), col("hits"), col("recall_ppm"))
+  }
 }

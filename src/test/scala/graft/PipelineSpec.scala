@@ -1327,6 +1327,53 @@ class PipelineSpec extends SparkTestBase {
       3L -> "removed", 4L -> "added"))
   }
 
+  test("ann recall@k: hits counted per query, zero-hit queries kept") {
+    val exact = Seq((1L, 10L), (1L, 11L), (1L, 12L),
+      (2L, 20L), (3L, 30L), (3L, 31L)).toDF("query_id", "neighbor_id")
+    val approx = Seq((1L, 10L), (1L, 11L), (1L, 99L),
+      (3L, 30L), (3L, 31L)).toDF("query_id", "neighbor_id")
+    val got = Similarity.recallAtK(approx, exact)
+      .select("query_id", "n_exact", "hits", "recall_ppm")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 3L, 2L, 666666L),
+      (2L, 1L, 0L, 0L),          // query absent from approx: recall 0, row kept
+      (3L, 2L, 2L, 1000000L)))
+  }
+
+  test("cohort retention: first-day cohorts, day offsets, ppm of cohort size") {
+    import java.sql.Timestamp
+    def ts(day: Int, h: Int) = new Timestamp((day * 24L + h) * 3600000L)
+    val ev = Seq(
+      (1L, ts(0, 1)), (1L, ts(0, 5)), (1L, ts(1, 2)), (1L, ts(3, 2)),
+      (2L, ts(0, 9)),
+      (3L, ts(1, 1)), (3L, ts(3, 1))).toDF("user_id", "ts")
+    val got = graft.operators.Cohorts.retention(ev)
+      .select(col("cohort_day").cast("string"), col("offset_days"),
+        col("users"), col("retained_ppm"))
+      .as[(String, Int, Long, Long)].collect().toSet
+    assert(got == Set(
+      ("1970-01-01", 0, 2L, 1000000L), ("1970-01-01", 1, 1L, 500000L),
+      ("1970-01-01", 3, 1L, 500000L),
+      ("1970-01-02", 0, 1L, 1000000L), ("1970-01-02", 2, 1L, 1000000L)))
+  }
+
+  test("vocab coverage: rank by count then token, cumulative ppm, " +
+      "bucket prune is rank-neutral") {
+    import graft.pipeline.Corpus
+    val docs = Seq((1L, "a a a b b c"), (2L, "a b d")).toDF("doc_id", "text")
+    // counts: a=4, b=3, c=1, d=1; total 9
+    val all = Corpus.vocabCoverage(docs, topN = 10)
+      .select("token", "cnt", "rank", "coverage_ppm")
+      .as[(String, Long, Int, Long)].collect().sortBy(_._3).toSeq
+    assert(all == Seq(("a", 4L, 1, 1000000L * 4 / 9),
+      ("b", 3L, 2, 1000000L * 7 / 9), ("c", 1L, 3, 1000000L * 8 / 9),
+      ("d", 1L, 4, 1000000L)))
+    val top2 = Corpus.vocabCoverage(docs, topN = 2)
+      .select("token", "cnt", "rank", "coverage_ppm")
+      .as[(String, Long, Int, Long)].collect().sortBy(_._3).toSeq
+    assert(top2 == all.take(2), "two-phase prune changed the top-N")
+  }
+
   test("funnel: stages chain strictly forward per user, ppm of stage one") {
     import java.sql.Timestamp
     def ts(m: Int) = new Timestamp(m * 60000L)
