@@ -301,6 +301,16 @@ private[graft] object CorpusEntries {
     "q_vocab" -> { (s, dir) =>
       graft.pipeline.Corpus.vocabCoverage(spread(docs(s, dir)), topN = 20)
         .orderBy("rank")
+    },
+
+    // Exact heavy hitters (tokens ≥ 2% of the stream) via the
+    // Misra-Gries candidate pass + exact confirm — never a
+    // long-tail shuffle; result bit-equal to the naive group-by.
+    "q_heavy_hitters" -> { (s, dir) =>
+      val toks = docs(s, dir).select(
+        explode(graft.plans.WordShingles.shingles(col("text"), 1)).as("token"))
+      graft.pipeline.HeavyHitters.exact(spread(toks), "token",
+        thresholdPpm = 20000L).orderBy("token")
     }
   )
 
@@ -740,6 +750,16 @@ private[graft] object CorpusEntries {
         |FROM r WHERE rank <= 20)
         |SELECT token, cnt, CAST(rank AS INTEGER) AS rank,
         |CAST((1000000 * cum) // greatest(total, 1) AS BIGINT) AS coverage_ppm
-        |FROM k CROSS JOIN tot ORDER BY rank""".stripMargin
+        |FROM k CROSS JOIN tot ORDER BY rank""".stripMargin,
+
+    "q_heavy_hitters" ->
+      """WITH t AS (SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'),
+        |x -> x <> '')) AS token FROM documents),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM t),
+        |c AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt FROM t GROUP BY 1)
+        |SELECT token, cnt,
+        |CAST((1000000 * cnt) // greatest(total, 1) AS BIGINT) AS share_ppm
+        |FROM c CROSS JOIN tot WHERE cnt * 1000000 >= total * 20000
+        |ORDER BY token""".stripMargin
   )
 }

@@ -1374,6 +1374,34 @@ class PipelineSpec extends SparkTestBase {
     assert(top2 == all.take(2), "two-phase prune changed the top-N")
   }
 
+  test("heavy hitters: exact result equals naive group-by at any capacity, " +
+      "MG summary is a superset of qualifiers") {
+    import graft.pipeline.{HeavyHitters, MisraGriesAggregator}
+    // skewed stream: 'hot' 40%, 'warm' 25%, tail of near-uniques
+    val stream = Seq.fill(40)("hot") ++ Seq.fill(25)("warm") ++
+      (0 until 35).map(i => s"tail$i")
+    val df = spark.sparkContext.parallelize(stream, 8).toDF("token")
+    // threshold 20% -> qualifiers: hot, warm
+    val got = HeavyHitters.exact(df, "token", thresholdPpm = 200000L)
+      .select("token", "cnt", "share_ppm")
+      .as[(String, Long, Long)].collect().toSet
+    assert(got == Set(("hot", 40L, 400000L), ("warm", 25L, 250000L)))
+    // naive-equality at the exact boundary: 'warm' sits at 25% for a
+    // 250000 ppm threshold (cnt*1e6 == total*ppm -> included)
+    val boundary = HeavyHitters.exact(df, "token", thresholdPpm = 250000L)
+      .select("token").as[String].collect().toSet
+    assert(boundary == Set("hot", "warm"))
+    // MG superset guarantee under an adversarial merge tree: capacity
+    // 2 (bound N/3), sequential + pairwise merges of shuffled halves
+    val agg = new MisraGriesAggregator(2)
+    val shuffled = new scala.util.Random(7).shuffle(stream)
+    val (h1, h2) = shuffled.splitAt(shuffled.length / 2)
+    val summary = agg.merge(
+      h1.foldLeft(agg.zero)(agg.reduce), h2.foldLeft(agg.zero)(agg.reduce))
+    assert(agg.finish(summary).contains("hot"),
+      "an item above N/(capacity+1) must survive any merge order")
+  }
+
   test("funnel: stages chain strictly forward per user, ppm of stage one") {
     import java.sql.Timestamp
     def ts(m: Int) = new Timestamp(m * 60000L)

@@ -670,4 +670,46 @@ class StreamingSpec extends SparkTestBase {
     assert(ex.getMessage.contains("state version"))
     assert(ex.getMessage.contains("new checkpoint directory"))
   }
+
+  test("streaming funnel chains stages across batches and matches batch depth") {
+    implicit val sq = spark.sqlContext
+    import java.sql.Timestamp
+    def t(m: Int) = new Timestamp(m * 60000L)
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val df = mem.toDF().toDF("user_id", "ts", "event_type")
+    val stages = Seq("view", "click", "purchase")
+    val q = graft.streaming.StreamFunnel.funnelStream(df, stages)
+      .toDF("user_id", "stage_reached")
+      .writeStream.format("memory").queryName("funnel_out")
+      .outputMode("update").start()
+    try {
+      // batch 1: user 1 views+clicks; user 2 views; user 3's click
+      // arrives out of order WITHIN the batch (before its view) and
+      // must still chain; user 4 clicks with no view (no progress)
+      mem.addData((1L, t(0), "view"), (1L, t(1), "click"),
+        (2L, t(0), "view"),
+        (3L, t(2), "click"), (3L, t(1), "view"),
+        (4L, t(0), "click"))
+      q.processAllAvailable()
+      // batch 2: user 1 purchases (chains across batches); user 2
+      // purchases WITHOUT a click (stays at depth 1)
+      mem.addData((1L, t(5), "purchase"), (2L, t(5), "purchase"))
+      q.processAllAvailable()
+      val depth = spark.table("funnel_out")
+        .groupBy("user_id").agg(max("stage_reached").as("d"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(depth == Map(1L -> 3, 2L -> 1, 3L -> 2), s"got $depth")
+      // parity: batch funnel over the full log sees the same stage
+      // populations (stage i counts users with depth >= i)
+      val log = Seq((1L, t(0), "view"), (1L, t(1), "click"),
+        (2L, t(0), "view"), (3L, t(2), "click"), (3L, t(1), "view"),
+        (4L, t(0), "click"), (1L, t(5), "purchase"), (2L, t(5), "purchase"))
+        .toDF("user_id", "ts", "event_type")
+      val batch = graft.operators.Funnel.funnel(log, stages)
+        .select("stage", "users").as[(Int, Long)].collect().toMap
+      val fromStream = (1 to 3)
+        .map(i => i -> depth.values.count(_ >= i).toLong).toMap
+      assert(batch == fromStream, s"batch $batch vs stream $fromStream")
+    } finally q.stop()
+  }
 }
