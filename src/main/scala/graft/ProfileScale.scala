@@ -416,6 +416,34 @@ object ProfileScale {
           .repartition(spark.sparkContext.defaultParallelism)
         graft.operators.Funnel.funnel(ev, Seq("view", "click", "purchase"))
       },
+      // Heavy hitters: vocabulary grows with m (per-copy suffixes) but
+      // only O(capacity) MG state plus the ≤capacity candidate keys'
+      // rows ever shuffle — the tail's groupBy row-per-distinct-value
+      // exchange never happens. With per-copy vocab disjoint, no token
+      // clears the global 2% bar at m>1: the interesting regime, the
+      // candidate pass must still scan linearly and confirm cheaply.
+      "heavy_hitters" -> { m =>
+        val toks = scaledDocs(spark, sfDir, m).select(
+          explode(graft.plans.WordShingles.shingles(col("text"), 1)).as("token"))
+        graft.pipeline.HeavyHitters.exact(toks, "token", thresholdPpm = 20000L)
+      },
+      // Vocabulary coverage: distinct-token cardinality scales with m;
+      // the token-keyed count is the one big shuffle, the two-phase
+      // top-N keeps the ranking window at ≤ 64·N rows at any scale.
+      "vocab" -> (m =>
+        Corpus.vocabCoverage(scaledDocs(spark, sfDir, m), topN = 20)),
+      // Cohort retention: user cardinality scales with m; the distinct
+      // (user, day) collapse is the only full-volume stage.
+      "cohorts" -> { m =>
+        val base = Tables.read(spark, sfDir, "events")
+          .select(col("user_id"), col("ts"))
+        val ev = (0 until m).map(k =>
+            base.select((col("user_id") + lit(k * 1000000L)).as("user_id"),
+              col("ts")))
+          .reduce(_ unionByName _)
+          .repartition(spark.sparkContext.defaultParallelism)
+        graft.operators.Cohorts.retention(ev)
+      },
       "stat_window_agg" -> (m =>
         StatWindowAgg.aggregateOne(scaledDatapoints(spark, sfDir, m), "Sum", 3600)),
       "alarm_machine" -> { m =>

@@ -167,6 +167,16 @@ private[graft] object VectorEntries {
           "dominant_bin", "dominant_frac", "sample_rate_hz", "n_samples",
           "peak", "frames_sampled")
         .orderBy("media_id")
+    },
+
+    // Perceptual-hash image dedup: real PNG encode/decode round-trip
+    // of deterministic gradients, 64-bit aHash, group-by-hash keep.
+    // The oracle predicts every hash from the encoding parameters —
+    // possible because PNG is lossless and the hash is all-integer.
+    "q_image_phash" -> { (s, dir) =>
+      Multimodal.perceptualDedup(
+          Multimodal.syntheticGradientImages(spread(docs(s, dir))))
+        .orderBy("media_id")
     }
   )
 
@@ -472,6 +482,32 @@ private[graft] object VectorEntries {
         CASE WHEN doc_id % 3 = 1 THEN CAST(doc_id % 100 + 10 AS BIGINT) END AS n_samples,
         CASE WHEN doc_id % 3 = 1 THEN CAST(doc_id % 1000 AS INTEGER) END AS peak,
         CASE WHEN doc_id % 3 = 2 THEN CAST((doc_id % 30 + 2) // 2 AS INTEGER) END AS frames_sampled
-        FROM documents ORDER BY media_id""".stripMargin
+        FROM documents ORDER BY media_id""".stripMargin,
+
+    // aHash predicted from the gradient parameters: pixel(x) =
+    // min(g0 + x·step, 255) is y-invariant, so the 8 bit-rows are
+    // identical — hash = bit-byte × 0x0101010101010101, computed in
+    // HUGEINT and wrapped to signed 64 to match the engine's Long.
+    "q_image_phash" ->
+      """WITH p AS (SELECT doc_id AS media_id,
+        |(doc_id // 3) % 20 * 10 AS g0, (doc_id // 3) % 7 + 1 AS step FROM documents),
+        |px AS (SELECT media_id, x, least(g0 + x * step, 255) AS v
+        |FROM p CROSS JOIN (SELECT unnest(range(0, 16)) AS x) xs),
+        |ov AS (SELECT media_id, SUM(v) // 16 AS overall FROM px GROUP BY 1),
+        |bl AS (SELECT media_id, x // 2 AS bx, SUM(v) // 2 AS bmean
+        |FROM px GROUP BY 1, 2),
+        |bits AS (SELECT b.media_id,
+        |CAST(SUM(CASE WHEN b.bmean > o.overall
+        |THEN (CAST(1 AS BIGINT) << b.bx) ELSE 0 END) AS BIGINT) AS byte
+        |FROM bl b JOIN ov o ON b.media_id = o.media_id GROUP BY 1),
+        |hh AS (SELECT media_id,
+        |CAST(byte AS HUGEINT) * CAST(72340172838076673 AS HUGEINT) AS raw FROM bits),
+        |h AS (SELECT media_id,
+        |CAST(CASE WHEN raw >= CAST(9223372036854775808 AS HUGEINT)
+        |THEN raw - CAST(18446744073709551616 AS HUGEINT) ELSE raw END AS BIGINT)
+        |AS ahash FROM hh),
+        |k AS (SELECT ahash, MIN(media_id) AS keep_id FROM h GROUP BY 1)
+        |SELECT h.media_id, h.ahash, k.keep_id FROM h JOIN k USING (ahash)
+        |ORDER BY media_id""".stripMargin
   )
 }

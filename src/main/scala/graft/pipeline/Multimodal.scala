@@ -287,4 +287,102 @@ object Multimodal {
     media.withColumn("target_width", ceil(col("width") * scale).cast("int"))
       .withColumn("target_height", ceil(col("height") * scale).cast("int"))
   }
+
+  /** Encode a w×h PNG with a horizontal gray gradient clamped at 255:
+    * pixel(x, y) = min(g0 + x·step, 255). Deterministic and lossless,
+    * so the decoded pixels — and everything computed from them — are
+    * externally predictable from (g0, step). */
+  def pngGradientBytes(w: Int, h: Int, g0: Int, step: Int): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var x = 0
+    while (x < w) {
+      val g = math.min(g0 + x * step, 255)
+      val rgb = (g << 16) | (g << 8) | g
+      var y = 0
+      while (y < h) { img.setRGB(x, y, rgb); y += 1 }
+      x += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Deterministic 16×16 gradient-image corpus: every 3 consecutive
+    * doc ids share identical encoding parameters — real duplicate
+    * groups for the perceptual dedup path. */
+  def syntheticGradientImages(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].map { id =>
+      val p = id / 3
+      val g0 = ((p % 20) * 10).toInt
+      val step = (p % 7 + 1).toInt
+      (id, pngGradientBytes(16, 16, g0, step))
+    }.toDF("media_id", "payload")
+  }
+
+  /** 64-bit average hash (aHash) per image — the standard perceptual
+    * fingerprint: decode, 8×8 block-mean downsample (integer floor),
+    * bit i set iff block i's mean is STRICTLY above the global pixel
+    * mean (also floored). Blocks are row-major (bit = 8·by + bx).
+    * Requires width and height divisible by 8; integer arithmetic
+    * end to end so the hash is externally replicable from the
+    * encoding parameters of a lossless fixture.
+    *
+    * Scale shape: mapPartitions decode (same batched-codec contract
+    * as [[extractFeatures]]) emitting (media_id, ahash) — 16 bytes per
+    * image downstream of the decode, whatever the payload size. */
+  def aHash64(media: DataFrame): Dataset[(Long, Long)] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) =>
+        val img = ImageIO.read(new ByteArrayInputStream(payload))
+        require(img != null, s"media_id=$id: undecodable image")
+        val w = img.getWidth; val h = img.getHeight
+        require(w % 8 == 0 && h % 8 == 0,
+          s"media_id=$id: aHash needs 8-divisible dims, got ${w}x$h")
+        val bw = w / 8; val bh = h / 8
+        val sums = new Array[Long](64)
+        var total = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val g = img.getRGB(x, y) & 0xFF // fixture grays: R=G=B
+            sums((y / bh) * 8 + (x / bw)) += g
+            total += g
+            x += 1
+          }
+          y += 1
+        }
+        val overall = total / (w.toLong * h)
+        var hash = 0L
+        var i = 0
+        while (i < 64) {
+          if (sums(i) / (bw.toLong * bh) > overall) hash |= (1L << i)
+          i += 1
+        }
+        (id, hash)
+      })
+  }
+
+  /** Perceptual-hash image dedup: group by aHash, keep the smallest
+    * id per group — the multimodal member of the dedup family
+    * (exact-byte dedup misses re-encoded copies; the perceptual hash
+    * collapses them). One decode pass, then a 16-byte-row groupBy
+    * keyed by the hash; for near-duplicate (small-Hamming) matching
+    * at scale, band the 64-bit hash exactly like SimHash
+    * (`Dedup.simhashNearDupPairs` banding applies unchanged).
+    * Output: (media_id, ahash, keep_id). */
+  def perceptualDedup(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val hashed = aHash64(media).toDF("media_id", "ahash")
+    val keep = hashed.groupBy("ahash")
+      .agg(min(col("media_id")).as("keep_id"))
+    hashed.join(keep, Seq("ahash"))
+      .select(col("media_id"), col("ahash"), col("keep_id"))
+  }
 }

@@ -1402,6 +1402,38 @@ class PipelineSpec extends SparkTestBase {
       "an item above N/(capacity+1) must survive any merge order")
   }
 
+  test("image aHash: decode matches closed form, duplicate params collapse, " +
+      "distinct gradients differ") {
+    // closed-form reference for the 16x16 horizontal gradient: the 8
+    // bit-rows are identical, hash = bitByte * 0x0101010101010101
+    def ref(g0: Int, step: Int): Long = {
+      val v = (0 until 16).map(x => math.min(g0 + x * step, 255).toLong)
+      val overall = v.sum * 16 / 256
+      val byte = (0 until 8).map { bx =>
+        if ((v(2 * bx) + v(2 * bx + 1)) / 2 > overall) 1L << bx else 0L
+      }.sum
+      byte * 0x0101010101010101L
+    }
+    // id 417 (p=139): g0=190 step=7 CLAMPS at 255 from x=10 — its
+    // bit pattern (0xF8 rows) differs from the unclamped gradients'
+    // 0xF0; unclamped monotone gradients hashing alike is correct
+    // perceptual behavior ("left-dark right-light"), not a collision
+    // bug, so the distinctness probe must use a clamped shape
+    val media = Seq(0L, 1L, 2L, 3L, 417L).map { id =>
+      val p = id / 3
+      (id, Multimodal.pngGradientBytes(16, 16, ((p % 20) * 10).toInt,
+        (p % 7 + 1).toInt))
+    }.toDF("media_id", "payload")
+    val got = Multimodal.aHash64(media).collect().toMap
+    // ids 0-2 share params (p=0: g0=0 step=1); id 3 is p=1
+    assert(got(0L) == ref(0, 1) && got(1L) == ref(0, 1) && got(2L) == ref(0, 1))
+    assert(got(3L) == ref(10, 2) && got(417L) == ref(190, 7))
+    assert(got(0L) != got(417L), "clamped gradient must hash differently")
+    val dedup = Multimodal.perceptualDedup(media)
+      .select("media_id", "keep_id").as[(Long, Long)].collect().toMap
+    assert(dedup(0L) == 0L && dedup(1L) == 0L && dedup(2L) == 0L)
+  }
+
   test("funnel: stages chain strictly forward per user, ppm of stage one") {
     import java.sql.Timestamp
     def ts(m: Int) = new Timestamp(m * 60000L)
