@@ -311,6 +311,16 @@ private[graft] object CorpusEntries {
         explode(graft.plans.WordShingles.shingles(col("text"), 1)).as("token"))
       graft.pipeline.HeavyHitters.exact(spread(toks), "token",
         thresholdPpm = 20000L).orderBy("token")
+    },
+
+    // Vocabulary shift (domain drift) between two sources: top-15
+    // tokens by absolute per-slice occurrence-share difference.
+    "q_vocab_shift" -> { (s, dir) =>
+      val d = spread(docs(s, dir))
+      graft.pipeline.Corpus.vocabShift(
+          d.filter(col("source") === "src0"),
+          d.filter(col("source") === "src1"), topN = 15)
+        .orderBy("rank")
     }
   )
 
@@ -760,6 +770,29 @@ private[graft] object CorpusEntries {
         |SELECT token, cnt,
         |CAST((1000000 * cnt) // greatest(total, 1) AS BIGINT) AS share_ppm
         |FROM c CROSS JOIN tot WHERE cnt * 1000000 >= total * 20000
-        |ORDER BY token""".stripMargin
+        |ORDER BY token""".stripMargin,
+
+    "q_vocab_shift" ->
+      """WITH ta AS (SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'),
+        |x -> x <> '')) AS token FROM documents WHERE source = 'src0'),
+        |tb AS (SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'),
+        |x -> x <> '')) AS token FROM documents WHERE source = 'src1'),
+        |ca AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt_a FROM ta GROUP BY 1),
+        |cb AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt_b FROM tb GROUP BY 1),
+        |j AS (SELECT coalesce(ca.token, cb.token) AS token,
+        |coalesce(cnt_a, 0) AS cnt_a, coalesce(cnt_b, 0) AS cnt_b
+        |FROM ca FULL OUTER JOIN cb ON ca.token = cb.token),
+        |tot AS (SELECT CAST(SUM(cnt_a) AS BIGINT) AS tta,
+        |CAST(SUM(cnt_b) AS BIGINT) AS ttb FROM j),
+        |sc AS (SELECT token, cnt_a, cnt_b,
+        |CAST((1000000 * cnt_a) // greatest(tta, 1) AS BIGINT) AS share_a_ppm,
+        |CAST((1000000 * cnt_b) // greatest(ttb, 1) AS BIGINT) AS share_b_ppm
+        |FROM j CROSS JOIN tot),
+        |r AS (SELECT *, abs(share_a_ppm - share_b_ppm) AS shift_ppm,
+        |row_number() OVER (ORDER BY abs(share_a_ppm - share_b_ppm) DESC, token)
+        |AS rank FROM sc)
+        |SELECT token, cnt_a, cnt_b, share_a_ppm, share_b_ppm,
+        |CAST(shift_ppm AS BIGINT) AS shift_ppm, CAST(rank AS INTEGER) AS rank
+        |FROM r WHERE rank <= 15 ORDER BY rank""".stripMargin
   )
 }

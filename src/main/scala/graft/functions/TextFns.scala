@@ -87,11 +87,34 @@ object TextFns {
     * language with the most marker-stopword hits (ties broken by the
     * fixed order en→fr→de→es); no hits at all → "und". */
   def langId(text: Column): Column = {
+    // Native single-pass marker counter (round 11): the composed form
+    // (kept below as langIdComposed, the oracle-replicable reference)
+    // ran four interpreted ArrayFilter lambdas — each re-tokenizing
+    // the document — plus a regex pass for the CJK probe; one row of
+    // q_lang_id paid ~5 full scans. lang_marker_counts returns
+    // [cjk, en, fr, de, es] from one compiled byte scan,
+    // bit-identical (parity pinned in PipelineSpec against the
+    // composed form over adversarial unicode/case/tie inputs).
+    val c = graft.plans.LangMarkerCounts.counts(text)
+    val order = Seq("en", "fr", "de", "es")
+    val counts = order.zipWithIndex.map { case (l, i) =>
+      l -> c.getItem(i + 1) }
+    val maxCount = greatest(counts.map(_._2): _*)
+    // foldRight so the first language in `order` wins ties.
+    val pick = counts.foldRight(lit("und")) { case ((l, cc), acc) =>
+      when(cc === maxCount && cc > 0, l).otherwise(acc) }
+    when(c.getItem(0) > 0, "zh").otherwise(pick)
+  }
+
+  /** The pre-round-11 composed form of [[langId]] — five scans of the
+    * document through interpreted higher-order functions. Kept as the
+    * executable specification the native path is tested against and
+    * the shape external SQL oracles replicate. */
+  def langIdComposed(text: Column): Column = {
     val toks = tokens(lower(text))
     val order = Seq("en", "fr", "de", "es")
     val counts = order.map(l => l -> countIn(toks, langMarkers(l)))
     val maxCount = greatest(counts.map(_._2): _*)
-    // foldRight so the first language in `order` wins ties.
     val pick = counts.foldRight(lit("und")) { case ((l, c), acc) =>
       when(c === maxCount && c > 0, l).otherwise(acc) }
     when(regexp_count(text, lit("[\\x{4e00}-\\x{9fff}]")) > 0, "zh").otherwise(pick)
@@ -146,6 +169,28 @@ object TextFns {
     * Integer counts + one final division keep it bit-identical across
     * engines. */
   def qualityScore(text: Column): Column = {
+    val chars = length(text).cast("double")
+    val lenScore = least(chars / 500.0, lit(1.0))
+    val alpha = regexp_count(text, lit("[A-Za-z]")).cast("double")
+    val alphaRatio = when(chars > 0, alpha / chars).otherwise(0.0)
+    // stopword hits via the native counter (round 11): the 20 marker
+    // sets are pairwise disjoint, so the union count the composed
+    // form filtered for equals the SUM of the per-language counts —
+    // same integers, same doubles, hash-identical score (parity
+    // pinned in PipelineSpec). Token count from the native tokenizer
+    // (lowercasing never changes whitespace, so counting tokens of
+    // `text` equals counting tokens of `lower(text)`).
+    val c = graft.plans.LangMarkerCounts.counts(text)
+    val stop = (c.getItem(1) + c.getItem(2) + c.getItem(3) + c.getItem(4))
+      .cast("double")
+    val nToks = size(graft.plans.WordShingles.shingles(text, 1))
+    val stopScore = least(stop * 10.0 / greatest(nToks, lit(1)).cast("double"), lit(1.0))
+    round((lenScore + alphaRatio + stopScore) / 3.0, 6)
+  }
+
+  /** Pre-round-11 composed [[qualityScore]] — kept as the executable
+    * specification for the parity spec and external oracles. */
+  def qualityScoreComposed(text: Column): Column = {
     val chars = length(text).cast("double")
     val lenScore = least(chars / 500.0, lit(1.0))
     val alpha = regexp_count(text, lit("[A-Za-z]")).cast("double")

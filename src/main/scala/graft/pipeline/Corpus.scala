@@ -1046,6 +1046,54 @@ object Corpus {
   }
 
   /**
+   * Vocabulary shift between two corpus slices — the domain-drift
+   * monitor for mixture management: per token, its occurrence share
+   * in slice A vs slice B (integer ppm), ranked by absolute share
+   * difference. A crawl source going spammy, a distribution shifting
+   * between two releases, or a domain over-represented after
+   * resampling all surface as top shifted tokens. Shares use each
+   * slice's OWN total, so differently-sized slices compare fairly.
+   *
+   * Plan: one tokenize+count per slice keyed by token (map-side
+   * combinable), a full-outer token join (absent = share 0), slice
+   * totals as a single-row broadcast, then the same two-phase
+   * rank-neutral top-N as [[vocabCoverage]] — never a vocabulary-wide
+   * single-partition sort.
+   */
+  def vocabShift(docsA: DataFrame, docsB: DataFrame, topN: Int,
+      textCol: String = "text"): DataFrame = {
+    graft.plans.NativeFns.register(docsA.sparkSession)
+    def counts(d: DataFrame, cn: String) = d.select(
+        explode(graft.plans.WordShingles.shingles(col(textCol), 1)).as("token"))
+      .groupBy("token").agg(count(lit(1)).cast("long").as(cn))
+    val a = counts(docsA, "cnt_a")
+    val b = counts(docsB, "cnt_b")
+    val joined = a.join(b, Seq("token"), "full_outer")
+      .select(col("token"),
+        coalesce(col("cnt_a"), lit(0L)).as("cnt_a"),
+        coalesce(col("cnt_b"), lit(0L)).as("cnt_b"))
+    val totals = joined.agg(sum("cnt_a").cast("long").as("__ta"),
+      sum("cnt_b").cast("long").as("__tb"))
+    val scored = joined.crossJoin(broadcast(totals))
+      .withColumn("share_a_ppm",
+        expr("(1000000 * cnt_a) div greatest(__ta, 1L)").cast("long"))
+      .withColumn("share_b_ppm",
+        expr("(1000000 * cnt_b) div greatest(__tb, 1L)").cast("long"))
+      .withColumn("shift_ppm", abs(col("share_a_ppm") - col("share_b_ppm")))
+    val bucketW = org.apache.spark.sql.expressions.Window
+      .partitionBy(pmod(hash(col("token")), lit(64)))
+      .orderBy(col("shift_ppm").desc, col("token"))
+    val rankW = org.apache.spark.sql.expressions.Window
+      .orderBy(col("shift_ppm").desc, col("token"))
+    scored.withColumn("__br", row_number().over(bucketW))
+      .filter(col("__br") <= topN)
+      .withColumn("rank", row_number().over(rankW))
+      .filter(col("rank") <= topN)
+      .select(col("token"), col("cnt_a"), col("cnt_b"), col("share_a_ppm"),
+        col("share_b_ppm"), col("shift_ppm"), col("rank"))
+  }
+
+  /**
    * Corpus snapshot diff — classify every document as added /
    * removed / changed / unchanged between two corpus versions, the
    * audit step between two training-data releases ("what actually

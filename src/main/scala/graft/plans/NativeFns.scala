@@ -26,5 +26,6 @@ object NativeFns {
       BloomMightContain.register(spark)
       VecProject.register(spark)
       SrpSig.register(spark)
+      LangMarkerCounts.register(spark)
     }
 }

@@ -1434,6 +1434,60 @@ class PipelineSpec extends SparkTestBase {
     assert(dedup(0L) == 0L && dedup(1L) == 0L && dedup(2L) == 0L)
   }
 
+  test("vocab shift: per-slice shares, absent token is zero share, " +
+      "rank by absolute difference") {
+    import graft.pipeline.Corpus
+    val a = Seq((1L, "x x x y")).toDF("doc_id", "text")     // x 750000, y 250000
+    val b = Seq((2L, "x y y z")).toDF("doc_id", "text")     // x 250000, y 500000, z 250000
+    val got = Corpus.vocabShift(a, b, topN = 10)
+      .select("token", "cnt_a", "cnt_b", "share_a_ppm", "share_b_ppm",
+        "shift_ppm", "rank")
+      .as[(String, Long, Long, Long, Long, Long, Int)].collect()
+      .sortBy(_._7).toSeq
+    assert(got == Seq(
+      ("x", 3L, 1L, 750000L, 250000L, 500000L, 1),
+      ("y", 1L, 2L, 250000L, 500000L, 250000L, 2),
+      ("z", 0L, 1L, 0L, 250000L, 250000L, 3)))
+  }
+
+  test("lang_marker_counts: native path is bit-identical to the composed " +
+      "lambda form on adversarial case/unicode/tie inputs") {
+    val inputs = Seq(
+      "The THE tHe and of is a",            // case folding
+      "le la les et des",                   // fr
+      "der die und das ist el los las y es",
+      "le the",                             // tie: en wins by order
+      "",                                   // empty
+      "   \t\n  ",                          // whitespace only
+      "éla la le",                     // multi-byte-led token must not match "la"
+      "K is İs",                  // Kelvin sign token; İs lowercases to i̇s
+      "中文 mixed the text 漢字",             // CJK probe + markers
+      "😀 the 😀😀 y",                      // 4-byte sequences
+      "a the",                         // NBSP is NOT Java \s whitespace
+      "word the. les, und")                 // punctuation-attached
+    val df = inputs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    graft.plans.NativeFns.register(spark)
+    val rows = df.select(col("id"),
+        TextFns.langId(col("text")).as("nat"),
+        TextFns.langIdComposed(col("text")).as("ref"),
+        TextFns.qualityScore(col("text")).as("qnat"),
+        TextFns.qualityScoreComposed(col("text")).as("qref"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getString(1) == r.getString(2),
+        s"langId mismatch on input ${inputs(r.getLong(0).toInt)}: " +
+          s"native=${r.getString(1)} composed=${r.getString(2)}")
+      assert(r.getDouble(3) == r.getDouble(4),
+        s"quality mismatch on input ${inputs(r.getLong(0).toInt)}")
+    }
+    // the marker tables must stay in sync with TextFns.langMarkers
+    val c = df.filter(col("id") === 0)
+      .select(graft.plans.LangMarkerCounts.counts(col("text")))
+      .collect().head.getSeq[Int](0)
+    assert(c == Seq(0, 7, 0, 0, 0), s"got $c") // 3x the + and + of + is + a
+  }
+
   test("funnel: stages chain strictly forward per user, ppm of stage one") {
     import java.sql.Timestamp
     def ts(m: Int) = new Timestamp(m * 60000L)
