@@ -297,6 +297,27 @@ private[graft] object SqlSeriesEntries {
     "q_cohorts" -> { (s, dir) =>
       graft.operators.Cohorts.retention(ev(s, dir))
         .orderBy("cohort_day", "offset_days")
+    },
+
+    // Small-quantity revenue (TPC-H Q17 shape): lineitems below 50%
+    // of their part's average quantity. The correlated scalar
+    // subquery is hand-decorrelated into a per-part aggregate joined
+    // back on the key — the scale-correct plan Catalyst's
+    // decorrelation rule would also produce. The threshold compare is
+    // DIVISION-FREE (2·qty·count < sum, all decimal-exact): avg =
+    // sum/count would round at engine-specific scales and could flip
+    // boundary rows between engines.
+    "q_small_qty_revenue" -> { (s, dir) =>
+      val li = Tables.read(s, dir, "lineitem")
+      val avgQty = li.groupBy("l_partkey")
+        .agg(sum(col("l_quantity").cast("decimal(18,4)")).as("__sum_qty"),
+          count(lit(1)).as("__cnt"))
+      li.join(avgQty, Seq("l_partkey"))
+        .filter(col("l_quantity").cast("decimal(18,4)") * 2 * col("__cnt") <
+          col("__sum_qty"))
+        .agg(sum(col("l_extendedprice").cast("decimal(18,4)"))
+          .cast("double").as("small_qty_revenue"),
+          count(lit(1)).as("n_lineitems"))
     }
   )
 
@@ -521,6 +542,18 @@ private[graft] object SqlSeriesEntries {
         |SELECT cells.cohort_day, CAST(offset_days AS INTEGER) AS offset_days,
         |users, CAST((1000000 * users) // greatest(n, 1) AS BIGINT) AS retained_ppm
         |FROM cells JOIN sz USING (cohort_day)
-        |ORDER BY cohort_day, offset_days""".stripMargin
+        |ORDER BY cohort_day, offset_days""".stripMargin,
+
+    // the CORRELATED form — DuckDB decorrelates it itself, proving
+    // the hand-decorrelated plan computes the same relation; the
+    // division-free compare keeps the threshold decimal-exact
+    "q_small_qty_revenue" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+        |AS small_qty_revenue, COUNT(*) AS n_lineitems
+        |FROM lineitem l1
+        |WHERE (SELECT CASE WHEN
+        |CAST(l1.l_quantity AS DECIMAL(18,4)) * 2 * COUNT(*) <
+        |SUM(CAST(l2.l_quantity AS DECIMAL(18,4))) THEN 1 ELSE 0 END
+        |FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey) = 1""".stripMargin
   )
 }
