@@ -321,6 +321,13 @@ private[graft] object CorpusEntries {
           d.filter(col("source") === "src0"),
           d.filter(col("source") === "src1"), topN = 15)
         .orderBy("rank")
+    },
+
+    // Gopher duplicated n-gram char fractions at the filter suite's
+    // boundary ns (5 and 10); docs with < n tokens report 0.
+    "q_gopher_ngrams" -> { (s, dir) =>
+      graft.pipeline.Corpus.dupNgramCharPpm(spread(docs(s, dir)), Seq(5, 10))
+        .orderBy("doc_id")
     }
   )
 
@@ -793,6 +800,32 @@ private[graft] object CorpusEntries {
         |AS rank FROM sc)
         |SELECT token, cnt_a, cnt_b, share_a_ppm, share_b_ppm,
         |CAST(shift_ppm AS BIGINT) AS shift_ppm, CAST(rank AS INTEGER) AS rank
-        |FROM r WHERE rank <= 15 ORDER BY rank""".stripMargin
+        |FROM r WHERE rank <= 15 ORDER BY rank""".stripMargin,
+
+    "q_gopher_ngrams" ->
+      """WITH w AS (SELECT doc_id,
+        |list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w
+        |FROM documents),
+        |g5 AS (SELECT doc_id, unnest(CASE WHEN len(w) >= 5
+        |THEN list_transform(range(1, len(w) - 3), i -> array_to_string(w[i:i+4], ' '))
+        |ELSE [] END) AS g FROM w),
+        |c5 AS (SELECT doc_id, g, COUNT(*) AS c, length(g) AS len
+        |FROM g5 GROUP BY 1, 2),
+        |a5 AS (SELECT doc_id,
+        |CAST((1000000 * SUM((c - 1) * len)) // greatest(SUM(c * len), 1) AS BIGINT)
+        |AS dup5_ppm FROM c5 GROUP BY 1),
+        |g10 AS (SELECT doc_id, unnest(CASE WHEN len(w) >= 10
+        |THEN list_transform(range(1, len(w) - 8), i -> array_to_string(w[i:i+9], ' '))
+        |ELSE [] END) AS g FROM w),
+        |c10 AS (SELECT doc_id, g, COUNT(*) AS c, length(g) AS len
+        |FROM g10 GROUP BY 1, 2),
+        |a10 AS (SELECT doc_id,
+        |CAST((1000000 * SUM((c - 1) * len)) // greatest(SUM(c * len), 1) AS BIGINT)
+        |AS dup10_ppm FROM c10 GROUP BY 1)
+        |SELECT d.doc_id, coalesce(a5.dup5_ppm, 0) AS dup5_ppm,
+        |coalesce(a10.dup10_ppm, 0) AS dup10_ppm
+        |FROM documents d LEFT JOIN a5 ON d.doc_id = a5.doc_id
+        |LEFT JOIN a10 ON d.doc_id = a10.doc_id
+        |ORDER BY d.doc_id""".stripMargin
   )
 }

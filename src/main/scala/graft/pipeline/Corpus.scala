@@ -1046,6 +1046,47 @@ object Corpus {
   }
 
   /**
+   * Duplicated n-gram character fractions — the remaining members of
+   * the Gopher repetition family ([[gopherRepetition]] covers lines/
+   * paragraphs/top-bigram): for each n in `ns`, the share of n-gram
+   * occurrence CHARACTERS belonging to repeat occurrences (every
+   * occurrence of a gram past its first), integer ppm. This is the
+   * documented occurrence-weighted rendering of Gopher's "fraction of
+   * characters in duplicated n-grams" (the published union-of-
+   * positions form is not expressible as a per-gram aggregate; the
+   * occurrence-weighted variant is monotone in the same signal and
+   * exactly replicable in SQL).
+   *
+   * Plan: one explode + (doc, gram) count + per-doc sum PER n — all
+   * map-side combinable, keyed by doc id, joined on the id at the
+   * end. Cost is ns.length token-stream passes; callers pick the ns
+   * their filter thresholds actually use.
+   */
+  def dupNgramCharPpm(docs: DataFrame, ns: Seq[Int],
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(ns.nonEmpty, "need at least one n")
+    graft.plans.NativeFns.register(docs.sparkSession)
+    val perN = ns.map { n =>
+      docs.select(col(idCol),
+          explode(graft.plans.WordShingles.shingles(col(textCol), n)).as("__g"))
+        .groupBy(col(idCol), col("__g"))
+        .agg(count(lit(1)).cast("long").as("__c"))
+        .withColumn("__len", length(col("__g")).cast("long"))
+        .groupBy(idCol)
+        .agg(sum(expr("__c * __len")).as("__chars"),
+          sum(expr("(__c - 1) * __len")).as("__dupChars"))
+        .select(col(idCol),
+          expr("(1000000 * __dupChars) div greatest(__chars, 1)").cast("long")
+            .as(s"dup${n}_ppm"))
+    }
+    // docs shorter than n tokens have no n-grams: keep the row, 0 ppm
+    val base = docs.select(col(idCol))
+    perN.foldLeft(base)((acc, d) => acc.join(d, Seq(idCol), "left"))
+      .select(col(idCol) +: ns.map(n =>
+        coalesce(col(s"dup${n}_ppm"), lit(0L)).as(s"dup${n}_ppm")): _*)
+  }
+
+  /**
    * Vocabulary shift between two corpus slices — the domain-drift
    * monitor for mixture management: per token, its occurrence share
    * in slice A vs slice B (integer ppm), ranked by absolute share

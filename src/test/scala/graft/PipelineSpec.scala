@@ -1488,6 +1488,22 @@ class PipelineSpec extends SparkTestBase {
     assert(c == Seq(0, 7, 0, 0, 0), s"got $c") // 3x the + and + of + is + a
   }
 
+  test("dup n-gram char ppm: repeat occurrences weighted by gram chars, " +
+      "short docs report zero") {
+    import graft.pipeline.Corpus
+    val docsDf = Seq(
+      (1L, "a a a a a a"),        // 2 identical 5-grams -> half the chars dup
+      (2L, "one two three four five six"), // all 5-grams distinct -> 0
+      (3L, "tiny doc")            // < 5 tokens -> no grams, 0 ppm row kept
+    ).toDF("doc_id", "text")
+    val rows = Corpus.dupNgramCharPpm(docsDf, Seq(5, 10))
+      .select("doc_id", "dup5_ppm", "dup10_ppm")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(rows(1L) == ((500000L, 0L)), s"got ${rows(1L)}")
+    assert(rows(2L) == ((0L, 0L)))
+    assert(rows(3L) == ((0L, 0L)), "short doc must keep a zero row")
+  }
+
   test("funnel: stages chain strictly forward per user, ppm of stage one") {
     import java.sql.Timestamp
     def ts(m: Int) = new Timestamp(m * 60000L)
