@@ -318,6 +318,20 @@ private[graft] object SqlSeriesEntries {
         .agg(sum(col("l_extendedprice").cast("decimal(18,4)"))
           .cast("double").as("small_qty_revenue"),
           count(lit(1)).as("n_lineitems"))
+    },
+
+    // Data-quality column profile of the documents table: one pass,
+    // one row per column, schema-stable string rendering.
+    "q_dq_profile" -> { (s, dir) =>
+      graft.operators.Profiling.profile(
+        Tables.read(s, dir, "documents")).orderBy("col_name")
+    },
+
+    // Join-key skew audit over the lineitem part key — the pre-flight
+    // check before a big equi-join; struct-min argmax, no sort.
+    "q_skew_audit" -> { (s, dir) =>
+      graft.operators.Profiling.keySkew(
+        Tables.read(s, dir, "lineitem"), "l_partkey")
     }
   )
 
@@ -554,6 +568,28 @@ private[graft] object SqlSeriesEntries {
         |WHERE (SELECT CASE WHEN
         |CAST(l1.l_quantity AS DECIMAL(18,4)) * 2 * COUNT(*) <
         |SUM(CAST(l2.l_quantity AS DECIMAL(18,4))) THEN 1 ELSE 0 END
-        |FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey) = 1""".stripMargin
+        |FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey) = 1""".stripMargin,
+
+    "q_dq_profile" -> {
+      val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+      cols.map { c =>
+        s"""SELECT '$c' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           |CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           |CAST(COUNT(DISTINCT CAST($c AS VARCHAR)) AS BIGINT) AS n_distinct,
+           |MIN(CAST($c AS VARCHAR)) AS min_val, MAX(CAST($c AS VARCHAR)) AS max_val
+           |FROM documents""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+    },
+
+    "q_skew_audit" ->
+      """WITH c AS (SELECT CAST(l_partkey AS VARCHAR) AS k, COUNT(*) AS c
+        |FROM lineitem GROUP BY 1),
+        |t AS (SELECT CAST(SUM(c) AS BIGINT) AS n_rows,
+        |CAST(COUNT(*) AS BIGINT) AS n_keys FROM c),
+        |m AS (SELECT k, c FROM c ORDER BY c DESC, k LIMIT 1)
+        |SELECT t.n_rows, t.n_keys, m.k AS top_key, CAST(m.c AS BIGINT) AS top_cnt,
+        |CAST((1000 * m.c * t.n_keys) // greatest(t.n_rows, 1) AS BIGINT)
+        |AS skew_x1000
+        |FROM t CROSS JOIN m""".stripMargin
   )
 }

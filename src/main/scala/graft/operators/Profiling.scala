@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Data-quality profiling operators — the observability half of an
+ * ingestion-metrics framework: what a pipeline publishes about its
+ * OWN tables so drift, skew, and null regressions page before
+ * downstream jobs fail.
+ */
+object Profiling {
+
+  /**
+   * Per-column table profile in one aggregation pass: row count,
+   * null count, exact distinct count, lexicographic min/max of the
+   * string rendering — one output row per column, uniform schema
+   * (column, n_rows, n_null, n_distinct, min_val, max_val).
+   *
+   * Plan: a single Aggregate over the scan computes every column's
+   * counts together (count + count(col) + count(distinct col) per
+   * column — Spark expands multi-distinct into one Expand + two-phase
+   * aggregate, still one pass over the data), then a `stack` unpivot
+   * reshapes the 1×(6·k) row to k rows — driver-free, no second scan.
+   * String rendering makes the profile schema-stable across column
+   * types, so the profile of ANY table lands in one metrics sink.
+   */
+  def profile(df: DataFrame): DataFrame = {
+    val cols = df.columns.toSeq
+    val aggs = cols.flatMap { c =>
+      val sc = col(c).cast("string")
+      Seq(count(lit(1)).as(s"__n_$c"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__null_$c"),
+        countDistinct(sc).as(s"__dist_$c"),
+        min(sc).as(s"__min_$c"),
+        max(sc).as(s"__max_$c"))
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = cols.map(c =>
+      s"'$c', `__n_$c`, `__null_$c`, `__dist_$c`, `__min_$c`, `__max_$c`")
+      .mkString(", ")
+    // col_name, not "column": reserved-ish in several SQL dialects the
+    // profile sink might live in
+    wide.select(expr(
+      s"stack(${cols.length}, $stackArgs) AS " +
+        "(col_name, n_rows, n_null, n_distinct, min_val, max_val)"))
+  }
+
+  /**
+   * Join-key skew audit: the pre-flight check before a big equi-join
+   * — "is there a key that will pin one task?" Reports row count,
+   * distinct-key count, the hottest key (count ties broken to the
+   * lexicographically smallest key — deterministic), its row count,
+   * and the skew factor (hottest over mean rows-per-key) in integer
+   * x1000 units.
+   *
+   * Plan: per-key count (map-side combinable — the only full-volume
+   * shuffle, and it carries one row per DISTINCT key), then a single
+   * struct-max aggregate: max((cnt, reversed-key)) picks the hottest
+   * key without any sort. Totals ride the same aggregate.
+   */
+  def keySkew(df: DataFrame, keyCol: String): DataFrame = {
+    val counts = df.select(col(keyCol).cast("string").as("__k"))
+      .groupBy("__k").agg(count(lit(1)).cast("long").as("__c"))
+    // struct max orders by (count, key-desc) — to break count ties
+    // toward the SMALLEST key with a max aggregate, order by the
+    // negated comparison via a second struct field that inverts key
+    // order: max on (c, neg_key_marker) is not directly expressible,
+    // so use min over (neg count, key): min((-c, key)) = (highest c,
+    // smallest key among them)
+    val top = counts.agg(
+      sum("__c").cast("long").as("n_rows"),
+      count(lit(1)).cast("long").as("n_keys"),
+      min(struct((-col("__c")).as("nc"), col("__k").as("k"))).as("__top"))
+    top.select(col("n_rows"), col("n_keys"),
+        col("__top.k").as("top_key"),
+        (-col("__top.nc")).cast("long").as("top_cnt"))
+      .withColumn("skew_x1000",
+        expr("(1000 * top_cnt * n_keys) div greatest(n_rows, 1L)").cast("long"))
+  }
+}

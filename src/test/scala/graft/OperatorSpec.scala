@@ -368,6 +368,26 @@ class OperatorSpec extends SparkTestBase {
     assert(top1(1L) == "apple" && top1(2L) == "banana" && top1(3L) == "cherry")
   }
 
+  test("table profile: one row per column with null/distinct/minmax; " +
+      "key skew audit finds the hot key with smallest-key tie-break") {
+    import spark.implicits._
+    val d = Seq((1L, Some("a")), (2L, None), (3L, Some("a")), (4L, Some("b")))
+      .toDF("id", "v")
+    val prof = graft.operators.Profiling.profile(d)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5)))
+      .toMap
+    assert(prof("id") == ((4L, 0L, 4L, "1", "4")))
+    assert(prof("v") == ((4L, 1L, 2L, "a", "b")))
+    val sk = Seq("x", "x", "x", "y", "z", "w", "w", "w")
+      .toDF("k")
+    val row = graft.operators.Profiling.keySkew(sk, "k").collect().head
+    // w and x tie at 3 -> smallest key wins; skew = 3 / (8/4) = 1.5
+    assert(row.getAs[Long]("n_rows") == 8L && row.getAs[Long]("n_keys") == 4L)
+    assert(row.getAs[String]("top_key") == "w" && row.getAs[Long]("top_cnt") == 3L)
+    assert(row.getAs[Long]("skew_x1000") == 1500L)
+  }
+
   test("definition export round-trips through JSON schema (O-11/O-5)") {
     val out = java.nio.file.Files.createTempDirectory("defs").toString
     DefinitionExport.dump(spark, DefinitionRegistry.allAccounts, out)
