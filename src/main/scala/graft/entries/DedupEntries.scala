@@ -71,6 +71,26 @@ private[graft] object DedupEntries {
         threshold = 0.4, maxDf = 50).orderBy("id_a", "id_b")
     },
 
+    // Edit-distance near-dup: same blocking, banded Levenshtein
+    // confirm (the injected tails are exactly 20 insertions away).
+    "q_dedup_editdist" -> { (s, dir) =>
+      Dedup.editDistanceNearDupPairs(nearDupCorpus(s, dir), maxEdits = 24,
+        shingleN = 4, maxDf = 50).orderBy("id_a", "id_b")
+    },
+
+    // Asymmetric containment: injected 8-token prefix "quotes" score
+    // containment 1.0 against their source articles even where Jaccard
+    // is tiny; the tail near-dups also surface (base ⊂ base+tail).
+    "q_containment" -> { (s, dir) =>
+      val corpus = nearDupCorpus(s, dir)
+      val quotes = docs(s, dir).filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 30000).as("doc_id"),
+          concat_ws(" ", slice(graft.functions.TextFns.tokens(col("text")), 1, 8))
+            .as("text"))
+      Dedup.containmentPairs(corpus.unionByName(quotes), threshold = 0.9,
+        shingleN = 4, maxDf = 50).orderBy("id_a", "id_b")
+    },
+
     // SimHash near-dup. The xxhash64 fingerprint family has no external
     // oracle, so the hash-checked contract is: (a) every injected
     // ground-truth EXACT duplicate (externally enumerable from the
@@ -529,6 +549,53 @@ private[graft] object DedupEntries {
          |FROM cand JOIN shf x ON x.doc_id = id_a JOIN shf y ON y.doc_id = id_b)
          |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.4
          |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_dedup_editdist" ->
+      s"""WITH $nearDupCorpusSql,
+         |w AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS w FROM all_docs),
+         |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(w) >= 4
+         |THEN list_transform(range(1, len(w)-2), i -> array_to_string(w[i:i+3], ' '))
+         |ELSE [] END) AS shingles FROM w),
+         |shf AS (SELECT * FROM sh WHERE len(shingles) > 0),
+         |p AS (SELECT doc_id, unnest(shingles) AS shingle FROM shf),
+         |rare AS (SELECT shingle FROM p GROUP BY shingle HAVING COUNT(*) BETWEEN 2 AND 50),
+         |bl AS (SELECT p.doc_id, p.shingle FROM p JOIN rare USING (shingle)),
+         |cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM bl a
+         |JOIN bl b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |GROUP BY a.doc_id, b.doc_id HAVING COUNT(*) >= 2),
+         |e AS (SELECT id_a, id_b, levenshtein(x.text, y.text) AS edits
+         |FROM cand JOIN all_docs x ON x.doc_id = id_a JOIN all_docs y ON y.doc_id = id_b
+         |WHERE abs(len(x.text) - len(y.text)) <= 24)
+         |SELECT id_a, id_b, edits FROM e WHERE edits <= 24
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_containment" ->
+      """WITH all_docs AS (SELECT doc_id, text FROM documents UNION ALL
+        |SELECT doc_id + 20000, text || ' extra near dup tail' FROM documents WHERE doc_id % 11 = 0
+        |UNION ALL SELECT doc_id + 30000,
+        |array_to_string(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')[1:8], ' ')
+        |FROM documents WHERE doc_id % 13 = 0),
+        |w AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w FROM all_docs),
+        |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(w) >= 4
+        |THEN list_transform(range(1, len(w)-2), i -> array_to_string(w[i:i+3], ' '))
+        |ELSE [] END) AS shingles FROM w),
+        |shf AS (SELECT * FROM sh WHERE len(shingles) > 0),
+        |p AS (SELECT doc_id, unnest(shingles) AS shingle FROM shf),
+        |rare AS (SELECT shingle FROM p GROUP BY shingle HAVING COUNT(*) BETWEEN 2 AND 50),
+        |bl AS (SELECT p.doc_id, p.shingle FROM p JOIN rare USING (shingle)),
+        |cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM bl a
+        |JOIN bl b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |GROUP BY a.doc_id, b.doc_id HAVING COUNT(*) >= 2),
+        |c AS (SELECT id_a, id_b,
+        |CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE) AS inter,
+        |len(x.shingles) AS na, len(y.shingles) AS nb
+        |FROM cand JOIN shf x ON x.doc_id = id_a JOIN shf y ON y.doc_id = id_b),
+        |f AS (SELECT id_a, id_b, greatest(inter/na, inter/nb) AS containment,
+        |CASE WHEN inter/na > inter/nb THEN id_a
+        |     WHEN inter/nb > inter/na THEN id_b
+        |     ELSE least(id_a, id_b) END AS contained_id FROM c)
+        |SELECT id_a, id_b, containment, contained_id FROM f
+        |WHERE containment >= 0.9 ORDER BY id_a, id_b""".stripMargin,
 
     "q_dedup_incr" ->
       """WITH all_docs AS (SELECT doc_id, text FROM documents UNION ALL

@@ -445,6 +445,25 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", shingleN: Int = 4, threshold: Double = 0.4,
       maxDf: Int = 50, minSharedShingles: Int = 2): DataFrame = {
+    val (withShingles, pairs) = rareShingleBlockedPairs(docs, textCol, idCol,
+      shingleN, maxDf, minSharedShingles)
+    val jaccard = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+      size(array_union(col("sh_a"), col("sh_b"))).cast("double")
+    pairs
+      .join(withShingles.select(col(idCol).as("id_a"), col("shingles").as("sh_a")), Seq("id_a"))
+      .join(withShingles.select(col(idCol).as("id_b"), col("shingles").as("sh_b")), Seq("id_b"))
+      .withColumn("jaccard", jaccard)
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Rare-shingle candidate generation shared by [[ngramJaccardPairs]]
+    * and [[editDistanceNearDupPairs]]: returns the persisted
+    * (id, shingles) frame and the blocked ordered (id_a, id_b)
+    * candidate pairs (≥ `minSharedShingles` shared rare shingles). */
+  private def rareShingleBlockedPairs(docs: DataFrame, textCol: String,
+      idCol: String, shingleN: Int, maxDf: Int,
+      minSharedShingles: Int): (DataFrame, DataFrame) = {
     require(minSharedShingles >= 1, "minSharedShingles must be >= 1")
     graft.plans.NativeFns.register(docs.sparkSession)
     val withShingles = docs.select(col(idCol),
@@ -477,14 +496,99 @@ object Dedup {
       .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .agg(count(lit(1)).as("__shared"))
       .filter(col("__shared") >= minSharedShingles).drop("__shared")
-    val jaccard = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-      size(array_union(col("sh_a"), col("sh_b"))).cast("double")
+    (withShingles, pairs)
+  }
+
+  /**
+   * Edit-distance near-duplicate pairs: the EXACT-similarity member
+   * of the near-dup family. MinHash/SimHash/Jaccard all measure
+   * set-of-shingles overlap, which is blind to ordering and counts a
+   * moved paragraph as near-identical; Levenshtein distance is the
+   * sequence-level ground truth ("how many character edits apart"),
+   * the confirm a plagiarism/patch-detection pipeline wants. All-pairs
+   * Levenshtein is O(n²·len²) — unthinkable at corpus scale — so
+   * candidates come from the same rare-shingle blocking as
+   * [[ngramJaccardPairs]] (equi-join on the shingle posting, group
+   * size bounded by maxDf) and only candidates pay the string compare.
+   *
+   * The confirm itself is banded: `levenshtein(a, b, threshold)`
+   * (Spark's built-in threshold variant) abandons a pair as soon as
+   * the running distance exceeds `maxEdits`, so each confirm is
+   * O(maxEdits · len) instead of O(len²) — two long documents that
+   * differ wildly cost one diagonal band scan, not a full matrix.
+   * A length prefilter (|len_a − len_b| ≤ maxEdits, a lower bound on
+   * the distance) drops impossible pairs before any text is compared.
+   *
+   * Recall contract: inherits the blocking contract of
+   * [[ngramJaccardPairs]] — a qualifying pair must share at least
+   * `minSharedShingles` shingles rarer than `maxDf`. Within-`maxEdits`
+   * pairs of normal documents share nearly all shingles, so blocking
+   * recall is far higher here than at the Jaccard-0.4 operating point.
+   *
+   * Output: (id_a, id_b, edits), id_a < id_b, edits ≤ maxEdits.
+   */
+  def editDistanceNearDupPairs(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", maxEdits: Int = 40, shingleN: Int = 4,
+      maxDf: Int = 50, minSharedShingles: Int = 2): DataFrame = {
+    require(maxEdits >= 1, "maxEdits must be >= 1")
+    val (_, pairs) = rareShingleBlockedPairs(docs, textCol, idCol,
+      shingleN, maxDf, minSharedShingles)
+    val texts = docs.select(col(idCol), col(textCol), length(col(textCol)).as("__len"))
+    pairs
+      .join(texts.select(col(idCol).as("id_a"), col(textCol).as("__ta"),
+        col("__len").as("__la")), Seq("id_a"))
+      .join(texts.select(col(idCol).as("id_b"), col(textCol).as("__tb"),
+        col("__len").as("__lb")), Seq("id_b"))
+      .filter(abs(col("__la") - col("__lb")) <= maxEdits)
+      .withColumn("edits", levenshtein(col("__ta"), col("__tb"), maxEdits))
+      .filter(col("edits") >= 0) // threshold variant returns -1 past the band
+      .select("id_a", "id_b", "edits")
+  }
+
+  /**
+   * Asymmetric containment pairs: quote/extraction detection. Jaccard
+   * is SYMMETRIC — a tweet quoted verbatim inside a long article
+   * scores near zero because the union is dominated by the article —
+   * so every Jaccard-thresholded dedup pass keeps both. Containment
+   * C(A→B) = |shingles(A) ∩ shingles(B)| / |shingles(A)| scores that
+   * same pair 1.0 from the tweet's side: the signal for "this short
+   * document is a fragment of that long one" (near-dup dedup's blind
+   * spot, and the relation a license-compliance or quote-attribution
+   * pass needs).
+   *
+   * Candidates come from the shared rare-shingle blocking; the
+   * confirm computes containment in BOTH directions and keeps pairs
+   * where either side's containment clears `threshold`. Output:
+   * (id_a, id_b, containment, contained_id) with id_a < id_b,
+   * `containment` = max of the two directions and `contained_id` the
+   * doc that is mostly-contained (ties — equal shingle counts — break
+   * to the smaller id, so symmetric near-dups are also total-ordered).
+   *
+   * Recall contract: a contained fragment shares ALL its shingles
+   * with its container, so blocking recall is bounded only by the
+   * rare-shingle requirement — a fragment whose every shingle is
+   * hotter than `maxDf` (pure boilerplate) is outside the design,
+   * which is the correct outcome (boilerplate is [[stripCommonLines]]'
+   * job, not containment's).
+   */
+  def containmentPairs(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", threshold: Double = 0.9, shingleN: Int = 4,
+      maxDf: Int = 50, minSharedShingles: Int = 2): DataFrame = {
+    val (withShingles, pairs) = rareShingleBlockedPairs(docs, textCol, idCol,
+      shingleN, maxDf, minSharedShingles)
+    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
     pairs
       .join(withShingles.select(col(idCol).as("id_a"), col("shingles").as("sh_a")), Seq("id_a"))
       .join(withShingles.select(col(idCol).as("id_b"), col("shingles").as("sh_b")), Seq("id_b"))
-      .withColumn("jaccard", jaccard)
-      .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
+      .withColumn("__ca", inter / size(col("sh_a")).cast("double"))
+      .withColumn("__cb", inter / size(col("sh_b")).cast("double"))
+      .withColumn("containment", greatest(col("__ca"), col("__cb")))
+      .filter(col("containment") >= threshold)
+      .withColumn("contained_id",
+        when(col("__ca") > col("__cb"), col("id_a"))
+          .when(col("__cb") > col("__ca"), col("id_b"))
+          .otherwise(least(col("id_a"), col("id_b"))))
+      .select("id_a", "id_b", "containment", "contained_id")
   }
 
   /**

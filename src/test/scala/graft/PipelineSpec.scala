@@ -48,6 +48,48 @@ class PipelineSpec extends SparkTestBase {
     assert(pairs.contains((1L, 4L)) && pairs.contains((1L, 2L)))
   }
 
+  test("edit-distance near-dup: exact band values, threshold excludes, length prefilter") {
+    // doc 2 = doc 1 + " again" (6 inserted chars); doc 4 = exact copy of 1.
+    val got = Dedup.editDistanceNearDupPairs(docsDf, maxEdits = 10,
+      shingleN = 3, maxDf = 10)
+      .select("id_a", "id_b", "edits").as[(Long, Long, Int)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    assert(got((1L, 4L)) == 0, "exact dup at distance 0")
+    assert(got((1L, 2L)) == 6, "six-char insertion measured exactly")
+    assert(got((2L, 4L)) == 6)
+    assert(!got.keySet.exists { case (a, b) => a == 3L || b == 3L },
+      "unrelated doc produces no pair")
+    // Tight band: the 6-edit pairs fall outside maxEdits = 3 (the
+    // threshold variant returns -1 there) but the exact dup survives.
+    val tight = Dedup.editDistanceNearDupPairs(docsDf, maxEdits = 3,
+      shingleN = 3, maxDf = 10)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(tight == Set((1L, 4L)))
+  }
+
+  test("containment: fragment scores 1.0 where jaccard fails; direction and ties pinned") {
+    val cdocs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"),
+      (2L, "alpha beta gamma delta epsilon"), // strict fragment of 1
+      (3L, "totally unrelated words about spark catalyst optimizer rules engine"),
+      (4L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu") // exact dup of 1
+    ).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(cdocs, threshold = 0.9, shingleN = 3,
+      maxDf = 10)
+      .select("id_a", "id_b", "containment", "contained_id")
+      .as[(Long, Long, Double, Long)].collect()
+      .map(t => (t._1, t._2) -> ((t._3, t._4))).toMap
+    assert(got((1L, 2L)) == ((1.0, 2L)), "fragment contained in the long doc")
+    assert(got((2L, 4L)) == ((1.0, 2L)))
+    assert(got((1L, 4L)) == ((1.0, 1L)), "exact dup: tie breaks to smaller id")
+    assert(!got.keySet.exists { case (a, b) => a == 3L || b == 3L })
+    // The same fragment pair fails a Jaccard-0.9 test — the asymmetry
+    // containment exists to catch (fragment shares 3 of 10 union shingles).
+    val jac = Dedup.ngramJaccardPairs(cdocs, shingleN = 3, threshold = 0.9,
+      maxDf = 10).select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(!jac.contains((1L, 2L)) && jac.contains((1L, 4L)))
+  }
+
   test("embedding near-dup via SRP buckets finds injected duplicates") {
     val e = Tables.read(spark, sf0001, "embeddings")
     val dup = e.filter(col("vec_id") < 5).withColumn("vec_id", col("vec_id") + 1000)
