@@ -303,6 +303,14 @@ private[graft] object CorpusEntries {
         .orderBy("rank")
     },
 
+    // Collocations: adjacent token pairs whose integer-exact PMI lift
+    // clears 1.5x independence with support >= 2.
+    "q_collocations" -> { (s, dir) =>
+      graft.pipeline.Corpus.collocations(spread(docs(s, dir)),
+        minPairCount = 2L, minLiftPpm = 1500000L)
+        .orderBy(desc("lift_ppm"), col("tok_a"), col("tok_b"))
+    },
+
     // Exact heavy hitters (tokens ≥ 2% of the stream) via the
     // Misra-Gries candidate pass + exact confirm — never a
     // long-tail shuffle; result bit-equal to the naive group-by.
@@ -768,6 +776,26 @@ private[graft] object CorpusEntries {
         |SELECT token, cnt, CAST(rank AS INTEGER) AS rank,
         |CAST((1000000 * cum) // greatest(total, 1) AS BIGINT) AS coverage_ppm
         |FROM k CROSS JOIN tot ORDER BY rank""".stripMargin,
+
+    "q_collocations" ->
+      """WITH w AS (SELECT list_filter(regexp_split_to_array(text, '\s+'),
+        |x -> x <> '') AS w FROM documents),
+        |uni AS (SELECT unnest(w) AS token FROM w),
+        |u AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt FROM uni GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS nt FROM u),
+        |bg AS (SELECT unnest(CASE WHEN len(w) >= 2
+        |THEN list_transform(range(1, len(w)), i -> array_to_string(w[i:i+1], ' '))
+        |ELSE [] END) AS gram FROM w),
+        |p AS (SELECT gram, CAST(COUNT(*) AS BIGINT) AS n_pair FROM bg GROUP BY 1
+        |HAVING COUNT(*) >= 2),
+        |s AS (SELECT split_part(gram, ' ', 1) AS tok_a, split_part(gram, ' ', 2) AS tok_b,
+        |n_pair FROM p),
+        |j AS (SELECT tok_a, tok_b, n_pair, a.cnt AS n_a, b.cnt AS n_b,
+        |CAST((n_pair::HUGEINT * nt * 1000000) // (a.cnt::HUGEINT * b.cnt) AS BIGINT) AS lift_ppm
+        |FROM s JOIN u a ON a.token = tok_a JOIN u b ON b.token = tok_b CROSS JOIN tot)
+        |SELECT tok_a, tok_b, n_pair, n_a, n_b, lift_ppm FROM j
+        |WHERE lift_ppm >= 1500000
+        |ORDER BY lift_ppm DESC, tok_a, tok_b""".stripMargin,
 
     "q_heavy_hitters" ->
       """WITH t AS (SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'),

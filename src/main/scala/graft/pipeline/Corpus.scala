@@ -1135,6 +1135,60 @@ object Corpus {
   }
 
   /**
+   * Collocation extraction — adjacent token pairs that co-occur far
+   * more often than their member tokens' frequencies predict
+   * ("new york", "machine learning"): PMI-family lift rendered
+   * integer-exact. Feeds tokenizer vocabulary curation (multi-word
+   * units worth a merged token) and phrase-aware dedup keys.
+   *
+   * Score: `lift_ppm = ⌊n_pair · Nt · 10⁶ / (n_a · n_b)⌋` where Nt is
+   * the corpus token count — the pointwise-mutual-information ratio
+   * p(ab)/(p(a)p(b)) up to the constant Nt/Nb (bigram positions vs
+   * token positions), scaled to ppm. 10⁶ ppm ≈ independence; real
+   * collocations score orders of magnitude above. The product is
+   * computed in DECIMAL(38,0) and floor-divided, so the score is the
+   * same integer under any partitioning and in the DuckDB oracle —
+   * no log() and no float accumulation anywhere. (Result bound:
+   * ≤ Nt·10⁶/minPairCount, inside int64 for any corpus below ~10¹²
+   * tokens per count unit — document-scale corpora qualify.)
+   *
+   * `minPairCount` is the support floor (PMI is notoriously noisy on
+   * hapax pairs — two singletons adjacent once score Nt·10⁶);
+   * `minLiftPpm` the association floor.
+   *
+   * Plan: token and bigram counts are map-side-combinable aggregates
+   * over one token-stream pass each; both tables are vocabulary-
+   * bounded (counts, never positions), so the two member-token joins
+   * shuffle vocab-sized inputs regardless of corpus size; Nt rides a
+   * single-row broadcast. Stopword-pair hot keys cannot exist —
+   * every key is a distinct token with exactly one count row per side.
+   */
+  def collocations(docs: DataFrame, minPairCount: Long = 5L,
+      minLiftPpm: Long = 2000000L, textCol: String = "text"): DataFrame = {
+    require(minPairCount >= 1, "minPairCount must be >= 1")
+    graft.plans.NativeFns.register(docs.sparkSession)
+    val uni = docs.select(
+        explode(graft.plans.WordShingles.shingles(col(textCol), 1)).as("token"))
+      .groupBy("token").agg(count(lit(1)).cast("long").as("cnt"))
+    val total = uni.agg(sum("cnt").cast("long").as("__nt"))
+    val pairs = docs.select(
+        explode(graft.plans.WordShingles.shingles(col(textCol), 2)).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).cast("long").as("n_pair"))
+      .filter(col("n_pair") >= minPairCount)
+      .withColumn("tok_a", element_at(split(col("gram"), " ", 2), 1))
+      .withColumn("tok_b", element_at(split(col("gram"), " ", 2), 2))
+    pairs
+      .join(uni.select(col("token").as("tok_a"), col("cnt").as("n_a")), Seq("tok_a"))
+      .join(uni.select(col("token").as("tok_b"), col("cnt").as("n_b")), Seq("tok_b"))
+      .crossJoin(broadcast(total))
+      .withColumn("lift_ppm",
+        expr("CAST(n_pair AS DECIMAL(38,0)) * __nt * 1000000" +
+          " div (CAST(n_a AS DECIMAL(38,0)) * n_b)").cast("long"))
+      .filter(col("lift_ppm") >= minLiftPpm)
+      .select("tok_a", "tok_b", "n_pair", "n_a", "n_b", "lift_ppm")
+  }
+
+  /**
    * Corpus snapshot diff — classify every document as added /
    * removed / changed / unchanged between two corpus versions, the
    * audit step between two training-data releases ("what actually

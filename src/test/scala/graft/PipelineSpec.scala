@@ -1416,6 +1416,28 @@ class PipelineSpec extends SparkTestBase {
     assert(top2 == all.take(2), "two-phase prune changed the top-N")
   }
 
+  test("collocations: exact integer lift, support floor, hapax visibility") {
+    import graft.pipeline.Corpus
+    val docs = Seq(
+      (1L, "new york new york city"),
+      (2L, "the new deal in york")).toDF("doc_id", "text")
+    // unigrams: new=3 york=3 city=1 the=1 deal=1 in=1 -> Nt=10
+    // "new york" appears twice -> lift = 2*10*1e6/(3*3) = 2222222 (floor)
+    val got = Corpus.collocations(docs, minPairCount = 2L,
+        minLiftPpm = 2000000L)
+      .select("tok_a", "tok_b", "n_pair", "n_a", "n_b", "lift_ppm")
+      .as[(String, String, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(("new", "york", 2L, 3L, 3L, 2222222L)))
+    // hapax pairs surface only when the support floor admits them
+    val hapax = Corpus.collocations(docs, minPairCount = 1L,
+        minLiftPpm = 3000000L)
+      .select("tok_a", "tok_b", "lift_ppm")
+      .as[(String, String, Long)].collect().toSet
+    assert(hapax.contains(("york", "city", 1000000L * 10 / 3)),
+      s"hapax pair with floor 1: $hapax")
+    assert(!hapax.contains(("new", "york", 2222222L)), "below lift floor")
+  }
+
   test("heavy hitters: exact result equals naive group-by at any capacity, " +
       "MG summary is a superset of qualifiers") {
     import graft.pipeline.{HeavyHitters, MisraGriesAggregator}
