@@ -311,6 +311,23 @@ private[graft] object CorpusEntries {
         .orderBy(desc("lift_ppm"), col("tok_a"), col("tok_b"))
     },
 
+    // BPE tokenizer training: the first 4 learned merges with their
+    // weighted pair counts — the oracle replays training exactly.
+    "q_bpe_merges" -> { (s, dir) =>
+      graft.pipeline.Bpe.learnMerges(spread(docs(s, dir)), numMerges = 4)
+        .orderBy("rank")
+    },
+
+    // BPE encode: per-doc word and BPE-unit counts under the learned
+    // 4-merge table (learned on the same corpus, as in training prep).
+    "q_bpe_encode" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val m = graft.pipeline.Bpe.learnMerges(d, numMerges = 4).orderBy("rank")
+        .select("p1", "p2").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSeq
+      graft.pipeline.Bpe.encode(spread(d), m).orderBy("doc_id")
+    },
+
     // Exact heavy hitters (tokens ≥ 2% of the stream) via the
     // Misra-Gries candidate pass + exact confirm — never a
     // long-tail shuffle; result bit-equal to the naive group-by.
@@ -339,7 +356,43 @@ private[graft] object CorpusEntries {
     }
   )
 
+  /** BPE oracle construction: replays `k` training iterations with
+    * the same separator-string representation as [[graft.pipeline.Bpe]]
+    * (chr(31) = U+001F) — pair counts, deterministic argmax, greedy
+    * replace — unrolled as CTEs. */
+  private val bpeS = "chr(31)"
+  private def bpeCtes(k: Int): String = {
+    val prefix =
+      s"""WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS w FROM documents),
+         |wd AS (SELECT unnest(w) AS word FROM w),
+         |v AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM wd WHERE NOT contains(word, $bpeS) GROUP BY 1),
+         |st0 AS (SELECT word, cnt, $bpeS || array_to_string(string_split(word, ''), $bpeS||$bpeS) || $bpeS AS seq FROM v)""".stripMargin
+    val iters = (0 until k).map { i =>
+      s"""pc$i AS (SELECT u.p1 AS p1, u.p2 AS p2, SUM(cnt) AS pair_cnt FROM (
+         |SELECT cnt, unnest(list_transform(range(1, len(us)), i -> {'p1': us[i], 'p2': us[i+1]})) AS u FROM (
+         |SELECT cnt, string_split(seq[2:len(seq)-1], $bpeS||$bpeS) AS us FROM st$i)) GROUP BY 1, 2),
+         |m${i + 1} AS (SELECT p1, p2, pair_cnt FROM pc$i ORDER BY pair_cnt DESC, p1, p2 LIMIT 1),
+         |st${i + 1} AS (SELECT word, cnt, replace(seq, $bpeS||p1||$bpeS||$bpeS||p2||$bpeS, $bpeS||p1||p2||$bpeS) AS seq FROM st$i CROSS JOIN m${i + 1})""".stripMargin
+    }
+    (prefix +: iters).mkString(",\n")
+  }
+  private def bpeMergesOracle(k: Int): String =
+    bpeCtes(k) + "\n" +
+      (1 to k).map(i => s"SELECT CAST($i AS INTEGER) AS rank, p1, p2, pair_cnt FROM m$i")
+        .mkString(" UNION ALL ") + " ORDER BY rank"
+  private def bpeEncodeOracle(k: Int): String =
+    bpeCtes(k) +
+      s""",
+         |occ AS (SELECT doc_id, unnest(w) AS word FROM w),
+         |wu AS (SELECT word, len(seq) - len(replace(seq, $bpeS||$bpeS, $bpeS)) + 1 AS units FROM st$k),
+         |u AS (SELECT doc_id, units FROM occ JOIN wu USING (word)),
+         |g AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words, CAST(SUM(units) AS BIGINT) AS n_bpe_units FROM u GROUP BY 1)
+         |SELECT d.doc_id, coalesce(n_words, 0) AS n_words, coalesce(n_bpe_units, 0) AS n_bpe_units
+         |FROM documents d LEFT JOIN g USING (doc_id) ORDER BY doc_id""".stripMargin
+
   def oracles: Map[String, String] = Map(
+    "q_bpe_merges" -> bpeMergesOracle(4),
+    "q_bpe_encode" -> bpeEncodeOracle(4),
     "q_url_features" ->
       """WITH u AS (SELECT doc_id,
         |'https://www.site-' || (doc_id % 7) || '.example.com' ||

@@ -1416,6 +1416,37 @@ class PipelineSpec extends SparkTestBase {
     assert(top2 == all.take(2), "two-phase prune changed the top-N")
   }
 
+  test("bpe: classic low/lower/lowest trajectory, deterministic ties, encode counts") {
+    import graft.pipeline.Bpe
+    val docs = Seq((1L, "low lower lowest low")).toDF("doc_id", "text")
+    // char pairs: (l,o)=4 (o,w)=4 (w,e)=2 (e,r)=1 (e,s)=1 (s,t)=1
+    // tie (l,o) vs (o,w) breaks to p1 asc -> (l,o); then (lo,w)=4,
+    // (low,e)=2, and the 1-count tie breaks to (lowe,r).
+    val merges = Bpe.learnMerges(docs, numMerges = 4)
+      .orderBy("rank").as[(Int, String, String, Long)].collect().toSeq
+    assert(merges == Seq((1, "l", "o", 4L), (2, "lo", "w", 4L),
+      (3, "low", "e", 2L), (4, "lowe", "r", 1L)))
+    // encode: low->1 unit, lower->1 (lowe+r merged), lowest->3 (lowe,s,t)
+    val enc = Bpe.encode(docs, merges.map(m => (m._2, m._3)))
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(enc == Seq((1L, 4L, 6L)))
+  }
+
+  test("bpe: overlapping-run pair counting and greedy merge match the classic rule") {
+    import graft.pipeline.Bpe
+    val docs = Seq((1L, "aaaa")).toDF("doc_id", "text")
+    // adjacent positions all count: (a,a) = 3; greedy apply -> [aa, aa]
+    val merges = Bpe.learnMerges(docs, numMerges = 2)
+      .orderBy("rank").as[(Int, String, String, Long)].collect().toSeq
+    assert(merges == Seq((1, "a", "a", 3L), (2, "aa", "aa", 1L)))
+    val enc1 = Bpe.encode(docs, Seq(("a", "a")))
+      .as[(Long, Long, Long)].collect().head
+    assert(enc1 == ((1L, 1L, 2L)), "aaaa -> [aa, aa] after one merge")
+    val enc2 = Bpe.encode(docs, merges.map(m => (m._2, m._3)))
+      .as[(Long, Long, Long)].collect().head
+    assert(enc2 == ((1L, 1L, 1L)), "aaaa -> [aaaa] after both merges")
+  }
+
   test("collocations: exact integer lift, support floor, hapax visibility") {
     import graft.pipeline.Corpus
     val docs = Seq(
