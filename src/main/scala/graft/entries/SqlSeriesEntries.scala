@@ -332,6 +332,16 @@ private[graft] object SqlSeriesEntries {
     "q_skew_audit" -> { (s, dir) =>
       graft.operators.Profiling.keySkew(
         Tables.read(s, dir, "lineitem"), "l_partkey")
+    },
+
+    // Exact join-cardinality pre-flight: lineitem ⋈ orders on the
+    // order key, predicted from per-side key counts alone.
+    "q_join_card" -> { (s, dir) =>
+      graft.operators.Profiling.joinCardinality(
+        Tables.read(s, dir, "lineitem")
+          .withColumnRenamed("l_orderkey", "k"),
+        Tables.read(s, dir, "orders")
+          .withColumnRenamed("o_orderkey", "k"), "k")
     }
   )
 
@@ -590,6 +600,22 @@ private[graft] object SqlSeriesEntries {
         |SELECT t.n_rows, t.n_keys, m.k AS top_key, CAST(m.c AS BIGINT) AS top_cnt,
         |CAST((1000 * m.c * t.n_keys) // greatest(t.n_rows, 1) AS BIGINT)
         |AS skew_x1000
-        |FROM t CROSS JOIN m""".stripMargin
+        |FROM t CROSS JOIN m""".stripMargin,
+
+    "q_join_card" ->
+      """WITH lc AS (SELECT CAST(l_orderkey AS VARCHAR) AS k, COUNT(*) AS c
+        |FROM lineitem WHERE l_orderkey IS NOT NULL GROUP BY 1),
+        |rc AS (SELECT CAST(o_orderkey AS VARCHAR) AS k, COUNT(*) AS c
+        |FROM orders WHERE o_orderkey IS NOT NULL GROUP BY 1),
+        |m AS (SELECT lc.k, lc.c * rc.c AS rows_k FROM lc JOIN rc USING (k)),
+        |top AS (SELECT k, rows_k FROM m ORDER BY rows_k DESC, k LIMIT 1),
+        |a AS (SELECT CAST(COALESCE(SUM(rows_k), 0) AS BIGINT) AS join_rows,
+        |CAST(COUNT(*) AS BIGINT) AS matched_keys FROM m),
+        |lt AS (SELECT COUNT(*) AS n FROM lc), rt AS (SELECT COUNT(*) AS n FROM rc)
+        |SELECT a.join_rows, a.matched_keys, top.k AS top_key,
+        |CAST(top.rows_k AS BIGINT) AS top_rows,
+        |CAST((1000000 * a.matched_keys) // greatest(lt.n, 1) AS BIGINT) AS left_match_ppm,
+        |CAST((1000000 * a.matched_keys) // greatest(rt.n, 1) AS BIGINT) AS right_match_ppm
+        |FROM a CROSS JOIN top CROSS JOIN lt CROSS JOIN rt""".stripMargin
   )
 }

@@ -59,6 +59,51 @@ object Profiling {
    * struct-max aggregate: max((cnt, reversed-key)) picks the hottest
    * key without any sort. Totals ride the same aggregate.
    */
+  /**
+   * Exact equi-join cardinality pre-flight: the output row count of
+   * `left ⋈ right ON key` is Σ_k cnt_left(k)·cnt_right(k) — computed
+   * from per-side KEY COUNTS only, never shipping a payload byte.
+   * The question this answers before submitting a 100 TB join is
+   * "does this explode?": a duplicate-keyed join can output
+   * quadratically more rows than either input, and the only cheap
+   * moment to find out is before the real join runs. Also reports
+   * the hottest OUTPUT key (count-product ties break to the smallest
+   * key) and its row contribution — the AQE-skew-split / salting
+   * candidate — plus both match rates (distinct keys of each side
+   * that find a partner, ppm).
+   *
+   * Plan: two map-side-combinable per-key counts (one row per
+   * distinct key reaches each exchange), an inner count-join on the
+   * key, one struct-min aggregate. Cost is O(distinct keys), not
+   * O(rows) past the first aggregation — the 100 TB fact table's
+   * count fold happens before its exchange.
+   */
+  def joinCardinality(left: DataFrame, right: DataFrame,
+      keyCol: String): DataFrame = {
+    def counts(df: DataFrame) = df.select(col(keyCol).cast("string").as("__k"))
+      .filter(col("__k").isNotNull) // null keys never match an equi-join
+      .groupBy("__k").agg(count(lit(1)).cast("long").as("__c"))
+    val l = counts(left)
+    val r = counts(right)
+    val matched = l.withColumnRenamed("__c", "__cl")
+      .join(r.withColumnRenamed("__c", "__cr"), Seq("__k"))
+      .withColumn("__rows", col("__cl") * col("__cr"))
+    val lTot = l.agg(count(lit(1)).cast("long").as("left_keys"))
+    val rTot = r.agg(count(lit(1)).cast("long").as("right_keys"))
+    matched.agg(
+        coalesce(sum("__rows"), lit(0L)).cast("long").as("join_rows"),
+        count(lit(1)).cast("long").as("matched_keys"),
+        min(struct((-col("__rows")).as("nr"), col("__k").as("k"))).as("__top"))
+      .crossJoin(broadcast(lTot)).crossJoin(broadcast(rTot))
+      .select(col("join_rows"), col("matched_keys"),
+        col("__top.k").as("top_key"),
+        coalesce((-col("__top.nr")).cast("long"), lit(0L)).as("top_rows"),
+        expr("(1000000 * matched_keys) div greatest(left_keys, 1L)")
+          .cast("long").as("left_match_ppm"),
+        expr("(1000000 * matched_keys) div greatest(right_keys, 1L)")
+          .cast("long").as("right_match_ppm"))
+  }
+
   def keySkew(df: DataFrame, keyCol: String): DataFrame = {
     val counts = df.select(col(keyCol).cast("string").as("__k"))
       .groupBy("__k").agg(count(lit(1)).cast("long").as("__c"))

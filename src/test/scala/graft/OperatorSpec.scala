@@ -388,6 +388,30 @@ class OperatorSpec extends SparkTestBase {
     assert(row.getAs[Long]("skew_x1000") == 1500L)
   }
 
+  test("join cardinality pre-flight: exact product counts, null keys out, " +
+      "match rates, empty-match row") {
+    import spark.implicits._
+    // left: a×3 b×2 null×1; right: a×2 c×1 -> join rows = 3*2 = 6
+    val l = Seq(Some("a"), Some("a"), Some("a"), Some("b"), Some("b"), None)
+      .toDF("k")
+    val r = Seq("a", "a", "c").toDF("k")
+    val row = graft.operators.Profiling.joinCardinality(l, r, "k").collect().head
+    assert(row.getAs[Long]("join_rows") == 6L)
+    assert(row.getAs[Long]("matched_keys") == 1L)
+    assert(row.getAs[String]("top_key") == "a" && row.getAs[Long]("top_rows") == 6L)
+    assert(row.getAs[Long]("left_match_ppm") == 500000L, "1 of 2 left keys")
+    assert(row.getAs[Long]("right_match_ppm") == 500000L)
+    // exactness: predicted rows equals the actual join output
+    assert(l.filter(col("k").isNotNull).join(r, Seq("k")).count() == 6L)
+    // disjoint keys -> one row of zeros, null top key
+    val none = graft.operators.Profiling.joinCardinality(
+      Seq("x").toDF("k"), Seq("y").toDF("k"), "k").collect().head
+    assert(none.getAs[Long]("join_rows") == 0L
+      && none.getAs[Long]("matched_keys") == 0L
+      && none.getAs[String]("top_key") == null
+      && none.getAs[Long]("top_rows") == 0L)
+  }
+
   test("definition export round-trips through JSON schema (O-11/O-5)") {
     val out = java.nio.file.Files.createTempDirectory("defs").toString
     DefinitionExport.dump(spark, DefinitionRegistry.allAccounts, out)
