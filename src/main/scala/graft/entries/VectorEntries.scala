@@ -177,6 +177,15 @@ private[graft] object VectorEntries {
       Multimodal.perceptualDedup(
           Multimodal.syntheticGradientImages(spread(docs(s, dir))))
         .orderBy("media_id")
+    },
+
+    // Header-only media metadata: container kind + dimensions + audio
+    // params parsed from payload bytes with column expressions — no
+    // codec anywhere in the plan. Oracle is closed-form from the
+    // fixture's encoding parameters (PNG headers are deterministic).
+    "q_media_meta" -> { (s, dir) =>
+      Multimodal.headerMeta(Multimodal.syntheticMedia(spread(docs(s, dir))))
+        .orderBy("media_id")
     }
   )
 
@@ -508,6 +517,25 @@ private[graft] object VectorEntries {
         |AS ahash FROM hh),
         |k AS (SELECT ahash, MIN(media_id) AS keep_id FROM h GROUP BY 1)
         |SELECT h.media_id, h.ahash, k.keep_id FROM h JOIN k USING (ahash)
-        |ORDER BY media_id""".stripMargin
+        |ORDER BY media_id""".stripMargin,
+
+    // Every header field predicted from the fixture's encoding
+    // parameters: JDK ImageIO writes TYPE_INT_RGB as 8-bit truecolor
+    // (bit depth 8, color type 2); AudioSystem writes the canonical
+    // 44-byte PCM WAV layout.
+    "q_media_meta" ->
+      """SELECT doc_id AS media_id,
+        |CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'wav' ELSE 'mjpng' END AS kind_detected,
+        |CASE WHEN doc_id % 3 = 0 THEN CAST(doc_id % 64 + 1 AS INTEGER)
+        |     WHEN doc_id % 3 = 2 THEN CAST(doc_id % 16 + 1 AS INTEGER) END AS width_px,
+        |CASE WHEN doc_id % 3 = 0 THEN CAST(doc_id % 48 + 1 AS INTEGER)
+        |     WHEN doc_id % 3 = 2 THEN CAST(doc_id % 12 + 1 AS INTEGER) END AS height_px,
+        |CASE WHEN doc_id % 3 IN (0, 2) THEN CAST(8 AS INTEGER) END AS bit_depth,
+        |CASE WHEN doc_id % 3 IN (0, 2) THEN CAST(2 AS INTEGER) END AS color_type,
+        |CASE WHEN doc_id % 3 = 1 THEN CAST(1 AS INTEGER) END AS channels,
+        |CASE WHEN doc_id % 3 = 1 THEN CAST(16000 AS INTEGER) END AS sample_rate_hz,
+        |CASE WHEN doc_id % 3 = 1 THEN CAST(16 AS INTEGER) END AS bits_per_sample,
+        |CASE WHEN doc_id % 3 = 1 THEN CAST(doc_id % 100 + 10 AS BIGINT) END AS n_samples
+        |FROM documents ORDER BY media_id""".stripMargin
   )
 }

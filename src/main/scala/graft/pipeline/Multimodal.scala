@@ -5,7 +5,7 @@ import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 import javax.imageio.ImageIO
 import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /**
@@ -286,6 +286,67 @@ object Multimodal {
     val scale = least(lit(maxDim) / greatest(col("width"), col("height")).cast("double"), lit(1.0))
     media.withColumn("target_width", ceil(col("width") * scale).cast("int"))
       .withColumn("target_height", ceil(col("height") * scale).cast("int"))
+  }
+
+  /**
+   * Header-only media metadata scan: container kind, dimensions, and
+   * audio parameters parsed from the FIRST BYTES of the payload with
+   * pure column expressions — zero codec invocation. At 100 TB of
+   * media this is the difference between a metadata audit that costs
+   * a full decode pass (the dominant CPU in [[extractFeatures]],
+   * video ≈3.6× image) and one that is a scan plus a handful of
+   * codegen'd byte reads per row; on a pointer-based lake (payloads
+   * as object-store keys) the same expressions run over ranged
+   * header GETs without touching pixel data.
+   *
+   * Formats (all public specifications):
+   *  - PNG: 8-byte signature, then IHDR — width/height big-endian
+   *    32-bit at offsets 17/21, bit depth and color type at 25/26.
+   *  - WAV: canonical RIFF/WAVE layout — "fmt " chunk at 13 (PCM,
+   *    16-byte body), channels LE16@23, sample rate LE32@25, bits
+   *    per sample LE16@35, "data" size LE32@41; n_samples derived as
+   *    data_bytes / (channels · bits/8).
+   *  - MJPNG (this repo's video container): 4-byte big-endian frame
+   *    length then a PNG frame — dimensions from the embedded frame
+   *    header at offset 4+.
+   * Unrecognized payloads keep a row with kind_detected='unknown'
+   * and null fields — an audit must count them, not drop them.
+   */
+  def headerMeta(media: DataFrame, payloadCol: String = "payload",
+      idCol: String = "media_id"): DataFrame = {
+    val bin = col(payloadCol)
+    def u8(pos: Column): Column =
+      conv(hex(substring(bin, pos, lit(1))), 16, 10).cast("long")
+    def be32(pos: Column): Column =
+      conv(hex(substring(bin, pos, lit(4))), 16, 10).cast("long")
+    def le16(pos: Column): Column = u8(pos) + u8(pos + 1) * 256L
+    def le32(pos: Column): Column =
+      u8(pos) + u8(pos + 1) * 256L + u8(pos + 2) * 65536L +
+        u8(pos + 3) * 16777216L
+    val pngMagic = "89504E470D0A1A0A"
+    val isPng = hex(substring(bin, 1, 8)) === pngMagic
+    val isWav = hex(substring(bin, 1, 4)) === "52494646" && // RIFF
+      hex(substring(bin, 9, 4)) === "57415645"              // WAVE
+    val isMjpng = hex(substring(bin, 5, 8)) === pngMagic
+    // PNG IHDR offset: 1 inside the container (after the 4-byte frame
+    // length), 0 standalone
+    val off = when(isMjpng, 4).otherwise(0)
+    val imageLike = isPng || isMjpng
+    val channels = when(isWav, le16(lit(23)))
+    val bits = when(isWav, le16(lit(35)))
+    val dataBytes = when(isWav, le32(lit(41)))
+    media.select(col(idCol),
+      when(isPng, "png").when(isWav, "wav").when(isMjpng, "mjpng")
+        .otherwise("unknown").as("kind_detected"),
+      when(imageLike, be32(off + 17)).cast("int").as("width_px"),
+      when(imageLike, be32(off + 21)).cast("int").as("height_px"),
+      when(imageLike, u8(off + 25)).cast("int").as("bit_depth"),
+      when(imageLike, u8(off + 26)).cast("int").as("color_type"),
+      channels.cast("int").as("channels"),
+      when(isWav, le32(lit(25))).cast("int").as("sample_rate_hz"),
+      bits.cast("int").as("bits_per_sample"),
+      // exact: data bytes are a multiple of the frame size by format
+      (dataBytes * 8L / (channels * bits)).cast("long").as("n_samples"))
   }
 
   /** Encode a w×h PNG with a horizontal gray gradient clamped at 255:

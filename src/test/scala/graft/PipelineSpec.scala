@@ -1130,6 +1130,33 @@ class PipelineSpec extends SparkTestBase {
     assert(resized._1 <= 32 && resized._2 <= 32)
   }
 
+  test("header-only media metadata: codec-free parse matches codec output, " +
+      "unknown payloads keep a null row") {
+    val media = Multimodal.syntheticMedia(
+      Seq((75L, "img doc", "en", "s", 7L), (76L, "wav doc", "en", "s", 7L),
+        (77L, "vid doc body", "en", "s", 12L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+      .unionByName(Seq((99L, "junk", Array[Byte](1, 2, 3, 4, 5), 0, 0, 0, 0))
+        .toDF("media_id", "kind", "payload", "width", "height",
+          "sample_rate", "n_frames"))
+    val rows = Multimodal.headerMeta(media).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val img = rows(75L)
+    assert(img.getString(1) == "png" && img.getInt(2) == 12 && img.getInt(3) == 28)
+    assert(img.getInt(4) == 8 && img.getInt(5) == 2, "8-bit truecolor IHDR")
+    val aud = rows(76L)
+    assert(aud.getString(1) == "wav" && aud.getInt(6) == 1
+      && aud.getInt(7) == 16000 && aud.getInt(8) == 16
+      && aud.getLong(9) == 86L, s"$aud")
+    val vid = rows(77L)
+    assert(vid.getString(1) == "mjpng" && vid.getInt(2) == 14 && vid.getInt(3) == 6)
+    val junk = rows(99L)
+    assert(junk.getString(1) == "unknown" && junk.isNullAt(2) && junk.isNullAt(9))
+    // the plan contains no mapPartitions decode stage — pure expressions
+    val plan = Multimodal.headerMeta(media).queryExecution.executedPlan.toString
+    assert(!plan.contains("MapPartitions"), plan)
+  }
+
   test("mixture resampling: rates track weights, scarce sources keep everything") {
     import graft.pipeline.Corpus
     val docs = (1 to 400).map(i =>
