@@ -311,6 +311,13 @@ private[graft] object CorpusEntries {
         .orderBy(desc("lift_ppm"), col("tok_a"), col("tok_b"))
     },
 
+    // Positional phrase search: exact "table table" adjacency through
+    // the posting-join plan (repeated term + overlapping matches).
+    "q_phrase_search" -> { (s, dir) =>
+      graft.pipeline.PhraseSearch.search(spread(docs(s, dir)),
+        Seq("table", "table")).orderBy("doc_id")
+    },
+
     // BPE tokenizer training: the first 4 learned merges with their
     // weighted pair counts — the oracle replays training exactly.
     "q_bpe_merges" -> { (s, dir) =>
@@ -393,6 +400,15 @@ private[graft] object CorpusEntries {
   def oracles: Map[String, String] = Map(
     "q_bpe_merges" -> bpeMergesOracle(4),
     "q_bpe_encode" -> bpeEncodeOracle(4),
+
+    "q_phrase_search" ->
+      """WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'),
+        |x -> x <> '') AS w FROM documents),
+        |m AS (SELECT doc_id, i FROM w, unnest(range(1, len(w))) t(i)
+        |WHERE w[i] = 'table' AND w[i+1] = 'table')
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches,
+        |CAST(MIN(i) - 1 AS INTEGER) AS first_pos
+        |FROM m GROUP BY 1 ORDER BY doc_id""".stripMargin,
     "q_url_features" ->
       """WITH u AS (SELECT doc_id,
         |'https://www.site-' || (doc_id % 7) || '.example.com' ||

@@ -342,6 +342,21 @@ private[graft] object SqlSeriesEntries {
           .withColumnRenamed("l_orderkey", "k"),
         Tables.read(s, dir, "orders")
           .withColumnRenamed("o_orderkey", "k"), "k")
+    },
+
+    // First-order user-journey transition matrix over events: one
+    // user-keyed window, |types|²-bounded counts, integer ppm rows.
+    "q_transitions" -> { (s, dir) =>
+      graft.operators.Transitions.eventTransitions(
+        Tables.read(s, dir, "events")).orderBy("from_type", "to_type")
+    },
+
+    // Robust per-source length screen: lower-median + MAD summary of
+    // documents' n_chars, outliers at the 2-MAD Hampel fence.
+    "q_mad_outliers" -> { (s, dir) =>
+      graft.operators.RobustStats.madSummary(
+        Tables.read(s, dir, "documents"), "source", "n_chars", k = 2)
+        .orderBy("source")
     }
   )
 
@@ -616,6 +631,36 @@ private[graft] object SqlSeriesEntries {
         |CAST(top.rows_k AS BIGINT) AS top_rows,
         |CAST((1000000 * a.matched_keys) // greatest(lt.n, 1) AS BIGINT) AS left_match_ppm,
         |CAST((1000000 * a.matched_keys) // greatest(rt.n, 1) AS BIGINT) AS right_match_ppm
-        |FROM a CROSS JOIN top CROSS JOIN lt CROSS JOIN rt""".stripMargin
+        |FROM a CROSS JOIN top CROSS JOIN lt CROSS JOIN rt""".stripMargin,
+
+    "q_transitions" ->
+      """WITH s AS (SELECT user_id, event_type AS from_type,
+        |lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+        |FROM events),
+        |c AS (SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n_trans
+        |FROM s WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT from_type, SUM(n_trans) AS tot FROM c GROUP BY 1)
+        |SELECT c.from_type, c.to_type, c.n_trans,
+        |CAST((1000000 * c.n_trans) // greatest(t.tot, 1) AS BIGINT) AS prob_ppm
+        |FROM c JOIN t USING (from_type)
+        |ORDER BY from_type, to_type""".stripMargin,
+
+    "q_mad_outliers" ->
+      """WITH v AS (SELECT source, CAST(n_chars AS BIGINT) AS v FROM documents
+        |WHERE n_chars IS NOT NULL),
+        |r1 AS (SELECT source, v, row_number() OVER (PARTITION BY source ORDER BY v) AS rn,
+        |COUNT(*) OVER (PARTITION BY source) AS n FROM v),
+        |med AS (SELECT source, v AS median FROM r1 WHERE rn = (n + 1) // 2),
+        |d AS (SELECT v.source, v.v, med.median, abs(v.v - med.median) AS dev
+        |FROM v JOIN med USING (source)),
+        |r2 AS (SELECT source, dev, row_number() OVER (PARTITION BY source ORDER BY dev) AS rn,
+        |COUNT(*) OVER (PARTITION BY source) AS n FROM d),
+        |mad AS (SELECT source, dev AS mad FROM r2 WHERE rn = (n + 1) // 2)
+        |SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n,
+        |CAST(ANY_VALUE(d.median) AS BIGINT) AS median,
+        |CAST(ANY_VALUE(mad.mad) AS BIGINT) AS mad,
+        |CAST(COUNT(*) FILTER (d.dev > 2 * mad.mad) AS BIGINT) AS n_outliers
+        |FROM d JOIN mad USING (source) GROUP BY d.source
+        |ORDER BY source""".stripMargin
   )
 }

@@ -388,6 +388,47 @@ class OperatorSpec extends SparkTestBase {
     assert(row.getAs[Long]("skew_x1000") == 1500L)
   }
 
+  test("robust stats: lower median, MAD, Hampel fence incl. zero-MAD degenerate") {
+    import spark.implicits._
+    val d = Seq(("a", 1L, 10L), ("a", 2L, 12L), ("a", 3L, 14L), ("a", 4L, 100L),
+      ("b", 5L, 7L), ("b", 6L, 7L), ("b", 7L, 7L), ("b", 8L, 50L))
+      .toDF("g", "id", "v")
+    // group a: sorted 10,12,14,100 -> lower median (rank 2) = 12;
+    // devs 2,0,2,88 -> sorted 0,2,2,88 -> MAD = 2; fence 3*2=6 -> 100 out
+    // group b: median 7, devs 0,0,0,43 -> MAD 0 -> every non-median out
+    val med = graft.operators.RobustStats.groupMedian(d, "g", "v")
+      .as[(String, Long)].collect().toMap
+    assert(med == Map("a" -> 12L, "b" -> 7L))
+    val summary = graft.operators.RobustStats.madSummary(d, "g", "v", k = 3)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(summary("a") == ((4L, 12L, 2L, 1L)))
+    assert(summary("b") == ((4L, 7L, 0L, 1L)), "zero MAD flags any deviation")
+    val out = graft.operators.RobustStats.madOutliers(d, "g", "v", "id", k = 3)
+      .select("id").as[Long].collect().toSet
+    assert(out == Set(4L, 8L))
+  }
+
+  test("event transitions: per-user ordering, ppm normalization, no cross-user edge") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    val ev = Seq(
+      (1L, ts(1), 10L, "view"), (2L, ts(2), 10L, "click"), (3L, ts(3), 10L, "buy"),
+      (4L, ts(1), 20L, "view"), (5L, ts(2), 20L, "click"), (6L, ts(3), 20L, "view"),
+      (7L, ts(9), 30L, "buy")) // single event: no transition
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val got = graft.operators.Transitions.eventTransitions(ev)
+      .as[(String, String, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    // view->click x2 (only transition out of view), click->buy, click->view
+    assert(got(("view", "click")) == ((2L, 1000000L)))
+    assert(got(("click", "buy")) == ((1L, 500000L)))
+    assert(got(("click", "view")) == ((1L, 500000L)))
+    // user 10's buy never chains into user 20's view
+    assert(!got.contains(("buy", "view")) && got.size == 3)
+  }
+
   test("join cardinality pre-flight: exact product counts, null keys out, " +
       "match rates, empty-match row") {
     import spark.implicits._

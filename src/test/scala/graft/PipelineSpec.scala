@@ -1443,6 +1443,31 @@ class PipelineSpec extends SparkTestBase {
     assert(top2 == all.take(2), "two-phase prune changed the top-N")
   }
 
+  test("phrase search: exact adjacency, overlap counting, term pruning in plan") {
+    import graft.pipeline.PhraseSearch
+    val docs = Seq(
+      (1L, "the big apple is the big apple of cities"),
+      (2L, "big apple pie and the apple big surprise"), // reversed order: no match
+      (3L, "x x x plain filler"),
+      (4L, "nothing relevant here")).toDF("doc_id", "text")
+    val hits = PhraseSearch.search(docs, Seq("the", "big", "apple"))
+      .as[(Long, Long, Int)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(hits == Map(1L -> ((2L, 0))), s"order matters: $hits")
+    // overlapping matches count separately: "x x x" has "x x" at 0 and 1
+    val overlap = PhraseSearch.search(docs, Seq("x", "x"))
+      .as[(Long, Long, Int)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(overlap == Map(3L -> ((2L, 0))))
+    // a phrase term absent from the corpus -> empty result, same schema
+    val none = PhraseSearch.search(docs, Seq("big", "zeppelin"))
+    assert(none.collect().isEmpty
+      && none.columns.toSeq == Seq("doc_id", "n_matches", "first_pos"))
+    // the term filter reaches the posting scan (pushed, not post-join)
+    val plan = PhraseSearch.phraseSearch(
+      PhraseSearch.positionalPostings(docs), Seq("the", "big", "apple"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("bpe: classic low/lower/lowest trajectory, deterministic ties, encode counts") {
     import graft.pipeline.Bpe
     val docs = Seq((1L, "low lower lowest low")).toDF("doc_id", "text")
