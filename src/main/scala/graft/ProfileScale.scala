@@ -444,6 +444,57 @@ object ProfileScale {
           .repartition(spark.sparkContext.defaultParallelism)
         graft.operators.Cohorts.retention(ev)
       },
+      // Phrase search: the posting prune is the claim — phrase-term
+      // postings stay copy-0-sized while the corpus grows m-fold
+      // (scaled copies suffix tokens, so only copy 0 carries the
+      // phrase). Shuffle bytes must stay ~FLAT with m; elapsed grows
+      // only with the tokenize scan.
+      "phrase_search" -> (m =>
+        graft.pipeline.PhraseSearch.search(scaledDocs(spark, sfDir, m),
+          Seq("table_c0", "table_c0"))),
+      // BPE training: the corpus pass is one tokenize+count; each
+      // merge iteration aggregates the VOCABULARY (×m disjoint copies
+      // here — the worst case for vocab growth). Linear in vocab.
+      "bpe_learn" -> (m =>
+        graft.pipeline.Bpe.learnMerges(scaledDocs(spark, sfDir, m),
+          numMerges = 2)),
+      // Collocations: unigram and bigram count tables scale with the
+      // (disjoint) per-copy vocab; the two member-token joins carry
+      // count rows only — one row per distinct token per side.
+      "collocations" -> (m =>
+        Corpus.collocations(scaledDocs(spark, sfDir, m),
+          minPairCount = 2L, minLiftPpm = 1500000L)),
+      // Edit-distance dedup: candidates from the same rare-shingle
+      // blocking as ngram_jaccard (disjoint across copies → linear);
+      // the banded Levenshtein confirm pays O(maxEdits·len) per
+      // candidate, never O(len²), and the length prefilter drops
+      // impossible pairs before any text compare.
+      "dedup_editdist" -> (m =>
+        Dedup.editDistanceNearDupPairs(scaledDocs(spark, sfDir, m),
+          maxEdits = 48)),
+      // Transition matrix: user cardinality scales with m; one lead
+      // window keyed by user, then |types|²-bounded counts.
+      "transitions" -> { m =>
+        val base = Tables.read(spark, sfDir, "events")
+          .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+        val ev = (0 until m).map(k =>
+            base.select(col("event_id"), col("ts"),
+              (col("user_id") + lit(k * 1000000L)).as("user_id"),
+              col("event_type")))
+          .reduce(_ unionByName _)
+          .repartition(spark.sparkContext.defaultParallelism)
+        graft.operators.Transitions.eventTransitions(ev)
+      },
+      // Robust MAD screen: the full-volume pass is one (group, value)
+      // count; the median walks run over per-group DISTINCT values
+      // (bounded by the value domain), so 10× rows with the same
+      // length distribution add no walk work.
+      "mad_summary" -> (m =>
+        graft.operators.RobustStats.madSummary(
+          scaledDocs(spark, sfDir, m)
+            .withColumn("source", pmod(col("doc_id"), lit(20L)))
+            .withColumn("n_chars", length(col("text"))),
+          "source", "n_chars", k = 2)),
       "stat_window_agg" -> (m =>
         StatWindowAgg.aggregateOne(scaledDatapoints(spark, sfDir, m), "Sum", 3600)),
       "alarm_machine" -> { m =>

@@ -311,6 +311,25 @@ private[graft] object CorpusEntries {
         .orderBy(desc("lift_ppm"), col("tok_a"), col("tok_b"))
     },
 
+    // Canonical-URL crawl dedup: case/port/slash/tracking-param/
+    // param-order variants of one page collapse to one exact key.
+    "q_url_canon" -> { (s, dir) =>
+      val k = expr("doc_id div 4")
+      val url = when(col("doc_id") % 4 === 0,
+          concat(lit("HTTP://Site"), k, lit(".COM:80/page/?utm_source=x&b=2&a=1")))
+        .when(col("doc_id") % 4 === 1,
+          concat(lit("http://site"), k, lit(".com/page?a=1&b=2")))
+        .when(col("doc_id") % 4 === 2,
+          concat(lit("https://site"), k, lit(".com:443/page?a=1&b=2")))
+        .otherwise(
+          concat(lit("http://site"), k, lit(".com/page/other/?b=2&a=1&fbclid=zz")))
+      val canon = docs(s, dir).select(col("doc_id"),
+        TextFns.canonicalUrl(url).as("canon"))
+      val keep = canon.groupBy("canon").agg(min("doc_id").as("keep_id"))
+      canon.join(keep, Seq("canon"))
+        .select("doc_id", "canon", "keep_id").orderBy("doc_id")
+    },
+
     // Positional phrase search: exact "table table" adjacency through
     // the posting-join plan (repeated term + overlapping matches).
     "q_phrase_search" -> { (s, dir) =>
@@ -400,6 +419,31 @@ private[graft] object CorpusEntries {
   def oracles: Map[String, String] = Map(
     "q_bpe_merges" -> bpeMergesOracle(4),
     "q_bpe_encode" -> bpeEncodeOracle(4),
+
+    "q_url_canon" ->
+      """WITH u AS (SELECT doc_id, CASE doc_id % 4
+        |WHEN 0 THEN 'HTTP://Site' || (doc_id // 4) || '.COM:80/page/?utm_source=x&b=2&a=1'
+        |WHEN 1 THEN 'http://site' || (doc_id // 4) || '.com/page?a=1&b=2'
+        |WHEN 2 THEN 'https://site' || (doc_id // 4) || '.com:443/page?a=1&b=2'
+        |ELSE 'http://site' || (doc_id // 4) || '.com/page/other/?b=2&a=1&fbclid=zz'
+        |END AS url FROM documents),
+        |p AS (SELECT doc_id,
+        |lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.\-]*)://', 1)) AS scheme,
+        |lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)', 1)) AS hostport,
+        |regexp_replace(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)', 1), '/+$', '') AS path,
+        |regexp_extract(url, '\?([^#]*)', 1) AS query FROM u),
+        |n AS (SELECT doc_id, scheme,
+        |CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+        |     WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+        |     ELSE hostport END AS host, path,
+        |array_to_string(list_sort(list_filter(string_split(query, '&'),
+        |x -> x <> '' AND NOT regexp_matches(x, '^(utm_[^=]*|fbclid|gclid)(=|$)'))), '&') AS q
+        |FROM p),
+        |c AS (SELECT doc_id, scheme || '://' || host || path ||
+        |CASE WHEN q = '' THEN '' ELSE '?' || q END AS canon FROM n),
+        |k AS (SELECT canon, MIN(doc_id) AS keep_id FROM c GROUP BY 1)
+        |SELECT c.doc_id, c.canon, k.keep_id FROM c JOIN k USING (canon)
+        |ORDER BY doc_id""".stripMargin,
 
     "q_phrase_search" ->
       """WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'),

@@ -357,6 +357,14 @@ private[graft] object SqlSeriesEntries {
       graft.operators.RobustStats.madSummary(
         Tables.read(s, dir, "documents"), "source", "n_chars", k = 2)
         .orderBy("source")
+    },
+
+    // Anchor-based event debounce at a 1-hour window: kept events
+    // only, integer-microsecond arithmetic, replayable keep-set.
+    "q_debounce" -> { (s, dir) =>
+      graft.operators.Debounce.debounce(
+        Tables.read(s, dir, "events"), windowSec = 3600L)
+        .select("event_id", "user_id", "event_type").orderBy("event_id")
     }
   )
 
@@ -661,6 +669,22 @@ private[graft] object SqlSeriesEntries {
         |CAST(ANY_VALUE(mad.mad) AS BIGINT) AS mad,
         |CAST(COUNT(*) FILTER (d.dev > 2 * mad.mad) AS BIGINT) AS n_outliers
         |FROM d JOIN mad USING (source) GROUP BY d.source
-        |ORDER BY source""".stripMargin
+        |ORDER BY source""".stripMargin,
+
+    "q_debounce" ->
+      """WITH RECURSIVE e AS (SELECT user_id, event_type, epoch_us(ts) AS t, event_id,
+        |row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
+        |FROM events),
+        |walk(user_id, event_type, rn, anchor, keep) AS (
+        |SELECT user_id, event_type, rn, t, true FROM e WHERE rn = 1
+        |UNION ALL
+        |SELECT e.user_id, e.event_type, e.rn,
+        |CASE WHEN e.t >= w.anchor + 3600000000 THEN e.t ELSE w.anchor END,
+        |e.t >= w.anchor + 3600000000
+        |FROM walk w JOIN e ON e.user_id = w.user_id
+        |AND e.event_type = w.event_type AND e.rn = w.rn + 1)
+        |SELECT w.event_id, w.user_id, w.event_type FROM
+        |(SELECT walk.*, e.event_id FROM walk JOIN e USING (user_id, event_type, rn)) w
+        |WHERE w.keep ORDER BY event_id""".stripMargin
   )
 }

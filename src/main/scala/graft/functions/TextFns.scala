@@ -188,6 +188,42 @@ object TextFns {
     round((lenScore + alphaRatio + stopScore) / 3.0, 6)
   }
 
+  /**
+   * Canonical URL key for crawl deduplication: two crawl records of
+   * the same page routinely differ only in case, default ports,
+   * trailing slashes, tracking parameters, parameter order, and
+   * fragments — six variants of one page survive an exact-URL dedup
+   * and then burn six near-dup comparisons. Canonicalizing FIRST
+   * collapses them in the cheap exact pass.
+   *
+   * Steps (all engine-portable regex/array ops — deliberately not
+   * `parse_url`, the [[graft.pipeline.Corpus.urlFeatures]] contract):
+   * lowercase scheme and host; strip the scheme's default port
+   * (http:80, https:443); strip trailing slashes from the path; drop
+   * the fragment; drop tracking parameters (`utm_*`, `fbclid`,
+   * `gclid`); SORT surviving parameters (order-insensitive key).
+   * Non-URL strings (no `scheme://`) return null — the caller
+   * decides whether null keys group or pass through.
+   */
+  def canonicalUrl(url: Column): Column = {
+    val u = trim(url)
+    val scheme = lower(regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.\\-]*)://", 1))
+    val hostport = lower(regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#]*)", 1))
+    val host = when(scheme === "http", regexp_replace(hostport, ":80$", ""))
+      .when(scheme === "https", regexp_replace(hostport, ":443$", ""))
+      .otherwise(hostport)
+    val path = regexp_replace(
+      regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*([^?#]*)", 1),
+      "/+$", "")
+    val query = regexp_extract(u, "\\?([^#]*)", 1)
+    val params = array_sort(filter(split(query, "&"), p =>
+      p =!= "" && !p.rlike("^(utm_[^=]*|fbclid|gclid)(=|$)")))
+    val queryNorm = array_join(params, "&")
+    when(scheme === "", lit(null).cast("string"))
+      .otherwise(concat(scheme, lit("://"), host, path,
+        when(queryNorm === "", lit("")).otherwise(concat(lit("?"), queryNorm))))
+  }
+
   /** Pre-round-11 composed [[qualityScore]] — kept as the executable
     * specification for the parity spec and external oracles. */
   def qualityScoreComposed(text: Column): Column = {

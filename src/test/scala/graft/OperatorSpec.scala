@@ -388,6 +388,31 @@ class OperatorSpec extends SparkTestBase {
     assert(row.getAs[Long]("skew_x1000") == 1500L)
   }
 
+  test("debounce: anchor-based keep-set, boundary inclusive, per-(user,type) isolation") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    val ev = Seq(
+      (1L, ts(0), 10L, "click"),   // keep, anchor 0
+      (2L, ts(10), 10L, "click"),  // within 60s of anchor -> drop
+      (3L, ts(30), 10L, "click"),  // still within anchor window -> drop
+      (4L, ts(70), 10L, "click"),  // past anchor+60 -> keep, new anchor 70
+      (5L, ts(130), 10L, "click"), // exactly anchor+60 -> keep (inclusive)
+      (6L, ts(5), 10L, "view"),    // different type: independent, keep
+      (7L, ts(20), 20L, "click"))  // different user: independent, keep
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val kept = graft.operators.Debounce.debounce(ev, windowSec = 60L)
+      .select("event_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 4L, 5L, 6L, 7L), s"got $kept")
+    // drizzle: events every 30s for 5 minutes with a 60s window must
+    // keep every other one, not only the first (anchor advances)
+    val drizzle = (0 until 10).map(i => (100L + i, ts(i * 30L), 1L, "e"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val dKept = graft.operators.Debounce.debounce(drizzle, windowSec = 60L)
+      .select("event_id").as[Long].collect().toSet
+    assert(dKept == Set(100L, 102L, 104L, 106L, 108L), s"got $dKept")
+  }
+
   test("robust stats: lower median, MAD, Hampel fence incl. zero-MAD degenerate") {
     import spark.implicits._
     val d = Seq(("a", 1L, 10L), ("a", 2L, 12L), ("a", 3L, 14L), ("a", 4L, 100L),

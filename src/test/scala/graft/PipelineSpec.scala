@@ -1443,6 +1443,27 @@ class PipelineSpec extends SparkTestBase {
     assert(top2 == all.take(2), "two-phase prune changed the top-N")
   }
 
+  test("canonical URL: case/port/slash/fragment/tracking/param-order fold; non-URL null") {
+    val urls = Seq(
+      (1L, "HTTP://Example.COM:80/a/b/?utm_source=x&b=2&a=1#frag"),
+      (2L, "http://example.com/a/b?a=1&b=2"),
+      (3L, "https://example.com:443/a/b?a=1&b=2"),  // scheme differs from 1/2
+      (4L, "https://example.com/a/b?a=1&b=2"),      // = 3 after port strip
+      (5L, "http://example.com:8080/a/b?a=1&b=2"),  // non-default port kept
+      (6L, "http://example.com/?fbclid=zz&gclid=q&utm_campaign=c"),
+      (7L, "not a url at all")).toDF("doc_id", "url")
+    val got = urls.select(col("doc_id"),
+        TextFns.canonicalUrl(col("url")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "http://example.com/a/b?a=1&b=2")
+    assert(got(1L) == got(2L), "case/port/slash/tracking variants collapse")
+    assert(got(3L) == "https://example.com/a/b?a=1&b=2")
+    assert(got(3L) == got(4L) && got(3L) != got(1L), "scheme distinguishes")
+    assert(got(5L) == "http://example.com:8080/a/b?a=1&b=2")
+    assert(got(6L) == "http://example.com", "all-tracking query vanishes")
+    assert(got(7L) == null, "non-URL input yields null")
+  }
+
   test("phrase search: exact adjacency, overlap counting, term pruning in plan") {
     import graft.pipeline.PhraseSearch
     val docs = Seq(

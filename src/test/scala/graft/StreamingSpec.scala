@@ -712,4 +712,39 @@ class StreamingSpec extends SparkTestBase {
       assert(batch == fromStream, s"batch $batch vs stream $fromStream")
     } finally q.stop()
   }
+
+  test("streaming heavy hitters: cross-batch MG accumulation, bounded state, " +
+      "superset of exact qualifiers") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[String]
+    val df = mem.toDF().toDF("token")
+    val q = graft.streaming.StreamHeavyHitters.candidates(df,
+        buckets = 4, capacity = 3)
+      .toDF("bucket", "token", "mg_count")
+      .writeStream.format("memory").queryName("hh_out")
+      .outputMode("update").start()
+    try {
+      val b1 = Seq.fill(10)("hot") ++ Seq.fill(4)("warm") ++
+        (0 until 6).map(i => s"t$i")
+      val b2 = Seq.fill(8)("hot") ++ (6 until 12).map(i => s"t$i")
+      mem.addData(b1: _*)
+      q.processAllAvailable()
+      mem.addData(b2: _*)
+      q.processAllAvailable()
+      // latest view per (bucket, token): last update wins
+      val latest = spark.table("hh_out")
+        .groupBy("bucket", "token").agg(last("mg_count").as("c"))
+        .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+      // 'hot' (18 of 34 rows) must survive with a cross-batch count:
+      // MG in its bucket can shed at most bucketN/capacity
+      assert(latest.contains("hot"), s"superset violated: $latest")
+      assert(latest("hot") > 10L, s"cross-batch accumulation: ${latest("hot")}")
+      // state boundedness: no bucket summary exceeds capacity
+      val perBucket = spark.table("hh_out")
+        .groupBy("bucket", "token").agg(last("mg_count"))
+        .groupBy("bucket").agg(count(lit(1)).as("n"))
+        .select("n").as[Long].collect()
+      assert(perBucket.forall(_ <= 3L), s"capacity exceeded: ${perBucket.toSeq}")
+    } finally q.stop()
+  }
 }
