@@ -365,6 +365,23 @@ private[graft] object SqlSeriesEntries {
       graft.operators.Debounce.debounce(
         Tables.read(s, dir, "events"), windowSec = 3600L)
         .select("event_id", "user_id", "event_type").orderBy("event_id")
+    },
+
+    // Referential-integrity audit with injected orphans: every 97th
+    // order key removed from the parent strands its lineitems.
+    "q_ref_integrity" -> { (s, dir) =>
+      graft.operators.Profiling.refIntegrity(
+        Tables.read(s, dir, "lineitem"),
+        Tables.read(s, dir, "orders").filter(col("o_orderkey") % 97 =!= 0),
+        "l_orderkey", "o_orderkey")
+    },
+
+    // Last-touch attribution: purchases attributed to the most recent
+    // view/click within 2 hours; dark conversions keep a null row.
+    "q_attribution" -> { (s, dir) =>
+      graft.operators.Attribution.lastTouch(
+        Tables.read(s, dir, "events"), "purchase", Seq("view", "click"),
+        lookbackSec = 7200L).orderBy("conversion_id")
     }
   )
 
@@ -685,6 +702,43 @@ private[graft] object SqlSeriesEntries {
         |AND e.event_type = w.event_type AND e.rn = w.rn + 1)
         |SELECT w.event_id, w.user_id, w.event_type FROM
         |(SELECT walk.*, e.event_id FROM walk JOIN e USING (user_id, event_type, rn)) w
-        |WHERE w.keep ORDER BY event_id""".stripMargin
+        |WHERE w.keep ORDER BY event_id""".stripMargin,
+
+    "q_ref_integrity" ->
+      """WITH cc AS (SELECT CAST(l_orderkey AS VARCHAR) AS k, COUNT(*) AS c
+        |FROM lineitem WHERE l_orderkey IS NOT NULL GROUP BY 1),
+        |pk AS (SELECT DISTINCT CAST(o_orderkey AS VARCHAR) AS k FROM orders
+        |WHERE o_orderkey IS NOT NULL AND o_orderkey % 97 <> 0),
+        |o AS (SELECT cc.k, cc.c FROM cc WHERE NOT EXISTS
+        |(SELECT 1 FROM pk WHERE pk.k = cc.k)),
+        |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS child_rows,
+        |CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_key_rows
+        |FROM lineitem),
+        |a AS (SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) AS orphan_rows,
+        |CAST(COUNT(*) AS BIGINT) AS orphan_keys FROM o),
+        |top AS (SELECT k, c FROM o ORDER BY c DESC, k LIMIT 1)
+        |SELECT t.child_rows, t.null_key_rows, a.orphan_rows, a.orphan_keys,
+        |top.k AS top_orphan_key,
+        |CAST(COALESCE(top.c, 0) AS BIGINT) AS top_orphan_rows,
+        |CAST((1000000 * a.orphan_rows) // greatest(t.child_rows, 1) AS BIGINT) AS orphan_ppm
+        |FROM t CROSS JOIN a LEFT JOIN top ON true""".stripMargin,
+
+    "q_attribution" ->
+      """WITH r AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS t,
+        |CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS conv
+        |FROM events WHERE event_type IN ('purchase', 'view', 'click')),
+        |wk AS (SELECT *, max(CASE WHEN conv = 0 THEN
+        |lpad(CAST(t AS VARCHAR), 20, '0') || ':' ||
+        |lpad(CAST(event_id AS VARCHAR), 12, '0') || ':' || event_type END)
+        |OVER (PARTITION BY user_id ORDER BY t, conv, event_id
+        |ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lastk FROM r),
+        |c AS (SELECT event_id AS conversion_id, user_id, lastk, t FROM wk WHERE conv = 1),
+        |d AS (SELECT conversion_id, user_id,
+        |CASE WHEN lastk IS NOT NULL AND t - CAST(split_part(lastk, ':', 1) AS BIGINT) <= 7200000000
+        |THEN CAST(split_part(lastk, ':', 2) AS BIGINT) END AS touch_id,
+        |CASE WHEN lastk IS NOT NULL AND t - CAST(split_part(lastk, ':', 1) AS BIGINT) <= 7200000000
+        |THEN split_part(lastk, ':', 3) END AS touch_type FROM c)
+        |SELECT conversion_id, user_id, touch_id, touch_type FROM d
+        |ORDER BY conversion_id""".stripMargin
   )
 }

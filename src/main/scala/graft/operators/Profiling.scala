@@ -104,6 +104,47 @@ object Profiling {
           .cast("long").as("right_match_ppm"))
   }
 
+  /**
+   * Referential-integrity audit: how many child rows point at a
+   * parent key that does not exist — the first question after any
+   * partial ingest, late-arriving dimension, or botched backfill,
+   * and the check an ingestion-metrics framework publishes per
+   * landing. Null child keys are counted separately (a null FK is
+   * "unlinked", not "dangling") so the three populations sum to the
+   * child row count.
+   *
+   * Plan: the child reduces to per-key COUNTS (map-side combinable —
+   * one row per distinct key reaches the exchange); the parent
+   * reduces to distinct keys; one anti-join between the two count
+   * tables finds dangling keys. Child payloads never move, and at
+   * 100 TB the join carries O(distinct keys), not O(rows). The
+   * hottest orphan key is reported for triage (struct-min argmax, no
+   * sort).
+   */
+  def refIntegrity(child: DataFrame, parent: DataFrame,
+      childKey: String, parentKey: String): DataFrame = {
+    val totals = child.agg(
+      count(lit(1)).cast("long").as("child_rows"),
+      sum(when(col(childKey).isNull, 1L).otherwise(0L)).cast("long")
+        .as("null_key_rows"))
+    val childCounts = child.filter(col(childKey).isNotNull)
+      .select(col(childKey).cast("string").as("__k"))
+      .groupBy("__k").agg(count(lit(1)).cast("long").as("__c"))
+    val parentKeys = parent.filter(col(parentKey).isNotNull)
+      .select(col(parentKey).cast("string").as("__k")).distinct()
+    val orphans = childCounts.join(parentKeys, Seq("__k"), "left_anti")
+    orphans.agg(
+        coalesce(sum("__c"), lit(0L)).cast("long").as("orphan_rows"),
+        count(lit(1)).cast("long").as("orphan_keys"),
+        min(struct((-col("__c")).as("nc"), col("__k").as("k"))).as("__top"))
+      .crossJoin(broadcast(totals))
+      .select(col("child_rows"), col("null_key_rows"), col("orphan_rows"),
+        col("orphan_keys"), col("__top.k").as("top_orphan_key"),
+        coalesce((-col("__top.nc")).cast("long"), lit(0L)).as("top_orphan_rows"),
+        expr("(1000000 * orphan_rows) div greatest(child_rows, 1L)")
+          .cast("long").as("orphan_ppm"))
+  }
+
   def keySkew(df: DataFrame, keyCol: String): DataFrame = {
     val counts = df.select(col(keyCol).cast("string").as("__k"))
       .groupBy("__k").agg(count(lit(1)).cast("long").as("__c"))

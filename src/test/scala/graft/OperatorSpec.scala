@@ -388,6 +388,50 @@ class OperatorSpec extends SparkTestBase {
     assert(row.getAs[Long]("skew_x1000") == 1500L)
   }
 
+  test("referential integrity: orphan counts exact, null FKs separate, hot orphan key") {
+    import spark.implicits._
+    val child = Seq(Some(1L), Some(1L), Some(2L), Some(9L), Some(9L), Some(9L), None)
+      .toDF("fk")
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val row = graft.operators.Profiling.refIntegrity(child, parent, "fk", "pk")
+      .collect().head
+    assert(row.getAs[Long]("child_rows") == 7L)
+    assert(row.getAs[Long]("null_key_rows") == 1L)
+    assert(row.getAs[Long]("orphan_rows") == 3L && row.getAs[Long]("orphan_keys") == 1L)
+    assert(row.getAs[String]("top_orphan_key") == "9"
+      && row.getAs[Long]("top_orphan_rows") == 3L)
+    assert(row.getAs[Long]("orphan_ppm") == 1000000L * 3 / 7)
+    // clean child: zero row with null top key
+    val clean = graft.operators.Profiling.refIntegrity(
+      Seq(1L, 2L).toDF("fk"), parent, "fk", "pk").collect().head
+    assert(clean.getAs[Long]("orphan_rows") == 0L
+      && clean.getAs[String]("top_orphan_key") == null)
+  }
+
+  test("last-touch attribution: window eligibility, same-instant touch, dark conversion") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    val ev = Seq(
+      (1L, ts(0), 10L, "view"),
+      (2L, ts(50), 10L, "click"),
+      (3L, ts(100), 10L, "purchase"),    // -> click 2 (last touch)
+      (4L, ts(5000), 10L, "purchase"),   // touches too old (lookback 1000s) -> dark
+      (5L, ts(6000), 10L, "view"),
+      (6L, ts(6000), 10L, "purchase"),   // same-instant touch eligible -> view 5
+      (7L, ts(0), 20L, "purchase"))      // no touches at all -> dark
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val got = graft.operators.Attribution.lastTouch(ev, "purchase",
+        Seq("view", "click"), lookbackSec = 1000L)
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.get(2)).map(_.asInstanceOf[Long]), r.getString(3)))).toMap
+    assert(got(3L) == ((Some(2L), "click")))
+    assert(got(4L) == ((None, null)), "stale touch not attributed")
+    assert(got(6L) == ((Some(5L), "view")), "same-instant touch eligible")
+    assert(got(7L) == ((None, null)))
+    assert(got.size == 4, "every conversion keeps a row")
+  }
+
   test("debounce: anchor-based keep-set, boundary inclusive, per-(user,type) isolation") {
     import spark.implicits._
     import java.sql.Timestamp
