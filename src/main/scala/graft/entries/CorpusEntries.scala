@@ -311,6 +311,16 @@ private[graft] object CorpusEntries {
         .orderBy(desc("lift_ppm"), col("tok_a"), col("tok_b"))
     },
 
+    // Hierarchical host-suffix rollup: per-level domain counts from a
+    // deterministic host fixture (bare apex rows every 7th doc).
+    "q_host_rollup" -> { (s, dir) =>
+      val apex = concat(lit("site"), pmod(expr("doc_id div 4"), lit(10)), lit(".com"))
+      val deep = concat(lit("sub"), pmod(col("doc_id"), lit(3)), lit("."), apex)
+      val hosts = docs(s, dir).select(
+        when(col("doc_id") % 7 === 0, apex).otherwise(deep).as("host"))
+      graft.pipeline.Corpus.hostSuffixRollup(hosts).orderBy("level", "suffix")
+    },
+
     // Canonical-URL crawl dedup: case/port/slash/tracking-param/
     // param-order variants of one page collapse to one exact key.
     "q_url_canon" -> { (s, dir) =>
@@ -419,6 +429,18 @@ private[graft] object CorpusEntries {
   def oracles: Map[String, String] = Map(
     "q_bpe_merges" -> bpeMergesOracle(4),
     "q_bpe_encode" -> bpeEncodeOracle(4),
+
+    "q_host_rollup" ->
+      """WITH h AS (SELECT CASE WHEN doc_id % 7 = 0
+        |THEN 'site' || ((doc_id // 4) % 10) || '.com'
+        |ELSE 'sub' || (doc_id % 3) || '.site' || ((doc_id // 4) % 10) || '.com'
+        |END AS host FROM documents),
+        |l AS (SELECT string_split(host, '.') AS ls FROM h),
+        |s AS (SELECT unnest(list_transform(range(1, len(ls) + 1),
+        |i -> {'suffix': array_to_string(ls[len(ls)-i+1:len(ls)], '.'), 'level': i})) AS s FROM l)
+        |SELECT s.s.suffix AS suffix, CAST(s.s.level AS INTEGER) AS level,
+        |CAST(COUNT(*) AS BIGINT) AS n_docs
+        |FROM s GROUP BY 1, 2 ORDER BY level, suffix""".stripMargin,
 
     "q_url_canon" ->
       """WITH u AS (SELECT doc_id, CASE doc_id % 4

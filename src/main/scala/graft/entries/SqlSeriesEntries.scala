@@ -382,6 +382,29 @@ private[graft] object SqlSeriesEntries {
       graft.operators.Attribution.lastTouch(
         Tables.read(s, dir, "events"), "purchase", Seq("view", "click"),
         lookbackSec = 7200L).orderBy("conversion_id")
+    },
+
+    // Equi-width document-length histogram: fixed [0, 599] bounds,
+    // 10 bins, explicit zero rows — the distribution-shape profile.
+    "q_histogram" -> { (s, dir) =>
+      graft.operators.Profiling.histogram(
+        Tables.read(s, dir, "documents"), "n_chars",
+        buckets = 10, lo = 0L, hi = 599L).orderBy("bucket")
+    },
+
+    // Record linkage: customers vs a perturbed re-registration (name
+    // + ' jr', same nation/segment). The hot 'jr' token is blocked
+    // out by the df cap; matches score 500 (jaccard) + 500 + 300.
+    "q_record_link" -> { (s, dir) =>
+      val cust = Tables.read(s, dir, "customer")
+      val right = cust.filter(col("c_custkey") % 3 === 0)
+        .select((col("c_custkey") + 100000L).as("c_custkey"),
+          concat(col("c_name"), lit(" jr")).as("c_name"),
+          col("c_nationkey"), col("c_mktsegment"))
+      graft.pipeline.RecordLinkage.link(cust, right, "c_name",
+        Seq("c_nationkey" -> 500L, "c_mktsegment" -> 300L), "c_custkey",
+        maxDf = 50, minScore = 1000L)
+        .orderBy("left_id", "right_id")
     }
   )
 
@@ -739,6 +762,43 @@ private[graft] object SqlSeriesEntries {
         |CASE WHEN lastk IS NOT NULL AND t - CAST(split_part(lastk, ':', 1) AS BIGINT) <= 7200000000
         |THEN split_part(lastk, ':', 3) END AS touch_type FROM c)
         |SELECT conversion_id, user_id, touch_id, touch_type FROM d
-        |ORDER BY conversion_id""".stripMargin
+        |ORDER BY conversion_id""".stripMargin,
+
+    "q_histogram" ->
+      """WITH c AS (SELECT greatest(least((CAST(n_chars AS BIGINT) - 0) // 60, 9), 0) AS bucket,
+        |CAST(COUNT(*) AS BIGINT) AS cnt FROM documents
+        |WHERE n_chars IS NOT NULL GROUP BY 1),
+        |s AS (SELECT unnest(range(0, 10)) AS bucket)
+        |SELECT CAST(s.bucket AS INTEGER) AS bucket,
+        |CAST(0 + s.bucket * 60 AS BIGINT) AS lo,
+        |CAST(0 + (s.bucket + 1) * 60 - 1 AS BIGINT) AS hi,
+        |CAST(COALESCE(c.cnt, 0) AS BIGINT) AS cnt
+        |FROM s LEFT JOIN c USING (bucket) ORDER BY bucket""".stripMargin,
+
+    "q_record_link" ->
+      """WITH rr AS (SELECT c_custkey + 100000 AS c_custkey, c_name || ' jr' AS c_name,
+        |c_nationkey, c_mktsegment FROM customer WHERE c_custkey % 3 = 0),
+        |lt AS (SELECT c_custkey AS lid, list_distinct(list_filter(
+        |regexp_split_to_array(c_name, '\s+'), x -> x <> '')) AS tk FROM customer),
+        |rt AS (SELECT c_custkey AS rid, list_distinct(list_filter(
+        |regexp_split_to_array(c_name, '\s+'), x -> x <> '')) AS tk FROM rr),
+        |lp AS (SELECT lid, unnest(tk) AS t FROM lt WHERE len(tk) > 0),
+        |rp AS (SELECT rid, unnest(tk) AS t FROM rt WHERE len(tk) > 0),
+        |rare AS (SELECT t FROM (SELECT t FROM lp UNION ALL SELECT t FROM rp)
+        |GROUP BY t HAVING COUNT(*) <= 50),
+        |cand AS (SELECT DISTINCT lp.lid, rp2.rid FROM lp
+        |JOIN rare USING (t)
+        |JOIN (SELECT rid, t FROM rp JOIN rare USING (t)) rp2 ON rp2.t = lp.t),
+        |sc AS (SELECT cand.lid, cand.rid,
+        |CAST(1000 * len(list_intersect(lt.tk, rt.tk)) //
+        |len(list_distinct(list_concat(lt.tk, rt.tk))) AS BIGINT) AS jac,
+        |CASE WHEN lc.c_nationkey = rc.c_nationkey THEN 500 ELSE 0 END +
+        |CASE WHEN lc.c_mktsegment = rc.c_mktsegment THEN 300 ELSE 0 END AS ew
+        |FROM cand JOIN lt ON lt.lid = cand.lid JOIN rt ON rt.rid = cand.rid
+        |JOIN customer lc ON lc.c_custkey = cand.lid
+        |JOIN rr rc ON rc.c_custkey = cand.rid)
+        |SELECT lid AS left_id, rid AS right_id, jac AS name_jaccard_permille,
+        |CAST(jac + ew AS BIGINT) AS score FROM sc WHERE jac + ew >= 1000
+        |ORDER BY left_id, right_id""".stripMargin
   )
 }

@@ -105,6 +105,40 @@ object Profiling {
   }
 
   /**
+   * Equi-width histogram of an integral column — the distribution
+   * half of the profile: [[profile]] gives min/max/nulls, this gives
+   * SHAPE (skew, modes, truncation cliffs) as `buckets` equal-width
+   * bins over [lo, hi]. Bounds are explicit parameters, not a
+   * pre-scan — a dashboard needs stable bucket edges across daily
+   * runs, and an extra min/max pass over 100 TB to re-derive known
+   * bounds is waste. Out-of-range values clamp into the edge buckets
+   * (they must be VISIBLE — silently dropping them hides exactly the
+   * regressions a histogram exists to catch); nulls are excluded
+   * (profiled separately). Empty buckets emit explicit zero rows so
+   * the artifact is fixed-shape.
+   *
+   * Plan: one map-side-combinable count by bucket id (≤ `buckets`
+   * distinct keys), joined onto a generated bucket spine. Integer
+   * floor arithmetic end to end.
+   */
+  def histogram(df: DataFrame, valueCol: String, buckets: Int,
+      lo: Long, hi: Long): DataFrame = {
+    require(buckets >= 1 && hi > lo, "need buckets >= 1 and hi > lo")
+    val width = (hi - lo + buckets - 1) / buckets // ceil so hi lands inside
+    val counts = df.filter(col(valueCol).isNotNull)
+      .select((col(valueCol).cast("long") - lo).as("__d"))
+      .select(greatest(least(expr(s"__d div ${width}L"), lit(buckets - 1L)),
+        lit(0L)).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).cast("long").as("cnt"))
+    val spine = df.sparkSession.range(0, buckets).select(col("id").as("bucket"))
+    spine.join(counts, Seq("bucket"), "left")
+      .select(col("bucket").cast("int").as("bucket"),
+        (lit(lo) + col("bucket") * width).cast("long").as("lo"),
+        (lit(lo) + (col("bucket") + 1) * width - 1).cast("long").as("hi"),
+        coalesce(col("cnt"), lit(0L)).as("cnt"))
+  }
+
+  /**
    * Referential-integrity audit: how many child rows point at a
    * parent key that does not exist — the first question after any
    * partial ingest, late-arriving dimension, or botched backfill,

@@ -1135,6 +1135,32 @@ object Corpus {
   }
 
   /**
+   * Hierarchical host-suffix rollup for crawl analytics: document
+   * counts at EVERY registrable level of the host hierarchy — "com",
+   * "example.com", "cdn.example.com" — in one pass, the domain
+   * analogue of a date rollup. This is how a crawl curation run
+   * answers "which domains dominate?" at whatever granularity the
+   * mixture policy operates on, without re-aggregating per level.
+   *
+   * Each host of n labels fans out to its n suffixes (level = label
+   * count of the suffix), a ≤~6× explode bounded by DNS depth, then
+   * one map-side-combinable count keyed by suffix. A hot TLD like
+   * "com" folds to one row per partition before its exchange — the
+   * same reason the common-line strip survives universal keys.
+   */
+  def hostSuffixRollup(hosts: DataFrame, hostCol: String = "host"): DataFrame = {
+    val labels = split(col(hostCol), "\\.")
+    val n = size(labels)
+    val suffixes = transform(sequence(lit(1), n),
+      i => struct(array_join(slice(labels, n - i + 1, i), ".").as("suffix"),
+        i.as("level")))
+    hosts.filter(col(hostCol).isNotNull && length(col(hostCol)) > 0)
+      .select(explode(suffixes).as("s"))
+      .groupBy(col("s.suffix").as("suffix"), col("s.level").as("level"))
+      .agg(count(lit(1)).cast("long").as("n_docs"))
+  }
+
+  /**
    * Collocation extraction — adjacent token pairs that co-occur far
    * more often than their member tokens' frequencies predict
    * ("new york", "machine learning"): PMI-family lift rendered

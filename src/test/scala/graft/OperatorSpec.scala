@@ -388,6 +388,21 @@ class OperatorSpec extends SparkTestBase {
     assert(row.getAs[Long]("skew_x1000") == 1500L)
   }
 
+  test("histogram: equi-width bins, clamped outliers visible, zero rows emitted") {
+    import spark.implicits._
+    val d = Seq(5L, 15L, 15L, 25L, 99L, -3L).map(Some(_)).toDF("v")
+      .unionByName(Seq(Option.empty[Long]).toDF("v"))
+    // lo=0 hi=29 buckets=3 -> width 10; -3 clamps into bucket 0, 99 into 2
+    val h = graft.operators.Profiling.histogram(d, "v", buckets = 3, lo = 0L, hi = 29L)
+      .orderBy("bucket").as[(Int, Long, Long, Long)].collect().toSeq
+    assert(h == Seq((0, 0L, 9L, 2L), (1, 10L, 19L, 2L), (2, 20L, 29L, 2L)), s"$h")
+    // empty middle bucket emits an explicit zero
+    val sparse = Seq(1L, 25L).toDF("v")
+    val h2 = graft.operators.Profiling.histogram(sparse, "v", 3, 0L, 29L)
+      .orderBy("bucket").select("cnt").as[Long].collect().toSeq
+    assert(h2 == Seq(1L, 0L, 1L))
+  }
+
   test("referential integrity: orphan counts exact, null FKs separate, hot orphan key") {
     import spark.implicits._
     val child = Seq(Some(1L), Some(1L), Some(2L), Some(9L), Some(9L), Some(9L), None)

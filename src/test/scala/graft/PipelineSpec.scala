@@ -1443,6 +1443,49 @@ class PipelineSpec extends SparkTestBase {
     assert(top2 == all.take(2), "two-phase prune changed the top-N")
   }
 
+  test("record linkage: rare-token blocking, integer agreement score, hot token blocked out") {
+    import graft.pipeline.RecordLinkage
+    val left = Seq(
+      (1L, "acme widgets", "US", "A"),
+      (2L, "globex corp", "DE", "B"),
+      (3L, "unrelated name", "FR", "C")).toDF("id", "name", "nation", "seg")
+    val right = Seq(
+      (11L, "acme widgets inc", "US", "A"),   // match of 1: jac 2/3, +500+300
+      (12L, "globex corp inc", "FR", "B"),    // match of 2: nation differs
+      (13L, "different thing inc", "US", "A") // no shared rare token
+    ).toDF("id", "name", "nation", "seg")
+    val got = RecordLinkage.link(left, right, "name",
+        Seq("nation" -> 500L, "seg" -> 300L), "id", maxDf = 2, minScore = 0L)
+      .select("left_id", "right_id", "name_jaccard_permille", "score")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    // jaccard 1000*2 div 3 = 666
+    assert(got((1L, 11L)) == ((666L, 666L + 800L)))
+    assert(got((2L, 12L)) == ((666L, 666L + 300L)), "nation disagreement costs 500")
+    // 'inc' appears 3x > maxDf=2 -> cannot block; 13 pairs with no one
+    assert(!got.keySet.exists(_._2 == 13L), s"hot token must not block: $got")
+    assert(got.size == 2)
+    // threshold drops the weaker pair
+    val strict = RecordLinkage.link(left, right, "name",
+        Seq("nation" -> 500L, "seg" -> 300L), "id", maxDf = 2, minScore = 1200L)
+      .select("left_id", "right_id").as[(Long, Long)].collect().toSet
+    assert(strict == Set((1L, 11L)))
+  }
+
+  test("host suffix rollup: every level counted, hot TLD aggregates, empty hosts dropped") {
+    import graft.pipeline.Corpus
+    val hosts = Seq("a.b.com", "c.b.com", "b.com", "x.org", "", null)
+      .map(Option(_)).toDF("host")
+    val got = Corpus.hostSuffixRollup(hosts)
+      .as[(String, Int, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got(("com", 1)) == 3L && got(("org", 1)) == 1L)
+    assert(got(("b.com", 2)) == 3L, "apex row counts toward its own suffix")
+    assert(got(("a.b.com", 3)) == 1L && got(("c.b.com", 3)) == 1L)
+    assert(got(("x.org", 2)) == 1L)
+    assert(got.size == 6, s"empty/null hosts must vanish: $got")
+  }
+
   test("canonical URL: case/port/slash/fragment/tracking/param-order fold; non-URL null") {
     val urls = Seq(
       (1L, "HTTP://Example.COM:80/a/b/?utm_source=x&b=2&a=1#frag"),
