@@ -311,6 +311,13 @@ private[graft] object CorpusEntries {
         .orderBy(desc("lift_ppm"), col("tok_a"), col("tok_b"))
     },
 
+    // Deterministic corpus shuffle: 8 shards, seed 42 — replayable
+    // global permutation via two-phase shard + local order.
+    "q_shuffle" -> { (s, dir) =>
+      graft.pipeline.Corpus.deterministicShuffle(docs(s, dir),
+        shards = 8, seed = 42L).orderBy("shard", "pos")
+    },
+
     // Hierarchical host-suffix rollup: per-level domain counts from a
     // deterministic host fixture (bare apex rows every 7th doc).
     "q_host_rollup" -> { (s, dir) =>
@@ -429,6 +436,14 @@ private[graft] object CorpusEntries {
   def oracles: Map[String, String] = Map(
     "q_bpe_merges" -> bpeMergesOracle(4),
     "q_bpe_encode" -> bpeEncodeOracle(4),
+
+    "q_shuffle" ->
+      """WITH k AS (SELECT doc_id, md5('42:' || CAST(doc_id AS VARCHAR)) AS h FROM documents),
+        |s AS (SELECT doc_id, h,
+        |CAST(('0x' || substr(h, 1, 6))::BIGINT % 8 AS INTEGER) AS shard FROM k)
+        |SELECT doc_id, shard,
+        |CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) - 1 AS BIGINT) AS pos
+        |FROM s ORDER BY shard, pos""".stripMargin,
 
     "q_host_rollup" ->
       """WITH h AS (SELECT CASE WHEN doc_id % 7 = 0

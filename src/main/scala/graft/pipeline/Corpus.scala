@@ -1135,6 +1135,36 @@ object Corpus {
   }
 
   /**
+   * Deterministic corpus shuffle — the global random-order pass every
+   * pretraining run needs ("shuffle the corpus, split into shards,
+   * fix the within-shard order"), made REPLAYABLE: position is a pure
+   * function of (seed, id), so a re-run, a resumed job, or another
+   * engine produces the identical order, and changing the seed is a
+   * fresh permutation. The permutation key is md5(seed || ':' || id)
+   * — uniform, engine-portable, and uncorrelated with ingest order.
+   *
+   * Scale shape: this is the two-phase form of "ORDER BY random()":
+   * shard = first 6 hex digits of the key mod `shards` (uniform),
+   * position = row_number within the shard ordered by (key, id) —
+   * one hash-partition exchange plus per-shard local sorts, never a
+   * corpus-wide single-task sort. Shard sizes concentrate tightly
+   * (multinomial) so the local sorts stay balanced.
+   */
+  def deterministicShuffle(docs: DataFrame, shards: Int, seed: Long,
+      idCol: String = "doc_id"): DataFrame = {
+    require(shards >= 1, "shards must be >= 1")
+    val key = md5(concat(lit(seed.toString), lit(":"), col(idCol).cast("string")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy(col("__k"), col(idCol))
+    docs.select(col(idCol), key.as("__k"))
+      .withColumn("shard",
+        (conv(substring(col("__k"), 1, 6), 16, 10).cast("long") % shards)
+          .cast("int"))
+      .withColumn("pos", (row_number().over(w) - 1).cast("long"))
+      .select(idCol, "shard", "pos")
+  }
+
+  /**
    * Hierarchical host-suffix rollup for crawl analytics: document
    * counts at EVERY registrable level of the host hierarchy — "com",
    * "example.com", "cdn.example.com" — in one pass, the domain

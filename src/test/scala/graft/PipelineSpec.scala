@@ -1443,6 +1443,24 @@ class PipelineSpec extends SparkTestBase {
     assert(top2 == all.take(2), "two-phase prune changed the top-N")
   }
 
+  test("deterministic shuffle: seed-stable permutation, contiguous positions, seed changes order") {
+    import graft.pipeline.Corpus
+    val docs = (1L to 200L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val a = Corpus.deterministicShuffle(docs, shards = 4, seed = 7L)
+      .as[(Long, Int, Long)].collect().sortBy(r => (r._2, r._3))
+    val b = Corpus.deterministicShuffle(docs, shards = 4, seed = 7L)
+      .as[(Long, Int, Long)].collect().sortBy(r => (r._2, r._3))
+    assert(a.toSeq == b.toSeq, "same seed replays bit-identically")
+    // positions are contiguous 0..n-1 within each shard
+    a.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (0L until rows.length).toSeq)
+    }
+    assert(a.map(_._1).toSet == (1L to 200L).toSet, "a permutation, nothing lost")
+    val c = Corpus.deterministicShuffle(docs, shards = 4, seed = 8L)
+      .as[(Long, Int, Long)].collect().sortBy(r => (r._2, r._3))
+    assert(c.map(_._1).toSeq != a.map(_._1).toSeq, "seed changes the order")
+  }
+
   test("record linkage: rare-token blocking, integer agreement score, hot token blocked out") {
     import graft.pipeline.RecordLinkage
     val left = Seq(
