@@ -311,6 +311,14 @@ private[graft] object CorpusEntries {
         .orderBy(desc("lift_ppm"), col("tok_a"), col("tok_b"))
     },
 
+    // Curriculum ordering: quality-score quartiles, 4 shards per bin,
+    // deterministic within-bin permutation (seed 7).
+    "q_curriculum" -> { (s, dir) =>
+      graft.pipeline.Corpus.curriculum(docs(s, dir),
+        TextFns.qualityScore(col("text")), bins = 4, shards = 4, seed = 7L)
+        .orderBy("bin", "shard", "pos")
+    },
+
     // Deterministic corpus shuffle: 8 shards, seed 42 — replayable
     // global permutation via two-phase shard + local order.
     "q_shuffle" -> { (s, dir) =>
@@ -436,6 +444,35 @@ private[graft] object CorpusEntries {
   def oracles: Map[String, String] = Map(
     "q_bpe_merges" -> bpeMergesOracle(4),
     "q_bpe_encode" -> bpeEncodeOracle(4),
+
+    "q_curriculum" ->
+      """WITH t AS (SELECT doc_id, text,
+        |list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS toks FROM documents),
+        |cc AS (SELECT doc_id,
+        |CAST(length(text) AS DOUBLE) AS chars,
+        |CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) AS alpha,
+        |CAST(len(list_filter(toks, x -> list_contains(
+        |['the','a','of','and','is','le','la','les','et','des','der','die','und','das','ist','el','los','las','y','es'], x))) AS DOUBLE) AS stop,
+        |greatest(len(toks), 1) AS ntoks
+        |FROM t),
+        |qd AS (SELECT doc_id, round((
+        |least(chars/500.0, 1.0) +
+        |(CASE WHEN chars > 0 THEN alpha/chars ELSE 0.0 END) +
+        |least(stop*10.0/CAST(ntoks AS DOUBLE), 1.0)) / 3.0, 6) AS q
+        |FROM cc),
+        |vc AS (SELECT q, COUNT(*) AS cnt FROM qd GROUP BY 1),
+        |cb AS (SELECT q, COALESCE(SUM(cnt) OVER (ORDER BY q
+        |ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before FROM vc),
+        |nn AS (SELECT COUNT(*) AS n FROM qd),
+        |b AS (SELECT q, CAST((4 * cum_before) // greatest(n, 1) AS INTEGER) AS bin
+        |FROM cb CROSS JOIN nn),
+        |j AS (SELECT qd.doc_id, b.bin, md5('7:' || CAST(qd.doc_id AS VARCHAR)) AS h
+        |FROM qd JOIN b ON qd.q = b.q),
+        |sh AS (SELECT doc_id, bin,
+        |CAST(('0x' || substr(h, 1, 6))::BIGINT % 4 AS INTEGER) AS shard, h FROM j)
+        |SELECT doc_id, bin, shard,
+        |CAST(row_number() OVER (PARTITION BY bin, shard ORDER BY h, doc_id) - 1 AS BIGINT) AS pos
+        |FROM sh ORDER BY bin, shard, pos""".stripMargin,
 
     "q_shuffle" ->
       """WITH k AS (SELECT doc_id, md5('42:' || CAST(doc_id AS VARCHAR)) AS h FROM documents),

@@ -41,6 +41,13 @@ private[graft] object VectorEntries {
         .select("query_id", "neighbor_id", "rank").orderBy("query_id", "rank")
     },
 
+    // Hard negatives: nearest neighbors with a DIFFERENT label.
+    "q_hard_negatives" -> { (s, dir) =>
+      val e = spread(Tables.read(s, dir, "embeddings"))
+      Similarity.hardNegatives(e, e.filter(col("vec_id") < 10), k = 5)
+        .select("query_id", "neighbor_id", "rank").orderBy("query_id", "rank")
+    },
+
     // IVF cell-routed approximate top-k over label-derived centroids
     // (decimal-exact centroids so the oracle replicates them).
     "q_ann_ivf" -> { (s, dir) =>
@@ -205,6 +212,17 @@ private[graft] object VectorEntries {
       """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
         s AS (SELECT qid, vec_id AS nid,
         list_cosine_similarity(qe, embedding) AS sim FROM q, embeddings WHERE vec_id <> qid),
+        r AS (SELECT qid AS query_id, nid AS neighbor_id,
+        row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank FROM s)
+        SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank FROM r WHERE rank <= 5
+        ORDER BY query_id, rank""",
+
+    "q_hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qe, label AS ql
+        FROM embeddings WHERE vec_id < 10),
+        s AS (SELECT qid, vec_id AS nid,
+        list_cosine_similarity(qe, embedding) AS sim FROM q, embeddings
+        WHERE vec_id <> qid AND label <> ql),
         r AS (SELECT qid AS query_id, nid AS neighbor_id,
         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank FROM s)
         SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank FROM r WHERE rank <= 5

@@ -1135,6 +1135,48 @@ object Corpus {
   }
 
   /**
+   * Curriculum ordering: bin every document into `bins` exact
+   * score-quantile bands (easy→hard), then give each bin a
+   * deterministic internal shuffle (shard + position) — the ordering
+   * pass of curriculum training ("serve quartile 3 before quartile
+   * 0"), fully replayable.
+   *
+   * Binning without a global sort: scores aggregate to (value, count)
+   * rows; a cumulative walk over the DISTINCT VALUES (domain-bounded
+   * — a 6-decimal score has ≤10⁶+1 possible values no matter the
+   * corpus size) yields each value's preceding-row count, and
+   * bin = bins·cum_before div n. Value ties share a bin by
+   * construction (the only order-free choice, and what curriculum
+   * semantics want — equal difficulty must not straddle phases).
+   * Within a bin, order = [[deterministicShuffle]]'s (seed, id) md5
+   * permutation, sharded so no sort task exceeds bin/shards rows.
+   */
+  def curriculum(docs: DataFrame, score: Column, bins: Int, shards: Int,
+      seed: Long, idCol: String = "doc_id"): DataFrame = {
+    require(bins >= 1 && shards >= 1, "bins and shards must be >= 1")
+    val scored = docs.select(col(idCol), score.as("__s"))
+    val counts = scored.groupBy("__s").agg(count(lit(1)).as("__cnt"))
+    val wv = org.apache.spark.sql.expressions.Window.orderBy("__s")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val n = scored.agg(count(lit(1)).cast("long").as("__n"))
+    val binByValue = counts
+      .withColumn("__cb", coalesce(sum("__cnt").over(wv), lit(0L)))
+      .crossJoin(broadcast(n))
+      .select(col("__s"),
+        expr(s"($bins * __cb) div greatest(__n, 1L)").cast("int").as("bin"))
+    val key = md5(concat(lit(seed.toString), lit(":"), col(idCol).cast("string")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("bin", "shard").orderBy(col("__k"), col(idCol))
+    scored.join(binByValue, Seq("__s"))
+      .withColumn("__k", key)
+      .withColumn("shard",
+        (conv(substring(col("__k"), 1, 6), 16, 10).cast("long") % shards)
+          .cast("int"))
+      .withColumn("pos", (row_number().over(w) - 1).cast("long"))
+      .select(idCol, "bin", "shard", "pos")
+  }
+
+  /**
    * Deterministic corpus shuffle — the global random-order pass every
    * pretraining run needs ("shuffle the corpus, split into shards,
    * fix the within-shard order"), made REPLAYABLE: position is a pure

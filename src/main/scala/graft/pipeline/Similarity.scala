@@ -246,6 +246,32 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /**
+   * Hard-negative mining for contrastive training: per query vector,
+   * the top-k most similar corpus vectors with a DIFFERENT label —
+   * the "close but wrong" examples a contrastive/embedding trainer
+   * wants in the batch (easy negatives teach nothing; same-label
+   * neighbors are positives, not negatives). Identical plan shape to
+   * [[bruteForceTopK]] — broadcast query side, per-query k-bounded
+   * rank window — with the label-mismatch predicate applied BEFORE
+   * scoring, so excluded pairs never pay a cosine. Null-labeled rows
+   * pair with nothing (a null label cannot certify "different").
+   * Swap in the IVF/LSH candidate generators for the 100 TB regime;
+   * the predicate composes unchanged.
+   */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int,
+      vecCol: String = "embedding", idCol: String = "vec_id",
+      labelCol: String = "label"): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("v_c"),
+      col(labelCol).as("__lc"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("v_q"),
+      col(labelCol).as("__lq"))
+    val scored = c.join(broadcast(q),
+        col("query_id") =!= col("neighbor_id") && col("__lc") =!= col("__lq"))
+      .withColumn("cosine", VectorFns.cosine(col("v_q"), col("v_c")))
+    rank(scored, k)
+  }
+
   private def rank(scored: DataFrame, k: Int): DataFrame = {
     // rank window is per-query — partitions by query_id, so the sort is
     // k-bounded per group, not global. Ties broken by neighbor_id for

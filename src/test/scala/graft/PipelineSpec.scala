@@ -1443,6 +1443,56 @@ class PipelineSpec extends SparkTestBase {
     assert(top2 == all.take(2), "two-phase prune changed the top-N")
   }
 
+  test("curriculum: exact quantile bins, ties share a bin, within-bin determinism") {
+    import graft.pipeline.Corpus
+    // scores: 8 docs, values 1,1,2,3,4,5,6,7 -> bins of 2 with ties together
+    val docs = Seq((1L, 1), (2L, 1), (3L, 2), (4L, 3), (5L, 4), (6L, 5),
+      (7L, 6), (8L, 7)).toDF("doc_id", "s")
+    val got = Corpus.curriculum(docs, col("s"), bins = 4, shards = 2, seed = 1L)
+      .select("doc_id", "bin").as[(Long, Int)].collect().toMap
+    // cum_before: v1->0, v2->2, v3->3, v4->4, v5->5, v6->6, v7->7
+    // bin = 4*cb div 8: v1->0 (both ties), v2->1, v3->1, v4->2, v5->2, v6->3, v7->3
+    assert(got == Map(1L -> 0, 2L -> 0, 3L -> 1, 4L -> 1, 5L -> 2, 6L -> 2,
+      7L -> 3, 8L -> 3), s"$got")
+    // replay identity and contiguous per-(bin, shard) positions
+    val a = Corpus.curriculum(docs, col("s"), 4, 2, seed = 1L)
+      .as[(Long, Int, Int, Long)].collect().sortBy(r => (r._2, r._3, r._4))
+    val b = Corpus.curriculum(docs, col("s"), 4, 2, seed = 1L)
+      .as[(Long, Int, Int, Long)].collect().sortBy(r => (r._2, r._3, r._4))
+    assert(a.toSeq == b.toSeq)
+    a.groupBy(r => (r._2, r._3)).foreach { case (_, rows) =>
+      assert(rows.map(_._4).sorted.toSeq == (0L until rows.length).toSeq)
+    }
+  }
+
+  test("hard negatives: same-label neighbors excluded, otherwise exact ranking") {
+    import graft.pipeline.Similarity
+    val e = Tables.read(spark, sf0001, "embeddings")
+    val queries = e.filter(col("vec_id") < 3)
+    val hn = Similarity.hardNegatives(e, queries, k = 5)
+    // joined back, every returned neighbor's label differs from the query's
+    val labels = e.select(col("vec_id"), col("label"))
+    val check = hn
+      .join(labels.withColumnRenamed("vec_id", "query_id")
+        .withColumnRenamed("label", "lq"), Seq("query_id"))
+      .join(labels.withColumnRenamed("vec_id", "neighbor_id")
+        .withColumnRenamed("label", "ln"), Seq("neighbor_id"))
+    assert(check.filter(col("lq") === col("ln")).count() == 0)
+    // and the ranking is the plain top-k restricted to cross-label pairs
+    val brute = Similarity.bruteForceTopK(e, queries, k = 1000)
+      .join(labels.withColumnRenamed("vec_id", "query_id")
+        .withColumnRenamed("label", "lq"), Seq("query_id"))
+      .join(labels.withColumnRenamed("vec_id", "neighbor_id")
+        .withColumnRenamed("label", "ln"), Seq("neighbor_id"))
+      .filter(col("lq") =!= col("ln"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    val expect = brute.withColumn("r", row_number().over(w)).filter(col("r") <= 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val got = hn.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(got == expect)
+  }
+
   test("deterministic shuffle: seed-stable permutation, contiguous positions, seed changes order") {
     import graft.pipeline.Corpus
     val docs = (1L to 200L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
