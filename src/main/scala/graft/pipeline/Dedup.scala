@@ -533,6 +533,15 @@ object Dedup {
     require(maxEdits >= 1, "maxEdits must be >= 1")
     val (_, pairs) = rareShingleBlockedPairs(docs, textCol, idCol,
       shingleN, maxDf, minSharedShingles)
+    // Single-stage confirm: texts and lengths ride the same two
+    // candidate rejoins, the length lower bound (|len_a − len_b| ≤
+    // maxEdits) prunes before the banded compare. A two-stage variant
+    // (lengths-only join first, texts only for survivors) was
+    // measured at +9% shuffle for no elapsed change at 1×/5×/10× —
+    // after the ≥2-rare-shingle blocking the candidate set is already
+    // dominated by genuine near-dups the prefilter keeps, so the
+    // extra join pays for nothing. Negative result recorded here;
+    // re-measure if blocking is ever loosened.
     val texts = docs.select(col(idCol), col(textCol), length(col(textCol)).as("__len"))
     pairs
       .join(texts.select(col(idCol).as("id_a"), col(textCol).as("__ta"),
