@@ -296,6 +296,18 @@ private[graft] object CorpusEntries {
         .orderBy("doc_id")
     },
 
+    // Token-level churn for the changed docs of the same release
+    // pair: v2 rewrites doc_id%7 (appends " v2" = +1 token, and the
+    // edited token multiset difference is exactly what churn reports).
+    "q_snapshot_churn" -> { (s, dir) =>
+      val v1 = docs(s, dir).select(col("doc_id"), col("text"))
+      val v2 = v1.filter(col("doc_id") % 11 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"))
+      graft.pipeline.Corpus.snapshotChurn(v1, v2).orderBy("doc_id")
+    },
+
     // Vocabulary coverage: top-20 tokens with cumulative share of all
     // occurrences — tokenizer-prep vocab sizing, two-phase top-N.
     "q_vocab" -> { (s, dir) =>
@@ -444,6 +456,26 @@ private[graft] object CorpusEntries {
   def oracles: Map[String, String] = Map(
     "q_bpe_merges" -> bpeMergesOracle(4),
     "q_bpe_encode" -> bpeEncodeOracle(4),
+
+    "q_snapshot_churn" ->
+      """WITH v1 AS (SELECT doc_id, text FROM documents),
+        |v2 AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text
+        |FROM v1 WHERE doc_id % 11 <> 0),
+        |ch AS (SELECT v1.doc_id FROM v1 JOIN v2 USING (doc_id)
+        |WHERE md5(v1.text) <> md5(v2.text)),
+        |oc AS (SELECT doc_id, t AS token, COUNT(*) AS c FROM (
+        |SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS t
+        |FROM v1 WHERE doc_id IN (SELECT doc_id FROM ch)) GROUP BY 1, 2),
+        |nc AS (SELECT doc_id, t AS token, COUNT(*) AS c FROM (
+        |SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS t
+        |FROM v2 WHERE doc_id IN (SELECT doc_id FROM ch)) GROUP BY 1, 2),
+        |j AS (SELECT COALESCE(oc.doc_id, nc.doc_id) AS doc_id,
+        |greatest(COALESCE(nc.c, 0) - COALESCE(oc.c, 0), 0) AS a,
+        |greatest(COALESCE(oc.c, 0) - COALESCE(nc.c, 0), 0) AS r
+        |FROM oc FULL OUTER JOIN nc ON oc.doc_id = nc.doc_id AND oc.token = nc.token)
+        |SELECT doc_id, CAST(SUM(a) AS BIGINT) AS tokens_added,
+        |CAST(SUM(r) AS BIGINT) AS tokens_removed
+        |FROM j GROUP BY 1 ORDER BY doc_id""".stripMargin,
 
     "q_curriculum" ->
       """WITH t AS (SELECT doc_id, text,

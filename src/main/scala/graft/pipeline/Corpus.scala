@@ -1135,6 +1135,48 @@ object Corpus {
   }
 
   /**
+   * Token-level snapshot churn — [[snapshotDiff]] says WHICH docs
+   * changed between releases; this says HOW MUCH: per changed doc,
+   * the multiset token counts added and removed ("doc 42: +120/−3
+   * tokens" is a content update, "+2/−2" is a typo fix — release
+   * review treats them differently, and corpus-wide churn totals are
+   * the drift metric a retraining decision reads).
+   *
+   * Multiset semantics via per-(doc, token) counts: each side
+   * reduces to (id, token, cnt) — map-side combinable — and one
+   * full-outer join per doc-token key yields added = Σ max(0,
+   * new−old), removed = Σ max(0, old−new). Only CHANGED docs emit
+   * rows (unchanged/added/removed docs are [[snapshotDiff]]'s job;
+   * the md5 pre-filter means identical texts never even tokenize).
+   * Shuffle is keyed by (id, token) — fine-grained, no hot key
+   * possible.
+   */
+  def snapshotChurn(oldDocs: DataFrame, newDocs: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    graft.plans.NativeFns.register(oldDocs.sparkSession)
+    // changed ids only: (id, md5) join — 48-byte rows, text stays put
+    val changed = oldDocs.select(col(idCol), md5(col(textCol)).as("__oh"))
+      .join(newDocs.select(col(idCol), md5(col(textCol)).as("__nh")), Seq(idCol))
+      .filter(col("__oh") =!= col("__nh"))
+      .select(idCol)
+    def counts(df: DataFrame, cn: String) = df
+      .join(changed, Seq(idCol), "left_semi")
+      .select(col(idCol), explode(
+        graft.plans.WordShingles.shingles(col(textCol), 1)).as("token"))
+      .groupBy(idCol, "token").agg(count(lit(1)).cast("long").as(cn))
+    counts(oldDocs, "__oc")
+      .join(counts(newDocs, "__nc"), Seq(idCol, "token"), "full_outer")
+      .select(col(idCol),
+        greatest(coalesce(col("__nc"), lit(0L)) - coalesce(col("__oc"), lit(0L)),
+          lit(0L)).as("__add"),
+        greatest(coalesce(col("__oc"), lit(0L)) - coalesce(col("__nc"), lit(0L)),
+          lit(0L)).as("__rem"))
+      .groupBy(idCol)
+      .agg(sum("__add").cast("long").as("tokens_added"),
+        sum("__rem").cast("long").as("tokens_removed"))
+  }
+
+  /**
    * Curriculum ordering: bin every document into `bins` exact
    * score-quantile bands (easy→hard), then give each bin a
    * deterministic internal shuffle (shard + position) — the ordering

@@ -1443,6 +1443,21 @@ class PipelineSpec extends SparkTestBase {
     assert(top2 == all.take(2), "two-phase prune changed the top-N")
   }
 
+  test("snapshot churn: multiset token deltas for changed docs only") {
+    import graft.pipeline.Corpus
+    val v1 = Seq(
+      (1L, "a a b c"),          // changed: one 'a' swapped for 'd'
+      (2L, "same text here"),   // unchanged -> no row
+      (3L, "x y")).toDF("doc_id", "text")
+    val v2 = Seq(
+      (1L, "a d b c"),
+      (2L, "same text here"),
+      (3L, "x y z z")).toDF("doc_id", "text")   // two tokens added
+    val got = Corpus.snapshotChurn(v1, v2)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == Map(1L -> ((1L, 1L)), 3L -> ((2L, 0L))), s"$got")
+  }
+
   test("curriculum: exact quantile bins, ties share a bin, within-bin determinism") {
     import graft.pipeline.Corpus
     // scores: 8 docs, values 1,1,2,3,4,5,6,7 -> bins of 2 with ties together
