@@ -296,6 +296,16 @@ private[graft] object CorpusEntries {
         .orderBy("doc_id")
     },
 
+    // Temperature mix plan: sqrt-weighted per-source targets with an
+    // adversarially skewed source column (one source holds half).
+    "q_temperature_mix" -> { (s, dir) =>
+      val skewed = docs(s, dir).select(col("doc_id"),
+        when(col("doc_id") % 2 === 0, lit("big_crawl"))
+          .otherwise(concat(lit("src"), pmod(col("doc_id"), lit(7)))).as("src"))
+      graft.pipeline.Corpus.temperatureMixPlan(skewed, "src",
+        totalTarget = 200L).orderBy("src")
+    },
+
     // Token-level churn for the changed docs of the same release
     // pair: v2 rewrites doc_id%7 (appends " v2" = +1 token, and the
     // edited token multiset difference is exactly what churn reports).
@@ -456,6 +466,18 @@ private[graft] object CorpusEntries {
   def oracles: Map[String, String] = Map(
     "q_bpe_merges" -> bpeMergesOracle(4),
     "q_bpe_encode" -> bpeEncodeOracle(4),
+
+    "q_temperature_mix" ->
+      """WITH s AS (SELECT CASE WHEN doc_id % 2 = 0 THEN 'big_crawl'
+        |ELSE 'src' || (doc_id % 7) END AS src FROM documents),
+        |c AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS n,
+        |CAST(floor(sqrt(CAST(COUNT(*) AS DOUBLE))) AS BIGINT) AS weight
+        |FROM s GROUP BY 1),
+        |t AS (SELECT CAST(SUM(weight) AS BIGINT) AS tw FROM c)
+        |SELECT src, n, weight,
+        |CAST((200 * weight) // greatest(tw, 1) AS BIGINT) AS target,
+        |CAST(least(10000, (10000 * ((200 * weight) // greatest(tw, 1))) // greatest(n, 1)) AS BIGINT) AS keep_permyriad
+        |FROM c CROSS JOIN t ORDER BY src""".stripMargin,
 
     "q_snapshot_churn" ->
       """WITH v1 AS (SELECT doc_id, text FROM documents),

@@ -1135,6 +1135,37 @@ object Corpus {
   }
 
   /**
+   * Temperature-sampling mix plan (α = 0.5): per-source sampling
+   * targets ∝ √n — the standard multilingual/multi-source rebalance
+   * (raw proportions starve small sources; uniform over-trains tiny
+   * ones; the square-root temperature is the published middle
+   * ground). Returns, per source: its count, √-weight, integer
+   * document target out of `totalTarget`, and the keep-rate in
+   * permyriad that [[mixToTarget]]-style hash sampling would apply —
+   * scarce sources cap at keep-all.
+   *
+   * Integer-exact: weight = ⌊√n⌋ (floor of the correctly-rounded
+   * IEEE sqrt — the same value in any engine), target = ⌊T·w/Σw⌋,
+   * rate = min(10⁴, ⌊10⁴·target/n⌋). One count aggregation; the
+   * weight table is source-bounded and never leaves one partition's
+   * worth of rows.
+   */
+  def temperatureMixPlan(docs: DataFrame, groupCol: String,
+      totalTarget: Long): DataFrame = {
+    require(totalTarget >= 1, "totalTarget must be >= 1")
+    val counts = docs.groupBy(groupCol).agg(count(lit(1)).cast("long").as("n"))
+      .withColumn("weight", floor(sqrt(col("n").cast("double"))).cast("long"))
+    val tot = counts.agg(sum("weight").cast("long").as("__tw"))
+    counts.crossJoin(broadcast(tot))
+      .withColumn("target",
+        expr(s"($totalTarget * weight) div greatest(__tw, 1L)").cast("long"))
+      .withColumn("keep_permyriad",
+        least(lit(10000L), expr("(10000 * target) div greatest(n, 1L)"))
+          .cast("long"))
+      .select(groupCol, "n", "weight", "target", "keep_permyriad")
+  }
+
+  /**
    * Token-level snapshot churn — [[snapshotDiff]] says WHICH docs
    * changed between releases; this says HOW MUCH: per changed doc,
    * the multiset token counts added and removed ("doc 42: +120/−3

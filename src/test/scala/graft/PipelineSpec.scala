@@ -1443,6 +1443,25 @@ class PipelineSpec extends SparkTestBase {
     assert(top2 == all.take(2), "two-phase prune changed the top-N")
   }
 
+  test("temperature mix plan: sqrt weights rebalance, scarce source caps at keep-all") {
+    import graft.pipeline.Corpus
+    // big: 900 docs (w=30), small: 100 (w=10), tiny: 4 (w=2); Σw=42
+    val docs = ((1 to 900).map(i => (i.toLong, "big")) ++
+      (1001 to 1100).map(i => (i.toLong, "small")) ++
+      (2001 to 2004).map(i => (i.toLong, "tiny")))
+      .toDF("doc_id", "src")
+    val got = Corpus.temperatureMixPlan(docs, "src", totalTarget = 42L)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got("big") == ((900L, 30L, 30L, 10000L * 30 / 900 / 1 * 1)),
+      s"${got("big")}") // rate = 10000*30/900 = 333
+    assert(got("big")._4 == 333L)
+    assert(got("small") == ((100L, 10L, 10L, 1000L)))
+    // tiny: target 2 of 4 -> rate 5000; raw-proportional would give ~0.2%
+    assert(got("tiny") == ((4L, 2L, 2L, 5000L)))
+    // temperature flattens: big holds 90% of docs but only 30/42 of targets
+  }
+
   test("snapshot churn: multiset token deltas for changed docs only") {
     import graft.pipeline.Corpus
     val v1 = Seq(
