@@ -128,14 +128,18 @@ private[graft] object SqlSeriesEntries {
     // per-type value at or before the probe time — union + one sorted
     // window pass per key, no range join, no per-probe subquery.
     "q_asof" -> { (s, dir) =>
-      val e = ev(s, dir)
+      // the query is DEFINED at second granularity (the oracle's
+      // epoch-floor) — at sf0.1 same-type events collide within a
+      // second, so joining at raw micro precision would resolve those
+      // ties differently than the second-floored oracle (found as a
+      // scale-dependent divergence in the round-11 sf0.1 sweep)
+      val e = ev(s, dir).withColumn("ts_sec", unix_timestamp(col("ts")))
       val probes = e.filter(col("event_id") % 97 === 0)
-        .select(col("event_id"), col("event_type"), col("ts"))
-      val quotes = AsOfJoin.latestQuotePerTs(e, "event_type", "ts", "value")
-      AsOfJoin.asOf(probes, quotes, "event_type", "ts", "value")
+        .select(col("event_id"), col("event_type"), col("ts_sec"))
+      val quotes = AsOfJoin.latestQuotePerTs(e, "event_type", "ts_sec", "value")
+      AsOfJoin.asOf(probes, quotes, "event_type", "ts_sec", "value")
         .select(col("event_id"), col("event_type"),
-          unix_timestamp(col("ts")).as("ts_epoch"),
-          col("asof_value"))
+          col("ts_sec").as("ts_epoch"), col("asof_value"))
         .orderBy("event_id")
     },
 
