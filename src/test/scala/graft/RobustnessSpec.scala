@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.TextFns
+import graft.operators.{Debounce, Profiling}
+import graft.pipeline.{Bpe, Corpus, PhraseSearch, RecordLinkage}
+
+/** Edge-case hardening for the round-11 second-session operators:
+  * unicode boundaries, degenerate inputs, and idempotence/partition
+  * invariants that the oracle fixtures do not reach. */
+class RobustnessSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("bpe: astral (non-BMP) characters split per codepoint, merges stay sane") {
+    // pinned cross-engine contract: Spark's split(w, "") and DuckDB's
+    // string_split(w, '') BOTH split per codepoint (probed: a|😀|b),
+    // so surrogate pairs never split and the oracle replay holds for
+    // emoji-bearing corpora
+    val docs = Seq((1L, "a😀b a😀b")).toDF("doc_id", "text")
+    val merges = Bpe.learnMerges(docs, numMerges = 2)
+      .orderBy("rank").as[(Int, String, String, Long)].collect().toSeq
+    // word "a😀b" x2: pairs (a,😀)=2, (😀,b)=2 -> tie breaks to p1 asc:
+    // "a" < "😀" (codepoint order)
+    assert(merges.head == ((1, "a", "😀", 2L)), s"$merges")
+    val enc = Bpe.encode(docs, merges.map(m => (m._2, m._3)))
+      .as[(Long, Long, Long)].collect().head
+    assert(enc == ((1L, 2L, 2L)), "two words, one unit each after both merges")
+  }
+
+  test("debounce is idempotent and keeps everything at window zero") {
+    import java.sql.Timestamp
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    val ev = (1 to 50).map(i => (i.toLong, ts(i * 13L % 97), (i % 3).toLong, s"t${i % 4}"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val once = Debounce.debounce(ev, windowSec = 30L)
+    val twice = Debounce.debounce(once, windowSec = 30L)
+    assert(once.select("event_id").as[Long].collect().toSet ==
+      twice.select("event_id").as[Long].collect().toSet, "idempotent")
+    assert(Debounce.debounce(ev, windowSec = 0L).count() == 50L, "zero window keeps all")
+  }
+
+  test("curriculum partitions the corpus: every doc exactly once, bins in range") {
+    val docs = (1L to 300L).map(i => (i, (i * 7919 % 100).toInt)).toDF("doc_id", "s")
+    val out = Corpus.curriculum(docs, col("s"), bins = 5, shards = 3, seed = 2L)
+      .as[(Long, Int, Int, Long)].collect()
+    assert(out.map(_._1).toSet == (1L to 300L).toSet && out.length == 300)
+    assert(out.forall(r => r._2 >= 0 && r._2 < 5 && r._3 >= 0 && r._3 < 3))
+    // quantile property: bin sizes within one tie-group of n/bins
+    val sizes = out.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(sizes.values.sum == 300)
+  }
+
+  test("canonical URL degenerate inputs: padding, empty path+query, userinfo untouched") {
+    val got = Seq(
+      (1L, "  http://example.com  "),          // trimmed
+      (2L, "http://example.com"),               // no path at all
+      (3L, "http://example.com?"),              // empty query
+      (4L, "http://user:pw@example.com/x"),     // userinfo stays in authority
+      (5L, "ftp://Example.com:21/file"))        // non-http scheme: port kept
+      .toDF("doc_id", "url")
+      .select(col("doc_id"), TextFns.canonicalUrl(col("url")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "http://example.com" && got(2L) == "http://example.com")
+    assert(got(3L) == "http://example.com")
+    assert(got(4L) == "http://user:pw@example.com/x")
+    assert(got(5L) == "ftp://example.com:21/file", "only http/https default ports strip")
+  }
+
+  test("phrase search: single-token phrase counts occurrences; whole-doc phrase") {
+    val docs = Seq((1L, "x y x z x"), (2L, "y z")).toDF("doc_id", "text")
+    val single = PhraseSearch.search(docs, Seq("x"))
+      .as[(Long, Long, Int)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(single == Map(1L -> ((3L, 0))))
+    // "y z" is adjacent only in doc 2 (doc 1 has x between) — and a
+    // phrase spanning an ENTIRE two-token doc matches at position 0
+    val whole = PhraseSearch.search(docs, Seq("y", "z"))
+      .as[(Long, Long, Int)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(whole == Map(2L -> ((1L, 0))))
+  }
+
+  test("record linkage: empty and whitespace-only names produce no candidates") {
+    val left = Seq((1L, "", "US"), (2L, "   ", "US"), (3L, "real name", "US"))
+      .toDF("id", "name", "nation")
+    val right = Seq((11L, "real name two", "US")).toDF("id", "name", "nation")
+    val got = RecordLinkage.link(left, right, "name",
+        Seq("nation" -> 500L), "id", maxDf = 10, minScore = 0L)
+      .select("left_id").as[Long].collect().toSet
+    assert(got == Set(3L), s"token-less rows must not pair: $got")
+  }
+
+  test("histogram degenerate: single bucket swallows the domain; all-null column") {
+    val one = Profiling.histogram(Seq(1L, 2L, 3L).toDF("v"), "v", 1, 0L, 100L)
+      .collect().head
+    assert(one.getAs[Long]("cnt") == 3L && one.getAs[Long]("lo") == 0L)
+    val nulls = Profiling.histogram(
+      Seq(Option.empty[Long], Option.empty[Long]).toDF("v"), "v", 2, 0L, 10L)
+      .orderBy("bucket").select("cnt").as[Long].collect().toSeq
+    assert(nulls == Seq(0L, 0L), "null-only column keeps the zero spine")
+  }
+}
