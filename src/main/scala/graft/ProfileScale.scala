@@ -612,7 +612,20 @@ object ProfileScale {
         // corpus size — one 50× point decides whether AQE skew-join
         // suffices or the hot token head needs a broadcast split.
         "unigram_df_x50#ext" -> (() =>
-          Corpus.unigramDfScore(scaledDocs(spark, sfDir, 50)))))
+          Corpus.unigramDfScore(scaledDocs(spark, sfDir, 50))),
+        // (6) edit-distance dedup at 50×: the board's most expensive
+        // query — one far point confirms the blocked-candidate volume
+        // (and the banded Levenshtein work it gates) stays linear
+        // when the corpus grows 50-fold with per-copy disjoint vocab.
+        "dedup_editdist_x50#ext" -> (() =>
+          Dedup.editDistanceNearDupPairs(scaledDocs(spark, sfDir, 50),
+            maxEdits = 48)),
+        // (7) BPE training at 50× vocabulary: the claim is that merge
+        // iterations cost vocabulary, not corpus — 50 disjoint vocab
+        // copies is the worst case for that claim.
+        "bpe_learn_x50#ext" -> (() =>
+          graft.pipeline.Bpe.learnMerges(scaledDocs(spark, sfDir, 50),
+            numMerges = 2))))
       .pipe { all =>
         // quick-A/B filter: SPARK_GRAFT_PROFILE_ONLY=substr1,substr2
         // profiles matching cells and SKIPS artifact emission (the
