@@ -736,42 +736,16 @@ object ProfileScale {
         s""""shuffle_write_growth_5x_to_10x":${fmt(doubling)},""" +
         s""""elapsed_growth_1x_to_10x":${fmt(if (s1.elapsedSec > 0) s10.elapsedSec / s1.elapsedSec else 0.0)}}"""
     }
-    val split50 = best("leakage_split_x50#ext")
-    val strip50 = best("strip_paragraphs_x50#ext")
-    val strip100 = best("strip_paragraphs_x100#ext")
-    val deconBig = best("semantic_decon_bench100k#ext")
-    val deconBigBloom = best("semantic_decon_bloom100k#ext")
-    val alarm50 = best("alarm_machine_x50#ext")
-    val unigram50 = best("unigram_df_x50#ext")
-    System.err.println(f"[profile] unigram_df_x50       " +
-      f"${unigram50.elapsedSec}%6.2fs ${unigram50.shuffleWriteMB}%8.1fMB " +
-      f"skew ${unigram50.worstSkew}%4.2f over ${unigram50.skewStageTasks} tasks")
-    System.err.println(f"[profile] strip_paragraphs_x50 " +
-      f"${strip50.elapsedSec}%6.2fs ${strip50.shuffleWriteMB}%8.1fMB " +
-      f"skew ${strip50.worstSkew}%4.2f")
-    System.err.println(f"[profile] strip_paragraphs_x100 " +
-      f"${strip100.elapsedSec}%6.2fs ${strip100.shuffleWriteMB}%8.1fMB " +
-      f"skew ${strip100.worstSkew}%4.2f")
-    System.err.println(f"[profile] leakage_split_x50    " +
-      f"${split50.elapsedSec}%6.2fs ${split50.shuffleWriteMB}%8.1fMB " +
-      f"skew ${split50.worstSkew}%4.2f over ${split50.skewStageTasks} tasks")
-    System.err.println(f"[profile] semantic_decon_100k  " +
-      f"${deconBig.elapsedSec}%6.2fs ${deconBig.shuffleWriteMB}%8.1fMB " +
-      f"skew ${deconBig.worstSkew}%4.2f")
-    System.err.println(f"[profile] semantic_decon_bloom100k " +
-      f"${deconBigBloom.elapsedSec}%6.2fs ${deconBigBloom.shuffleWriteMB}%8.1fMB " +
-      f"skew ${deconBigBloom.worstSkew}%4.2f")
-    System.err.println(f"[profile] alarm_machine_x50    " +
-      f"${alarm50.elapsedSec}%6.2fs ${alarm50.shuffleWriteMB}%8.1fMB " +
-      f"skew ${alarm50.worstSkew}%4.2f")
-    val extended = Seq(
-      s""""leakage_split_x50":${block(split50)}""",
-      s""""strip_paragraphs_x50":${block(strip50)}""",
-      s""""strip_paragraphs_x100":${block(strip100)}""",
-      s""""semantic_decon_bench100k":${block(deconBig)}""",
-      s""""semantic_decon_bloom100k":${block(deconBigBloom)}""",
-      s""""alarm_machine_x50":${block(alarm50)}""",
-      s""""unigram_df_x50":${block(unigram50)}""")
+    // every #ext cell emits generically — a hand-rolled list silently
+    // dropped newly-added stress rows from the artifact (caught round 11)
+    val extended = cells.collect { case (key, _) if key.endsWith("#ext") =>
+      val name = key.stripSuffix("#ext")
+      val s = best(key)
+      System.err.println(f"[profile] $name%-26s ${s.elapsedSec}%6.2fs " +
+        f"${s.shuffleWriteMB}%8.1fMB skew ${s.worstSkew}%4.2f " +
+        f"over ${s.skewStageTasks} tasks")
+      s""""$name":${block(s)}"""
+    }
     val json = (entries ++ extended).mkString(
       s"""{"sf":"$sfDir","scale_factors":[1,5,10],"linearity_check":"x10 shuffle bytes / x5 shuffle bytes ~ 2.0","skew_threshold":4.0,""",
       ",", "}")
