@@ -132,4 +132,37 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("BPE greedy merge: string-replace on the separator form equals the " +
+      "reference left-to-right fold for random symbol sequences") {
+    // the identity graft.pipeline.Bpe builds on: SQL replace (non-
+    // overlapping, continue-after-replacement) over
+    // SEP s1 SEPSEP s2 ... SEP is EXACTLY the classic greedy merge
+    val Sep = "\u001f"
+    def wrap(syms: Seq[String]) = Sep + syms.mkString(Sep + Sep) + Sep
+    def unwrap(s: String): Seq[String] =
+      if (s.length <= 2) Seq.empty
+      else s.substring(1, s.length - 1).split(Sep + Sep, -1).toSeq
+    // reference greedy: scan left to right, merge (p1,p2) when current
+    // element matches p1 and next matches p2, skip both
+    def refMerge(syms: Seq[String], p1: String, p2: String): Seq[String] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == p1 && syms(i + 1) == p2) {
+          out += (p1 + p2); i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      out.toSeq
+    }
+    val symGen = Gen.oneOf("a", "b", "ab", "ba", "aa")
+    val seqGen = Gen.chooseNum(1, 12).flatMap(n => Gen.listOfN(n, symGen))
+    val pairGen = Gen.zip(symGen, symGen)
+    forAll2(seqGen, pairGen, n = 400) { case (syms, (p1, p2)) =>
+      val viaReplace = unwrap(wrap(syms)
+        .replace(Sep + p1 + Sep + Sep + p2 + Sep, Sep + p1 + p2 + Sep))
+      assert(viaReplace == refMerge(syms, p1, p2),
+        s"syms=$syms pair=($p1,$p2): $viaReplace vs ${refMerge(syms, p1, p2)}")
+    }
+  }
 }
