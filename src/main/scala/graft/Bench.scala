@@ -119,11 +119,14 @@ object Bench {
     // verification harnesses; the two sets are kept separate because
     // the properties are independent (a future streaming ingest
     // benchmark would be streaming but NOT verification).
-    val streamingQueries = Set("q_alarm_stream_parity")
+    val streamingQueries = Set("q_alarm_stream_parity",
+      "q_dedup_stream_parity", "q_sessions_stream_parity",
+      "q_funnel_stream_parity", "q_statagg_stream_parity",
+      "q_heavy_stream_parity", "q_neardup_stream_parity")
     // Verification harnesses measure the test harness (fixture
     // collection + replay), not an engine operator: timed and
     // reported, but outside the engine-only headline "value".
-    val verificationQueries = Set("q_alarm_stream_parity")
+    val verificationQueries = streamingQueries
     val skip = sys.env.getOrElse("SPARK_GRAFT_SKIP", "")
       .split(',').map(_.trim).filter(_.nonEmpty).toSet
     // SPARK_GRAFT_ORDER_SEED permutes the batch-query order (streaming

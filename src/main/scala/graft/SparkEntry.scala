@@ -30,9 +30,11 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     MetricsEntries.queries ++ LakeEntries.queries ++ DedupEntries.queries ++
-      VectorEntries.queries ++ CorpusEntries.queries ++ SqlSeriesEntries.queries
+      VectorEntries.queries ++ CorpusEntries.queries ++
+      SqlSeriesEntries.queries ++ StreamParityEntries.queries
 
   def oracleSql: Map[String, String] =
     MetricsEntries.oracles ++ LakeEntries.oracles ++ DedupEntries.oracles ++
-      VectorEntries.oracles ++ CorpusEntries.oracles ++ SqlSeriesEntries.oracles
+      VectorEntries.oracles ++ CorpusEntries.oracles ++
+      SqlSeriesEntries.oracles ++ StreamParityEntries.oracles
 }

@@ -451,7 +451,7 @@ private[graft] object CorpusEntries {
   }
   private def bpeMergesOracle(k: Int): String =
     bpeCtes(k) + "\n" +
-      (1 to k).map(i => s"SELECT CAST($i AS INTEGER) AS rank, p1, p2, pair_cnt FROM m$i")
+      (1 to k).map(i => s"SELECT CAST($i AS INTEGER) AS rank, p1, p2, CAST(pair_cnt AS BIGINT) AS pair_cnt FROM m$i")
         .mkString(" UNION ALL ") + " ORDER BY rank"
   private def bpeEncodeOracle(k: Int): String =
     bpeCtes(k) +

@@ -674,13 +674,15 @@ private[graft] object SqlSeriesEntries {
         |FROM lineitem WHERE l_orderkey IS NOT NULL GROUP BY 1),
         |rc AS (SELECT CAST(o_orderkey AS VARCHAR) AS k, COUNT(*) AS c
         |FROM orders WHERE o_orderkey IS NOT NULL GROUP BY 1),
-        |m AS (SELECT lc.k, lc.c * rc.c AS rows_k FROM lc JOIN rc USING (k)),
+        |m AS (SELECT lc.k, lc.c::HUGEINT * rc.c::HUGEINT AS rows_k
+        |FROM lc JOIN rc USING (k)),
         |top AS (SELECT k, rows_k FROM m ORDER BY rows_k DESC, k LIMIT 1),
-        |a AS (SELECT CAST(COALESCE(SUM(rows_k), 0) AS BIGINT) AS join_rows,
+        |a AS (SELECT CAST(LEAST(COALESCE(SUM(rows_k), 0),
+        |9223372036854775807::HUGEINT) AS BIGINT) AS join_rows,
         |CAST(COUNT(*) AS BIGINT) AS matched_keys FROM m),
         |lt AS (SELECT COUNT(*) AS n FROM lc), rt AS (SELECT COUNT(*) AS n FROM rc)
         |SELECT a.join_rows, a.matched_keys, top.k AS top_key,
-        |CAST(top.rows_k AS BIGINT) AS top_rows,
+        |CAST(LEAST(top.rows_k, 9223372036854775807::HUGEINT) AS BIGINT) AS top_rows,
         |CAST((1000000 * a.matched_keys) // greatest(lt.n, 1) AS BIGINT) AS left_match_ppm,
         |CAST((1000000 * a.matched_keys) // greatest(rt.n, 1) AS BIGINT) AS right_match_ppm
         |FROM a CROSS JOIN top CROSS JOIN lt CROSS JOIN rt""".stripMargin,

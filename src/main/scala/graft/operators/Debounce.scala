@@ -37,6 +37,13 @@ object Debounce {
       tsCol: String = "ts", tieCol: String = "event_id"): DataFrame = {
     require(windowSec >= 0, "windowSec must be >= 0")
     val winMicros = windowSec * 1000000L
+    // the keep accumulator is typed from the ACTUAL tie column (a
+    // string event_id — UUIDs — is as legitimate as a bigint one);
+    // a pinned ARRAY<BIGINT> zero would fail analysis with an opaque
+    // higher-order type mismatch for any non-long tieCol
+    val tieType = events.schema(tieCol).dataType
+    val emptyKeep = array().cast(
+      org.apache.spark.sql.types.ArrayType(tieType, containsNull = true))
     val grouped = events
       // NTZ timestamps cast through the (UTC) session zone — same
       // naive-as-UTC reading DuckDB's epoch_us applies
@@ -46,8 +53,7 @@ object Debounce {
       .agg(array_sort(collect_list(struct(
         col("__t"), col(tieCol).as("tie")))).as("evs"))
     val kept = aggregate(col("evs"),
-      struct(lit(Long.MinValue).as("anchor"),
-        expr("CAST(array() AS ARRAY<BIGINT>)").as("keep")),
+      struct(lit(Long.MinValue).as("anchor"), emptyKeep.as("keep")),
       (acc, e) => {
         val isKept = e("__t") >= acc("anchor") + winMicros
         struct(

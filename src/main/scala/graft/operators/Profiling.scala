@@ -85,19 +85,34 @@ object Profiling {
       .groupBy("__k").agg(count(lit(1)).cast("long").as("__c"))
     val l = counts(left)
     val r = counts(right)
+    // The count product and its sum run in DECIMAL(38,0) — the exact
+    // overflow this pre-flight exists to catch (two 10^10-row hot
+    // keys → 10^20 output rows) wraps int64 negative and would report
+    // the OPPOSITE of the explosion warning. decimal(19,0) holds any
+    // long count exactly; the product (≤ 38 digits) and its sum stay
+    // exact to 10^38. The report saturates at Long.MaxValue instead
+    // of casting blind: a pre-flight answering "does this explode?"
+    // with 9.2e18 has answered it.
+    val maxLong = lit(Long.MaxValue).cast("decimal(38,0)")
     val matched = l.withColumnRenamed("__c", "__cl")
       .join(r.withColumnRenamed("__c", "__cr"), Seq("__k"))
-      .withColumn("__rows", col("__cl") * col("__cr"))
+      .withColumn("__rows", col("__cl").cast("decimal(19,0)") *
+        col("__cr").cast("decimal(19,0)"))
     val lTot = l.agg(count(lit(1)).cast("long").as("left_keys"))
     val rTot = r.agg(count(lit(1)).cast("long").as("right_keys"))
     matched.agg(
-        coalesce(sum("__rows"), lit(0L)).cast("long").as("join_rows"),
+        coalesce(sum("__rows"), lit(0)).cast("decimal(38,0)").as("__sum"),
         count(lit(1)).cast("long").as("matched_keys"),
         min(struct((-col("__rows")).as("nr"), col("__k").as("k"))).as("__top"))
       .crossJoin(broadcast(lTot)).crossJoin(broadcast(rTot))
-      .select(col("join_rows"), col("matched_keys"),
+      .select(least(col("__sum"), maxLong).cast("long").as("join_rows"),
+        col("matched_keys"),
         col("__top.k").as("top_key"),
-        coalesce((-col("__top.nr")).cast("long"), lit(0L)).as("top_rows"),
+        // least() skips nulls, so the no-match case (null __top) must
+        // short-circuit BEFORE it or top_rows would report MaxValue
+        coalesce(when(col("__top.nr").isNotNull,
+            least(-col("__top.nr"), maxLong).cast("long")), lit(0L))
+          .as("top_rows"),
         expr("(1000000 * matched_keys) div greatest(left_keys, 1L)")
           .cast("long").as("left_match_ppm"),
         expr("(1000000 * matched_keys) div greatest(right_keys, 1L)")

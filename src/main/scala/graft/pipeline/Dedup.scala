@@ -524,6 +524,11 @@ object Dedup {
    * `minSharedShingles` shingles rarer than `maxDf`. Within-`maxEdits`
    * pairs of normal documents share nearly all shingles, so blocking
    * recall is far higher here than at the Jaccard-0.4 operating point.
+   * The one designed miss: a pair whose EVERY shared shingle is
+   * hotter than `maxDf` (pure boilerplate) never becomes a candidate
+   * — that text belongs to exact dedup / [[stripCommonLines]], not
+   * here. Pinned by the planted-pair recall test at default
+   * parameters (PipelineSpec "edit-distance blocking recall").
    *
    * Output: (id_a, id_b, edits), id_a < id_b, edits ≤ maxEdits.
    */

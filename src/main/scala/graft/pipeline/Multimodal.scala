@@ -325,8 +325,15 @@ object Multimodal {
         u8(pos + 3) * 16777216L
     val pngMagic = "89504E470D0A1A0A"
     val isPng = hex(substring(bin, 1, 8)) === pngMagic
-    val isWav = hex(substring(bin, 1, 4)) === "52494646" && // RIFF
-      hex(substring(bin, 9, 4)) === "57415645"              // WAVE
+    // The fixed offsets below assume the CANONICAL 44-byte layout, so
+    // detection requires the "fmt " and "data" chunk tags at exactly
+    // those offsets too — a real-world WAV with a LIST/fact chunk
+    // before either would otherwise be classified 'wav' and mis-read
+    // silently; the audit intent is that it lands in 'unknown'.
+    val isWav = hex(substring(bin, 1, 4)) === "52494646" &&  // RIFF
+      hex(substring(bin, 9, 4)) === "57415645" &&            // WAVE
+      hex(substring(bin, 13, 4)) === "666D7420" &&           // "fmt "
+      hex(substring(bin, 37, 4)) === "64617461"              // "data"
     val isMjpng = hex(substring(bin, 5, 8)) === pngMagic
     // PNG IHDR offset: 1 inside the container (after the 4-byte frame
     // length), 0 standalone

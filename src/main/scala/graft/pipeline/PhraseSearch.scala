@@ -51,12 +51,13 @@ object PhraseSearch {
     // (k rows; a driver-side scalar fetch like every planner stat)
     val dfs = pruned.groupBy("term").agg(count(lit(1)).as("__df"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    // a phrase term with no postings at all -> no matches anywhere
+    // a phrase term with no postings at all -> no matches anywhere.
+    // The empty frame derives its id column from the POSTINGS schema
+    // (not a hardcoded LongType) so both return paths of this method
+    // stay union/cache-compatible whatever the caller's id type is.
     if (phrase.exists(t => !dfs.contains(t))) {
-      val spark = postings.sparkSession
-      import spark.implicits._
-      return Seq.empty[(Long, Long, Int)]
-        .toDF(idCol, "n_matches", "first_pos")
+      return pruned.select(col(idCol), lit(0L).as("n_matches"),
+        lit(0).as("first_pos")).limit(0)
     }
     val order = phrase.zipWithIndex.sortBy { case (t, _) => (dfs(t), t) }
     def side(term: String, offset: Int) = pruned

@@ -1,0 +1,221 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/**
+ * Deterministic MemoryStream replays of the LLM-pipeline streaming
+ * operators ([[StreamDedup]], [[StreamSessions]], [[StreamFunnel]],
+ * [[StreamingStatAgg]], [[StreamHeavyHitters]], [[StreamNearDup]]) —
+ * the verification bridge that puts each streaming path under the
+ * same DuckDB oracle as its batch twin, exactly as [[StreamParity]]
+ * does for the alarm machine. The reference has no streaming
+ * analytics surface at all (ingest only,
+ * cdk_constructs/kinesis_construct.py:121-146); these replays verify
+ * the engine-side streaming upgrades against their batch semantics.
+ *
+ * VERIFICATION harnesses, not production operators: feeding a
+ * MemoryStream requires the fixture on the driver, so callers collect
+ * the bounded declared-query fixture (≤ ~100k tuples at sf0.1).
+ * Production streams use the operators on a real source.
+ *
+ * Shared determinism mechanics (per-operator notes at each method):
+ *  - all real rows land in ONE micro-batch (or a fixed explicit batch
+ *    split) so cross-engine comparison never depends on Spark's batch
+ *    slicing; operators that fold state sort each group's slice, so
+ *    intra-batch order is canonical;
+ *  - append-mode window operators get a single out-of-band SENTINEL
+ *    row (impossible key, filtered from the result) whose event time
+ *    advances the global watermark strictly past every real window's
+ *    close, forcing emission — the same hi+period+1s pattern as
+ *    [[StreamParity]];
+ *  - every replay runs on a CHILD session with 2 shuffle partitions
+ *    (state groups are few; the parent's 32 partitions would only
+ *    multiply empty state-store tasks) and registers its query in
+ *    [[ReplayRegistry]] so a leak is visible to Bench's drain.
+ */
+object PipelineReplay {
+  private val runId = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  private def child(spark: SparkSession): SparkSession = {
+    val c = spark.newSession()
+    c.conf.set("spark.sql.shuffle.partitions", "2")
+    c
+  }
+
+  /** Start `df` into a named memory sink, run `feed` (addData +
+    * processAllAvailable), return the collected sink rows; always
+    * stops the query and drops the sink view. */
+  private def runToMemory(sess: SparkSession, df: DataFrame, mode: String)(
+      feed: StreamingQuery => Unit): Seq[org.apache.spark.sql.Row] = {
+    val name = s"pipeline_replay_${runId.incrementAndGet()}"
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(mode).start()
+    ReplayRegistry.live.add(q)
+    try {
+      feed(q)
+      sess.table(name).collect().toSeq
+    } finally {
+      try q.stop() finally {
+        if (!q.isActive) ReplayRegistry.live.remove(q)
+        sess.catalog.dropTempView(name)
+      }
+    }
+  }
+
+  /** Replay documents through [[StreamDedup.dedupStream]] in the
+    * given explicit batches (cross-batch duplicates exercise the
+    * state path, not just per-batch dropDuplicates); returns the
+    * surviving (doc_id, text) rows. WHICH row of a duplicate group
+    * survives inside one batch is engine-scheduling-dependent, so
+    * parity is graded on the deterministic survivor-set shape (one
+    * survivor per distinct content hash), not survivor identity. */
+  def replayDedup(spark: SparkSession,
+      batches: Seq[Seq[(Timestamp, Long, String)]]): Seq[(Long, String)] = {
+    if (batches.forall(_.isEmpty)) return Seq.empty
+    val sess = child(spark)
+    import sess.implicits._
+    implicit val sq = sess.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val out = StreamDedup.dedupStream(
+      mem.toDF().toDF("ts", "doc_id", "text"))
+    runToMemory(sess, out, "append") { q =>
+      batches.filter(_.nonEmpty).foreach { b =>
+        mem.addData(b: _*); q.processAllAvailable()
+      }
+    }.map(r => (r.getLong(r.fieldIndex("doc_id")),
+      r.getString(r.fieldIndex("text"))))
+  }
+
+  /** Replay (ts, user_id, event_id, cents) events through
+    * [[StreamSessions.sessionStats]] and return each CLOSED session as
+    * (user_id, start_epoch, end_epoch, n_events, cents).
+    *
+    * Timestamps must be whole seconds (callers truncate): the batch
+    * twin and the oracle compare at `floor(epoch)` granularity.
+    * session_window merges at exactly-gap spacing (windows merge when
+    * the new start equals the open session's end — measured against
+    * Spark 4.1: a 1801 s gap at gap="1801 seconds" MERGES), the same
+    * inclusive rule as the batch `dt > gapSec` split, so the gap maps
+    * across unchanged. The value column is integer cents so the
+    * per-session sum is order-independent and exact. */
+  def replaySessions(spark: SparkSession,
+      events: Seq[(Timestamp, Long, Long, Long)],
+      gapSec: Long): Seq[(Long, Long, Long, Long, Long)] = {
+    if (events.isEmpty) return Seq.empty
+    val sess = child(spark)
+    import sess.implicits._
+    implicit val sq = sess.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, Long, Long)]
+    val out = StreamSessions.sessionStats(
+      mem.toDF().toDF("ts", "user_id", "event_id", "cents"),
+      valueCol = "cents", gap = s"$gapSec seconds",
+      watermark = "0 seconds")
+    runToMemory(sess, out, "append") { q =>
+      mem.addData(events: _*)
+      q.processAllAvailable()
+      val maxTs = events.iterator.map(_._1.getTime).max
+      // sentinel user -1: watermark lands strictly past every real
+      // session's close (≤ maxTs + gap + 1s)
+      mem.addData((new Timestamp(maxTs + (gapSec + 120) * 1000L), -1L, 0L, 0L))
+      q.processAllAvailable()
+    }.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)))
+      .filter(_._1 >= 0L)
+      // session_window end = last event + gap: map back to the
+      // batch twin's end_epoch = last event epoch
+      .map { case (u, ws, we, n, c) => (u, ws, we - gapSec, n, c) }
+  }
+
+  /** Replay (user_id, ts, event_type) events through
+    * [[StreamFunnel.funnelStream]] (single batch: the group fold
+    * sorts by event time, and each user emits exactly its final
+    * depth); returns (user_id, depth) rows. Whole-second timestamps
+    * required: the stream chains at millisecond precision while the
+    * oracle chains at DuckDB's microsecond precision — truncation
+    * makes the strict-inequality guards agree. */
+  def replayFunnel(spark: SparkSession,
+      events: Seq[(Long, Timestamp, String)],
+      stages: Seq[String]): Seq[(Long, Int)] = {
+    if (events.isEmpty) return Seq.empty
+    val sess = child(spark)
+    import sess.implicits._
+    implicit val sq = sess.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val out = StreamFunnel.funnelStream(
+      mem.toDF().toDF("user_id", "ts", "event_type"), stages)
+    runToMemory(sess, out.toDF("user_id", "depth"), "update") { q =>
+      mem.addData(events: _*); q.processAllAvailable()
+    }.map(r => (r.getLong(0), r.getInt(1)))
+  }
+
+  /** Replay (series_id, ts, value) datapoints through
+    * [[StreamingStatAgg.aggregate]]; returns the closed
+    * (series_id, window_start, metricvalue) windows. */
+  def replayStatAgg(spark: SparkSession,
+      points: Seq[(String, Timestamp, Double)],
+      statistic: String, periodSeconds: Int): Seq[(String, Long, Double)] = {
+    if (points.isEmpty) return Seq.empty
+    val sess = child(spark)
+    import sess.implicits._
+    implicit val sq = sess.sqlContext
+    val mem = MemoryStream[(String, Timestamp, Double)]
+    val out = StreamingStatAgg.aggregate(
+      mem.toDF().toDF("series_id", "ts", "value"), statistic, periodSeconds,
+      watermark = "0 seconds")
+    runToMemory(sess, out, "append") { q =>
+      mem.addData(points: _*)
+      q.processAllAvailable()
+      val maxTs = points.iterator.map(_._2.getTime).max
+      mem.addData(("__sentinel__",
+        new Timestamp(maxTs + 2L * periodSeconds * 1000L), 0.0))
+      q.processAllAvailable()
+    }.map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .filter(_._1 != "__sentinel__")
+  }
+
+  /** Replay a token stream through [[StreamHeavyHitters.candidates]]
+    * (single batch → the sink holds exactly the final per-bucket
+    * Misra-Gries summaries); returns (bucket, token, mg_count).
+    * Summary COUNTS depend on fold order (inherent to MG), so parity
+    * is graded on the order-independent MG guarantees — superset
+    * membership and the count sandwich — never on raw mg_count. */
+  def replayHeavyHitters(spark: SparkSession, tokens: Seq[String],
+      buckets: Int, capacity: Int): Seq[(Int, String, Long)] = {
+    if (tokens.isEmpty) return Seq.empty
+    val sess = child(spark)
+    import sess.implicits._
+    implicit val sq = sess.sqlContext
+    val mem = MemoryStream[String]
+    val out = StreamHeavyHitters.candidates(
+      mem.toDF().toDF("token"), buckets, capacity)
+    runToMemory(sess, out.toDF(), "update") { q =>
+      mem.addData(tokens: _*); q.processAllAvailable()
+    }.map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+  }
+
+  /** Replay documents through [[StreamNearDup.candidateStream]] in
+    * explicit batches (later batches must match state from earlier
+    * ones); returns the distinct (id_a, id_b, est_jaccard) hits. */
+  def replayNearDup(spark: SparkSession,
+      batches: Seq[Seq[(Timestamp, Long, String)]],
+      shingleN: Int, k: Int, bands: Int,
+      threshold: Double): Seq[(Long, Long, Double)] = {
+    if (batches.forall(_.isEmpty)) return Seq.empty
+    val sess = child(spark)
+    import sess.implicits._
+    implicit val sq = sess.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val out = StreamNearDup.candidateStream(
+      mem.toDF().toDF("ts", "doc_id", "text"),
+      shingleN = shingleN, k = k, bands = bands, threshold = threshold)
+    runToMemory(sess, out.toDF(), "append") { q =>
+      batches.filter(_.nonEmpty).foreach { b =>
+        mem.addData(b: _*); q.processAllAvailable()
+      }
+    }.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).distinct
+  }
+}

@@ -48,22 +48,13 @@ import org.apache.spark.sql.functions.col
 object StreamParity {
   private val runId = new java.util.concurrent.atomic.AtomicInteger(0)
 
-  // Live replay queries. The replay runs on a CHILD session, and
-  // StreamingQueryManager is per-session — a leaked replay never shows
-  // in the parent's spark.streams.active, so harness-level residue
-  // checks (Bench) need this registry to see it.
-  private val live =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[org.apache.spark.sql.streaming.StreamingQuery]()
+  private def live = ReplayRegistry.live
 
-  /** Replay queries still running (empty unless a replay leaked).
-    * Prunes entries whose query has since stopped — e.g. a leaked
-    * replay a harness drain stopped from outside — so a past leak
-    * can't keep reporting residue after the JVM is quiet again. */
-  def activeReplays: Seq[org.apache.spark.sql.streaming.StreamingQuery] = {
-    import scala.jdk.CollectionConverters._
-    live.removeIf(q => !q.isActive)
-    live.asScala.toSeq
-  }
+  /** Replay queries still running (empty unless a replay leaked) —
+    * now covering EVERY child-session replay harness (this one and
+    * [[PipelineReplay]]) via the shared [[ReplayRegistry]]. */
+  def activeReplays: Seq[org.apache.spark.sql.streaming.StreamingQuery] =
+    ReplayRegistry.activeReplays
 
   /** Replay every series' raw datapoints through one stream; returns
     * the transition stream over each series' windows (lo_s, hi_s],

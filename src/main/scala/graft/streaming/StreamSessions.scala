@@ -13,13 +13,15 @@ import org.apache.spark.sql.functions._
  * [[graft.operators.Sessionize]]; the StreamingSpec asserts both
  * produce the same sessions for the same event sequence.
  *
- * Boundary divergence (documented, not hidden): `session_window`
- * merges events whose gap is STRICTLY below the gap length (windows
- * [t, t+gap) must overlap), while the batch operator keeps events at
- * exactly `gapSec` apart in one session (`dt > gapSec` opens a new
- * one). Events spaced exactly at the gap therefore split here and
- * merge in batch. For whole-second data, passing `gap` one second
- * longer than the batch `gapSec` makes the membership identical.
+ * Boundary rule (measured, Spark 4.1, pinned by the
+ * q_sessions_stream_parity oracle row): `session_window` merges
+ * events spaced EXACTLY `gap` apart — windows merge when the new
+ * event's start equals the open session's end, an inclusive
+ * comparison, not the [t, t+gap) half-open-overlap rule the window
+ * bounds suggest. That matches the batch operator (`dt > gapSec`
+ * opens a new session, so dt == gapSec stays merged) with the SAME
+ * gap value on both sides; a 1801 s gap under gap="1801 seconds"
+ * merges here and under `gapSec = 1801` merges in batch.
  */
 object StreamSessions {
 

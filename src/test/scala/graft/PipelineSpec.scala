@@ -67,6 +67,35 @@ class PipelineSpec extends SparkTestBase {
     assert(tight == Set((1L, 4L)))
   }
 
+  test("edit-distance blocking recall at DEFAULT parameters: every planted " +
+      "within-band pair of distinctive docs recovered; all-hot-shingle " +
+      "pair is the documented miss") {
+    // the contract pinned here (Dedup.editDistanceNearDupPairs
+    // scaladoc): blocking can only drop a within-maxEdits pair whose
+    // EVERY shared shingle is hotter than maxDf. Plant 30 distinctive
+    // base/twin pairs 3 edits apart (must ALL surface at the default
+    // operating point) and one boilerplate family repeated past maxDf
+    // whose twin is the designed miss.
+    val rnd = new scala.util.Random(11)
+    def word() = Seq.fill(6)(('a' + rnd.nextInt(26)).toChar).mkString
+    val bases = (0 until 30).map(i => (i.toLong, Seq.fill(30)(word()).mkString(" ")))
+    val twins = bases.map { case (id, t) => (id + 1000L, t + " zz") }
+    val boiler = Seq.fill(30)("boilerplate").mkString(" ")
+    val boilerDocs = (0 until 60).map(i => (5000L + i, boiler))
+    val boilerTwin = Seq((9000L, boiler + " zz"))
+    val all = (bases ++ twins ++ boilerDocs ++ boilerTwin).toDF("doc_id", "text")
+    val got = Dedup.editDistanceNearDupPairs(all) // DEFAULT parameters
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val planted = bases.map { case (id, _) => (id, id + 1000L) }.toSet
+    assert(planted.subsetOf(got),
+      s"blocking dropped planted pairs: ${planted -- got}")
+    // boilerplate family: every shingle df = 61 > maxDf = 50 → no
+    // rare shingle survives → the twin is NOT paired (nor are the
+    // identical copies — exact dedup's job, not edit-distance's)
+    assert(!got.exists { case (a, b) => a >= 5000L || b >= 5000L },
+      s"hot-shingle pairs should be blocked: ${got.filter(_._1 >= 5000L)}")
+  }
+
   test("containment: fragment scores 1.0 where jaccard fails; direction and ties pinned") {
     val cdocs = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"),

@@ -27,6 +27,94 @@ class RobustnessSpec extends SparkTestBase {
     assert(enc == ((1L, 2L, 2L)), "two words, one unit each after both merges")
   }
 
+  test("bpe: supplementary-plane pair-count TIE breaks in UTF-8 byte order " +
+      "(the DuckDB ORDER BY collation), not UTF-16 code-unit order") {
+    // "ﬀ" U+FB00 (UTF-8 EF AC 80) vs "😀" U+1F600 (UTF-8 F0 9F 98 80):
+    // codepoint/UTF-8 order puts ﬀ FIRST, while raw UTF-16 code units
+    // put the surrogate pair (D83D DE00) first — the one corpus shape
+    // where the two collations disagree. The oracle replays training
+    // with DuckDB's ORDER BY p1, p2 (UTF-8 bytes); Spark's asc("p1")
+    // compares UTF8String bytes (UTF8_BINARY), so both pick (ﬀ, x).
+    // A UTF-16 comparator would pick (😀, x) and diverge the replay.
+    val docs = Seq((1L, "ﬀx 😀x")).toDF("doc_id", "text")
+    val merges = Bpe.learnMerges(docs, numMerges = 1)
+      .as[(Int, String, String, Long)].collect().toSeq
+    assert(merges == Seq((1, "ﬀ", "x", 1L)), s"$merges")
+  }
+
+  test("bpe: learnMerges equals a driver-side reference trainer " +
+      "(codepoint split, UTF-8-byte tie-break) on mixed-plane corpora") {
+    // full-algorithm pin of the oracle contract: symbol splitting per
+    // CODEPOINT, pair counts weighted by word frequency, argmax by
+    // (cnt desc, p1 asc, p2 asc) under UTF-8 byte order, greedy
+    // non-overlapping replace — any divergence in any component shows
+    // up as a different merge table on some sample
+    def utf8Lt(a: String, b: String): Boolean = {
+      val x = a.getBytes("UTF-8"); val y = b.getBytes("UTF-8")
+      var i = 0
+      while (i < x.length && i < y.length) {
+        val c = (x(i) & 0xff) - (y(i) & 0xff)
+        if (c != 0) return c < 0
+        i += 1
+      }
+      x.length < y.length
+    }
+    def syms(w: String): Seq[String] =
+      w.codePoints().toArray.toSeq.map(cp => new String(Character.toChars(cp)))
+    def refMerge(s: Seq[String], p1: String, p2: String): Seq[String] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < s.length) {
+        if (i + 1 < s.length && s(i) == p1 && s(i + 1) == p2) {
+          out += (p1 + p2); i += 2
+        } else { out += s(i); i += 1 }
+      }
+      out.toSeq
+    }
+    def refTrain(words: Seq[String], k: Int): Seq[(Int, String, String, Long)] = {
+      var vocab = words.groupBy(identity).toSeq
+        .map { case (w, g) => (syms(w), g.size.toLong) }
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+      var r = 1
+      var done = false
+      while (r <= k && !done) {
+        val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        vocab.foreach { case (s, c) =>
+          s.sliding(2).filter(_.size == 2).foreach { p =>
+            counts((p(0), p(1))) = counts.getOrElse((p(0), p(1)), 0L) + c }
+        }
+        if (counts.isEmpty) done = true
+        else {
+          val ((p1, p2), cnt) = counts.reduceLeft { (a, b) =>
+            val ((a1, a2), ac) = a; val ((b1, b2), bc) = b
+            val bWins = bc > ac || (bc == ac && (utf8Lt(b1, a1) ||
+              (b1 == a1 && utf8Lt(b2, a2))))
+            if (bWins) b else a
+          }
+          out += ((r, p1, p2, cnt))
+          vocab = vocab.map { case (s, c) => (refMerge(s, p1, p2), c) }
+          r += 1
+        }
+      }
+      out.toSeq
+    }
+    val alphabet = Seq("a", "b", "ﬀ", "😀", "√",
+      "𝄞") // BMP letters, U+FB00, U+1F600, U+221A, U+1D11E
+    val rnd = new scala.util.Random(7)
+    (0 until 8).foreach { _ =>
+      val words = Seq.fill(2 + rnd.nextInt(4))(
+        Seq.fill(1 + rnd.nextInt(3))(alphabet(rnd.nextInt(alphabet.size)))
+          .mkString)
+      val docText = (words ++ words.take(1 + rnd.nextInt(words.size)))
+        .mkString(" ") // duplicate a prefix so counts are non-uniform
+      val docs = Seq((1L, docText)).toDF("doc_id", "text")
+      val got = Bpe.learnMerges(docs, numMerges = 3)
+        .orderBy("rank").as[(Int, String, String, Long)].collect().toSeq
+      val want = refTrain(docText.split(" ").toSeq.filter(_.nonEmpty), 3)
+      assert(got == want, s"corpus='$docText': $got vs $want")
+    }
+  }
+
   test("debounce is idempotent and keeps everything at window zero") {
     import java.sql.Timestamp
     def ts(s: Long) = new Timestamp(s * 1000L)

@@ -718,11 +718,25 @@ class StreamingSpec extends SparkTestBase {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[String]
     val df = mem.toDF().toDF("token")
+    // capture each micro-batch's emission separately: Update mode
+    // re-emits a touched bucket's FULL current summary, so a batch's
+    // per-bucket token count IS that bucket's state size. A memory
+    // sink would accumulate rows for tokens evicted in LATER batches
+    // (and last() without ordering is nondeterministic), measuring
+    // sink history instead of state.
+    val emissions =
+      scala.collection.mutable.ArrayBuffer[Seq[(Int, String, Long)]]()
     val q = graft.streaming.StreamHeavyHitters.candidates(df,
         buckets = 4, capacity = 3)
-      .toDF("bucket", "token", "mg_count")
-      .writeStream.format("memory").queryName("hh_out")
-      .outputMode("update").start()
+      .writeStream.outputMode("update")
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[
+           graft.streaming.StreamHeavyHitters.Candidate], _: Long) =>
+          val rows = b.collect().toSeq.map(c => (c.bucket, c.token, c.mg_count))
+          emissions.synchronized { emissions += rows }
+          ()
+      }
+      .start()
     try {
       val b1 = Seq.fill(10)("hot") ++ Seq.fill(4)("warm") ++
         (0 until 6).map(i => s"t$i")
@@ -731,20 +745,23 @@ class StreamingSpec extends SparkTestBase {
       q.processAllAvailable()
       mem.addData(b2: _*)
       q.processAllAvailable()
-      // latest view per (bucket, token): last update wins
-      val latest = spark.table("hh_out")
-        .groupBy("bucket", "token").agg(last("mg_count").as("c"))
-        .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+      val batches = emissions.synchronized { emissions.toSeq }
+        .filter(_.nonEmpty)
+      assert(batches.size == 2, s"expected 2 non-empty batches: $batches")
       // 'hot' (18 of 34 rows) must survive with a cross-batch count:
-      // MG in its bucket can shed at most bucketN/capacity
-      assert(latest.contains("hot"), s"superset violated: $latest")
-      assert(latest("hot") > 10L, s"cross-batch accumulation: ${latest("hot")}")
-      // state boundedness: no bucket summary exceeds capacity
-      val perBucket = spark.table("hh_out")
-        .groupBy("bucket", "token").agg(last("mg_count"))
-        .groupBy("bucket").agg(count(lit(1)).as("n"))
-        .select("n").as[Long].collect()
-      assert(perBucket.forall(_ <= 3L), s"capacity exceeded: ${perBucket.toSeq}")
+      // MG in its bucket can shed at most bucketN/capacity. Latest
+      // state = the LAST batch that emitted hot's bucket.
+      val lastHot = batches.reverse.iterator
+        .flatMap(_.find(_._2 == "hot")).toSeq.headOption
+      assert(lastHot.isDefined, s"superset violated: $batches")
+      assert(lastHot.get._3 > 10L, s"cross-batch accumulation: $lastHot")
+      // state boundedness PER BATCH: every emitted summary (the full
+      // state of its bucket at that batch) holds ≤ capacity tokens
+      batches.foreach { rows =>
+        val perBucket = rows.groupBy(_._1).view.mapValues(_.size)
+        assert(perBucket.values.forall(_ <= 3),
+          s"capacity exceeded in a batch: $perBucket")
+      }
     } finally q.stop()
   }
 }
