@@ -194,6 +194,26 @@ private[graft] object DedupEntries {
         .orderBy("doc_id")
     },
 
+    // GLOBAL char-granularity exact-substring dedup: a 100-char slice
+    // of doc 1 starting MID-WORD (char 11) is appended to every
+    // doc ≡ 2 (mod 4) with no separator, so the copy re-tokenizes
+    // differently and token windows cannot see it — the char-span
+    // form must strip it byte-exactly from every copy but doc 1's.
+    "q_dedup_substring_global" -> { (s, dir) =>
+      val base = docs(s, dir).select(col("doc_id"), col("text"))
+      val chunk = base.filter(col("doc_id") === 1)
+        .select(substring(col("text"), 11, 100).as("__c"))
+      val fixture = base.crossJoin(broadcast(chunk)).select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(4)) === 2,
+          concat(col("text"), col("__c")))
+          .otherwise(col("text")).as("text"))
+      Dedup.stripDuplicateCharSpans(spread(fixture), minSpanChars = 40)
+        .orderBy("doc_id")
+    },
+
+    // (oracle below: q_dedup_substring_global replicates the char-span
+    // rule with md5 gram keys — see oracles map)
+
     // Near-dup clusters: connected components over the MinHash pairs
     // via distributed label propagation.
     "q_dedup_clusters" -> { (s, dir) =>
@@ -397,6 +417,35 @@ private[graft] object DedupEntries {
         |kept AS (SELECT t.doc_id, t.idx, t.tok FROM tk t LEFT JOIN cov c
         |ON t.doc_id = c.doc_id AND t.idx = c.idx WHERE c.doc_id IS NULL),
         |rebuilt AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY idx) AS text
+        |FROM kept GROUP BY doc_id)
+        |SELECT f.doc_id, coalesce(r.text, '') AS text
+        |FROM fixture f LEFT JOIN rebuilt r USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // Char-granularity global substring rule replayed per character:
+    // stride-1 40-char grams keyed by md5 (the engine's 128-bit
+    // xxhash64 pair and this md5 key are both collision-free stand-ins
+    // for gram equality), corpus-first (id, pos) kept, covered chars
+    // removed, survivors re-agged in char order. Untouched docs
+    // round-trip byte-identical (no normalization in this form).
+    "q_dedup_substring_global" ->
+      """WITH fixture AS (SELECT doc_id,
+        |CASE WHEN doc_id % 4 = 2 THEN text ||
+        |(SELECT substr(text, 11, 100) FROM documents WHERE doc_id = 1)
+        |ELSE text END AS text FROM documents),
+        |el AS (SELECT doc_id, text FROM fixture WHERE len(text) >= 40),
+        |g0 AS (SELECT doc_id, text, unnest(range(0, len(text) - 39)) AS pos FROM el),
+        |wk AS (SELECT doc_id, pos, md5(substr(text, pos + 1, 40)) AS k FROM g0),
+        |firsts AS (SELECT k, min(doc_id * 1000000 + pos) AS fk, count(*) AS n
+        |FROM wk GROUP BY k),
+        |dups AS (SELECT wk.doc_id, wk.pos FROM wk JOIN firsts f ON wk.k = f.k
+        |WHERE f.n > 1 AND wk.doc_id * 1000000 + wk.pos <> f.fk),
+        |cov AS (SELECT DISTINCT doc_id, idx FROM
+        |(SELECT doc_id, unnest(range(pos, pos + 40)) AS idx FROM dups)),
+        |c0 AS (SELECT doc_id, text, unnest(range(0, len(text))) AS idx FROM fixture),
+        |ck AS (SELECT doc_id, idx, substr(text, idx + 1, 1) AS ch FROM c0),
+        |kept AS (SELECT t.doc_id, t.idx, t.ch FROM ck t LEFT JOIN cov c
+        |ON t.doc_id = c.doc_id AND t.idx = c.idx WHERE c.doc_id IS NULL),
+        |rebuilt AS (SELECT doc_id, string_agg(ch, '' ORDER BY idx) AS text
         |FROM kept GROUP BY doc_id)
         |SELECT f.doc_id, coalesce(r.text, '') AS text
         |FROM fixture f LEFT JOIN rebuilt r USING (doc_id) ORDER BY doc_id""".stripMargin,

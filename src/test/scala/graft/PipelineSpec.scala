@@ -96,6 +96,33 @@ class PipelineSpec extends SparkTestBase {
       s"hot-shingle pairs should be blocked: ${got.filter(_._1 >= 5000L)}")
   }
 
+  test("char-span dedup: mid-token copy stripped byte-exactly, untouched docs " +
+      "round-trip byte-identical, short docs exempt") {
+    val src = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val span = src.substring(7, 47) // 40 chars, cuts words at both ends
+    val docs = Seq(
+      (1L, src),
+      (2L, "unrelated text body " + span + " trailing words here"),
+      (3L, "completely different content with no duplication at all ok"),
+      (4L, "tiny")) // shorter than the span floor: no fingerprints
+      .toDF("doc_id", "text")
+    val out = Dedup.stripDuplicateCharSpans(docs, minSpanChars = 40)
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) == src, "first occurrence untouched")
+    assert(out(2L) == "unrelated text body " + " trailing words here",
+      s"span not stripped byte-exactly: '${out(2L)}'")
+    assert(out(3L) == "completely different content with no duplication at all ok")
+    assert(out(4L) == "tiny")
+    // the exactness gap this operator closes, pinned as a contrast:
+    // at windowTokens = 10 the token form cannot see the copy (the
+    // mid-word cut leaves only a 6-token aligned interior run) and
+    // doc 2 keeps the duplicated words the char form just stripped
+    val win = Dedup.stripDuplicateWindows(docs, windowTokens = 10)
+      .as[(Long, String)].collect().toMap
+    assert(win(2L).contains("gamma delta epsilon zeta eta theta"),
+      s"window form unexpectedly stripped the unaligned copy: '${win(2L)}'")
+  }
+
   test("containment: fragment scores 1.0 where jaccard fails; direction and ties pinned") {
     val cdocs = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"),

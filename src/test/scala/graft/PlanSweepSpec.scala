@@ -14,9 +14,13 @@ class PlanSweepSpec extends SparkTestBase {
     // bm_published: reference-parity crossJoin opt-in (the reference
     // enables spark.sql.crossJoin.enabled for user SQL, SURVEY §3.1) —
     // user-authored metric SQL may legitimately cross-join tiny tables.
-    // q_alarm_stream_parity: building the frame runs the streaming
-    // replay harness; its plan shape is covered by its own specs.
-    val exempt = Set("bm_published", "q_alarm_stream_parity")
+    // q_*_stream_parity: building those frames runs the streaming
+    // replay harnesses (StreamParity / PipelineReplay); their plan
+    // shapes are covered by their own specs.
+    val exempt = Set("bm_published", "q_alarm_stream_parity",
+      "q_dedup_stream_parity", "q_sessions_stream_parity",
+      "q_funnel_stream_parity", "q_statagg_stream_parity",
+      "q_heavy_stream_parity", "q_neardup_stream_parity")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, _) if exempt(name) => None
       case (name, fn) =>
