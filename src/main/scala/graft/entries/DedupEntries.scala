@@ -260,12 +260,18 @@ private[graft] object DedupEntries {
     // Incremental near-dup: a new batch (every 5th doc + injected
     // near-copies of existing docs) against the precomputed signature
     // index of the existing corpus — no existing×existing re-pairing.
+    // Injected ids ride a 10^8 offset: the oracle's existing-doc
+    // predicate is an id threshold, and the sf1 upsample sweep proved
+    // a small offset (20000) collides with a larger corpus's id space,
+    // silently flipping existing docs into the "new batch" on the
+    // oracle side (round-12 finding; Spark's operator needs no
+    // threshold and was correct).
     "q_dedup_incr" -> { (s, dir) =>
       val d = docs(s, dir).select("doc_id", "text")
       val existing = spread(d.filter(col("doc_id") % 5 =!= 0))
       val newBatch = spread(d.filter(col("doc_id") % 5 === 0)
         .unionByName(d.filter(col("doc_id") % 5 === 1)
-          .select((col("doc_id") + 20000).as("doc_id"),
+          .select((col("doc_id") + 100000000L).as("doc_id"),
             concat(col("text"), lit(" extra near dup tail")).as("text"))))
       val index = Dedup.minhashSignatures(existing, "text", "doc_id", 3, 12)
       Dedup.minhashIncrementalPairs(index, newBatch)
@@ -648,7 +654,7 @@ private[graft] object DedupEntries {
 
     "q_dedup_incr" ->
       """WITH all_docs AS (SELECT doc_id, text FROM documents UNION ALL
-        |SELECT doc_id + 20000, text || ' extra near dup tail' FROM documents WHERE doc_id % 5 = 1),
+        |SELECT doc_id + 100000000, text || ' extra near dup tail' FROM documents WHERE doc_id % 5 = 1),
         |w AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w FROM all_docs),
         |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(w) >= 3
         |THEN list_transform(range(1, len(w)-1), i -> array_to_string(w[i:i+2], ' '))
@@ -660,8 +666,8 @@ private[graft] object DedupEntries {
         |FROM sig, range(0, 4) t(b)),
         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM band a
         |JOIN band b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-        |WHERE NOT (a.doc_id < 20000 AND a.doc_id % 5 <> 0
-        |       AND b.doc_id < 20000 AND b.doc_id % 5 <> 0)),
+        |WHERE NOT (a.doc_id < 100000000 AND a.doc_id % 5 <> 0
+        |       AND b.doc_id < 100000000 AND b.doc_id % 5 <> 0)),
         |j AS (SELECT id_a, id_b,
         |CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE) /
         |len(list_distinct(list_concat(x.shingles, y.shingles))) AS jaccard
