@@ -952,12 +952,16 @@ object Dedup {
     require(minSpanChars > 0, "span floor must be at least one character")
     val L = minSpanChars
     val eligible = docs.filter(length(col(textCol)) >= L)
+    // two-level transform so each L-char gram string materializes
+    // ONCE, not once per hash — HOF lambdas don't get subexpression
+    // elimination, and the duplicated substr doubled the probe's
+    // allocation churn (the measured source of this query's
+    // run-to-run variance in the round-12 tight-loop probe)
     val keyed = eligible.select(col(idCol), posexplode(transform(
-        sequence(lit(0), length(col(textCol)) - L),
-        i => {
-          val g = col(textCol).substr(i + 1, lit(L))
-          struct(xxhash64(g).as("h1"), xxhash64(g, lit(1L)).as("h2"))
-        })).as(Seq("pos", "__ck")))
+        transform(sequence(lit(0), length(col(textCol)) - L),
+          i => col(textCol).substr(i + 1, lit(L))),
+        g => struct(xxhash64(g).as("h1"), xxhash64(g, lit(1L)).as("h2"))))
+      .as(Seq("pos", "__ck")))
     val first = keyed.groupBy("__ck")
       .agg(min(struct(col(idCol), col("pos"))).as("__first"),
         count(lit(1)).as("__n"))
