@@ -871,7 +871,11 @@ object Dedup {
     // doc row once. Per-task memory stays bounded by the longest
     // single document (its token array in one row), the same bound
     // collect_list had.
-    val affected = dups.select(col(idCol)).distinct()
+    // ONE consumer of `dups` (round 12; was an `affected` distinct for
+    // a left_anti plus a separate dupPos join — two full evaluations
+    // of the keyed-windows ⋈ firsts join feeding two exchanges): docs
+    // left-join their dup-position arrays once, and a null array IS
+    // the untouched case, resolved per row.
     val dupPos = dups.groupBy(idCol)
       .agg(array_sort(collect_set(col("pos"))).as("__dp"))
     val rebuiltToks = {
@@ -885,16 +889,13 @@ object Dedup {
         slice(toks, start + 1, greatest(lit(0), end - start + 1))
       }))
     }
-    val untouched = docs.join(affected, Seq(idCol), "left_anti")
-      .select(col(idCol),
-        array_join(graft.plans.WordShingles.shingles(col(textCol), 1), " ")
-          .as(textCol))
     // a fully-covered doc yields only empty segments → empty text
     // rather than vanishing; tokens rejoined with single spaces IS the
     // whitespace normalization, identical on both paths
-    untouched.unionByName(
-      docs.join(dupPos, Seq(idCol))
-        .select(col(idCol), array_join(rebuiltToks, " ").as(textCol)))
+    docs.join(dupPos, Seq(idCol), "left")
+      .select(col(idCol), when(col("__dp").isNull,
+          array_join(graft.plans.WordShingles.shingles(col(textCol), 1), " "))
+        .otherwise(array_join(rebuiltToks, " ")).as(textCol))
   }
 
   /**
@@ -957,11 +958,19 @@ object Dedup {
     // elimination, and the duplicated substr doubled the probe's
     // allocation churn (the measured source of this query's
     // run-to-run variance in the round-12 tight-loop probe)
+    // persisted: keyed feeds BOTH the first-occurrence aggregation and
+    // the join probe side — without the cache the per-position
+    // substring+hash explode (the operator's dominant compute) runs
+    // twice. ~28 bytes/char cached; on a 100 TB corpus prefer
+    // StorageLevel spill-to-disk over recompute — the explode is
+    // CPU-bound on string materialization, not IO-bound.
     val keyed = eligible.select(col(idCol), posexplode(transform(
         transform(sequence(lit(0), length(col(textCol)) - L),
           i => col(textCol).substr(i + 1, lit(L))),
         g => struct(xxhash64(g).as("h1"), xxhash64(g, lit(1L)).as("h2"))))
       .as(Seq("pos", "__ck")))
+      .persist()
+    keyed.count() // eager: both consumers race a lazy cache otherwise
     val first = keyed.groupBy("__ck")
       .agg(min(struct(col(idCol), col("pos"))).as("__first"),
         count(lit(1)).as("__n"))
@@ -987,11 +996,11 @@ object Dedup {
         col(textCol).substr(start + 1, greatest(lit(0), end - start + 1))
       }), "")
     }
-    val affected = dups.select(col(idCol)).distinct()
-    docs.join(affected, Seq(idCol), "left_anti")
-      .select(col(idCol), col(textCol))
-      .unionByName(docs.join(dupPos, Seq(idCol))
-        .select(col(idCol), rebuilt.as(textCol)))
+    // single dupPos left join (same one-consumer shape as the token
+    // form): null position array = untouched doc, returned verbatim
+    docs.join(dupPos, Seq(idCol), "left")
+      .select(col(idCol), when(col("__dp").isNull, col(textCol))
+        .otherwise(rebuilt).as(textCol))
   }
 
   /**
