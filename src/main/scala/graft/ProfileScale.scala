@@ -256,6 +256,18 @@ object ProfileScale {
             concat(col("text"),
               lit(" subscribe to our newsletter for updates and never miss a post"))
               .as("text")), windowTokens = 10)),
+      // char-granularity global substring dedup under the same
+      // universal hot tail, one level further down (per-CHARACTER
+      // positions): the min-struct fold must absorb the 100%-corpus
+      // span keys map-side, and the ~28-bytes-per-char exchange must
+      // scale linearly — this is the exactness-complete form whose
+      // constant-factor cost vs the token form the scaladoc quotes.
+      "dedup_charspan" -> (m =>
+        Dedup.stripDuplicateCharSpans(
+          scaledDocs(spark, sfDir, m).select(col("doc_id"),
+            concat(col("text"),
+              lit(" subscribe to our newsletter for updates and never miss a post"))
+              .as("text")), minSpanChars = 40)),
       // bloom-prefiltered index dedup: the INDEX scales with m while
       // the batch stays fixed at 1× — elapsed must track the index
       // scan (linear, one pruned column) and shuffle must track the

@@ -924,16 +924,20 @@ object Dedup {
    * map-combinable aggregation, and one join — no global sort, no
    * O(log n) prefix-doubling rounds over 100 TB.
    *
-   * Exactness trade vs the token form, stated as cost: the shuffle
-   * carries ~28 bytes per CHARACTER position (id, pos, 16-byte key)
-   * instead of per token position — roughly 5× the token form's
-   * volume on English text. The gram text itself never shuffles
-   * (hashed before the exchange), hot boilerplate keys fold map-side
-   * in the first-occurrence aggregation, and the rebuild slices kept
-   * segments from each doc's own string — so the shape scales like
-   * the token form, at a constant-factor-higher exchange volume. Use
-   * the token form as the default pass and this one where byte-exact
-   * span removal is the requirement.
+   * Exactness trade vs the token form, stated as MEASURED cost: the
+   * shuffle carries ~28 bytes per CHARACTER position (id, pos,
+   * 16-byte key) instead of per token position. On the universal-
+   * hot-tail profile fixture this is 13× the token form's exchange
+   * volume (1505 vs 113 MB at the 10× row) — the ~6× char-per-token
+   * ratio compounded by the denser dup-position traffic char
+   * granularity produces — while growth stays LINEAR (5×→10×
+   * shuffle ratio 2.01, skew ≤ 1.74, elapsed sub-linear at 4.2× for
+   * 10× data). The gram text itself never shuffles (hashed before
+   * the exchange), hot boilerplate keys fold map-side in the
+   * first-occurrence aggregation, and the rebuild slices kept
+   * segments from each doc's own string. Use the token form as the
+   * default pass and this one where byte-exact span removal is the
+   * requirement.
    *
    * Unlike the token form there is NO whitespace normalization:
    * untouched documents round-trip byte-identical, and survivors keep
