@@ -426,6 +426,67 @@ private[graft] object CorpusEntries {
     "q_gopher_ngrams" -> { (s, dir) =>
       graft.pipeline.Corpus.dupNgramCharPpm(spread(docs(s, dir)), Seq(5, 10))
         .orderBy("doc_id")
+    },
+
+    // Pairwise source-overlap matrix: exact 3-gram shingle Jaccard +
+    // directional containments for every source pair sharing a
+    // shingle. Candidates come from per-shingle source lists (fan-out
+    // bounded by source cardinality), never a doc-pair join.
+    "q_source_overlap" -> { (s, dir) =>
+      graft.pipeline.Corpus.sourceOverlap(spread(docs(s, dir)), shingleN = 3)
+        .orderBy("src_a", "src_b")
+    },
+
+    // Distribution-shift gate: two-sample KS distance between the
+    // corpus length profile and a perturbed release (drop doc_id%17,
+    // +40 chars on doc_id%3) — ppm-quantized ECDF max gap via the
+    // two-phase distributed prefix scan.
+    "q_ks_shift" -> { (s, dir) =>
+      val base = docs(s, dir).select(col("doc_id"), col("n_chars"))
+      val v2 = base.filter(col("doc_id") % 17 =!= 0)
+        .select(col("doc_id"),
+          (col("n_chars") + when(col("doc_id") % 3 === 0, 40L).otherwise(0L))
+            .as("n_chars"))
+      graft.pipeline.Corpus.ksShift(spread(base), spread(v2), "n_chars")
+    },
+
+    // MinHash-estimated source overlap (k=16 md5 permutations): the
+    // sketch path beside q_source_overlap's exact matrix — signatures
+    // aggregate as distributed per-permutation minima, pairs come
+    // from an equi-join on (perm, sig), never an S² frame.
+    "q_minhash_overlap" -> { (s, dir) =>
+      graft.pipeline.Corpus.sourceOverlapMinhash(spread(docs(s, dir)),
+          shingleN = 3, k = 16)
+        .orderBy("src_a", "src_b")
+    },
+
+    // Per-language winsorization of doc length at the 5th/95th ppm
+    // order statistics — outlier taming from per-(group,value)
+    // counts, never a per-group row sort.
+    "q_winsorize" -> { (s, dir) =>
+      graft.pipeline.Corpus.winsorize(
+          spread(docs(s, dir).select(col("doc_id"), col("lang"),
+            col("n_chars"))),
+          "n_chars", "lang")
+        .select("doc_id", "lang", "n_chars", "v_lo", "v_hi", "v_winsorized")
+        .orderBy("doc_id")
+    },
+
+    // Provenance-aware duplicate attribution over a corpus with two
+    // injected mirrors ('mirror' copies doc_id%5, 'scraper' copies
+    // doc_id%9): each non-keeper dup charges (its source → keeper's
+    // source), so the matrix names who copied whom.
+    "q_dup_attribution" -> { (s, dir) =>
+      val base = docs(s, dir).select(col("doc_id"), col("source"), col("text"))
+      val mirror = base.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 50000L).as("doc_id"),
+          lit("mirror").as("source"), col("text"))
+      val scraper = base.filter(col("doc_id") % 9 === 0)
+        .select((col("doc_id") + 90000L).as("doc_id"),
+          lit("scraper").as("source"), col("text"))
+      graft.pipeline.Corpus.dupAttribution(
+          spread(base.unionByName(mirror).unionByName(scraper)))
+        .orderBy("dup_source", "keeper_source")
     }
   )
 
@@ -1095,6 +1156,96 @@ private[graft] object CorpusEntries {
         |coalesce(a10.dup10_ppm, 0) AS dup10_ppm
         |FROM documents d LEFT JOIN a5 ON d.doc_id = a5.doc_id
         |LEFT JOIN a10 ON d.doc_id = a10.doc_id
-        |ORDER BY d.doc_id""".stripMargin
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "q_source_overlap" ->
+      """WITH w AS (SELECT source,
+        |list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w
+        |FROM documents),
+        |sg AS (SELECT source, unnest(CASE WHEN len(w) >= 3
+        |THEN list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' '))
+        |ELSE [] END) AS sh FROM w),
+        |sh AS (SELECT DISTINCT source AS src, sh FROM sg),
+        |sizes AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY 1),
+        |p AS (SELECT a.src AS src_a, b.src AS src_b,
+        |CAST(COUNT(*) AS BIGINT) AS n_common
+        |FROM sh a JOIN sh b ON a.sh = b.sh AND a.src < b.src GROUP BY 1, 2)
+        |SELECT src_a, src_b, sa.n AS n_a, sb.n AS n_b, n_common,
+        |CAST((1000000 * n_common) // (sa.n + sb.n - n_common) AS BIGINT) AS jaccard_ppm,
+        |CAST((1000000 * n_common) // sa.n AS BIGINT) AS contain_a_ppm,
+        |CAST((1000000 * n_common) // sb.n AS BIGINT) AS contain_b_ppm
+        |FROM p JOIN sizes sa ON p.src_a = sa.src JOIN sizes sb ON p.src_b = sb.src
+        |ORDER BY src_a, src_b""".stripMargin,
+
+    "q_ks_shift" ->
+      """WITH va AS (SELECT CAST(n_chars AS BIGINT) AS v FROM documents
+        |WHERE n_chars IS NOT NULL),
+        |vb AS (SELECT CAST(n_chars + CASE WHEN doc_id % 3 = 0 THEN 40 ELSE 0 END
+        |AS BIGINT) AS v FROM documents
+        |WHERE doc_id % 17 <> 0 AND n_chars IS NOT NULL),
+        |ca AS (SELECT v, COUNT(*) AS c1 FROM va GROUP BY 1),
+        |cb AS (SELECT v, COUNT(*) AS c2 FROM vb GROUP BY 1),
+        |u AS (SELECT coalesce(ca.v, cb.v) AS v, coalesce(c1, 0) AS c1,
+        |coalesce(c2, 0) AS c2 FROM ca FULL JOIN cb ON ca.v = cb.v),
+        |n AS (SELECT SUM(c1) AS n1, SUM(c2) AS n2 FROM u),
+        |s AS (SELECT v, SUM(c1) OVER (ORDER BY v) AS m1,
+        |SUM(c2) OVER (ORDER BY v) AS m2 FROM u),
+        |d AS (SELECT v, abs((1000000 * m1) // greatest(n1, 1) -
+        |(1000000 * m2) // greatest(n2, 1)) AS diff FROM s CROSS JOIN n)
+        |SELECT CAST(n.n1 AS BIGINT) AS n_a, CAST(n.n2 AS BIGINT) AS n_b,
+        |CAST(d.diff AS BIGINT) AS ks_ppm, CAST(d.v AS BIGINT) AS at_value
+        |FROM d CROSS JOIN n ORDER BY d.diff DESC, d.v LIMIT 1""".stripMargin,
+
+    "q_minhash_overlap" ->
+      """WITH w AS (SELECT source,
+        |list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w
+        |FROM documents),
+        |sg AS (SELECT source, unnest(CASE WHEN len(w) >= 3
+        |THEN list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' '))
+        |ELSE [] END) AS sh FROM w),
+        |sh AS (SELECT DISTINCT source AS src, sh FROM sg),
+        |m AS (SELECT src, perm,
+        |MIN(md5(CAST(perm AS VARCHAR) || ':' || sh)) AS sig
+        |FROM sh CROSS JOIN (SELECT unnest(range(0, 16)) AS perm) GROUP BY 1, 2),
+        |p AS (SELECT a.src AS src_a, b.src AS src_b,
+        |CAST(COUNT(*) AS BIGINT) AS n_matches
+        |FROM m a JOIN m b ON a.perm = b.perm AND a.sig = b.sig
+        |AND a.src < b.src GROUP BY 1, 2)
+        |SELECT src_a, src_b, n_matches,
+        |CAST((1000000 * n_matches) // 16 AS BIGINT) AS est_jaccard_ppm
+        |FROM p ORDER BY src_a, src_b""".stripMargin,
+
+    "q_winsorize" ->
+      """WITH c AS (SELECT lang, CAST(n_chars AS BIGINT) AS v, COUNT(*) AS c
+        |FROM documents WHERE n_chars IS NOT NULL GROUP BY 1, 2),
+        |s AS (SELECT lang, v,
+        |SUM(c) OVER (PARTITION BY lang ORDER BY v) AS cum,
+        |SUM(c) OVER (PARTITION BY lang) AS n FROM c),
+        |r AS (SELECT lang, v, cum,
+        |least(n, (50000 * n) // 1000000 + 1) AS lo_rank,
+        |greatest(least(n, (50000 * n) // 1000000 + 1),
+        |least(n, (950000 * n + 999999) // 1000000)) AS hi_rank FROM s),
+        |b AS (SELECT lang,
+        |MIN(CASE WHEN cum >= lo_rank THEN v END) AS v_lo,
+        |MIN(CASE WHEN cum >= hi_rank THEN v END) AS v_hi FROM r GROUP BY 1)
+        |SELECT d.doc_id, d.lang, CAST(d.n_chars AS BIGINT) AS n_chars,
+        |CAST(b.v_lo AS BIGINT) AS v_lo, CAST(b.v_hi AS BIGINT) AS v_hi,
+        |CAST(least(greatest(d.n_chars, b.v_lo), b.v_hi) AS BIGINT) AS v_winsorized
+        |FROM documents d JOIN b USING (lang) ORDER BY d.doc_id""".stripMargin,
+
+    "q_dup_attribution" ->
+      """WITH all_docs AS (
+        |SELECT doc_id, source, text FROM documents
+        |UNION ALL SELECT doc_id + 50000, 'mirror', text FROM documents
+        |WHERE doc_id % 5 = 0
+        |UNION ALL SELECT doc_id + 90000, 'scraper', text FROM documents
+        |WHERE doc_id % 9 = 0),
+        |h AS (SELECT doc_id, source, md5(text) AS ch FROM all_docs),
+        |k AS (SELECT ch, min(doc_id) AS kid, arg_min(source, doc_id) AS ksrc
+        |FROM h GROUP BY 1)
+        |SELECT h.source AS dup_source, k.ksrc AS keeper_source,
+        |CAST(COUNT(*) AS BIGINT) AS n_dups
+        |FROM h JOIN k ON h.ch = k.ch WHERE h.doc_id <> k.kid
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }

@@ -1386,4 +1386,258 @@ object Corpus {
           .when(col("__oh") =!= col("__nh"), "changed")
           .otherwise("unchanged").as("status"))
   }
+
+  /**
+   * Pairwise corpus-overlap matrix between sources: for every source
+   * pair that shares at least one word n-gram shingle, the EXACT
+   * shingle-set Jaccard and both directional containments, integer
+   * ppm — the "who overlaps whom" audit run before mixing sources
+   * into a training corpus (a crawl that contains a mirror of
+   * another source shows up as containment ≈ 1e6 long before doc-
+   * level dedup would surface it).
+   *
+   * Plan shape, and why it survives 100 TB: the corpus reduces to
+   * DISTINCT (source, shingle) — one aggregation keyed by the
+   * shingle vocabulary, never by documents. Pair candidates come
+   * from grouping that table BY SHINGLE and expanding each shingle's
+   * source list into its (a < b) pairs: the fan-out per shingle is
+   * bounded by the SOURCE cardinality squared (sources are tens to
+   * hundreds), so the candidate volume is O(vocab · S²) — there is
+   * no doc×doc or shingle×shingle term anywhere. Set sizes join back
+   * by broadcast (S rows). Output: (src_a, src_b, n_a, n_b,
+   * n_common, jaccard_ppm, contain_a_ppm, contain_b_ppm), ppm values
+   * by integer floor division for cross-engine hash stability.
+   * Source-pair order is UTF-16 `<` on the source names — identical
+   * to a byte-order oracle for ASCII/BMP names.
+   */
+  /** DISTINCT (source, shingle) — the corpus collapsed to per-source
+    * shingle SETS: one aggregation keyed by (source, vocabulary),
+    * shared by the exact and minhash-estimated overlap operators. */
+  private def srcShingleSets(docs: DataFrame, shingleN: Int,
+      textCol: String, srcCol: String): DataFrame = {
+    graft.plans.NativeFns.register(docs.sparkSession)
+    docs.select(col(srcCol).as("__src"),
+        explode(graft.plans.WordShingles.shingles(col(textCol), shingleN,
+          distinct = true)).as("__sh"))
+      .distinct()
+  }
+
+  def sourceOverlap(docs: DataFrame, shingleN: Int = 3,
+      textCol: String = "text", srcCol: String = "source"): DataFrame = {
+    val sh = srcShingleSets(docs, shingleN, textCol, srcCol)
+    val sizes = sh.groupBy("__src").agg(count(lit(1)).cast("long").as("__n"))
+    val pairs = sh.groupBy("__sh")
+      .agg(sort_array(collect_set("__src")).as("__srcs"))
+      .filter(size(col("__srcs")) >= 2)
+      // all (i < j) pairs of the shingle's sorted source list; the
+      // list is capped by the source cardinality, so this explode is
+      // O(S²) per shingle, not data-sized
+      .select(explode(expr(
+        "flatten(transform(__srcs, (x, i) -> transform(" +
+          "slice(__srcs, i + 2, size(__srcs)), " +
+          "y -> named_struct('a', x, 'b', y))))")).as("__p"))
+      .groupBy(col("__p.a").as("src_a"), col("__p.b").as("src_b"))
+      .agg(count(lit(1)).cast("long").as("n_common"))
+    pairs
+      .join(broadcast(sizes.select(col("__src").as("src_a"),
+        col("__n").as("n_a"))), Seq("src_a"))
+      .join(broadcast(sizes.select(col("__src").as("src_b"),
+        col("__n").as("n_b"))), Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+        col("n_common"),
+        expr("(1000000 * n_common) div (n_a + n_b - n_common)")
+          .cast("long").as("jaccard_ppm"),
+        expr("(1000000 * n_common) div n_a").cast("long")
+          .as("contain_a_ppm"),
+        expr("(1000000 * n_common) div n_b").cast("long")
+          .as("contain_b_ppm"))
+  }
+
+  /**
+   * MinHash-ESTIMATED source-overlap matrix — the sketch path for
+   * when even the distinct (source, shingle) table of
+   * [[sourceOverlap]] is too hot to co-group exactly: each source
+   * reduces to a k-slot md5 MinHash signature (the same
+   * `md5(i + ":" + shingle)` family as [[graft.plans.Md5MinHash]],
+   * aggregated as a distributed per-permutation MIN because a
+   * source's shingle set never fits one row), and the estimated
+   * Jaccard for a pair is the fraction of agreeing slots.
+   *
+   * The pairing is an EQUI-join on (permutation, signature value):
+   * only slot agreements produce join hits, so no S² pair frame is
+   * ever built — a pair that agrees on zero slots simply doesn't
+   * appear (its estimate is 0, matching [[sourceOverlap]]'s
+   * only-overlapping-pairs contract). Per source the signature is k
+   * rows of 32 bytes regardless of corpus size; estimator stderr is
+   * ~1/√k. Output: (src_a, src_b, n_matches, est_jaccard_ppm).
+   */
+  def sourceOverlapMinhash(docs: DataFrame, shingleN: Int = 3, k: Int = 16,
+      textCol: String = "text", srcCol: String = "source"): DataFrame = {
+    require(k > 0, "k must be positive")
+    val sh = srcShingleSets(docs, shingleN, textCol, srcCol)
+    val sigs = sh
+      .select(col("__src"), col("__sh"),
+        explode(sequence(lit(0), lit(k - 1))).as("__perm"))
+      .groupBy("__src", "__perm")
+      .agg(min(md5(concat_ws(":", col("__perm"), col("__sh")))).as("__sig"))
+    val a = sigs.select(col("__src").as("src_a"), col("__perm"), col("__sig"))
+    val b = sigs.select(col("__src").as("src_b"), col("__perm"), col("__sig"))
+    a.join(b, Seq("__perm", "__sig"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b")
+      .agg(count(lit(1)).cast("long").as("n_matches"))
+      .select(col("src_a"), col("src_b"), col("n_matches"),
+        expr(s"(1000000 * n_matches) div ${k}L").cast("long")
+          .as("est_jaccard_ppm"))
+  }
+
+  /**
+   * Per-group winsorization: clamp a numeric column to its group's
+   * [lo, hi] order statistics — the outlier-taming step before
+   * score-weighted sampling (one 10 GB page must not dominate a
+   * length-weighted mixture). Ranks are defined in integer ppm:
+   * lo rank = min(n, floor(n·loPpm/1e6) + 1), hi rank =
+   * max(loRank, ceil(n·hiPpm/1e6)) — the first value strictly above
+   * the lo quantile and the last value at or below the hi quantile;
+   * both engines floor-divide identically.
+   *
+   * Scale shape: a naive per-group `row_number` sort would serialize
+   * each group (one 60 TB language = one partition). Instead the
+   * order statistics come from the per-(group, value) COUNT table —
+   * data-sized work is one hash aggregation; the cumulative window
+   * then runs over at most |value domain| rows per group, parallel
+   * across groups, and the resulting S-row bounds table broadcasts
+   * back for the clamp. No row ever sorts by value.
+   */
+  def winsorize(df: DataFrame, valCol: String, groupCol: String,
+      loPpm: Long = 50000L, hiPpm: Long = 950000L): DataFrame = {
+    require(0 <= loPpm && loPpm <= hiPpm && hiPpm <= 1000000L,
+      "need 0 <= loPpm <= hiPpm <= 1e6")
+    val cnts = df
+      .select(col(groupCol).as("__g"), col(valCol).cast("long").as("__v"))
+      .filter(col("__v").isNotNull)
+      .groupBy("__g", "__v").agg(count(lit(1)).as("__c"))
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy("__g").orderBy(col("__v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy("__g")
+    val bounds = cnts
+      .withColumn("__cum", sum("__c").over(wOrd))
+      .withColumn("__n", sum("__c").over(wAll))
+      .withColumn("__loRank",
+        least(col("__n"), expr(s"(${loPpm}L * __n) div 1000000L + 1L")))
+      .withColumn("__hiRank", greatest(col("__loRank"),
+        least(col("__n"), expr(s"(${hiPpm}L * __n + 999999L) div 1000000L"))))
+      .groupBy("__g")
+      .agg(min(when(col("__cum") >= col("__loRank"), col("__v"))).as("v_lo"),
+        min(when(col("__cum") >= col("__hiRank"), col("__v"))).as("v_hi"))
+    df.join(broadcast(bounds), df(groupCol) === bounds("__g"))
+      .withColumn("v_winsorized",
+        least(greatest(col(valCol).cast("long"), col("v_lo")), col("v_hi")))
+      .drop("__g")
+  }
+
+  /**
+   * Two-sample Kolmogorov–Smirnov distance over an integer-valued
+   * column (doc length, token count, quality score…): the
+   * distribution-shift gate between two corpus snapshots — "did the
+   * length profile move?" — reported as one row (n_a, n_b, ks_ppm,
+   * at_value) where ks_ppm = max over values of |ECDF_a − ECDF_b|
+   * quantized to ppm by integer floor division (both engines
+   * truncate identically on non-negative counts) and at_value is the
+   * smallest value attaining the max.
+   *
+   * Plan shape: each side first collapses to per-value counts — the
+   * only data-sized pass, a hash aggregation keyed by the VALUE
+   * DOMAIN, so everything after is bounded by the number of distinct
+   * values, not rows. The ECDFs need a global running sum over the
+   * value order; a single-partition window would serialize that, so
+   * it runs as the same two-phase distributed prefix scan
+   * [[Packing.streamPacks]] uses: range-partition by value, P
+   * per-partition totals collected (P longs — a planner statistic,
+   * not data), partition offsets broadcast back, per-partition
+   * window on top. The final max is a top-1 TakeOrdered, not a full
+   * sort.
+   */
+  def ksShift(a: DataFrame, b: DataFrame, valCol: String): DataFrame = {
+    val spark = a.sparkSession
+    def cnts(df: DataFrame, out: String) =
+      df.select(col(valCol).cast("long").as("__v"))
+        .filter(col("__v").isNotNull)
+        .groupBy("__v").agg(count(lit(1)).cast("long").as(out))
+    val parts = math.max(2, spark.sparkContext.defaultParallelism)
+    // persist so the totals pass and the scan pass see the same
+    // physical range partitioning
+    val u = cnts(a, "__c1").join(cnts(b, "__c2"), Seq("__v"), "full_outer")
+      .select(col("__v"), coalesce(col("__c1"), lit(0L)).as("__c1"),
+        coalesce(col("__c2"), lit(0L)).as("__c2"))
+      .repartitionByRange(parts, col("__v"))
+      .withColumn("__pid", spark_partition_id())
+      .persist()
+    u.count()
+    val totals = u.groupBy("__pid")
+      .agg(sum("__c1").as("t1"), sum("__c2").as("t2"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val off = (0 until parts).scanLeft((0L, 0L)) { case ((o1, o2), pid) =>
+      val (t1, t2) = totals.getOrElse(pid, (0L, 0L)); (o1 + t1, o2 + t2)
+    }
+    val (n1, n2) = off(parts)
+    val offsetDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        (0 until parts).map(pid =>
+          org.apache.spark.sql.Row(pid, off(pid)._1, off(pid)._2)), 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("__pid",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("__o1",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("__o2",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__pid").orderBy(col("__v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    u.join(broadcast(offsetDf), Seq("__pid"))
+      .withColumn("__m1", col("__o1") + sum(col("__c1")).over(w))
+      .withColumn("__m2", col("__o2") + sum(col("__c2")).over(w))
+      .withColumn("__diff", abs(
+        expr(s"(1000000 * __m1) div greatest(${n1}L, 1L)") -
+          expr(s"(1000000 * __m2) div greatest(${n2}L, 1L)")))
+      .orderBy(col("__diff").desc, col("__v"))
+      .limit(1)
+      .select(lit(n1).as("n_a"), lit(n2).as("n_b"),
+        col("__diff").cast("long").as("ks_ppm"),
+        col("__v").cast("long").as("at_value"))
+  }
+
+  /**
+   * Provenance-aware duplicate attribution: for every exact-content
+   * duplicate group, the group's keeper is its minimum-id member;
+   * every OTHER member charges one duplicate to the ordered pair
+   * (its own source → the keeper's source). The output matrix
+   * answers "which sources are copying which" — the corpus-report
+   * companion to exact dedup (a scraped mirror shows up as one hot
+   * (mirror → origin) row, not as an undifferentiated dup count).
+   *
+   * Plan shape: one narrow projection to (id, source, md5(text)) —
+   * text never shuffles — then one window keyed by the content hash
+   * computes each group's keeper as min(struct(id, source)) (id is
+   * unique, so the struct min IS the min-id member and drags its
+   * source along), then a source-pair aggregation of the non-keeper
+   * rows. One shuffle by content hash, one tiny agg keyed by
+   * S² source pairs. Skew on a viral text is bounded by that text's
+   * group size — the same bound exact dedup itself carries.
+   */
+  def dupAttribution(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", srcCol: String = "source"): DataFrame = {
+    val h = docs.select(col(idCol).cast("long").as("__id"),
+      col(srcCol).as("__src"), md5(col(textCol)).as("__h"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("__h")
+    h.withColumn("__keep", min(struct(col("__id"), col("__src"))).over(w))
+      .filter(col("__id") =!= col("__keep.__id"))
+      .groupBy(col("__src").as("dup_source"),
+        col("__keep.__src").as("keeper_source"))
+      .agg(count(lit(1)).cast("long").as("n_dups"))
+  }
 }

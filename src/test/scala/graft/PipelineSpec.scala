@@ -1893,4 +1893,101 @@ class PipelineSpec extends SparkTestBase {
     assert(got == Seq((1, "view", 3L, 1000000L),
       (2, "click", 1L, 333333L), (3, "purchase", 1L, 333333L)))
   }
+
+  test("source overlap: exact pair Jaccard/containment, zero-overlap pair absent") {
+    val d = Seq(
+      (1L, "a b c d", "srcX"),   // shingles {a b c, b c d}
+      (2L, "a b c e", "srcY"),   // shingles {a b c, b c e}
+      (3L, "x y z w", "srcZ"))   // disjoint
+      .toDF("doc_id", "text", "source")
+    val got = graft.pipeline.Corpus.sourceOverlap(d, shingleN = 3).collect()
+    assert(got.length == 1, "only the sharing pair appears")
+    val r = got.head
+    assert(r.getAs[String]("src_a") == "srcX" && r.getAs[String]("src_b") == "srcY")
+    assert(r.getAs[Long]("n_a") == 2L && r.getAs[Long]("n_b") == 2L &&
+      r.getAs[Long]("n_common") == 1L)
+    // |∩|=1, |∪|=3 → floor(1e6/3); containment 1/2 each side
+    assert(r.getAs[Long]("jaccard_ppm") == 333333L)
+    assert(r.getAs[Long]("contain_a_ppm") == 500000L &&
+      r.getAs[Long]("contain_b_ppm") == 500000L)
+  }
+
+  test("source overlap: duplicate shingles across docs of one source count once") {
+    val d = Seq(
+      (1L, "p q r", "s1"), (2L, "p q r", "s1"), // same shingle twice in s1
+      (3L, "p q r s", "s2"))
+      .toDF("doc_id", "text", "source")
+    val r = graft.pipeline.Corpus.sourceOverlap(d, shingleN = 3).collect().head
+    assert(r.getAs[Long]("n_a") == 1L, "per-source set is distinct")
+    assert(r.getAs[Long]("n_b") == 2L && r.getAs[Long]("n_common") == 1L)
+    assert(r.getAs[Long]("contain_a_ppm") == 1000000L,
+      "s1 fully contained in s2")
+  }
+
+  test("ks shift: exact ECDF max gap, smallest value on ties, one row") {
+    val a = Seq(1L, 1L, 2L, 3L).toDF("v")
+    val b = Seq(2L, 3L, 3L, 4L).toDF("v")
+    // cdfA ppm: v1 500000, v2 750000, v3 1000000, v4 1000000
+    // cdfB ppm: v1 0,      v2 250000, v3 750000,  v4 1000000
+    // diff:        500000,    500000,    250000,     0 → max at v=1
+    val r = graft.pipeline.Corpus.ksShift(a, b, "v").collect()
+    assert(r.length == 1)
+    assert(r.head.getAs[Long]("n_a") == 4L && r.head.getAs[Long]("n_b") == 4L)
+    assert(r.head.getAs[Long]("ks_ppm") == 500000L)
+    assert(r.head.getAs[Long]("at_value") == 1L, "tie resolves to smallest value")
+  }
+
+  test("ks shift: identical samples score 0") {
+    val a = Seq(5L, 6L, 7L).toDF("v")
+    val r = graft.pipeline.Corpus.ksShift(a, a, "v").collect().head
+    assert(r.getAs[Long]("ks_ppm") == 0L)
+  }
+
+  test("minhash source overlap: identical sets agree on all slots, " +
+      "disjoint sets produce no pair") {
+    val d = Seq(
+      (1L, "alpha beta gamma delta", "sA"),
+      (2L, "alpha beta gamma delta", "sB"),   // same shingle set as sA
+      (3L, "omega psi chi phi", "sC"))        // disjoint
+      .toDF("doc_id", "text", "source")
+    val got = graft.pipeline.Corpus.sourceOverlapMinhash(d, shingleN = 3,
+        k = 16).collect()
+    assert(got.length == 1, "only the overlapping pair appears")
+    val r = got.head
+    assert(r.getAs[String]("src_a") == "sA" && r.getAs[String]("src_b") == "sB")
+    assert(r.getAs[Long]("n_matches") == 16L &&
+      r.getAs[Long]("est_jaccard_ppm") == 1000000L,
+      "identical sets agree on every permutation")
+  }
+
+  test("winsorize: rank-ppm bounds clamp tails; heavy ties pull the bound") {
+    val d = (1L to 10L).map(v => (v, "g", v)).toDF("id", "grp", "v")
+    val got = graft.pipeline.Corpus.winsorize(d, "v", "grp",
+        loPpm = 200000L, hiPpm = 800000L)
+      .select("id", "v_lo", "v_hi", "v_winsorized")
+      .as[(Long, Long, Long, Long)].collect().map(t => t._1 -> t).toMap
+    // n=10: loRank = floor(2)+1 = 3 → v_lo=3; hiRank = ceil(8) = 8 → v_hi=8
+    assert(got(1L) == ((1L, 3L, 8L, 3L)) && got(2L) == ((2L, 3L, 8L, 3L)))
+    assert(got(5L)._4 == 5L, "interior values untouched")
+    assert(got(9L)._4 == 8L && got(10L)._4 == 8L)
+    // ties: [1,1,1,1,5] at hi 80% → 4th order stat is 1 → 5 clamps to 1
+    val t = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L), (5L, 5L))
+      .map { case (i, v) => (i, "g", v) }.toDF("id", "grp", "v")
+    val tied = graft.pipeline.Corpus.winsorize(t, "v", "grp",
+        loPpm = 200000L, hiPpm = 800000L)
+      .select("id", "v_winsorized").as[(Long, Long)].collect().toMap
+    assert(tied(5L) == 1L)
+  }
+
+  test("dup attribution: non-keepers charge (own source → keeper source)") {
+    val d = Seq(
+      (1L, "s1", "t1"), (2L, "s2", "t1"), (4L, "s3", "t1"), // keeper 1 (s1)
+      (3L, "s2", "t2"),                                      // unique, no row
+      (5L, "s3", "t3"), (6L, "s1", "t3"))                    // keeper 5 (s3)
+      .toDF("doc_id", "source", "text")
+    val got = graft.pipeline.Corpus.dupAttribution(d)
+      .select("dup_source", "keeper_source", "n_dups")
+      .as[(String, String, Long)].collect().toSet
+    assert(got == Set(("s2", "s1", 1L), ("s3", "s1", 1L), ("s1", "s3", 1L)))
+  }
 }
