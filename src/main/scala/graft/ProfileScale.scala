@@ -513,7 +513,53 @@ object ProfileScale {
         val series = StatWindowAgg.aggregateOne(
           scaledDatapoints(spark, sfDir, m), "Sum", 3600)
         AlarmStateMachine.evaluate(series, scaledSlas(spark, m))
-      })
+      },
+      // Exact source-overlap matrix: per-copy token suffixes make the
+      // shingle VOCABULARY grow with m (the worst case for the
+      // distinct (source, shingle) table), while the 20-source pmod
+      // assignment keeps the per-shingle pair fan-out at its ≤ S²
+      // bound — shuffle must track vocab linearly, never pairs.
+      "source_overlap" -> (m =>
+        Corpus.sourceOverlap(
+          scaledDocs(spark, sfDir, m).withColumn("source",
+            concat(lit("s"), pmod(col("doc_id"), lit(20)))),
+          shingleN = 3)),
+      // MinHash-estimated overlap on the same fixture: the claim is
+      // that each source collapses to k=16 signature rows no matter
+      // the corpus size, so everything past the digest scan is
+      // constant — elapsed tracks the md5 pass, shuffle ~flat.
+      "minhash_src_overlap" -> (m =>
+        Corpus.sourceOverlapMinhash(
+          scaledDocs(spark, sfDir, m).withColumn("source",
+            concat(lit("s"), pmod(col("doc_id"), lit(20)))),
+          shingleN = 3, k = 16)),
+      // KS shift: both snapshots scale with m but the per-value count
+      // tables stay bounded by the LENGTH DOMAIN — the prefix-scan
+      // side must stay ~flat (counts only) while elapsed tracks the
+      // two corpus scans.
+      "ks_shift" -> { m =>
+        val a = scaledDocs(spark, sfDir, m)
+          .select(col("doc_id"), length(col("text")).as("n_chars"))
+        val b = scaledDocs(spark, sfDir, m)
+          .filter(col("doc_id") % 17 =!= 0)
+          .select(col("doc_id"),
+            (length(col("text")) +
+              when(col("doc_id") % 3 === 0, 40).otherwise(0)).as("n_chars"))
+        Corpus.ksShift(a, b, "n_chars")
+      },
+      // Duplicate attribution under the adversarial VIRAL text: one
+      // literal page is the content of HALF the corpus at every scale
+      // (m·N/2 copies of one md5 across 20 sources). The per-(hash,
+      // source) partial agg must absorb it map-side — after that
+      // stage the viral hash is 20 rows, so skew must stay bounded
+      // and shuffle linear in distinct content, not duplicate count.
+      "dup_attribution" -> (m =>
+        Corpus.dupAttribution(
+          scaledDocs(spark, sfDir, m).select(col("doc_id"),
+            concat(lit("s"), pmod(col("doc_id"), lit(20))).as("source"),
+            when(col("doc_id") % 2 === 0,
+              lit("the same viral boilerplate page shared everywhere"))
+              .otherwise(col("text")).as("text")))))
 
     // warm-up: every op once at 1× so the 1×-vs-10× comparison is
     // JIT-steady on both sides

@@ -1633,23 +1633,33 @@ object Corpus {
    * (mirror → origin) row, not as an undifferentiated dup count).
    *
    * Plan shape: one narrow projection to (id, source, md5(text)) —
-   * text never shuffles — then one window keyed by the content hash
-   * computes each group's keeper as min(struct(id, source)) (id is
-   * unique, so the struct min IS the min-id member and drags its
-   * source along), then a source-pair aggregation of the non-keeper
-   * rows. One shuffle by content hash, one tiny agg keyed by
-   * S² source pairs. Skew on a viral text is bounded by that text's
-   * group size — the same bound exact dedup itself carries.
+   * text never shuffles — then the matrix builds from per-(hash,
+   * source) PARTIALS (count + min id), never raw duplicate rows: the
+   * first aggregation's map-side combine absorbs a viral text before
+   * the exchange, so a hash carries at most S rows afterwards (a
+   * window keyed by the hash would instead drag every copy of the
+   * viral text into one task — measured and rejected). The keeper is
+   * the per-hash min(struct(min id, source)) over those partials (id
+   * unique → the struct min IS the global min-id member), the rejoin
+   * fans out at most S rows per hash, and each (hash, source) cell
+   * charges count − (1 if it owns the keeper) duplicates to its
+   * (source → keeper source) pair.
    */
   def dupAttribution(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", srcCol: String = "source"): DataFrame = {
     val h = docs.select(col(idCol).cast("long").as("__id"),
       col(srcCol).as("__src"), md5(col(textCol)).as("__h"))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("__h")
-    h.withColumn("__keep", min(struct(col("__id"), col("__src"))).over(w))
-      .filter(col("__id") =!= col("__keep.__id"))
+    val perSrc = h.groupBy("__h", "__src")
+      .agg(count(lit(1)).as("__c"), min("__id").as("__minId"))
+    val keep = perSrc.groupBy("__h")
+      .agg(min(struct(col("__minId"), col("__src"))).as("__k"))
+    perSrc.join(keep, Seq("__h"))
+      .select(col("__src"), col("__k.__src").as("__ksrc"),
+        (col("__c") - when(col("__src") === col("__k.__src"), 1L)
+          .otherwise(0L)).as("__n"))
+      .filter(col("__n") > 0)
       .groupBy(col("__src").as("dup_source"),
-        col("__keep.__src").as("keeper_source"))
-      .agg(count(lit(1)).cast("long").as("n_dups"))
+        col("__ksrc").as("keeper_source"))
+      .agg(sum("__n").cast("long").as("n_dups"))
   }
 }
