@@ -1979,6 +1979,71 @@ class PipelineSpec extends SparkTestBase {
     assert(tied(5L) == 1L)
   }
 
+  test("ks shift is symmetric and bounded on real data") {
+    val d = Tables.read(spark, sf0001, "documents")
+    val a = d.select(col("n_chars"))
+    val b = d.filter(col("doc_id") % 3 === 0)
+      .select((col("n_chars") + 25L).as("n_chars"))
+    val ab = graft.pipeline.Corpus.ksShift(a, b, "n_chars").collect().head
+    val ba = graft.pipeline.Corpus.ksShift(b, a, "n_chars").collect().head
+    assert(ab.getAs[Long]("ks_ppm") == ba.getAs[Long]("ks_ppm"),
+      "|ECDF_a - ECDF_b| is symmetric")
+    assert(ab.getAs[Long]("at_value") == ba.getAs[Long]("at_value"))
+    assert(ab.getAs[Long]("ks_ppm") >= 0L && ab.getAs[Long]("ks_ppm") <= 1000000L)
+    assert(ab.getAs[Long]("n_a") == ba.getAs[Long]("n_b"))
+  }
+
+  test("winsorize is idempotent: clamping a clamped column is a no-op") {
+    val d = Tables.read(spark, sf0001, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val once = graft.pipeline.Corpus.winsorize(d, "n_chars", "lang",
+      loPpm = 100000L, hiPpm = 900000L)
+    val twice = graft.pipeline.Corpus.winsorize(
+      once.select(col("doc_id"), col("lang"),
+        col("v_winsorized").as("n_chars")),
+      "n_chars", "lang", loPpm = 100000L, hiPpm = 900000L)
+    // after the first clamp every tail value sits ON the bound, so the
+    // loRank/hiRank order statistics are the bounds themselves
+    val diff = once.select(col("doc_id"), col("v_winsorized").as("w1"))
+      .join(twice.select(col("doc_id"), col("v_winsorized").as("w2")),
+        Seq("doc_id"))
+      .filter(col("w1") =!= col("w2")).count()
+    assert(diff == 0L)
+  }
+
+  test("dup attribution conserves mass: sum of charges = rows - distinct texts") {
+    val d = Tables.read(spark, sf0001, "documents")
+      .select(col("doc_id"), col("source"), col("text"))
+    val dups = d.filter(col("doc_id") % 4 === 0)
+      .select((col("doc_id") + 70000L).as("doc_id"),
+        lit("mirror").as("source"), col("text"))
+    val corpus = d.unionByName(dups)
+    val charged = graft.pipeline.Corpus.dupAttribution(corpus)
+      .agg(sum("n_dups")).collect().head.getLong(0)
+    val rows = corpus.count()
+    val distinctTexts = corpus.select("text").distinct().count()
+    assert(charged == rows - distinctTexts,
+      "every non-keeper row is charged exactly once")
+  }
+
+  test("source overlap invariants: jaccard <= containments <= 1e6, " +
+      "jaccard consistent with set sizes") {
+    val d = Tables.read(spark, sf0001, "documents")
+    val rows = graft.pipeline.Corpus.sourceOverlap(d, shingleN = 3).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (na, nb, c) = (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
+        r.getAs[Long]("n_common"))
+      val j = r.getAs[Long]("jaccard_ppm")
+      assert(c >= 1L && c <= math.min(na, nb))
+      assert(j <= r.getAs[Long]("contain_a_ppm") &&
+        j <= r.getAs[Long]("contain_b_ppm"))
+      assert(r.getAs[Long]("contain_a_ppm") <= 1000000L &&
+        r.getAs[Long]("contain_b_ppm") <= 1000000L)
+      assert(j == 1000000L * c / (na + nb - c))
+    }
+  }
+
   test("dup attribution: non-keepers charge (own source → keeper source)") {
     val d = Seq(
       (1L, "s1", "t1"), (2L, "s2", "t1"), (4L, "s3", "t1"), // keeper 1 (s1)
