@@ -450,6 +450,26 @@ private[graft] object CorpusEntries {
       graft.pipeline.Corpus.ksShift(spread(base), spread(v2), "n_chars")
     },
 
+    // Per-language BPE fertility under the learned 4-merge table:
+    // units per word in ppm, the cross-lingual tokenizer-bias report.
+    "q_fertility" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val m = graft.pipeline.Bpe.learnMerges(d, numMerges = 4).orderBy("rank")
+        .select("p1", "p2").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSeq
+      graft.pipeline.Bpe.fertilityByGroup(
+          graft.pipeline.Bpe.encode(spread(d), m),
+          d.select(col("doc_id"), col("lang")))
+        .orderBy("lang")
+    },
+
+    // Source × language token-share matrix: the mixture report read
+    // before setting per-source sampling weights.
+    "q_src_lang_mix" -> { (s, dir) =>
+      graft.pipeline.Corpus.sourceLangMix(spread(docs(s, dir)))
+        .orderBy("source", "lang")
+    },
+
     // MinHash-estimated source overlap (k=16 md5 permutations): the
     // sketch path beside q_source_overlap's exact matrix — signatures
     // aggregate as distributed per-permutation minima, pairs come
@@ -524,9 +544,36 @@ private[graft] object CorpusEntries {
          |SELECT d.doc_id, coalesce(n_words, 0) AS n_words, coalesce(n_bpe_units, 0) AS n_bpe_units
          |FROM documents d LEFT JOIN g USING (doc_id) ORDER BY doc_id""".stripMargin
 
+  /** Per-language fertility: the same encode replay as
+    * [[bpeEncodeOracle]], rolled up by documents.lang. */
+  private def bpeFertilityOracle(k: Int): String =
+    bpeCtes(k) +
+      s""",
+         |occ AS (SELECT doc_id, unnest(w) AS word FROM w),
+         |wu AS (SELECT word, len(seq) - len(replace(seq, $bpeS||$bpeS, $bpeS)) + 1 AS units FROM st$k),
+         |u AS (SELECT doc_id, units FROM occ JOIN wu USING (word)),
+         |g AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nw, CAST(SUM(units) AS BIGINT) AS nu FROM u GROUP BY 1)
+         |SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |CAST(COALESCE(SUM(g.nw), 0) AS BIGINT) AS n_words,
+         |CAST(COALESCE(SUM(g.nu), 0) AS BIGINT) AS n_bpe_units,
+         |CAST((1000000 * COALESCE(SUM(g.nu), 0)) // greatest(COALESCE(SUM(g.nw), 0), 1) AS BIGINT) AS fertility_ppm
+         |FROM documents d LEFT JOIN g USING (doc_id) GROUP BY 1 ORDER BY 1""".stripMargin
+
   def oracles: Map[String, String] = Map(
     "q_bpe_merges" -> bpeMergesOracle(4),
     "q_bpe_encode" -> bpeEncodeOracle(4),
+    "q_fertility" -> bpeFertilityOracle(4),
+
+    "q_src_lang_mix" ->
+      """WITH t AS (SELECT source, lang,
+        |len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS tc
+        |FROM documents),
+        |c AS (SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |CAST(SUM(tc) AS BIGINT) AS n_tokens FROM t GROUP BY 1, 2),
+        |s AS (SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS tot FROM c GROUP BY 1)
+        |SELECT c.source, c.lang, n_docs, n_tokens,
+        |CAST((1000000 * n_tokens) // greatest(tot, 1) AS BIGINT) AS share_ppm
+        |FROM c JOIN s USING (source) ORDER BY c.source, c.lang""".stripMargin,
 
     "q_temperature_mix" ->
       """WITH s AS (SELECT CASE WHEN doc_id % 2 = 0 THEN 'big_crawl'

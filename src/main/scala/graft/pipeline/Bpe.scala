@@ -139,4 +139,31 @@ object Bpe {
       .select(col(idCol), coalesce(col("n_words"), lit(0L)).as("n_words"),
         coalesce(col("n_bpe_units"), lit(0L)).as("n_bpe_units"))
   }
+
+  /**
+   * Per-group tokenizer fertility report over [[encode]] output —
+   * BPE units per word in integer ppm, rolled up by a grouping
+   * attribute (typically language). Fertility is THE cross-lingual
+   * tokenizer-quality number: a vocabulary trained on English
+   * over-fragments other scripts, and this report is how that bias
+   * is measured before committing a merge table to a multilingual
+   * run. With an empty merge table fertility degenerates to mean
+   * word length (every character its own unit) — the upper bound
+   * training merges push down from.
+   *
+   * Scale: one id-keyed equi-join of two narrow tables (the encode
+   * output is 3 longs per doc) followed by a group-cardinality
+   * aggregation — map-side combinable, no hot keys beyond the group
+   * sizes themselves.
+   */
+  def fertilityByGroup(encoded: DataFrame, groups: DataFrame,
+      groupCol: String = "lang", idCol: String = "doc_id"): DataFrame =
+    encoded.join(groups.select(col(idCol), col(groupCol)), Seq(idCol))
+      .groupBy(groupCol)
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum("n_words").cast("long").as("n_words"),
+        sum("n_bpe_units").cast("long").as("n_bpe_units"))
+      .withColumn("fertility_ppm",
+        expr("(1000000 * n_bpe_units) div greatest(n_words, 1L)")
+          .cast("long"))
 }

@@ -1504,6 +1504,34 @@ object Corpus {
   }
 
   /**
+   * Source × language token-share matrix: per (source, language)
+   * cell, document and token counts plus the cell's token share of
+   * its source in integer ppm — the mixture report a multilingual
+   * corpus prep reads before setting per-source sampling weights
+   * ("which crawls actually carry the Spanish tokens?").
+   *
+   * Scale: the only data-sized pass is tokenize + the (source, lang)
+   * hash aggregation (map-side combinable). The share window runs
+   * over the aggregated S × L matrix — rows bounded by
+   * sources × languages, not by the corpus.
+   */
+  def sourceLangMix(docs: DataFrame, srcCol: String = "source",
+      langCol: String = "lang", textCol: String = "text"): DataFrame = {
+    graft.plans.NativeFns.register(docs.sparkSession)
+    val cnt = docs.select(col(srcCol).as("source"), col(langCol).as("lang"),
+        size(graft.plans.WordShingles.shingles(col(textCol), 1))
+          .cast("long").as("__t"))
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum("__t").cast("long").as("n_tokens"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("source")
+    cnt.withColumn("__tot", sum("n_tokens").over(w))
+      .withColumn("share_ppm",
+        expr("(1000000 * n_tokens) div greatest(__tot, 1L)").cast("long"))
+      .drop("__tot")
+  }
+
+  /**
    * Per-group winsorization: clamp a numeric column to its group's
    * [lo, hi] order statistics — the outlier-taming step before
    * score-weighted sampling (one 10 GB page must not dominate a

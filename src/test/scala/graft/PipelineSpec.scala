@@ -1979,6 +1979,31 @@ class PipelineSpec extends SparkTestBase {
     assert(tied(5L) == 1L)
   }
 
+  test("fertility by group: empty merge table degenerates to mean word length") {
+    val d = Seq((1L, "ab cde", "g1"), (2L, "x yz", "g2"), (3L, "qqqq", "g2"))
+      .toDF("doc_id", "text", "lang")
+    val enc = graft.pipeline.Bpe.encode(d.select("doc_id", "text"), Seq.empty)
+    val got = graft.pipeline.Bpe.fertilityByGroup(enc,
+        d.select("doc_id", "lang"))
+      .select("lang", "n_docs", "n_words", "n_bpe_units", "fertility_ppm")
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    // g1: words {ab, cde} → 5 units / 2 words; g2: {x, yz, qqqq} → 7 / 3
+    assert(got == Set(("g1", 1L, 2L, 5L, 2500000L),
+      ("g2", 2L, 3L, 7L, 2333333L)))
+  }
+
+  test("source-lang mix: shares are per-source and sum to ~1e6") {
+    val d = Seq(
+      (1L, "a b", "s1", "en"), (2L, "c", "s1", "fr"),
+      (3L, "d e f", "s2", "en"))
+      .toDF("doc_id", "text", "source", "lang")
+    val got = graft.pipeline.Corpus.sourceLangMix(d)
+      .select("source", "lang", "n_docs", "n_tokens", "share_ppm")
+      .as[(String, String, Long, Long, Long)].collect().toSet
+    assert(got == Set(("s1", "en", 1L, 2L, 666666L),
+      ("s1", "fr", 1L, 1L, 333333L), ("s2", "en", 1L, 3L, 1000000L)))
+  }
+
   test("ks shift is symmetric and bounded on real data") {
     val d = Tables.read(spark, sf0001, "documents")
     val a = d.select(col("n_chars"))
