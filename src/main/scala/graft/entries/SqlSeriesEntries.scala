@@ -30,6 +30,27 @@ private[graft] object SqlSeriesEntries {
         .orderBy("l_returnflag", "l_linestatus")
     },
 
+    // Salted skew join end-to-end: one synthetic key carries a third
+    // of the fact rows; the salted form must produce bit-identical
+    // aggregates to the oracle's plain join (decimal-exact sums).
+    "q_skew_join" -> { (s, dir) =>
+      val o = Tables.read(s, dir, "orders")
+      val fact = o.select(
+        when(col("o_orderkey") % 3 === 0, lit("hot"))
+          .otherwise(concat(lit("k"), pmod(col("o_orderkey"), lit(50))))
+          .as("jkey"),
+        col("o_totalprice"))
+      val dim = fact.select("jkey").distinct()
+        .withColumn("weight", when(col("jkey") === "hot", 10L)
+          .otherwise(length(col("jkey")).cast("long")))
+      graft.operators.SkewJoin.saltedEquiJoin(fact, dim, "jkey", salts = 8)
+        .groupBy("jkey", "weight")
+        .agg(count(lit(1)).cast("long").as("n_rows"),
+          sum(col("o_totalprice").cast("decimal(18,4)")).cast("double")
+            .as("sum_price"))
+        .orderBy("jkey")
+    },
+
     // Broadcast-dim star join: revenue by region (dims broadcast, fact
     // never shuffled for the dim joins).
     "q_region_revenue" -> { (s, dir) =>
@@ -422,6 +443,17 @@ private[graft] object SqlSeriesEntries {
         |COUNT(*) AS count_order
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_skew_join" ->
+      """WITH f AS (SELECT CASE WHEN o_orderkey % 3 = 0 THEN 'hot'
+        |ELSE 'k' || CAST(o_orderkey % 50 AS VARCHAR) END AS jkey, o_totalprice
+        |FROM orders),
+        |d AS (SELECT DISTINCT jkey,
+        |CASE WHEN jkey = 'hot' THEN 10 ELSE length(jkey) END AS weight FROM f)
+        |SELECT f.jkey, CAST(d.weight AS BIGINT) AS weight,
+        |CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |FROM f JOIN d ON f.jkey = d.jkey GROUP BY 1, 2 ORDER BY 1""".stripMargin,
 
     "q_region_revenue" ->
       """SELECT r_name,
