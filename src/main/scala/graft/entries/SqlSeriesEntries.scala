@@ -30,6 +30,37 @@ private[graft] object SqlSeriesEntries {
         .orderBy("l_returnflag", "l_linestatus")
     },
 
+    // Functional-dependency audit: does source determine language?
+    // One summary row quantifies the violation mass.
+    "q_fd_check" -> { (s, dir) =>
+      graft.operators.Profiling.fdCheck(
+        Tables.read(s, dir, "documents"), "source", "lang")
+    },
+
+    // Out-of-order-arrival profile: per user, timestamp inversions in
+    // event_id (ingest) order and the largest backstep — the
+    // watermark-sizing audit. The fixture backdates every 13th event
+    // by 2 hours (the generated stream is in order); only users with
+    // inversions appear.
+    "q_order_inversions" -> { (s, dir) =>
+      val ev = Tables.read(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          when(col("event_id") % 13 === 0,
+            col("ts") - expr("INTERVAL 2 HOURS"))
+            .otherwise(col("ts")).as("ts"))
+      graft.operators.Profiling.orderInversions(ev, "user_id", "ts",
+          "event_id")
+        .orderBy("user_id")
+    },
+
+    // Benford first-digit profile of order totals: 9 schema-stable
+    // digit rows with counts and ppm shares.
+    "q_benford" -> { (s, dir) =>
+      graft.operators.Profiling.benfordDigits(
+          Tables.read(s, dir, "orders"), "o_totalprice")
+        .orderBy("digit")
+    },
+
     // Salted skew join end-to-end: one synthetic key carries a third
     // of the fact rows; the salted form must produce bit-identical
     // aggregates to the oracle's plain join (decimal-exact sums).
@@ -443,6 +474,43 @@ private[graft] object SqlSeriesEntries {
         |COUNT(*) AS count_order
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_fd_check" ->
+      """WITH p AS (SELECT CAST(source AS VARCHAR) AS det,
+        |CAST(lang AS VARCHAR) AS dep FROM documents),
+        |c AS (SELECT det, COUNT(*) AS c FROM p GROUP BY 1),
+        |nd AS (SELECT det, COUNT(*) AS nd FROM (SELECT DISTINCT det, dep FROM p) GROUP BY 1),
+        |j AS (SELECT c.det, c.c, nd.nd FROM c JOIN nd ON c.det = nd.det)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+        |CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating_groups,
+        |CAST(SUM(c) AS BIGINT) AS n_rows,
+        |CAST(SUM(CASE WHEN nd > 1 THEN c ELSE 0 END) AS BIGINT) AS n_violating_rows,
+        |CAST((1000000 * SUM(CASE WHEN nd > 1 THEN c ELSE 0 END)) // greatest(SUM(c), 1) AS BIGINT) AS violation_ppm
+        |FROM j""".stripMargin,
+
+    "q_order_inversions" ->
+      """WITH ev AS (SELECT user_id, event_id,
+        |CASE WHEN event_id % 13 = 0 THEN ts - INTERVAL 2 HOUR ELSE ts END AS ts
+        |FROM events),
+        |e AS (SELECT user_id, epoch_us(ts) AS t,
+        |lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY event_id) AS prev
+        |FROM ev),
+        |g AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |CAST(SUM(CASE WHEN t < prev THEN 1 ELSE 0 END) AS BIGINT) AS n_inversions,
+        |CAST(MAX(CASE WHEN t < prev THEN prev - t END) AS BIGINT) AS max_backstep_micros
+        |FROM e GROUP BY 1)
+        |SELECT * FROM g WHERE n_inversions > 0 ORDER BY user_id""".stripMargin,
+
+    "q_benford" ->
+      """WITH v AS (SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit
+        |FROM orders WHERE o_totalprice IS NOT NULL AND o_totalprice >= 1),
+        |c AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS cnt FROM v GROUP BY 1),
+        |d AS (SELECT CAST(unnest(range(1, 10)) AS INTEGER) AS digit),
+        |t AS (SELECT SUM(cnt) AS tot FROM c)
+        |SELECT d.digit, CAST(COALESCE(c.cnt, 0) AS BIGINT) AS cnt,
+        |CAST((1000000 * COALESCE(c.cnt, 0)) // greatest(t.tot, 1) AS BIGINT) AS share_ppm
+        |FROM d LEFT JOIN c ON d.digit = c.digit CROSS JOIN t
+        |ORDER BY d.digit""".stripMargin,
 
     "q_skew_join" ->
       """WITH f AS (SELECT CASE WHEN o_orderkey % 3 = 0 THEN 'hot'

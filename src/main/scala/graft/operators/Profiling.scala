@@ -213,4 +213,102 @@ object Profiling {
       .withColumn("skew_x1000",
         expr("(1000 * top_cnt * n_keys) div greatest(n_rows, 1L)").cast("long"))
   }
+
+  /**
+   * Functional-dependency check: does `detCol` determine `depCol`?
+   * One summary row — determinant group counts, how many groups map
+   * to more than one dependent value, and how many ROWS sit in those
+   * violating groups (ppm of the table) — the schema-contract audit
+   * ("does source imply language?") run before a pipeline starts
+   * keying on the assumption. Null determinants/dependents count as
+   * ordinary values (a null-keyed conflict is still a conflict).
+   *
+   * Plan: distinct (det, dep) pairs → per-det distinct-dep count,
+   * joined with per-det row counts — two map-side-combinable
+   * aggregations keyed by the determinant, then a scalar agg. A
+   * determinant held by most of the table is absorbed by the partial
+   * agg exactly as in [[keySkew]].
+   */
+  def fdCheck(df: DataFrame, detCol: String, depCol: String): DataFrame = {
+    val pairs = df.select(col(detCol).cast("string").as("__det"),
+      col(depCol).cast("string").as("__dep"))
+    val perDet = pairs.groupBy("__det")
+      .agg(count(lit(1)).cast("long").as("__c"))
+    val distinctDeps = pairs.distinct().groupBy("__det")
+      .agg(count(lit(1)).cast("long").as("__nd"))
+    perDet.join(distinctDeps, Seq("__det"))
+      .agg(count(lit(1)).cast("long").as("n_groups"),
+        sum(when(col("__nd") > 1, 1L).otherwise(0L)).cast("long")
+          .as("n_violating_groups"),
+        sum("__c").cast("long").as("n_rows"),
+        sum(when(col("__nd") > 1, col("__c")).otherwise(0L)).cast("long")
+          .as("n_violating_rows"))
+      .withColumn("violation_ppm",
+        expr("(1000000 * n_violating_rows) div greatest(n_rows, 1L)")
+          .cast("long"))
+  }
+
+  /**
+   * Per-key order-inversion audit: within each key, walk rows in
+   * `seqCol` order (the ingest/sequence order) and count positions
+   * where `tsCol` goes BACKWARDS — the out-of-order-arrival profile
+   * that sizes streaming watermarks ("how late is late data,
+   * really?"). Returns one row per key with at least one inversion:
+   * (key, n_events, n_inversions, max_backstep_micros — the largest
+   * single backwards jump, i.e. the watermark delay that would have
+   * kept every event of this key).
+   *
+   * Plan: one window per key ordered by the sequence column — state
+   * bounded by each key's own row count, parallel across keys; the
+   * aggregation after it is map-side-combinable.
+   */
+  def orderInversions(df: DataFrame, keyCol: String, tsCol: String,
+      seqCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCol).orderBy(col(seqCol))
+    df.select(col(keyCol), col(seqCol),
+        unix_micros(col(tsCol).cast("timestamp")).as("__t"))
+      .withColumn("__prev", lag(col("__t"), 1).over(w))
+      .groupBy(keyCol)
+      .agg(count(lit(1)).cast("long").as("n_events"),
+        sum(when(col("__t") < col("__prev"), 1L).otherwise(0L)).cast("long")
+          .as("n_inversions"),
+        max(when(col("__t") < col("__prev"), col("__prev") - col("__t")))
+          .cast("long").as("max_backstep_micros"))
+      .filter(col("n_inversions") > 0)
+  }
+
+  /**
+   * Benford first-digit profile of a positive numeric column: counts
+   * and ppm share per leading digit 1–9 (values < 1 excluded — they
+   * have no stable leading digit in this integer rendering). Heavily
+   * synthetic or truncated data shows up as a flat or spiked digit
+   * histogram where organic magnitudes follow log-uniform Benford
+   * shape; the ppm shares let a monitor threshold the deviation
+   * without floating-point expectations. Explicit zero rows for
+   * absent digits keep the output schema-stable at 9 rows.
+   *
+   * Plan: one narrow projection to the leading digit + a 9-key
+   * aggregation — nothing past the scan is data-sized.
+   */
+  def benfordDigits(df: DataFrame, valueCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val digits = spark.createDataset(1 to 9).toDF("digit")
+      .select(col("digit").cast("int").as("digit"))
+    val counts = df
+      .filter(col(valueCol).isNotNull && col(valueCol) >= 1)
+      .select(substring(floor(col(valueCol)).cast("long").cast("string"), 1, 1)
+        .cast("int").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).cast("long").as("cnt"))
+    // total via a whole-frame window over the 9-row digit table — no
+    // extra join, and never a cartesian in the plan
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+    digits.join(counts, Seq("digit"), "left")
+      .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+      .withColumn("__tot", sum("cnt").over(wAll))
+      .select(col("digit"), col("cnt"),
+        expr("(1000000 * cnt) div greatest(__tot, 1L)")
+          .cast("long").as("share_ppm"))
+  }
 }

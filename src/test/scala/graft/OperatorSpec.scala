@@ -548,4 +548,38 @@ class OperatorSpec extends SparkTestBase {
       .flatMap(_.metrics).count(_.isInstanceOf[graft.model.BusinessMetric])
     assert(back.filter(col("query").isNotNull).count() == nBusiness)
   }
+
+  test("fdCheck: violation mass counted in rows and groups") {
+    val d = Seq(("a", "x"), ("a", "y"), ("b", "z"), ("b", "z"))
+      .toDF("det", "dep")
+    val r = Profiling.fdCheck(d, "det", "dep").collect().head
+    assert(r.getAs[Long]("n_groups") == 2L &&
+      r.getAs[Long]("n_violating_groups") == 1L)
+    assert(r.getAs[Long]("n_rows") == 4L &&
+      r.getAs[Long]("n_violating_rows") == 2L)
+    assert(r.getAs[Long]("violation_ppm") == 500000L)
+  }
+
+  test("orderInversions: backsteps counted per key, monotone keys absent") {
+    val e = Seq(
+      (1L, 1L, ts(10)), (1L, 2L, ts(5)), (1L, 3L, ts(20)),   // one backstep of 5s
+      (2L, 1L, ts(1)), (2L, 2L, ts(2)))                       // monotone
+      .toDF("user_id", "event_id", "ts")
+    val got = Profiling.orderInversions(e, "user_id", "ts", "event_id")
+      .select("user_id", "n_events", "n_inversions", "max_backstep_micros")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 3L, 1L, 5000000L)))
+  }
+
+  test("benfordDigits: leading digits counted, sub-1 values excluded, " +
+      "schema-stable 9 rows") {
+    val d = Seq(1.5, 19.0, 2.0, 300.0, 0.5).toDF("v")
+    val got = Profiling.benfordDigits(d, "v")
+      .select("digit", "cnt", "share_ppm")
+      .as[(Int, Long, Long)].collect().sortBy(_._1)
+    assert(got.length == 9)
+    assert(got.take(3).toSeq == Seq((1, 2L, 500000L), (2, 1L, 250000L),
+      (3, 1L, 250000L)))
+    assert(got.drop(3).forall { case (_, c, s) => c == 0L && s == 0L })
+  }
 }
