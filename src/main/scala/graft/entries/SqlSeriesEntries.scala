@@ -258,6 +258,29 @@ private[graft] object SqlSeriesEntries {
         .orderBy("event_id")
     },
 
+    // CUSUM level-shift detection over hourly series sums: the fixture
+    // raises the second half of every series by 50000 cents/hour — the
+    // sustained drift a z-score point test never trips. The oracle
+    // replays the fold as a recursive CTE.
+    "q_cusum" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val hourly = ev(s, dir).groupBy(col("event_type").as("series"),
+          (floor(unix_timestamp(col("ts")) / 3600) * 3600).cast("long")
+            .as("hour"))
+        .agg(sum(expr("CAST(floor(value * 100) AS BIGINT)")).as("x0"))
+      // per-series hourly rows are time-bounded (720 here), so these
+      // windows never see data-sized partitions
+      val w = Window.partitionBy("series").orderBy("hour")
+      val shifted = hourly
+        .withColumn("rn", row_number().over(w))
+        .withColumn("nn", count(lit(1)).over(Window.partitionBy("series")))
+        .withColumn("x", col("x0") +
+          when(col("rn") > expr("nn div 2"), 50000L).otherwise(0L))
+      graft.operators.Anomaly.cusumShift(shifted, "series", "hour", "x",
+          warmup = 168, slack = 25000L, threshold = 200000L)
+        .orderBy("series")
+    },
+
     // Incremental rollup: merge the partial day-state of two disjoint
     // halves of the stream — must equal a full re-aggregation (which
     // is what the oracle computes).
@@ -630,6 +653,41 @@ private[graft] object SqlSeriesEntries {
         |WHERE n_hist >= 10
         |AND (n_hist*x - s)*(n_hist*x - s) > 9*(n_hist*sq - s*s)
         |ORDER BY event_id""".stripMargin,
+
+    "q_cusum" ->
+      """WITH RECURSIVE h AS (SELECT event_type AS series,
+        |CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) AS hour,
+        |SUM(CAST(floor(value * 100) AS BIGINT)) AS x0
+        |FROM events GROUP BY 1, 2),
+        |r AS (SELECT series, hour, x0,
+        |row_number() OVER (PARTITION BY series ORDER BY hour) AS rn,
+        |COUNT(*) OVER (PARTITION BY series) AS nn FROM h),
+        |f AS (SELECT series, rn, nn,
+        |x0 + CASE WHEN rn > nn // 2 THEN 50000 ELSE 0 END AS x FROM r),
+        |mu AS (SELECT series, SUM(x) // 168 AS mu FROM f WHERE rn <= 168 GROUP BY 1),
+        |ns AS (SELECT series, MAX(rn) AS n FROM f GROUP BY 1),
+        |walk(series, rn, sp, sn, mx, fi) AS (
+        |SELECT series, 168, CAST(0 AS HUGEINT), CAST(0 AS HUGEINT),
+        |CAST(0 AS HUGEINT), 0 FROM ns WHERE n > 168
+        |UNION ALL
+        |SELECT w.series, w.rn + 1,
+        |greatest(0, w.sp + f.x - m.mu - 25000),
+        |greatest(0, w.sn + m.mu - f.x - 25000),
+        |greatest(w.mx, greatest(0, w.sp + f.x - m.mu - 25000),
+        |greatest(0, w.sn + m.mu - f.x - 25000)),
+        |CASE WHEN w.fi > 0 THEN w.fi
+        |WHEN greatest(0, w.sp + f.x - m.mu - 25000) > 200000
+        |OR greatest(0, w.sn + m.mu - f.x - 25000) > 200000
+        |THEN w.rn + 1 ELSE 0 END
+        |FROM walk w JOIN f ON f.series = w.series AND f.rn = w.rn + 1
+        |JOIN mu m ON m.series = w.series),
+        |last AS (SELECT w.series, w.mx, w.fi, ns.n, m.mu
+        |FROM walk w JOIN ns ON w.series = ns.series AND w.rn = ns.n
+        |JOIN mu m ON m.series = w.series)
+        |SELECT series, CAST(n AS BIGINT) AS n_points, CAST(mu AS BIGINT) AS mu,
+        |CAST(mx AS BIGINT) AS max_cusum,
+        |CAST(CASE WHEN fi > 0 THEN fi END AS BIGINT) AS first_shift_idx
+        |FROM last ORDER BY series""".stripMargin,
 
     "q_rollup_incr" ->
       """SELECT event_type AS series,

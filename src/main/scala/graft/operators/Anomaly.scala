@@ -69,4 +69,63 @@ object Anomaly {
   }
 
   private def pow2(c: org.apache.spark.sql.Column) = c * c
+
+  /**
+   * Two-sided CUSUM level-shift detection per series — the SUSTAINED-
+   * shift complement to [[zScoreFlags]]'s point outliers: a metric
+   * that drifts 10% forever never trips a 3σ test, but its positive
+   * CUSUM (s⁺ₜ = max(0, s⁺ₜ₋₁ + xₜ − μ − slack), and the mirrored s⁻)
+   * accumulates without bound. μ is the integer mean of the first
+   * `warmup` points; the first index where either side exceeds
+   * `threshold` is the detected changepoint.
+   *
+   * Input is a PRE-BUCKETED series (e.g. hourly window sums, one row
+   * per (series, bucket)): its length is bounded by the TIME RANGE,
+   * not the event volume, so the per-series `collect_list` + one
+   * compiled `aggregate` fold hold ~10k points for a year of hourly
+   * buckets regardless of corpus size — the same per-series-bounded
+   * state the alarm machine's windows carry. The recursion is
+   * inherently sequential (max(0,·) is non-linear, no window form
+   * exists); folding the sorted array once per series IS the minimal
+   * distributed shape: one shuffle on the series key, then
+   * embarrassingly parallel across series.
+   *
+   * All integer: caller scales values (cents); the warmup mean uses
+   * truncating division (identical to the oracle's floor division on
+   * the non-negative envelope this operator documents). Output one
+   * row per series longer than warmup: (series, n_points, mu,
+   * max_cusum, first_shift_idx — absolute 1-based bucket index, null
+   * if never crossed).
+   */
+  def cusumShift(points: DataFrame, seriesCol: String, ordCol: String,
+      valueCol: String, warmup: Int = 20, slack: Long = 0L,
+      threshold: Long = 1L): DataFrame = {
+    require(warmup > 0 && slack >= 0 && threshold > 0,
+      "need warmup > 0, slack >= 0, threshold > 0")
+    points.select(col(seriesCol).as("series"),
+        struct(col(ordCol).cast("long").as("o"),
+          col(valueCol).cast("long").as("x")).as("p"))
+      .groupBy("series").agg(sort_array(collect_list("p")).as("ps"))
+      .filter(size(col("ps")) > warmup)
+      .withColumn("vs", expr("transform(ps, p -> p.x)"))
+      .withColumn("mu", expr(
+        s"aggregate(slice(vs, 1, $warmup), 0L, (a, x) -> a + x) div ${warmup}L"))
+      .withColumn("st", expr(
+        s"""aggregate(slice(vs, ${warmup + 1}, size(vs) - $warmup),
+           |named_struct('sp', 0L, 'sn', 0L, 'mx', 0L, 'fi', 0, 'i', 0),
+           |(a, x) -> named_struct(
+           |'sp', greatest(0L, a.sp + x - mu - ${slack}L),
+           |'sn', greatest(0L, a.sn + mu - x - ${slack}L),
+           |'mx', greatest(a.mx, greatest(0L, a.sp + x - mu - ${slack}L),
+           |greatest(0L, a.sn + mu - x - ${slack}L)),
+           |'fi', CASE WHEN a.fi > 0 THEN a.fi
+           |WHEN greatest(0L, a.sp + x - mu - ${slack}L) > ${threshold}L
+           |OR greatest(0L, a.sn + mu - x - ${slack}L) > ${threshold}L
+           |THEN a.i + 1 ELSE 0 END,
+           |'i', a.i + 1))""".stripMargin.replace("\n", " ")))
+      .select(col("series"), size(col("ps")).cast("long").as("n_points"),
+        col("mu"), col("st.mx").as("max_cusum"),
+        when(col("st.fi") > 0, col("st.fi") + lit(warmup)).cast("long")
+          .as("first_shift_idx"))
+  }
 }

@@ -549,6 +549,33 @@ class OperatorSpec extends SparkTestBase {
     assert(back.filter(col("query").isNotNull).count() == nBusiness)
   }
 
+  test("cusumShift: sustained drift crosses at the hand-computed index; " +
+      "negative shifts mirror; stable series never alarms") {
+    // warmup 3, mu = 10; +3 drift from idx 5 with slack 0, threshold 5:
+    // post-warmup sp walks 0 (idx4), 3, 6, 9 → crossing at absolute idx 6
+    val up = (1 to 4).map(i => ("s", i.toLong, 10L)) ++
+      (5 to 7).map(i => ("s", i.toLong, 13L))
+    val r1 = Anomaly.cusumShift(up.toDF("series", "o", "x"), "series", "o",
+      "x", warmup = 3, slack = 0L, threshold = 5L).collect().head
+    assert(r1.getAs[Long]("mu") == 10L && r1.getAs[Long]("max_cusum") == 9L)
+    assert(r1.getAs[Long]("first_shift_idx") == 6L)
+    // mirrored negative shift: sn = 6 at the first dropped point
+    val down = (1 to 3).map(i => ("s", i.toLong, 10L)) ++ Seq(("s", 4L, 4L))
+    val r2 = Anomaly.cusumShift(down.toDF("series", "o", "x"), "series", "o",
+      "x", warmup = 3, slack = 0L, threshold = 5L).collect().head
+    assert(r2.getAs[Long]("max_cusum") == 6L &&
+      r2.getAs[Long]("first_shift_idx") == 4L)
+    // flat series: cusum never leaves zero, no alarm row value
+    val flat = (1 to 6).map(i => ("s", i.toLong, 10L))
+    val r3 = Anomaly.cusumShift(flat.toDF("series", "o", "x"), "series", "o",
+      "x", warmup = 3, slack = 0L, threshold = 5L).collect().head
+    assert(r3.getAs[Long]("max_cusum") == 0L && r3.isNullAt(r3.fieldIndex("first_shift_idx")))
+    // series shorter than warmup produce no row
+    val short = (1 to 3).map(i => ("t", i.toLong, 10L))
+    assert(Anomaly.cusumShift(short.toDF("series", "o", "x"), "series", "o",
+      "x", warmup = 3, slack = 0L, threshold = 5L).count() == 0L)
+  }
+
   test("fdCheck: violation mass counted in rows and groups") {
     val d = Seq(("a", "x"), ("a", "y"), ("b", "z"), ("b", "z"))
       .toDF("det", "dep")
