@@ -71,6 +71,15 @@ private[graft] object DedupEntries {
         threshold = 0.4, maxDf = 50).orderBy("id_a", "id_b")
     },
 
+    // LOSSLESS prefix-filtering set-similarity join: same corpus and
+    // threshold as q_ngram_jaccard, but the AllPairs prefix guarantee
+    // means the oracle is the EXACT all-shared-shingle ground truth —
+    // the equality proves zero recall loss.
+    "q_prefix_jaccard" -> { (s, dir) =>
+      Dedup.prefixJaccardPairs(nearDupCorpus(s, dir), shingleN = 4,
+        thresholdPpm = 400000L).orderBy("id_a", "id_b")
+    },
+
     // Edit-distance near-dup: same blocking, banded Levenshtein
     // confirm (the injected tails are exactly 20 insertions away).
     "q_dedup_editdist" -> { (s, dir) =>
@@ -603,6 +612,25 @@ private[graft] object DedupEntries {
          |len(list_distinct(list_concat(x.shingles, y.shingles))) AS jaccard
          |FROM cand JOIN shf x ON x.doc_id = id_a JOIN shf y ON y.doc_id = id_b)
          |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.4
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_prefix_jaccard" ->
+      s"""WITH $nearDupCorpusSql,
+         |w AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS w FROM all_docs),
+         |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(w) >= 4
+         |THEN list_transform(range(1, len(w)-2), i -> array_to_string(w[i:i+3], ' '))
+         |ELSE [] END) AS shingles FROM w),
+         |shf AS (SELECT * FROM sh WHERE len(shingles) > 0),
+         |p AS (SELECT doc_id, unnest(shingles) AS shingle FROM shf),
+         |cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM p a
+         |JOIN p b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2),
+         |j AS (SELECT id_a, id_b,
+         |len(list_intersect(x.shingles, y.shingles)) AS i,
+         |len(list_distinct(list_concat(x.shingles, y.shingles))) AS u
+         |FROM cand JOIN shf x ON x.doc_id = id_a JOIN shf y ON y.doc_id = id_b)
+         |SELECT id_a, id_b, CAST(i AS DOUBLE) / u AS jaccard FROM j
+         |WHERE i * 1000000 >= 400000 * u
          |ORDER BY id_a, id_b""".stripMargin,
 
     "q_dedup_editdist" ->

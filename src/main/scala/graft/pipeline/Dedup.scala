@@ -457,6 +457,83 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /**
+   * Set-similarity join with LOSSLESS prefix-filtering candidates
+   * (the AllPairs/PPJoin principle, Bayardo et al. 2007 / Chaudhuri
+   * et al. 2006): every pair with shingle Jaccard ≥ `threshold` is
+   * guaranteed a candidate — unlike [[ngramJaccardPairs]]'s df-capped
+   * rare-shingle blocking, which documents a recall hole for pairs
+   * whose shared shingles are all hotter than maxDf. The exactness
+   * argument: J(a,b) ≥ t ⇒ |a∩b| ≥ ⌈t·|a∪b|⌉ ≥ ⌈t·|d|⌉ for both
+   * docs, and under ANY common total order of the shingle universe,
+   * two sets with overlap ≥ ⌈t·|d|⌉ must collide inside their first
+   * |d| − ⌈t·|d|⌉ + 1 elements — so joining PREFIX postings only is
+   * complete, and the exact Jaccard confirm then makes the output
+   * identical to the all-shared-shingle ground truth (which is what
+   * the external oracle computes — the equality IS the proof on
+   * data).
+   *
+   * Canonical order = (global document frequency asc, shingle asc):
+   * rarest first, so prefixes carry each doc's most selective
+   * shingles and hot shingles fall OUT of the prefix join unless a
+   * doc is too small to exclude them — the frequency-ordering
+   * heuristic that makes prefix filtering cheap in practice while
+   * the guarantee never depends on it. Shapes: one df aggregation
+   * (map-side combinable), one per-DOC window to rank (partition
+   * bounded by the doc's own shingle count), a prefix-posting
+   * self-join, and the usual shingle-array confirm rejoin.
+   *
+   * @param thresholdPpm Jaccard threshold in ppm (e.g. 400000 = 0.4);
+   *        the prefix length uses exact integer ceil arithmetic so
+   *        both engines cut identically.
+   */
+  def prefixJaccardPairs(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", shingleN: Int = 4,
+      thresholdPpm: Long = 400000L): DataFrame = {
+    require(thresholdPpm > 0 && thresholdPpm <= 1000000L,
+      "thresholdPpm must be in (0, 1e6]")
+    graft.plans.NativeFns.register(docs.sparkSession)
+    val withShingles = docs.select(col(idCol),
+        graft.plans.WordShingles.shingles(col(textCol), shingleN,
+          distinct = true).as("shingles"))
+      .filter(size(col("shingles")) > 0)
+      .persist()
+      .transform { df => df.count(); df }
+    val posting = withShingles.select(col(idCol),
+      explode(col("shingles")).as("shingle"),
+      size(col("shingles")).cast("long").as("__n"))
+    val dfCounts = posting.groupBy("shingle")
+      .agg(count(lit(1)).cast("long").as("__df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("__df"), col("shingle"))
+    val prefix = posting.join(dfCounts, Seq("shingle"))
+      .withColumn("__rk", row_number().over(w))
+      // prefix length = n − ceil(t·n) + 1, exact integer ceil
+      .filter(col("__rk") <=
+        col("__n") - expr(s"(__n * ${thresholdPpm}L + 999999L) div 1000000L")
+          + 1L)
+      .select(col(idCol), col("shingle"))
+    val a = prefix.select(col(idCol).as("id_a"), col("shingle"))
+    val b = prefix.select(col(idCol).as("id_b"), col("shingle"))
+    val candidates = a.join(b, Seq("shingle"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    candidates
+      .join(withShingles.select(col(idCol).as("id_a"),
+        col("shingles").as("sh_a")), Seq("id_a"))
+      .join(withShingles.select(col(idCol).as("id_b"),
+        col("shingles").as("sh_b")), Seq("id_b"))
+      .withColumn("__i",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("__u",
+        size(array_union(col("sh_a"), col("sh_b"))).cast("long"))
+      // rational threshold test — no float comparison can straddle a
+      // rounding boundary differently across engines
+      .filter(col("__i") * 1000000L >= lit(thresholdPpm) * col("__u"))
+      .select(col("id_a"), col("id_b"),
+        (col("__i").cast("double") / col("__u").cast("double")).as("jaccard"))
+  }
+
   /** Rare-shingle candidate generation shared by [[ngramJaccardPairs]]
     * and [[editDistanceNearDupPairs]]: returns the persisted
     * (id, shingles) frame and the blocked ordered (id_a, id_b)

@@ -48,6 +48,31 @@ class PipelineSpec extends SparkTestBase {
     assert(pairs.contains((1L, 4L)) && pairs.contains((1L, 2L)))
   }
 
+  test("prefix-filter jaccard is LOSSLESS where df-capped blocking has its " +
+      "documented recall hole: pairs sharing only hot shingles") {
+    // 12 identical docs: every shingle has df 12, hotter than maxDf 10,
+    // so the rare-shingle blocker generates ZERO candidates
+    val hot = (1L to 12L)
+      .map(i => (i, "alpha beta gamma delta epsilon zeta eta"))
+      .toDF("doc_id", "text")
+    val blocked = Dedup.ngramJaccardPairs(hot, shingleN = 3, threshold = 0.4,
+      maxDf = 10).count()
+    assert(blocked == 0L, "df-capped blocking misses the all-hot case")
+    val exact = Dedup.prefixJaccardPairs(hot, shingleN = 3,
+      thresholdPpm = 400000L)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact.size == 66, "prefix filter recovers all 12-choose-2 pairs")
+    assert(exact.contains((1L, 2L)) && exact.contains((11L, 12L)))
+    // and on the mixed corpus it matches expectations incl. exact values
+    val pairs = Dedup.prefixJaccardPairs(docsDf, shingleN = 3,
+        thresholdPpm = 300000L)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
+        r.getAs[Double]("jaccard")).toMap
+    assert(pairs((1L, 4L)) == 1.0, "exact dup scores 1.0")
+    assert(pairs.contains((1L, 2L)) && !pairs.keySet.exists {
+      case (a, b) => a == 3L || b == 3L })
+  }
+
   test("edit-distance near-dup: exact band values, threshold excludes, length prefilter") {
     // doc 2 = doc 1 + " again" (6 inserted chars); doc 4 = exact copy of 1.
     val got = Dedup.editDistanceNearDupPairs(docsDf, maxEdits = 10,
