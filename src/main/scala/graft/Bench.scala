@@ -122,7 +122,8 @@ object Bench {
     val streamingQueries = Set("q_alarm_stream_parity",
       "q_dedup_stream_parity", "q_sessions_stream_parity",
       "q_funnel_stream_parity", "q_statagg_stream_parity",
-      "q_heavy_stream_parity", "q_neardup_stream_parity")
+      "q_heavy_stream_parity", "q_neardup_stream_parity",
+      "q_cusum_stream_parity")
     // Verification harnesses measure the test harness (fixture
     // collection + replay), not an engine operator: timed and
     // reported, but outside the engine-only headline "value".

@@ -90,6 +90,31 @@ private[graft] object StreamParityEntries {
         .orderBy("user_id")
     },
 
+    // StreamCusum replay: the SAME shifted hourly fixture as q_cusum,
+    // delivered in 3 chronological micro-batches so state crosses
+    // batch boundaries; each series' final streaming summary must
+    // equal the batch fold bit-exactly (the oracle IS q_cusum's
+    // recursive CTE).
+    "q_cusum_stream_parity" -> { (s, dir) =>
+      import s.implicits._
+      val hourly = ev(s, dir).groupBy(col("event_type").as("series"),
+          (floor(unix_timestamp(col("ts")) / 3600) * 3600).cast("long")
+            .as("hour"))
+        .agg(sum(expr("CAST(floor(value * 100) AS BIGINT)")).as("x0"))
+      val w = Window.partitionBy("series").orderBy("hour")
+      val fx = hourly
+        .withColumn("rn", row_number().over(w))
+        .withColumn("nn", count(lit(1)).over(Window.partitionBy("series")))
+        .select(col("series"), col("hour"),
+          (col("x0") + when(col("rn") > expr("nn div 2"), 50000L)
+            .otherwise(0L)).as("x"))
+        .as[(String, Long, Long)].collect().toSeq
+      PipelineReplay.replayCusum(s, fx, batches = 3, warmup = 168,
+          slack = 25000L, threshold = 200000L)
+        .toDF("series", "n_points", "mu", "max_cusum", "first_shift_idx")
+        .orderBy("series")
+    },
+
     // StreamingStatAgg replay: closed hourly Sum windows across ALL
     // ops series must match the batch hourly aggregation exactly
     // (decimal-exact sums, so fold order cannot drift the double).
@@ -244,6 +269,8 @@ private[graft] object StreamParityEntries {
         |FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
         |LEFT JOIN s3 ON s1.user_id = s3.user_id
         |ORDER BY user_id""".stripMargin,
+
+    "q_cusum_stream_parity" -> SqlSeriesEntries.oracles("q_cusum"),
 
     "q_statagg_stream_parity" ->
       s"""WITH sm(event_type, series_id, statistic, period, frequency) AS

@@ -177,6 +177,34 @@ object PipelineReplay {
       .filter(_._1 != "__sentinel__")
   }
 
+  /** Replay a pre-bucketed series through [[StreamCusum.cusumStream]]
+    * in `batches` chronological slices (cross-batch state is the
+    * point — a single batch would reduce to the batch fold trivially);
+    * returns each series' FINAL summary (the update-mode sink keeps
+    * every batch's refresh; the max-n_points row per series is the
+    * last). Buckets are globally sorted before slicing so the
+    * chronological-delivery contract holds. */
+  def replayCusum(spark: SparkSession, points: Seq[(String, Long, Long)],
+      batches: Int, warmup: Int, slack: Long, threshold: Long)
+      : Seq[(String, Long, Long, Long, Option[Long])] = {
+    if (points.isEmpty) return Seq.empty
+    val sess = child(spark)
+    import sess.implicits._
+    implicit val sq = sess.sqlContext
+    val mem = MemoryStream[StreamCusum.Point]
+    val out = StreamCusum.cusumStream(mem.toDS(), warmup, slack, threshold)
+    val sorted = points.sortBy(p => (p._2, p._1))
+      .map { case (s, b, x) => StreamCusum.Point(s, b, x) }
+    val slice = math.max(1, (sorted.size + batches - 1) / batches)
+    val rows = runToMemory(sess, out.toDF(), "update") { q =>
+      sorted.grouped(slice).foreach { chunk =>
+        mem.addData(chunk: _*); q.processAllAvailable()
+      }
+    }.map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      if (r.isNullAt(4)) None else Some(r.getLong(4))))
+    rows.groupBy(_._1).values.map(_.maxBy(_._2)).toSeq
+  }
+
   /** Replay a token stream through [[StreamHeavyHitters.candidates]]
     * (single batch → the sink holds exactly the final per-bucket
     * Misra-Gries summaries); returns (bucket, token, mg_count).

@@ -764,4 +764,25 @@ class StreamingSpec extends SparkTestBase {
       }
     } finally q.stop()
   }
+
+  test("stream cusum: cross-batch fold equals the batch operator bit-exactly") {
+    // two series: one clean +5 shift after warmup, one flat
+    val pts = (1L to 4L).map(o => ("up", o, 10L)) ++
+      (5L to 9L).map(o => ("up", o, 15L)) ++
+      (1L to 9L).map(o => ("flat", o, 10L))
+    val batch = graft.operators.Anomaly.cusumShift(
+        pts.toDF("series", "o", "x"), "series", "o", "x",
+        warmup = 3, slack = 2L, threshold = 6L)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), if (r.isNullAt(4)) None else Some(r.getLong(4)))).toMap
+    // 4 micro-batches: state must survive and fold identically
+    val stream = graft.streaming.PipelineReplay.replayCusum(spark,
+        pts, batches = 4, warmup = 3, slack = 2L, threshold = 6L)
+      .map { case (s, n, mu, mx, fi) => s -> ((n, mu, mx, fi)) }.toMap
+    assert(stream == batch, s"stream $stream != batch $batch")
+    // sanity on the walk itself: +3 net drift per point from idx 5
+    // (sp = 3, 6, 9 — strictly exceeds 6 at idx 7)
+    assert(batch("up")._4.contains(7L), "crossing at the hand-computed index")
+    assert(batch("flat")._3 == 0L && batch("flat")._4.isEmpty)
+  }
 }
