@@ -514,6 +514,15 @@ object ProfileScale {
           scaledDatapoints(spark, sfDir, m), "Sum", 3600)
         AlarmStateMachine.evaluate(series, scaledSlas(spark, m))
       },
+      // Lossless prefix-filter similarity join: the df table and the
+      // prefix postings both scale with the (per-copy disjoint)
+      // vocabulary; the completeness guarantee costs a per-doc rank
+      // window and a prefix-only self-join — both must stay linear,
+      // with the prefix join's volume a fraction of the full posting
+      // join the guarantee replaces.
+      "prefix_jaccard" -> (m =>
+        Dedup.prefixJaccardPairs(scaledDocs(spark, sfDir, m), shingleN = 4,
+          thresholdPpm = 400000L)),
       // Exact source-overlap matrix: per-copy token suffixes make the
       // shingle VOCABULARY grow with m (the worst case for the
       // distinct (source, shingle) table), while the 20-source pmod

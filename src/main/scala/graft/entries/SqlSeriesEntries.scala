@@ -53,6 +53,14 @@ private[graft] object SqlSeriesEntries {
         .orderBy("user_id")
     },
 
+    // Equi-depth histogram of doc length: 8 quantile buckets, whole
+    // value-groups assigned by their last row's rank.
+    "q_histogram_eqdepth" -> { (s, dir) =>
+      graft.operators.Profiling.histogramEquiDepth(
+          Tables.read(s, dir, "documents"), "n_chars", buckets = 8)
+        .orderBy("bucket")
+    },
+
     // Benford first-digit profile of order totals: 9 schema-stable
     // digit rows with counts and ppm shares.
     "q_benford" -> { (s, dir) =>
@@ -523,6 +531,16 @@ private[graft] object SqlSeriesEntries {
         |CAST(MAX(CASE WHEN t < prev THEN prev - t END) AS BIGINT) AS max_backstep_micros
         |FROM e GROUP BY 1)
         |SELECT * FROM g WHERE n_inversions > 0 ORDER BY user_id""".stripMargin,
+
+    "q_histogram_eqdepth" ->
+      """WITH c AS (SELECT CAST(n_chars AS BIGINT) AS v, COUNT(*) AS c
+        |FROM documents WHERE n_chars IS NOT NULL GROUP BY 1),
+        |s AS (SELECT v, c, SUM(c) OVER (ORDER BY v) AS cum FROM c),
+        |n AS (SELECT greatest(SUM(c), 1) AS n FROM c),
+        |b AS (SELECT v, c, CAST(((cum - 1) * 8) // n.n AS INTEGER) AS bucket
+        |FROM s CROSS JOIN n)
+        |SELECT bucket, CAST(MIN(v) AS BIGINT) AS lo, CAST(MAX(v) AS BIGINT) AS hi,
+        |CAST(SUM(c) AS BIGINT) AS cnt FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_benford" ->
       """WITH v AS (SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit

@@ -215,6 +215,62 @@ object Profiling {
   }
 
   /**
+   * Equi-DEPTH histogram (quantile buckets) of an integer-valued
+   * column — the distribution profile [[histogram]]'s fixed-width
+   * bins can't give when the data is heavy-tailed (a length
+   * distribution with a 1e6 outlier puts 99% of docs in bin 0 of an
+   * equi-width histogram; equi-depth puts ~n/k rows in every
+   * bucket). A value at cumulative rank r lands in bucket
+   * ((r−1)·k) div n — whole value-groups stay together (assigned by
+   * their last row), so heavy ties can leave some buckets empty
+   * rather than split a value; deterministic in both engines.
+   *
+   * Scale: per-value counts are the only data-sized pass; the
+   * cumulative rank runs as the [[graft.pipeline.Corpus.ksShift]]
+   * two-phase distributed prefix scan over the value-domain-bounded
+   * count table (P partition totals collected — planner statistics,
+   * not data), never a single-task global window.
+   */
+  def histogramEquiDepth(df: DataFrame, valueCol: String,
+      buckets: Int): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    val spark = df.sparkSession
+    val parts = math.max(2, spark.sparkContext.defaultParallelism)
+    val u = df.select(col(valueCol).cast("long").as("__v"))
+      .filter(col("__v").isNotNull)
+      .groupBy("__v").agg(count(lit(1)).cast("long").as("__c"))
+      .repartitionByRange(parts, col("__v"))
+      .withColumn("__pid", spark_partition_id())
+      .persist()
+    u.count()
+    val totals = u.groupBy("__pid").agg(sum("__c").as("t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val off = (0 until parts).scanLeft(0L) {
+      (a, p) => a + totals.getOrElse(p, 0L)
+    }
+    val n = math.max(off(parts), 1L)
+    val offsetDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        (0 until parts).map(p => org.apache.spark.sql.Row(p, off(p))), 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("__pid",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("__off",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__pid").orderBy(col("__v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    u.join(broadcast(offsetDf), Seq("__pid"))
+      .withColumn("__cum", col("__off") + sum(col("__c")).over(w))
+      .withColumn("bucket",
+        expr(s"((__cum - 1) * ${buckets}L) div ${n}L").cast("int"))
+      .groupBy("bucket")
+      .agg(min("__v").as("lo"), max("__v").as("hi"),
+        sum("__c").cast("long").as("cnt"))
+  }
+
+  /**
    * Functional-dependency check: does `detCol` determine `depCol`?
    * One summary row — determinant group counts, how many groups map
    * to more than one dependent value, and how many ROWS sit in those

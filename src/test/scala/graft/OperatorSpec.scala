@@ -598,6 +598,24 @@ class OperatorSpec extends SparkTestBase {
     assert(got == Seq((1L, 3L, 1L, 5000000L)))
   }
 
+  test("histogramEquiDepth: ~n/k rows per bucket, ties stay whole, " +
+      "heavy tie can empty a bucket") {
+    // 8 rows, 4 buckets → 2 per bucket
+    val even = (1L to 8L).map(v => Tuple1(v)).toDF("v")
+    val g1 = Profiling.histogramEquiDepth(even, "v", buckets = 4)
+      .select("bucket", "lo", "hi", "cnt")
+      .as[(Int, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(g1 == Seq((0, 1L, 2L, 2L), (1, 3L, 4L, 2L), (2, 5L, 6L, 2L),
+      (3, 7L, 8L, 2L)))
+    // 6 copies of one value + 2 singles, 4 buckets: the tie group is
+    // assigned by its LAST row (rank 6 → bucket 2), buckets 0-1 empty
+    val tied = (Seq.fill(6)(5L) ++ Seq(7L, 9L)).map(Tuple1(_)).toDF("v")
+    val g2 = Profiling.histogramEquiDepth(tied, "v", buckets = 4)
+      .select("bucket", "lo", "hi", "cnt")
+      .as[(Int, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(g2 == Seq((2, 5L, 5L, 6L), (3, 7L, 9L, 2L)))
+  }
+
   test("benfordDigits: leading digits counted, sub-1 values excluded, " +
       "schema-stable 9 rows") {
     val d = Seq(1.5, 19.0, 2.0, 300.0, 0.5).toDF("v")
