@@ -568,7 +568,70 @@ object ProfileScale {
             concat(lit("s"), pmod(col("doc_id"), lit(20))).as("source"),
             when(col("doc_id") % 2 === 0,
               lit("the same viral boilerplate page shared everywhere"))
-              .otherwise(col("text")).as("text")))))
+              .otherwise(col("text")).as("text")))),
+      // interval union: user cardinality scales with m; the one
+      // per-key window (sort bounded by per-user volume) plus the
+      // island rollup must stay linear — no corpus-wide sort exists.
+      "interval_cover" -> { m =>
+        val base = Tables.read(spark, sfDir, "events")
+          .select(col("user_id"), col("ts"), col("event_id"))
+        val ev = (0 until m).map(k =>
+            base.select((col("user_id") + lit(k * 1000000L)).as("user_id"),
+              col("ts"), col("event_id")))
+          .reduce(_ unionByName _)
+          .repartition(spark.sparkContext.defaultParallelism)
+        graft.operators.Intervals.coverage(
+          ev.select(col("user_id").as("key"),
+            unix_timestamp(col("ts")).as("start_epoch"),
+            (unix_timestamp(col("ts")) + lit(600L) +
+              pmod(col("event_id"), lit(240L)) * 600L).as("end_epoch")))
+      },
+      // gap-fill: grid volume scales with key cardinality (users × a
+      // fixed per-key time span) — the sequence() explode and the
+      // three shared-sort window passes must track it linearly.
+      "gapfill" -> { m =>
+        val base = Tables.read(spark, sfDir, "events")
+          .filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("value"))
+        val ev = (0 until m).map(k =>
+            base.select((col("user_id") + lit(k * 1000000L)).as("user_id"),
+              col("ts"), col("value")))
+          .reduce(_ unionByName _)
+          .repartition(spark.sparkContext.defaultParallelism)
+        val obs = ev.groupBy(col("user_id").as("key"),
+            expr("unix_timestamp(ts) div 3600").as("bucket"))
+          .agg(sum(floor(col("value") * 100).cast("long")).as("value"))
+        graft.operators.GapFill.linear(obs)
+      },
+      // degree-oriented triangle counting: node space scales with m
+      // (mod 60m) so edges stay degree-bounded — wedge volume
+      // Σ outdeg² must stay linear in edges, never quadratic in any
+      // node's neighborhood.
+      "triangles" -> { m =>
+        val d = scaledDocs(spark, sfDir, m)
+        val mod = lit(60 * m)
+        def hostc(c: org.apache.spark.sql.Column) =
+          concat(lit("h"), lpad(c.cast("string"), 4, "0"))
+        val m0 = pmod(col("doc_id"), mod)
+        val m1 = pmod(col("doc_id") + 1, mod)
+        val m2 = pmod(col("doc_id") + 2, mod)
+        val ch = pmod(col("doc_id") * 7 + 3, mod)
+        val edges = d.select(hostc(m0).as("src"), hostc(m1).as("dst"))
+          .unionByName(d.select(hostc(m0).as("src"), hostc(m2).as("dst")))
+          .unionByName(d.select(hostc(m1).as("src"), hostc(m2).as("dst")))
+          .unionByName(d.select(hostc(m0).as("src"), hostc(ch).as("dst")))
+        Graphs.triangleCounts(edges)
+      },
+      // priority sampling: the k-smallest selection must stay
+      // TakeOrderedAndProject (per-partition heaps, ~zero shuffle) at
+      // every scale — a global sort here would be the regression.
+      "weighted_sample" -> { m =>
+        val d = scaledDocs(spark, sfDir, m).select(col("doc_id"),
+          graft.functions.TextFns.tokenCount(col("text")).cast("long")
+            .as("n_tokens"))
+        graft.operators.Sampling.prioritySample(d, "n_tokens", "doc_id",
+          k = 50)
+      })
 
     // warm-up: every op once at 1× so the 1×-vs-10× comparison is
     // JIT-steady on both sides

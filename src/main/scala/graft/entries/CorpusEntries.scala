@@ -170,6 +170,35 @@ private[graft] object CorpusEntries {
         .orderBy("node")
     },
 
+    // Degree-oriented triangle counting + clustering coefficient over
+    // a triangle-rich synthetic host graph (60 hosts: a ring of
+    // triangles from consecutive residues + a ×7 chord generator for
+    // irregular degree). Zero-padded labels sort like the integers.
+    "q_triangles" -> { (s, dir) =>
+      val d = docs(s, dir)
+      def hostc(c: org.apache.spark.sql.Column) =
+        concat(lit("h"), lpad(c.cast("string"), 2, "0"))
+      val m0 = pmod(col("doc_id"), lit(60))
+      val m1 = pmod(col("doc_id") + 1, lit(60))
+      val m2 = pmod(col("doc_id") + 2, lit(60))
+      val ch = pmod(col("doc_id") * 7 + 3, lit(60))
+      val edges = d.select(hostc(m0).as("src"), hostc(m1).as("dst"))
+        .unionByName(d.select(hostc(m0).as("src"), hostc(m2).as("dst")))
+        .unionByName(d.select(hostc(m1).as("src"), hostc(m2).as("dst")))
+        .unionByName(d.select(hostc(m0).as("src"), hostc(ch).as("dst")))
+      graft.pipeline.Graphs.triangleCounts(spread(edges)).orderBy("node")
+    },
+
+    // Priority sampling: 50 docs proportional-to-token-count without
+    // replacement, deterministic md5 draws, integer priorities.
+    "q_weighted_sample" -> { (s, dir) =>
+      val d = docs(s, dir).select(col("doc_id"),
+        TextFns.tokenCount(col("text")).cast("long").as("n_tokens"))
+      graft.operators.Sampling.prioritySample(d, "n_tokens", "doc_id", k = 50)
+        .select("doc_id", "n_tokens", "u48", "priority")
+        .orderBy("priority", "doc_id")
+    },
+
     // Corpus prep: composed filter → dedup → per-language stats.
     "q_corpus_prep" -> { (s, dir) =>
       graft.pipeline.Corpus.prepare(spread(docs(s, dir)), Seq("en", "fr"), 0.5)
@@ -921,6 +950,53 @@ private[graft] object CorpusEntries {
         |FROM nodes LEFT JOIN c2 USING (node))
         |SELECT node, CAST(rank AS BIGINT) AS rank FROM r2
         |ORDER BY node""".stripMargin,
+
+    // degree orientation: edge points from the (degree, node)-smaller
+    // endpoint; wedges close at their smallest-rank vertex only
+    "q_triangles" ->
+      """WITH d0 AS (SELECT doc_id,
+        |'h' || lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0') AS h0,
+        |'h' || lpad(CAST((doc_id + 1) % 60 AS VARCHAR), 2, '0') AS h1,
+        |'h' || lpad(CAST((doc_id + 2) % 60 AS VARCHAR), 2, '0') AS h2,
+        |'h' || lpad(CAST((doc_id * 7 + 3) % 60 AS VARCHAR), 2, '0') AS hc
+        |FROM documents),
+        |e0 AS (SELECT h0 AS src, h1 AS dst FROM d0
+        |UNION ALL SELECT h0, h2 FROM d0
+        |UNION ALL SELECT h1, h2 FROM d0
+        |UNION ALL SELECT h0, hc FROM d0),
+        |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |FROM e0 WHERE src <> dst),
+        |deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM
+        |(SELECT a AS node FROM und UNION ALL SELECT b FROM und) GROUP BY 1),
+        |o AS (SELECT CASE WHEN da < db OR (da = db AND a < b) THEN a ELSE b END AS u,
+        |CASE WHEN da < db OR (da = db AND a < b) THEN b ELSE a END AS v
+        |FROM (SELECT und.a, und.b, d1.degree AS da, d2.degree AS db FROM und
+        |JOIN deg d1 ON und.a = d1.node JOIN deg d2 ON und.b = d2.node)),
+        |wdg AS (SELECT e1.u AS w0, e1.v AS w1, e2.v AS w2 FROM o e1
+        |JOIN o e2 ON e1.u = e2.u AND e1.v < e2.v),
+        |t AS (SELECT w0, w1, w2 FROM wdg
+        |JOIN und ON wdg.w1 = und.a AND wdg.w2 = und.b),
+        |pn AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS triangles FROM
+        |(SELECT w0 AS node FROM t UNION ALL SELECT w1 FROM t
+        |UNION ALL SELECT w2 FROM t) GROUP BY 1)
+        |SELECT deg.node, deg.degree,
+        |CAST(COALESCE(pn.triangles, 0) AS BIGINT) AS triangles,
+        |CAST(CASE WHEN deg.degree >= 2 THEN (2000000 * COALESCE(pn.triangles, 0))
+        |// (deg.degree * (deg.degree - 1)) ELSE 0 END AS BIGINT) AS clustering_ppm
+        |FROM deg LEFT JOIN pn USING (node) ORDER BY node""".stripMargin,
+
+    // u48·1000 stays under 2^58 — no HUGEINT promotion asymmetry
+    "q_weighted_sample" ->
+      """WITH d AS (SELECT doc_id, CAST(len(list_filter(
+        |regexp_split_to_array(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
+        |FROM documents),
+        |h AS (SELECT doc_id, n_tokens,
+        |('0x' || substr(md5('psample:' || CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT AS u48
+        |FROM d WHERE n_tokens >= 1),
+        |p AS (SELECT doc_id, n_tokens, u48,
+        |(u48 * 1000) // n_tokens AS priority FROM h)
+        |SELECT doc_id, n_tokens, u48, CAST(priority AS BIGINT) AS priority
+        |FROM p ORDER BY priority, doc_id LIMIT 50""".stripMargin,
 
     "q_contamination_report" ->
       """WITH base AS (SELECT doc_id, text FROM documents),

@@ -492,6 +492,48 @@ private[graft] object SqlSeriesEntries {
         Seq("c_nationkey" -> 500L, "c_mktsegment" -> 300L), "c_custkey",
         maxDf = 50, minScore = 1000L)
         .orderBy("left_id", "right_id")
+    },
+
+    // Interval union (islands): per-user activity intervals
+    // [ts, ts + 10min..40h] (length from event_id — deterministic)
+    // merged into maximal disjoint islands.
+    "q_interval_merge" -> { (s, dir) =>
+      val iv = ev(s, dir).filter(col("user_id") % 5 === 0)
+        .select(col("user_id").as("key"),
+          unix_timestamp(col("ts")).as("start_epoch"),
+          (unix_timestamp(col("ts")) + lit(600L) +
+            pmod(col("event_id"), lit(240L)) * 600L).as("end_epoch"))
+      graft.operators.Intervals.mergeIslands(iv)
+        .orderBy("key", "island_index")
+    },
+
+    // Coverage rollup over the merged islands: union seconds (no
+    // double counting), island count, largest inter-island gap.
+    "q_interval_cover" -> { (s, dir) =>
+      val iv = ev(s, dir)
+        .select(col("user_id").as("key"),
+          unix_timestamp(col("ts")).as("start_epoch"),
+          (unix_timestamp(col("ts")) + lit(600L) +
+            pmod(col("event_id"), lit(240L)) * 600L).as("end_epoch"))
+      graft.operators.Intervals.coverage(iv).orderBy("key")
+    },
+
+    // Dense hourly grid + integer linear interpolation over the
+    // sparse per-user purchase series.
+    "q_gapfill" -> { (s, dir) =>
+      val obs = ev(s, dir)
+        .filter(col("event_type") === "purchase" && col("user_id") % 17 === 0)
+        .groupBy(col("user_id").as("key"),
+          expr("unix_timestamp(ts) div 3600").as("bucket"))
+        .agg(sum(floor(col("value") * 100).cast("long")).as("value"))
+      graft.operators.GapFill.linear(obs).orderBy("key", "bucket")
+    },
+
+    // Exponentially decayed event counts (1-day half-life, 20
+    // half-life horizon) — integer power-of-two decay, per type.
+    "q_trending" -> { (s, dir) =>
+      graft.operators.Trending.decayedCounts(ev(s, dir), "event_type", "ts",
+        halfLifeSec = 86400L).orderBy("event_type")
     }
   )
 
@@ -981,6 +1023,92 @@ private[graft] object SqlSeriesEntries {
         |JOIN rr rc ON rc.c_custkey = cand.rid)
         |SELECT lid AS left_id, rid AS right_id, jac AS name_jaccard_permille,
         |CAST(jac + ew AS BIGINT) AS score FROM sc WHERE jac + ew >= 1000
-        |ORDER BY left_id, right_id""".stripMargin
+        |ORDER BY left_id, right_id""".stripMargin,
+
+    // islands via running-max window; tied (start,end) rows are
+    // interchangeable so the ROWS frame is order-tie-safe
+    "q_interval_merge" ->
+      """WITH iv AS (SELECT user_id AS key, epoch_us(ts) // 1000000 AS s,
+        |epoch_us(ts) // 1000000 + 600 + (event_id % 240) * 600 AS e
+        |FROM events WHERE user_id % 5 = 0),
+        |m AS (SELECT key, s, e, MAX(e) OVER (PARTITION BY key ORDER BY s, e
+        |ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm FROM iv),
+        |f AS (SELECT key, s, e,
+        |CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END AS nw FROM m),
+        |g AS (SELECT key, s, e, SUM(nw) OVER (PARTITION BY key ORDER BY s, e
+        |ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island FROM f)
+        |SELECT key, CAST(island AS BIGINT) AS island_index,
+        |CAST(MIN(s) AS BIGINT) AS island_start,
+        |CAST(MAX(e) AS BIGINT) AS island_end,
+        |CAST(COUNT(*) AS BIGINT) AS n_intervals,
+        |CAST(MAX(e) - MIN(s) AS BIGINT) AS covered_sec
+        |FROM g GROUP BY key, island ORDER BY key, island""".stripMargin,
+
+    "q_interval_cover" ->
+      """WITH iv AS (SELECT user_id AS key, epoch_us(ts) // 1000000 AS s,
+        |epoch_us(ts) // 1000000 + 600 + (event_id % 240) * 600 AS e
+        |FROM events),
+        |m AS (SELECT key, s, e, MAX(e) OVER (PARTITION BY key ORDER BY s, e
+        |ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm FROM iv),
+        |f AS (SELECT key, s, e,
+        |CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END AS nw FROM m),
+        |g AS (SELECT key, s, e, SUM(nw) OVER (PARTITION BY key ORDER BY s, e
+        |ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island FROM f),
+        |isl AS (SELECT key, island, MIN(s) AS st, MAX(e) AS en,
+        |COUNT(*) AS ni FROM g GROUP BY key, island),
+        |w AS (SELECT key, st, en, ni,
+        |st - lag(en) OVER (PARTITION BY key ORDER BY st) AS gap FROM isl)
+        |SELECT key, CAST(SUM(en - st) AS BIGINT) AS covered_sec,
+        |CAST(COUNT(*) AS BIGINT) AS n_islands,
+        |CAST(SUM(ni) AS BIGINT) AS n_intervals,
+        |CAST(COALESCE(MAX(gap), 0) AS BIGINT) AS max_gap_sec,
+        |CAST(MIN(st) AS BIGINT) AS first_start,
+        |CAST(MAX(en) AS BIGINT) AS last_end
+        |FROM w GROUP BY key ORDER BY key""".stripMargin,
+
+    // two-sided interpolation form keeps the numerator non-negative,
+    // so DuckDB // (floor) and Spark div (trunc) agree
+    "q_gapfill" ->
+      """WITH obs AS (SELECT user_id AS key,
+        |epoch_us(ts) // 1000000 // 3600 AS bucket,
+        |SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS value
+        |FROM events WHERE event_type = 'purchase' AND user_id % 17 = 0
+        |GROUP BY 1, 2),
+        |b AS (SELECT key, MIN(bucket) AS lo, MAX(bucket) AS hi FROM obs GROUP BY 1),
+        |grid AS (SELECT key, unnest(range(lo, hi + 1)) AS bucket FROM b),
+        |j AS (SELECT g.key, g.bucket, o.value
+        |FROM grid g LEFT JOIN obs o ON g.key = o.key AND g.bucket = o.bucket),
+        |w AS (SELECT key, bucket, value,
+        |last_value(value IGNORE NULLS) OVER (PARTITION BY key ORDER BY bucket
+        |ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        |last_value(CASE WHEN value IS NOT NULL THEN bucket END IGNORE NULLS)
+        |OVER (PARTITION BY key ORDER BY bucket
+        |ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pb,
+        |first_value(value IGNORE NULLS) OVER (PARTITION BY key ORDER BY bucket
+        |ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        |first_value(CASE WHEN value IS NOT NULL THEN bucket END IGNORE NULLS)
+        |OVER (PARTITION BY key ORDER BY bucket
+        |ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nb
+        |FROM j)
+        |SELECT key, CAST(bucket AS BIGINT) AS bucket,
+        |CAST(CASE WHEN value IS NOT NULL THEN value
+        |ELSE (pv * (nb - bucket) + nv * (bucket - pb)) // (nb - pb) END AS BIGINT) AS value,
+        |CASE WHEN value IS NOT NULL THEN 'obs' ELSE 'interp' END AS src
+        |FROM w ORDER BY key, bucket""".stripMargin,
+
+    // integer power-of-two decay: 2^(20-age) units, 0 past the
+    // horizon; 10^6·decayed // (n·2^20) stays under 2^63
+    "q_trending" ->
+      """WITH e AS (SELECT event_type, epoch_us(ts) // 1000000 AS t FROM events),
+        |a AS (SELECT MAX(t) AS t0 FROM e),
+        |x AS (SELECT event_type, ((SELECT t0 FROM a) - t) // 86400 AS age FROM e),
+        |g AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |CAST(SUM(CASE WHEN age <= 20
+        |THEN (CAST(1 AS BIGINT) << CAST(20 - age AS INTEGER)) ELSE 0 END)
+        |AS BIGINT) AS decayed_units
+        |FROM x GROUP BY event_type)
+        |SELECT event_type, n_events, decayed_units,
+        |CAST((1000000 * decayed_units) // (n_events * 1048576) AS BIGINT) AS recency_ppm
+        |FROM g ORDER BY event_type""".stripMargin
   )
 }

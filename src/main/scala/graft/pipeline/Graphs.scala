@@ -74,4 +74,76 @@ object Graphs {
     }
     ranks
   }
+
+  /**
+   * Per-node triangle counts + local clustering coefficient over an
+   * undirected graph, via degree orientation ("compact-forward",
+   * Latapy 2008; the same orientation MapReduce triangle counters use
+   * — Suri & Vassilvitskii 2011). Triangles are the curation signal
+   * PageRank can't give: link-farm clusters are triangle-dense with
+   * low authority, and clustering coefficient separates organic hub
+   * neighborhoods from spam rings in host-graph quality priors.
+   *
+   * Why orientation matters at scale: the naive wedge join fans every
+   * hub out by deg² (a 10⁶-degree host → 10¹² wedge candidates — the
+   * job never finishes). Orienting every edge from the (degree, node)
+   * -smaller endpoint to the larger caps any node's oriented
+   * out-degree at O(√m), so wedge generation is Σ outdeg² ≤ m^{3/2}
+   * — the optimal bound — and each triangle materializes exactly once
+   * (at its smallest-rank vertex). Both joins are hash equi-joins; no
+   * node ever sees the full graph.
+   *
+   * All arithmetic is integer: the clustering coefficient is ppm
+   * floor division `2·10⁶·tri div (deg·(deg−1))`, hash-exact across
+   * engines.
+   *
+   * @param edges undirected edge list; duplicates and self-loops drop
+   * @return (node, degree, triangles, clustering_ppm)
+   */
+  def triangleCounts(edges: DataFrame,
+      srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    // canonical undirected edge set: (lo, hi) by node id, no loops
+    val und = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct().persist()
+    und.count() // eager: fans out to degrees + both wedge-join sides
+    val deg = und.select(col("a").as("node"))
+      .unionByName(und.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("degree"))
+    // orient by (degree, node): strictly total, so each undirected
+    // edge gets exactly one direction
+    val withDeg = und
+      .join(deg.select(col("node").as("a"), col("degree").as("__da")), Seq("a"))
+      .join(deg.select(col("node").as("b"), col("degree").as("__db")), Seq("b"))
+    val oriented = withDeg.select(
+      when(col("__da") < col("__db") ||
+        (col("__da") === col("__db") && col("a") < col("b")),
+        struct(col("a").as("u"), col("b").as("v")))
+        .otherwise(struct(col("b").as("u"), col("a").as("v"))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v")).persist()
+    oriented.count() // eager: consumed by three join legs below
+    // wedges at the smallest-rank vertex u: (u, v1, v2) both oriented
+    // out of u, ordered v1 < v2 so each candidate pair appears once
+    val wedges = oriented.as("e1")
+      .join(oriented.as("e2"), col("e1.u") === col("e2.u"))
+      .filter(col("e1.v") < col("e2.v"))
+      .select(col("e1.u").as("w0"), col("e1.v").as("w1"), col("e2.v").as("w2"))
+    // a wedge closes iff (w1, w2) is an edge — oriented either way;
+    // check the canonical undirected form (w1 < w2 by construction)
+    val tris = wedges.join(und,
+      wedges("w1") === und("a") && wedges("w2") === und("b"))
+      .select(col("w0"), col("w1"), col("w2"))
+    val perNode = tris.select(explode(array(col("w0"), col("w1"), col("w2")))
+        .as("node"))
+      .groupBy("node").agg(count(lit(1)).as("triangles"))
+    deg.join(perNode, Seq("node"), "left")
+      .select(col("node"), col("degree"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"))
+      .withColumn("clustering_ppm",
+        when(col("degree") >= 2,
+          expr("(2000000L * triangles) div (degree * (degree - 1))"))
+          .otherwise(lit(0L)))
+  }
 }

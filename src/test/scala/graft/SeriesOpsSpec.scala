@@ -1,0 +1,134 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.operators.{GapFill, Intervals, Sampling, Trending}
+import graft.pipeline.Graphs
+
+/** Unit coverage for the interval-union / gap-fill / trending /
+  * priority-sampling / triangle-counting operator family. */
+class SeriesOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("mergeIslands merges overlapping and touching, splits on gaps") {
+    val iv = Seq(
+      ("a", 0L, 10L), ("a", 5L, 20L),   // overlap → one island
+      ("a", 20L, 30L),                  // touching → same island
+      ("a", 40L, 50L),                  // gap → new island
+      ("b", 100L, 110L))
+      .toDF("key", "start_epoch", "end_epoch")
+    val out = Intervals.mergeIslands(iv)
+      .orderBy("key", "island_index")
+      .select("key", "island_index", "island_start", "island_end",
+        "n_intervals", "covered_sec")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      ("a", 1L, 0L, 30L, 3L, 30L),
+      ("a", 2L, 40L, 50L, 1L, 10L),
+      ("b", 1L, 100L, 110L, 1L, 10L)))
+  }
+
+  test("mergeIslands: contained interval does not reopen an island") {
+    // [0,100] swallows [10,20]; a later [30,40] is still inside the
+    // running max even though it starts after the PREVIOUS row's end
+    val iv = Seq(("k", 0L, 100L), ("k", 10L, 20L), ("k", 30L, 40L))
+      .toDF("key", "start_epoch", "end_epoch")
+    val out = Intervals.mergeIslands(iv).collect()
+    assert(out.length == 1 && out.head.getAs[Long]("covered_sec") == 100L)
+  }
+
+  test("coverage: union seconds, island count, max gap") {
+    val iv = Seq(
+      ("a", 0L, 10L), ("a", 5L, 20L), ("a", 50L, 60L), ("a", 90L, 95L))
+      .toDF("key", "start_epoch", "end_epoch")
+    val row = Intervals.coverage(iv).collect().head
+    assert(row.getAs[Long]("covered_sec") == 20L + 10L + 5L)
+    assert(row.getAs[Long]("n_islands") == 3L)
+    assert(row.getAs[Long]("n_intervals") == 4L)
+    assert(row.getAs[Long]("max_gap_sec") == 30L) // 50 − 20
+    assert(row.getAs[Long]("first_start") == 0L)
+    assert(row.getAs[Long]("last_end") == 95L)
+  }
+
+  test("gap-fill interpolates rising and falling segments exactly") {
+    val obs = Seq(
+      ("r", 0L, 100L), ("r", 4L, 300L),  // rising: +50/bucket
+      ("f", 0L, 300L), ("f", 2L, 100L))  // falling: −100/bucket
+      .toDF("key", "bucket", "value")
+    val out = GapFill.linear(obs).orderBy("key", "bucket")
+      .as[(String, Long, Long, String)].collect().toSeq
+    assert(out == Seq(
+      ("f", 0L, 300L, "obs"), ("f", 1L, 200L, "interp"), ("f", 2L, 100L, "obs"),
+      ("r", 0L, 100L, "obs"), ("r", 1L, 150L, "interp"),
+      ("r", 2L, 200L, "interp"), ("r", 3L, 250L, "interp"),
+      ("r", 4L, 300L, "obs")))
+  }
+
+  test("gap-fill: single observation yields a single obs row") {
+    val obs = Seq(("k", 7L, 42L)).toDF("key", "bucket", "value")
+    val out = GapFill.linear(obs).as[(String, Long, Long, String)]
+      .collect().toSeq
+    assert(out == Seq(("k", 7L, 42L, "obs")))
+  }
+
+  test("triangle counts: triangle + pendant, duplicate edges collapse") {
+    // triangle {1,2,3} plus pendant 4 off node 3; duplicates and
+    // reversed copies must not change counts
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L), (3L, 4L), (4L, 3L))
+      .toDF("src", "dst")
+    val out = Graphs.triangleCounts(e).orderBy("node")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, 2L, 1L, 1000000L),          // closed pair → ppm 10⁶
+      (2L, 2L, 1L, 1000000L),
+      (3L, 3L, 1L, 333333L),           // 2·10⁶·1 div (3·2)
+      (4L, 1L, 0L, 0L)))
+  }
+
+  test("triangle counts: square has no triangles") {
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("src", "dst")
+    assert(Graphs.triangleCounts(e).agg(sum("triangles")).as[Long]
+      .collect().head == 0L)
+  }
+
+  test("priority sample: deterministic, k rows, priority formula exact") {
+    val d = (1L to 200L).map(i => (i, 1L + i % 13)).toDF("doc_id", "w")
+    val s1 = Sampling.prioritySample(d, "w", "doc_id", k = 20)
+      .select("doc_id", "w", "u48", "priority")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val s2 = Sampling.prioritySample(d, "w", "doc_id", k = 20)
+      .select("doc_id", "w", "u48", "priority")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(s1 == s2 && s1.length == 20)
+    s1.foreach { case (_, w, u, p) => assert(p == u * 1000L / w) }
+    // priorities ascend (the k smallest)
+    assert(s1.map(_._4) == s1.map(_._4).sorted)
+  }
+
+  test("priority sample favors heavy rows: a 10^6-weight row is kept") {
+    val d = ((1L to 99L).map(i => (i, 1L)) :+ (100L, 1000000L))
+      .toDF("doc_id", "w")
+    val kept = Sampling.prioritySample(d, "w", "doc_id", k = 5)
+      .select("doc_id").as[Long].collect().toSet
+    // u48 < 2^48 → heavy row's priority < 2^48·1000/10⁶ < 2^38, while a
+    // weight-1 row needs u48 < 2^38/1000 ≈ 2^28.4 of 2^48 — odds 1e-6
+    // per row; with 99 rows the heavy row outranks ~all of them
+    assert(kept.contains(100L))
+  }
+
+  test("decayed counts: exact power-of-two weights and horizon cutoff") {
+    def ts(epoch: Long) = new Timestamp(epoch * 1000)
+    // half-life 100 s, K=3: ages 0,1,3 → 8+4+1; age 5 → beyond horizon
+    val ev = Seq(
+      ("a", ts(1000)), ("a", ts(901)), ("a", ts(700)), ("a", ts(400)),
+      ("b", ts(1000)))
+      .toDF("k", "ts")
+    val out = Trending.decayedCounts(ev, "k", "ts",
+        halfLifeSec = 100L, horizonHalfLives = 3)
+      .orderBy("k").as[(String, Long, Long, Long)].collect().toSeq
+    // a: ages (1000−1000)/100=0 →8, (1000−901)/100=0 →8, 3 →1, 6 →0
+    assert(out == Seq(
+      ("a", 4L, 17L, 1000000L * 17 / (4 * 8)),
+      ("b", 1L, 8L, 1000000L)))
+  }
+}
