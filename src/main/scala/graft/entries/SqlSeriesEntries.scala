@@ -534,6 +534,25 @@ private[graft] object SqlSeriesEntries {
     "q_trending" -> { (s, dir) =>
       graft.operators.Trending.decayedCounts(ev(s, dir), "event_type", "ts",
         halfLifeSec = 86400L).orderBy("event_type")
+    },
+
+    // 7-day rolling revenue per type over the daily rollup — a RANGE
+    // frame, so absent days shrink the window.
+    "q_rolling" -> { (s, dir) =>
+      val daily = ev(s, dir).groupBy(col("event_type"),
+          expr("unix_timestamp(ts) div 86400").as("day"))
+        .agg(sum(floor(col("value") * 100).cast("long")).as("cents"),
+          count(lit(1)).as("n_events"))
+      graft.operators.SeriesMath.rollingRange(daily, "event_type", "day",
+          "cents", windowDays = 7)
+        .orderBy("event_type", "day")
+    },
+
+    // Weekly seasonality: per type × hour-of-week share + peak flag,
+    // epoch-arithmetic phase (no calendar functions).
+    "q_seasonal" -> { (s, dir) =>
+      graft.operators.SeriesMath.weeklyProfile(ev(s, dir), "event_type", "ts")
+        .orderBy("event_type", "hour_of_week")
     }
   )
 
@@ -1109,6 +1128,32 @@ private[graft] object SqlSeriesEntries {
         |FROM x GROUP BY event_type)
         |SELECT event_type, n_events, decayed_units,
         |CAST((1000000 * decayed_units) // (n_events * 1048576) AS BIGINT) AS recency_ppm
-        |FROM g ORDER BY event_type""".stripMargin
+        |FROM g ORDER BY event_type""".stripMargin,
+
+    "q_rolling" ->
+      """WITH d AS (SELECT event_type, epoch_us(ts) // 1000000 // 86400 AS day,
+        |SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS cents,
+        |CAST(COUNT(*) AS BIGINT) AS n_events
+        |FROM events GROUP BY 1, 2)
+        |SELECT event_type, CAST(day AS BIGINT) AS day, cents, n_events,
+        |CAST(SUM(cents) OVER (PARTITION BY event_type ORDER BY day
+        |RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS rolling_cents,
+        |CAST(COUNT(*) OVER (PARTITION BY event_type ORDER BY day
+        |RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS rolling_days
+        |FROM d ORDER BY event_type, day""".stripMargin,
+
+    // hour-of-week phase is pure epoch arithmetic on both engines
+    "q_seasonal" ->
+      """WITH h AS (SELECT event_type,
+        |(epoch_us(ts) // 1000000 // 3600) % 168 AS hour_of_week
+        |FROM events),
+        |g AS (SELECT event_type, hour_of_week,
+        |CAST(COUNT(*) AS BIGINT) AS n_events FROM h GROUP BY 1, 2)
+        |SELECT event_type, CAST(hour_of_week AS BIGINT) AS hour_of_week,
+        |n_events,
+        |CAST((1000000 * n_events) // SUM(n_events) OVER (PARTITION BY event_type)
+        |AS BIGINT) AS share_ppm,
+        |n_events = MAX(n_events) OVER (PARTITION BY event_type) AS is_peak
+        |FROM g ORDER BY event_type, hour_of_week""".stripMargin
   )
 }

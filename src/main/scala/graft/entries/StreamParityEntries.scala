@@ -226,10 +226,39 @@ private[graft] object StreamParityEntries {
       }.toDF("id_a", "id_b", "found_by_stream", "est_jaccard",
         "stream_matches_batch")
         .orderBy("id_a")
+    },
+
+    // StreamIntervals replay: the session-window island union must be
+    // the batch mergeIslands output bit-for-bit — the inclusive
+    // merge-on-touch boundary matches `start > prevMax` exactly, so
+    // the SAME q_interval_merge fixture grades against the SAME
+    // island SQL. island_index is re-derived by start order (islands
+    // are disjoint, so start order IS the batch numbering).
+    "q_interval_stream_parity" -> { (s, dir) =>
+      import s.implicits._
+      val fx = ev(s, dir).filter(col("user_id") % 5 === 0)
+        .select(unix_timestamp(col("ts")).as("s0"), col("user_id"),
+          (unix_timestamp(col("ts")) + lit(600L) +
+            pmod(col("event_id"), lit(240L)) * 600L).as("e0"))
+        .as[(Long, Long, Long)].collect().toSeq
+        .map { case (s0, u, e0) =>
+          (new Timestamp(s0 * 1000L), u, new Timestamp(e0 * 1000L)) }
+      val islands = PipelineReplay.replayIntervals(s, fx)
+      islands.toDF("key", "island_start", "island_end", "n_intervals",
+          "covered_sec")
+        .withColumn("island_index", row_number()
+          .over(Window.partitionBy("key").orderBy("island_start"))
+          .cast("long"))
+        .select("key", "island_index", "island_start", "island_end",
+          "n_intervals", "covered_sec")
+        .orderBy("key", "island_index")
     }
   )
 
   def oracles: Map[String, String] = Map(
+
+    // identical island semantics → the batch oracle verbatim
+    "q_interval_stream_parity" -> SqlSeriesEntries.oracles("q_interval_merge"),
 
     "q_dedup_stream_parity" ->
       """SELECT md5(text) AS content_hash,

@@ -76,4 +76,55 @@ object SeriesMath {
       .withColumn("twa_cents",
         expr("(twa_num - pmod(twa_num, twa_den)) div twa_den"))
   }
+
+  /**
+   * Rolling range-frame aggregate over a pre-aggregated per-(key, day)
+   * table: per row, the sum of `valCol` and the count of PRESENT days
+   * across the trailing `windowDays`-day VALUE range — a RANGE frame,
+   * not a ROWS frame, so absent days genuinely shrink the window
+   * (`ROWS BETWEEN 6 PRECEDING` would reach back 6 *rows* and silently
+   * span months on a sparse series; the classic rolling-metric bug).
+   *
+   * Scale: callers aggregate raw events to (key, day) FIRST — the
+   * one full-volume shuffle is the map-side-combinable daily rollup;
+   * the window then sorts only per-key day rows (≤ a few thousand per
+   * key for years of data). Running the window over raw events would
+   * re-sort the corpus for identical output.
+   */
+  def rollingRange(perDay: DataFrame, keyCol: String, dayCol: String,
+      valCol: String, windowDays: Int): DataFrame = {
+    require(windowDays >= 1, "window must cover at least one day")
+    val w = Window.partitionBy(keyCol).orderBy(col(dayCol))
+      .rangeBetween(-(windowDays - 1).toLong, 0L)
+    perDay
+      .withColumn(s"rolling_$valCol", sum(col(valCol)).over(w))
+      .withColumn("rolling_days", count(lit(1)).over(w))
+  }
+
+  /**
+   * Weekly seasonality profile: per key × hour-of-week, event count,
+   * share of the key's total (ppm), and a peak flag. Hour-of-week is
+   * PURE EPOCH ARITHMETIC — `(epoch div 3600) mod 168`, no calendar
+   * functions — so every engine computes the identical phase (hour 0
+   * = Thursday 00:00 UTC, epoch origin) and DST/locale can never
+   * shift a bucket. Consumers wanting Monday-anchored labels add a
+   * constant offset downstream.
+   *
+   * Scale: one map-side-combinable count per (key, hour-of-week) —
+   * output cardinality is 168 × keys, so the share/peak windows run
+   * on the tiny aggregate, never the raw events.
+   */
+  def weeklyProfile(events: DataFrame, keyCol: String, tsCol: String)
+      : DataFrame = {
+    val wk = Window.partitionBy(keyCol)
+    events
+      .groupBy(col(keyCol),
+        expr(s"(unix_timestamp(`$tsCol`) div 3600) % 168").as("hour_of_week"))
+      .agg(count(lit(1)).as("n_events"))
+      .withColumn("share_ppm",
+        expr("(1000000L * n_events) div sum(n_events) over " +
+          s"(partition by `$keyCol`)"))
+      .withColumn("is_peak",
+        col("n_events") === max(col("n_events")).over(wk))
+  }
 }

@@ -205,6 +205,34 @@ object PipelineReplay {
     rows.groupBy(_._1).values.map(_.maxBy(_._2)).toSeq
   }
 
+  /** Replay (start_ts, key, end_ts) intervals through
+    * [[StreamIntervals.islands]] (single batch + a sentinel key −1
+    * whose event time pushes the watermark strictly past every real
+    * island's close, forcing append-mode emission — the
+    * replaySessions pattern); returns (key, island_start, island_end,
+    * n_intervals, covered_sec). */
+  def replayIntervals(spark: SparkSession,
+      intervals: Seq[(Timestamp, Long, Timestamp)])
+      : Seq[(Long, Long, Long, Long, Long)] = {
+    if (intervals.isEmpty) return Seq.empty
+    val sess = child(spark)
+    import sess.implicits._
+    implicit val sq = sess.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, Timestamp)]
+    val out = StreamIntervals.islands(
+      mem.toDF().toDF("start_ts", "key", "end_ts"))
+    runToMemory(sess, out, "append") { q =>
+      mem.addData(intervals: _*)
+      q.processAllAvailable()
+      val maxEnd = intervals.iterator.map(_._3.getTime).max
+      mem.addData((new Timestamp(maxEnd + 120000L), -1L,
+        new Timestamp(maxEnd + 121000L)))
+      q.processAllAvailable()
+    }.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)))
+      .filter(_._1 >= 0L)
+  }
+
   /** Replay a token stream through [[StreamHeavyHitters.candidates]]
     * (single batch → the sink holds exactly the final per-bucket
     * Misra-Gries summaries); returns (bucket, token, mg_count).

@@ -20,7 +20,8 @@ class PlanSweepSpec extends SparkTestBase {
     val exempt = Set("bm_published", "q_alarm_stream_parity",
       "q_dedup_stream_parity", "q_sessions_stream_parity",
       "q_funnel_stream_parity", "q_statagg_stream_parity",
-      "q_heavy_stream_parity", "q_neardup_stream_parity")
+      "q_heavy_stream_parity", "q_neardup_stream_parity",
+      "q_interval_stream_parity")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, _) if exempt(name) => None
       case (name, fn) =>

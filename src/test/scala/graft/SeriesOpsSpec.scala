@@ -116,6 +116,31 @@ class SeriesOpsSpec extends SparkTestBase {
     assert(kept.contains(100L))
   }
 
+  test("rolling range frame: absent days shrink the window") {
+    val daily = Seq(("a", 0L, 10L), ("a", 1L, 20L), ("a", 9L, 30L))
+      .toDF("key", "day", "cents")
+    val out = graft.operators.SeriesMath
+      .rollingRange(daily, "key", "day", "cents", windowDays = 7)
+      .orderBy("day")
+      .select("day", "rolling_cents", "rolling_days")
+      .as[(Long, Long, Long)].collect().toSeq
+    // day 9's trailing 7-day range [3, 9] holds only day 9 — a ROWS
+    // frame would wrongly reach back to days 0 and 1
+    assert(out == Seq((0L, 10L, 1L), (1L, 30L, 2L), (9L, 30L, 1L)))
+  }
+
+  test("weekly profile: epoch-arithmetic phase, ppm share, peak flag") {
+    def ts(epoch: Long) = new Timestamp(epoch * 1000)
+    // hour-of-week 0 twice (one exactly a week later), hour 5 once
+    val ev = Seq(("x", ts(0)), ("x", ts(604800)), ("x", ts(5 * 3600)))
+      .toDF("k", "ts")
+    val out = graft.operators.SeriesMath.weeklyProfile(ev, "k", "ts")
+      .orderBy("hour_of_week")
+      .select("hour_of_week", "n_events", "share_ppm", "is_peak")
+      .as[(Long, Long, Long, Boolean)].collect().toSeq
+    assert(out == Seq((0L, 2L, 666666L, true), (5L, 1L, 333333L, false)))
+  }
+
   test("decayed counts: exact power-of-two weights and horizon cutoff") {
     def ts(epoch: Long) = new Timestamp(epoch * 1000)
     // half-life 100 s, K=3: ages 0,1,3 → 8+4+1; age 5 → beyond horizon

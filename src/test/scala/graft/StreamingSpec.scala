@@ -179,6 +179,43 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming interval union merges across batches, matches batch islands") {
+    implicit val sq = spark.sqlContext
+    import java.sql.Timestamp
+    val mem = MemoryStream[(Timestamp, Long, Timestamp)]
+    val df = mem.toDF().toDF("start_ts", "key", "end_ts")
+    val q = graft.streaming.StreamIntervals.islands(df)
+      .writeStream.format("memory").queryName("islands_out")
+      .outputMode("append").start()
+    def t(sec: Long) = new Timestamp(sec * 1000)
+    try {
+      // batch 1 leaves key 1's island OPEN (watermark = max start = 40)
+      mem.addData((t(0), 1L, t(100)), (t(40), 2L, t(60)))
+      q.processAllAvailable()
+      // batch 2 overlaps the open island (50 ≤ 100) → state merge;
+      // touching case: key 2 starts exactly at its island end (60)
+      mem.addData((t(50), 1L, t(150)), (t(60), 2L, t(70)))
+      q.processAllAvailable()
+      mem.addData((t(100000), -1L, t(100001))) // close everything
+      q.processAllAvailable()
+      val rows = spark.table("islands_out")
+        .filter(col("key") >= 0)
+        .select("key", "island_start", "island_end", "n_intervals",
+          "covered_sec")
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      assert(rows == Set((1L, 0L, 150L, 2L, 150L), (2L, 40L, 70L, 2L, 30L)),
+        s"got $rows")
+      // batch twin agrees on the same intervals
+      val batch = graft.operators.Intervals.mergeIslands(
+        Seq((1L, 0L, 100L), (2L, 40L, 60L), (1L, 50L, 150L), (2L, 60L, 70L))
+          .toDF("key", "start_epoch", "end_epoch"))
+        .select("key", "island_start", "island_end", "n_intervals",
+          "covered_sec")
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      assert(batch == rows, s"batch $batch vs stream $rows")
+    } finally q.stop()
+  }
+
   test("streaming alarm transitions via flatMapGroupsWithState (O-23)") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[AlarmStream.SeriesPoint]
