@@ -622,6 +622,47 @@ object ProfileScale {
           .unionByName(d.select(hostc(m0).as("src"), hostc(ch).as("dst")))
         Graphs.triangleCounts(edges)
       },
+      // association rules: basket cardinality scales with m (shifted
+      // user ids); the pair self-join is bounded by items-per-basket
+      // (≤ 5 event types), so candidate volume tracks baskets, and
+      // the count tables join on a 5×5-bounded key space.
+      "assoc_rules" -> { m =>
+        val base = Tables.read(spark, sfDir, "events")
+          .select(col("user_id"), col("ts"), col("event_type"))
+        val ev = (0 until m).map(k =>
+            base.select((col("user_id") + lit(k * 1000000L)).as("user_id"),
+              col("ts"), col("event_type")))
+          .reduce(_ unionByName _)
+          .repartition(spark.sparkContext.defaultParallelism)
+        val baskets = ev.select(
+          concat(col("user_id").cast("string"), lit(":"),
+            expr("unix_timestamp(ts) div 86400").cast("string")).as("basket"),
+          col("event_type").as("item"))
+        graft.operators.AssocRules.pairs(baskets, "basket", "item",
+          minCount = 5L)
+      },
+      // inter-arrival audit: one lag window + one decimal-moment
+      // aggregate per key — per-user volume bounds the sort.
+      "interarrival" -> { m =>
+        val base = Tables.read(spark, sfDir, "events")
+          .select(col("user_id"), col("ts"), col("event_id"))
+        val ev = (0 until m).map(k =>
+            base.select((col("user_id") + lit(k * 1000000L)).as("user_id"),
+              col("ts"), col("event_id")))
+          .reduce(_ unionByName _)
+          .repartition(spark.sparkContext.defaultParallelism)
+        graft.operators.Profiling.interArrival(ev, "user_id", "ts",
+          "event_id")
+      },
+      // percentile-rank normalization: 20 sources share the corpus, so
+      // per-source window volume grows with m — the rank sort must
+      // stay balanced across the fixed source fan-out.
+      "pct_rank" -> (m =>
+        graft.operators.Profiling.percentileRank(
+          scaledDocs(spark, sfDir, m).select(col("doc_id"),
+            concat(lit("s"), pmod(col("doc_id"), lit(20))).as("source"),
+            length(col("text")).cast("long").as("n_chars")),
+          "source", "n_chars")),
       // priority sampling: the k-smallest selection must stay
       // TakeOrderedAndProject (per-partition heaps, ~zero shuffle) at
       // every scale — a global sort here would be the regression.
@@ -755,7 +796,27 @@ object ProfileScale {
         // copies is the worst case for that claim.
         "bpe_learn_x50#ext" -> (() =>
           graft.pipeline.Bpe.learnMerges(scaledDocs(spark, sfDir, 50),
-            numMerges = 2))))
+            numMerges = 2)),
+        // (8) association rules at 50×: the 5×→10× shuffle doubling
+        // measured 2.30× (vs the 2.0 linear bar) — one far point
+        // decides whether the distinct+self-join pipeline is genuinely
+        // superlinear or the small-scale points are AQE/partition
+        // granularity noise.
+        "assoc_rules_x50#ext" -> (() => {
+          val base = Tables.read(spark, sfDir, "events")
+            .select(col("user_id"), col("ts"), col("event_type"))
+          val ev = (0 until 50).map(k =>
+              base.select((col("user_id") + lit(k * 1000000L)).as("user_id"),
+                col("ts"), col("event_type")))
+            .reduce(_ unionByName _)
+            .repartition(spark.sparkContext.defaultParallelism)
+          val baskets = ev.select(
+            concat(col("user_id").cast("string"), lit(":"),
+              expr("unix_timestamp(ts) div 86400").cast("string")).as("basket"),
+            col("event_type").as("item"))
+          graft.operators.AssocRules.pairs(baskets, "basket", "item",
+            minCount = 5L)
+        })))
       .pipe { all =>
         // quick-A/B filter: SPARK_GRAFT_PROFILE_ONLY=substr1,substr2
         // profiles matching cells and SKIPS artifact emission (the

@@ -553,6 +553,37 @@ private[graft] object SqlSeriesEntries {
     "q_seasonal" -> { (s, dir) =>
       graft.operators.SeriesMath.weeklyProfile(ev(s, dir), "event_type", "ts")
         .orderBy("event_type", "hour_of_week")
+    },
+
+    // Market-basket association rules over (user, day) baskets of
+    // event types: support/confidence/lift in integer ppm.
+    "q_assoc_rules" -> { (s, dir) =>
+      val baskets = ev(s, dir).select(
+        concat(col("user_id").cast("string"), lit(":"),
+          expr("unix_timestamp(ts) div 86400").cast("string")).as("basket"),
+        col("event_type").as("item"))
+      graft.operators.AssocRules.pairs(baskets, "basket", "item",
+          minCount = 5L)
+        .orderBy("item_a", "item_b")
+    },
+
+    // Cross-source score normalization: percentile rank of doc length
+    // within each source, integer ppm.
+    "q_pct_rank" -> { (s, dir) =>
+      graft.operators.Profiling.percentileRank(
+          Tables.read(s, dir, "documents")
+            .select(col("doc_id"), col("source"),
+              col("n_chars").cast("long").as("n_chars")),
+          "source", "n_chars")
+        .orderBy("doc_id")
+    },
+
+    // Inter-arrival regularity (bot signal): per-user gap cv² in ppm,
+    // decimal-exact moments.
+    "q_interarrival" -> { (s, dir) =>
+      graft.operators.Profiling.interArrival(ev(s, dir), "user_id", "ts",
+          "event_id")
+        .orderBy("user_id")
     }
   )
 
@@ -1154,6 +1185,47 @@ private[graft] object SqlSeriesEntries {
         |CAST((1000000 * n_events) // SUM(n_events) OVER (PARTITION BY event_type)
         |AS BIGINT) AS share_ppm,
         |n_events = MAX(n_events) OVER (PARTITION BY event_type) AS is_peak
-        |FROM g ORDER BY event_type, hour_of_week""".stripMargin
+        |FROM g ORDER BY event_type, hour_of_week""".stripMargin,
+
+    // lift in HUGEINT — 10^6 · n_ab · n_baskets would wrap BIGINT on
+    // the hot pairs the audit exists to rank
+    "q_assoc_rules" ->
+      """WITH b AS (SELECT DISTINCT CAST(user_id AS VARCHAR) || ':' ||
+        |CAST(epoch_us(ts) // 1000000 // 86400 AS VARCHAR) AS bk,
+        |event_type AS i FROM events),
+        |n AS (SELECT COUNT(DISTINCT bk) AS n FROM b),
+        |ic AS (SELECT i, CAST(COUNT(*) AS BIGINT) AS c FROM b GROUP BY 1),
+        |pc AS (SELECT l.i AS item_a, r.i AS item_b,
+        |CAST(COUNT(*) AS BIGINT) AS n_ab
+        |FROM b l JOIN b r ON l.bk = r.bk AND l.i < r.i GROUP BY 1, 2)
+        |SELECT item_a, item_b, ca.c AS n_a, cb.c AS n_b, n_ab,
+        |CAST((1000000 * n_ab) // (SELECT n FROM n) AS BIGINT) AS support_ppm,
+        |CAST((1000000 * n_ab) // ca.c AS BIGINT) AS confidence_ppm,
+        |CAST((CAST(1000000 AS HUGEINT) * n_ab * (SELECT n FROM n))
+        |// (ca.c * cb.c) AS BIGINT) AS lift_ppm
+        |FROM pc JOIN ic ca ON pc.item_a = ca.i JOIN ic cb ON pc.item_b = cb.i
+        |WHERE n_ab >= 5 ORDER BY item_a, item_b""".stripMargin,
+
+    "q_pct_rank" ->
+      """SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
+        |CAST((1000000 * (rank() OVER (PARTITION BY source ORDER BY n_chars) - 1))
+        |// greatest(COUNT(*) OVER (PARTITION BY source) - 1, 1) AS BIGINT)
+        |AS pct_rank_ppm
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // moments in HUGEINT; variance numerator >= 0 (Cauchy-Schwarz) so
+    // // and truncation agree
+    "q_interarrival" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |epoch_us(ts) // 1000000 AS t FROM events),
+        |l AS (SELECT user_id,
+        |t - lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id) AS g FROM e),
+        |x AS (SELECT user_id, CAST(g AS HUGEINT) AS g FROM l WHERE g IS NOT NULL),
+        |a AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+        |SUM(g) AS sg, SUM(g * g) AS sg2 FROM x GROUP BY 1)
+        |SELECT user_id, n_gaps,
+        |CAST(sg // n_gaps AS BIGINT) AS mean_gap_sec,
+        |CAST((1000000 * (n_gaps * sg2 - sg * sg)) // (sg * sg) AS BIGINT) AS cv2_ppm
+        |FROM a WHERE sg > 0 ORDER BY user_id""".stripMargin
   )
 }

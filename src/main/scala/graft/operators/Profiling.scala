@@ -367,4 +367,67 @@ object Profiling {
         expr("(1000000 * cnt) div greatest(__tot, 1L)")
           .cast("long").as("share_ppm"))
   }
+
+  /**
+   * Per-group percentile-rank normalization in ppm: `rank` semantics
+   * (ties share the rank of their first row), scaled to
+   * `(rank − 1) · 10⁶ div (n − 1)` so the group minimum is 0 and the
+   * maximum is 10⁶ (single-row groups pin to 0). The standard
+   * cross-source score normalization — raw quality scores are not
+   * comparable across sources with different scales, percentile ranks
+   * are — and the integer form keeps it hash-exact where
+   * `percent_rank()`'s double division is not.
+   *
+   * One window per group; the sort is bounded by per-group volume.
+   */
+  def percentileRank(df: DataFrame, groupCol: String, valueCol: String)
+      : DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy(col(valueCol))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(groupCol)
+    df.withColumn("__rk", rank().over(w).cast("long"))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .withColumn("pct_rank_ppm",
+        expr("(1000000L * (__rk - 1)) div greatest(__n - 1, 1L)"))
+      .drop("__rk", "__n")
+  }
+
+  /**
+   * Inter-arrival regularity audit — the bot-traffic signal: per key,
+   * gap count, mean gap, and the squared coefficient of variation of
+   * gaps in ppm, `cv²_ppm = 10⁶ · (n·Σg² − (Σg)²) div (Σg)²`. Organic
+   * humans are bursty (cv² ≳ 10⁶); schedulers and replay bots are
+   * metronomic (cv² → 0). The variance numerator `n·Σg² − (Σg)²` is
+   * ≥ 0 by Cauchy–Schwarz, so truncating and floor division agree.
+   *
+   * Gaps are whole SECONDS and all moments accumulate in
+   * DECIMAL(38,0): month-long spans make `(Σg)²` overflow a long at
+   * ~3·10⁹ s of total gap — on exactly the long-lived keys this audit
+   * targets (the [[joinCardinality]] lesson again).
+   *
+   * One shuffle on the key, one sorted window (lag) + one
+   * map-side-combinable aggregate.
+   */
+  def interArrival(df: DataFrame, keyCol: String, tsCol: String,
+      seqCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCol).orderBy(col("__t"), col(seqCol))
+    df.select(col(keyCol), col(seqCol),
+        unix_timestamp(col(tsCol).cast("timestamp")).as("__t"))
+      .withColumn("__gap", (col("__t") - lag(col("__t"), 1).over(w))
+        .cast("decimal(38,0)"))
+      .filter(col("__gap").isNotNull)
+      .groupBy(keyCol)
+      .agg(count(lit(1)).cast("long").as("n_gaps"),
+        sum(col("__gap")).cast("decimal(38,0)").as("__sg"),
+        sum(col("__gap") * col("__gap")).cast("decimal(38,0)").as("__sg2"))
+      .filter(col("__sg") > 0)
+      .select(col(keyCol), col("n_gaps"),
+        expr("CAST((__sg - pmod(__sg, CAST(n_gaps AS DECIMAL(38,0)))) / " +
+          "n_gaps AS BIGINT)").as("mean_gap_sec"),
+        expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * " +
+          "(n_gaps * __sg2 - __sg * __sg) - " +
+          "pmod(CAST(1000000 AS DECIMAL(38,0)) * (n_gaps * __sg2 - __sg * __sg), " +
+          "__sg * __sg)) / (__sg * __sg) AS BIGINT)").as("cv2_ppm"))
+  }
 }

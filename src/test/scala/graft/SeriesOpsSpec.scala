@@ -141,6 +141,50 @@ class SeriesOpsSpec extends SparkTestBase {
     assert(out == Seq((0L, 2L, 666666L, true), (5L, 1L, 333333L, false)))
   }
 
+  test("association rules: support, confidence, lift on a hand fixture") {
+    val rows = Seq(
+      ("b1", "A"), ("b1", "B"), ("b1", "B"), // dup item collapses
+      ("b2", "A"), ("b2", "B"),
+      ("b3", "A"), ("b3", "C"),
+      ("b4", "A"))
+      .toDF("bk", "it")
+    val out = graft.operators.AssocRules.pairs(rows, "bk", "it")
+      .orderBy("item_a", "item_b")
+      .select("item_a", "item_b", "n_a", "n_b", "n_ab", "support_ppm",
+        "confidence_ppm", "lift_ppm")
+      .as[(String, String, Long, Long, Long, Long, Long, Long)]
+      .collect().toSeq
+    assert(out == Seq(
+      // A,B: n_ab=2 of 4 baskets; conf 2/4; lift 2·4/(4·2) = 1.0
+      ("A", "B", 4L, 2L, 2L, 500000L, 500000L, 1000000L),
+      // A,C: n_ab=1; conf 1/4; lift 1·4/(4·1) = 1.0
+      ("A", "C", 4L, 1L, 1L, 250000L, 250000L, 1000000L)))
+  }
+
+  test("percentile rank: ties share rank, bounds are 0 and 10^6") {
+    val df = Seq(("s", 10L, 1L), ("s", 20L, 2L), ("s", 20L, 3L),
+      ("s", 30L, 4L), ("t", 5L, 5L))
+      .toDF("source", "v", "id")
+    val out = graft.operators.Profiling.percentileRank(df, "source", "v")
+      .orderBy("id").select("id", "pct_rank_ppm")
+      .as[(Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 0L), (2L, 333333L), (3L, 333333L),
+      (4L, 1000000L), (5L, 0L)))
+  }
+
+  test("inter-arrival: metronome scores 0, known variance exact") {
+    def ts(epoch: Long) = new Timestamp(epoch * 1000)
+    val ev = Seq(
+      ("bot", ts(0), 1L), ("bot", ts(60), 2L), ("bot", ts(120), 3L),
+      ("hum", ts(0), 4L), ("hum", ts(1), 5L), ("hum", ts(4), 6L))
+      .toDF("k", "ts", "event_id")
+    val out = graft.operators.Profiling.interArrival(ev, "k", "ts", "event_id")
+      .orderBy("k").select("k", "n_gaps", "mean_gap_sec", "cv2_ppm")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    // hum gaps [1, 3]: sg=4, sg2=10 → var-num 2·10−16 = 4; cv² = 4e6//16
+    assert(out == Seq(("bot", 2L, 60L, 0L), ("hum", 2L, 2L, 250000L)))
+  }
+
   test("decayed counts: exact power-of-two weights and horizon cutoff") {
     def ts(epoch: Long) = new Timestamp(epoch * 1000)
     // half-life 100 s, K=3: ages 0,1,3 → 8+4+1; age 5 → beyond horizon
