@@ -189,6 +189,31 @@ private[graft] object CorpusEntries {
       graft.pipeline.Graphs.triangleCounts(spread(edges)).orderBy("node")
     },
 
+    // k-core peeling (k=2, 4 rounds): the triangle ring survives,
+    // pendant 3-chains peel one node per round — converged by round 4
+    // (the `converged` column pins it, so the fixed-round contract is
+    // verified, not trusted).
+    "q_kcore" -> { (s, dir) =>
+      val d = docs(s, dir)
+      def hostc(c: org.apache.spark.sql.Column) =
+        concat(lit("h"), lpad(c.cast("string"), 2, "0"))
+      val m0 = pmod(col("doc_id"), lit(60))
+      val m1 = pmod(col("doc_id") + 1, lit(60))
+      val m2 = pmod(col("doc_id") + 2, lit(60))
+      val ring = d.select(hostc(m0).as("src"), hostc(m1).as("dst"))
+        .unionByName(d.select(hostc(m0).as("src"), hostc(m2).as("dst")))
+        .unionByName(d.select(hostc(m1).as("src"), hostc(m2).as("dst")))
+      val cd = d.filter(m0 % 5 === 0)
+      def tnode(i: Int) =
+        concat(lit("t"), m0.cast("string"), lit("_" + i))
+      val chains = cd.select(hostc(m0).as("src"), tnode(1).as("dst"))
+        .unionByName(cd.select(tnode(1).as("src"), tnode(2).as("dst")))
+        .unionByName(cd.select(tnode(2).as("src"), tnode(3).as("dst")))
+      graft.pipeline.Graphs.kCore(spread(ring.unionByName(chains)),
+          k = 2, iters = 4)
+        .orderBy("node")
+    },
+
     // Priority sampling: 50 docs proportional-to-token-count without
     // replacement, deterministic md5 draws, integer priorities.
     "q_weighted_sample" -> { (s, dir) =>
@@ -260,6 +285,30 @@ private[graft] object CorpusEntries {
       val d = docs(s, dir)
       graft.pipeline.Corpus.bigramFamiliarity(spread(d), d, minCount = 3)
         .orderBy("doc_id")
+    },
+
+    // LM-proxy filtering, conditional member: MLE bigram probability
+    // P(w2|w1) under the self-trained LM, integer ppm end to end —
+    // the perplexity-filter analog next to q_bigram_lm's familiarity.
+    "q_lm_score" -> { (s, dir) =>
+      val d = docs(s, dir)
+      graft.pipeline.Corpus.lmDocScore(spread(d), d).orderBy("doc_id")
+    },
+
+    // Label-propagation communities on 8 disjoint 9-rings (doc_id
+    // mod 72 spans all (g, m) cells): 3 synchronous rounds with the
+    // min-label tie-break, community sizes from the final labels.
+    "q_label_prop" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val g = pmod(col("doc_id"), lit(8))
+      val m = pmod(col("doc_id"), lit(9))
+      def node(gc: org.apache.spark.sql.Column,
+          mc: org.apache.spark.sql.Column) =
+        concat(lit("c"), gc.cast("string"), lit("_"), mc.cast("string"))
+      val ring = d.select(node(g, m).as("src"),
+        node(g, pmod(m + 1, lit(9))).as("dst"))
+      graft.pipeline.Graphs.labelPropagation(spread(ring), iters = 3)
+        .orderBy("node")
     },
 
     // Token-budget corpus selection: the best `budget` tokens by a
@@ -775,6 +824,56 @@ private[graft] object CorpusEntries {
         |FROM bg JOIN rc USING (bigram)
         |GROUP BY bg.doc_id ORDER BY doc_id""".stripMargin,
 
+    // occurrence-count MLE; 10^6·bc stays far under BIGINT range,
+    // SUM(n·p_ppm) cast from HUGEINT like every other sum
+    "q_lm_score" ->
+      """WITH toks AS (SELECT doc_id,
+        |list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w
+        |FROM documents),
+        |bg AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS bigram
+        |FROM toks, LATERAL (SELECT unnest(range(1, len(w))) AS i)
+        |WHERE len(w) >= 2),
+        |lm AS (SELECT bigram, CAST(count(*) AS BIGINT) AS bc FROM bg GROUP BY 1),
+        |pf AS (SELECT split_part(bigram, ' ', 1) AS w1,
+        |CAST(SUM(bc) AS BIGINT) AS pc FROM lm GROUP BY 1),
+        |db AS (SELECT doc_id, bigram, CAST(count(*) AS BIGINT) AS n
+        |FROM bg GROUP BY 1, 2),
+        |j AS (SELECT db.doc_id, db.n, (1000000 * lm.bc) // pf.pc AS p_ppm
+        |FROM db JOIN lm USING (bigram)
+        |JOIN pf ON pf.w1 = split_part(db.bigram, ' ', 1)),
+        |a AS (SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_bigrams,
+        |CAST(SUM(n * p_ppm) AS BIGINT) AS sum_p_ppm FROM j GROUP BY 1)
+        |SELECT doc_id, n_bigrams, sum_p_ppm,
+        |CAST(sum_p_ppm // n_bigrams AS BIGINT) AS avg_p_ppm
+        |FROM a ORDER BY doc_id""".stripMargin,
+
+    // three unrolled synchronous LPA rounds; every CTE MATERIALIZED
+    // (the q_kcore exponential-inlining lesson)
+    "q_label_prop" -> {
+      val rounds = (1 to 3).map { i =>
+        s"""c$i AS MATERIALIZED (SELECT nb.node, l.label AS nl,
+           |CAST(count(*) AS BIGINT) AS c
+           |FROM nb JOIN l${i - 1} l ON l.node = nb.nbr GROUP BY 1, 2),
+           |l$i AS MATERIALIZED (SELECT node, nl AS label FROM
+           |(SELECT node, nl, row_number() OVER (PARTITION BY node
+           |ORDER BY c DESC, nl) AS rn FROM c$i) WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH r AS (SELECT DISTINCT doc_id % 72 AS dm FROM documents),
+         |e0 AS (SELECT 'c' || CAST(dm % 8 AS VARCHAR) || '_' ||
+         |CAST(dm % 9 AS VARCHAR) AS s,
+         |'c' || CAST(dm % 8 AS VARCHAR) || '_' ||
+         |CAST((dm % 9 + 1) % 9 AS VARCHAR) AS d FROM r),
+         |u AS MATERIALIZED (SELECT DISTINCT least(s, d) AS a,
+         |greatest(s, d) AS b FROM e0 WHERE s <> d),
+         |nb AS MATERIALIZED (SELECT a AS node, b AS nbr FROM u
+         |UNION ALL SELECT b, a FROM u),
+         |l0 AS MATERIALIZED (SELECT DISTINCT node, node AS label FROM nb),
+         |$rounds
+         |SELECT node, label AS community,
+         |CAST(count(*) OVER (PARTITION BY label) AS BIGINT) AS community_size
+         |FROM l3 ORDER BY node""".stripMargin
+    },
+
     "q_token_budget" ->
       s"""WITH t AS (SELECT doc_id,
          |CAST(${bucketSql("'budget:' || text", 10000)} AS DOUBLE) AS score,
@@ -984,6 +1083,43 @@ private[graft] object CorpusEntries {
         |CAST(CASE WHEN deg.degree >= 2 THEN (2000000 * COALESCE(pn.triangles, 0))
         |// (deg.degree * (deg.degree - 1)) ELSE 0 END AS BIGINT) AS clustering_ppm
         |FROM deg LEFT JOIN pn USING (node) ORDER BY node""".stripMargin,
+
+    // four unrolled peel rounds; semi-joins as IN-subqueries. Every
+    // u$i is MATERIALIZED: each round references its predecessor five
+    // times (FROM + two IN-subqueries through d$i's UNION ALL), so
+    // DuckDB's default CTE inlining re-expands u0 5^rounds times —
+    // unbounded planning blow-up on a 6-edge-per-key graph.
+    "q_kcore" -> {
+      val rounds = (0 until 4).map { i =>
+        s"""d$i AS MATERIALIZED (SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM
+           |(SELECT a AS node FROM u$i UNION ALL SELECT b FROM u$i) GROUP BY 1),
+           |k$i AS MATERIALIZED (SELECT node FROM d$i WHERE degree >= 2),
+           |u${i + 1} AS MATERIALIZED (SELECT a, b FROM u$i
+           |WHERE a IN (SELECT node FROM k$i) AND b IN (SELECT node FROM k$i))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH r AS (SELECT DISTINCT doc_id % 60 AS m FROM documents),
+         |hn AS (SELECT m,
+         |'h' || lpad(CAST(m AS VARCHAR), 2, '0') AS h0,
+         |'h' || lpad(CAST((m + 1) % 60 AS VARCHAR), 2, '0') AS h1,
+         |'h' || lpad(CAST((m + 2) % 60 AS VARCHAR), 2, '0') AS h2,
+         |'t' || CAST(m AS VARCHAR) || '_1' AS t1,
+         |'t' || CAST(m AS VARCHAR) || '_2' AS t2,
+         |'t' || CAST(m AS VARCHAR) || '_3' AS t3 FROM r),
+         |e0 AS (SELECT h0 AS s, h1 AS d FROM hn
+         |UNION ALL SELECT h0, h2 FROM hn
+         |UNION ALL SELECT h1, h2 FROM hn
+         |UNION ALL SELECT h0, t1 FROM hn WHERE m % 5 = 0
+         |UNION ALL SELECT t1, t2 FROM hn WHERE m % 5 = 0
+         |UNION ALL SELECT t2, t3 FROM hn WHERE m % 5 = 0),
+         |u0 AS MATERIALIZED (SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
+         |FROM e0 WHERE s <> d),
+         |$rounds,
+         |df AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM
+         |(SELECT a AS node FROM u4 UNION ALL SELECT b FROM u4) GROUP BY 1)
+         |SELECT node, degree AS core_degree,
+         |(SELECT COALESCE(MIN(degree) >= 2, true) FROM df) AS converged
+         |FROM df ORDER BY node""".stripMargin
+    },
 
     // u48·1000 stays under 2^58 — no HUGEINT promotion asymmetry
     "q_weighted_sample" ->

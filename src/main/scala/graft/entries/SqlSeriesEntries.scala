@@ -584,6 +584,21 @@ private[graft] object SqlSeriesEntries {
       graft.operators.Profiling.interArrival(ev(s, dir), "user_id", "ts",
           "event_id")
         .orderBy("user_id")
+    },
+
+    // Session path 3-grams: every in-session ordered event-type
+    // window, counted corpus-wide. Timestamps truncate to seconds so
+    // the (second, event_id) sort key matches the oracle exactly.
+    // Gap is 12h, not the q_sessions 30min: the synthetic events
+    // table's median per-user inter-arrival is ~7h, so a 30min gap
+    // yields max-length-3 sessions and an empty board row.
+    "q_session_paths" -> { (s, dir) =>
+      val evs = ev(s, dir).select(col("user_id"),
+        date_trunc("second", col("ts")).cast("timestamp").as("ts"),
+        col("event_id"), col("event_type"))
+      graft.operators.Sessionize.pathNgrams(evs, "user_id", "ts",
+          "event_id", "event_type", gapSec = 43200L, n = 3, minCount = 3L)
+        .orderBy("path")
     }
   )
 
@@ -1226,6 +1241,23 @@ private[graft] object SqlSeriesEntries {
         |SELECT user_id, n_gaps,
         |CAST(sg // n_gaps AS BIGINT) AS mean_gap_sec,
         |CAST((1000000 * (n_gaps * sg2 - sg * sg)) // (sg * sg) AS BIGINT) AS cv2_ppm
-        |FROM a WHERE sg > 0 ORDER BY user_id""".stripMargin
+        |FROM a WHERE sg > 0 ORDER BY user_id""".stripMargin,
+
+    "q_session_paths" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |epoch_us(ts) // 1000000 AS t FROM events),
+        |l AS (SELECT user_id, event_id, event_type, t,
+        |lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id) AS prev FROM e),
+        |s AS (SELECT user_id, event_id, event_type, t,
+        |SUM(CASE WHEN prev IS NULL OR t - prev > 43200 THEN 1 ELSE 0 END)
+        |OVER (PARTITION BY user_id ORDER BY t, event_id
+        |ROWS UNBOUNDED PRECEDING) AS si FROM l),
+        |q AS (SELECT list(event_type ORDER BY t, event_id) AS seq
+        |FROM s GROUP BY user_id, si),
+        |g AS (SELECT unnest(list_transform(range(1, len(seq) - 1),
+        |i -> array_to_string(seq[i:i+2], '>'))) AS path
+        |FROM q WHERE len(seq) >= 3)
+        |SELECT path, CAST(COUNT(*) AS BIGINT) AS n_occurrences FROM g
+        |GROUP BY 1 HAVING COUNT(*) >= 3 ORDER BY path""".stripMargin
   )
 }

@@ -42,4 +42,34 @@ object Sessionize {
         max(unix_timestamp(col(tsCol))).as("end_epoch"),
         count(lit(1)).as("n_events"))
       .withColumn("duration_sec", col("end_epoch") - col("start_epoch"))
+
+  /** Top within-session event-type paths: every length-`n` window of
+    * each session's time-ordered event sequence, counted corpus-wide
+    * — the navigation-pattern generalization of the fixed funnel
+    * (which asks about ONE ordered path; this surfaces which paths
+    * exist). Occurrences count per window, so a session repeating a
+    * loop contributes each lap.
+    *
+    * Scale: the per-session `collect_list` is bounded by session
+    * length (gap-bounded by construction), the n-gram explode is
+    * linear in events, and the path count is map-side combinable.
+    * The struct sort key (t, tie) makes window order total, so path
+    * strings are deterministic under equal timestamps. */
+  def pathNgrams(events: DataFrame, userCol: String, tsCol: String,
+      tieCol: String, typeCol: String, gapSec: Long, n: Int,
+      minCount: Long = 1L): DataFrame = {
+    require(n >= 2, "a path needs at least two steps")
+    assign(events, userCol, tsCol, tieCol, gapSec)
+      .groupBy(col(userCol), col("session_index"))
+      .agg(sort_array(collect_list(struct(
+        unix_timestamp(col(tsCol)).as("t"), col(tieCol).as("tie"),
+        col(typeCol).as("et")))).as("evs"))
+      .select(expr("transform(evs, x -> x.et)").as("seq"))
+      .filter(size(col("seq")) >= n)
+      .select(explode(expr(
+        s"transform(sequence(0, size(seq) - $n), " +
+          s"i -> concat_ws('>', slice(seq, i + 1, $n)))")).as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n_occurrences"))
+      .filter(col("n_occurrences") >= minCount)
+  }
 }

@@ -76,6 +76,122 @@ object Graphs {
   }
 
   /**
+   * k-core decomposition by iterative peeling: repeatedly remove
+   * nodes of degree < k until none remain (Matula–Beck; the
+   * MapReduce/Pregel peel loop). The k-core separates load-bearing
+   * graph structure from tendrils — crawl-graph curation keeps the
+   * 2-core as "real web", peels pendant chains and orphan pages; in
+   * dedup clustering the core is the stable cluster skeleton.
+   *
+   * Runs EXACTLY `iters` peel rounds, not to fixpoint: a fixed
+   * iteration count is the verification contract (the oracle unrolls
+   * the same rounds — the [[pageRankFixedPoint]] trade), and callers
+   * size `iters` to the longest pendant chain they care to peel
+   * (round r removes chains of length r). `converged` in the output
+   * marks whether a round-`iters` fixpoint was reached: all-true
+   * means the result IS the exact k-core, so callers can verify
+   * rather than trust the bound.
+   *
+   * Scale: each round is one map-side-combinable degree count + two
+   * semi-joins of the edge set against surviving nodes — linear in
+   * edges per round; the edge set only shrinks. Each round's edge
+   * set is materialized eagerly (two join legs consume it — the
+   * lazily-raced-cache lesson from the dedup fan-outs).
+   *
+   * @return surviving nodes: (node, core_degree, converged)
+   */
+  def kCore(edges: DataFrame, k: Int, iters: Int,
+      srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    require(k >= 1 && iters >= 1, "positive k and iteration count")
+    var e = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct().persist()
+    e.count()
+    def degrees(ed: DataFrame) = ed.select(col("a").as("node"))
+      .unionByName(ed.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("degree"))
+    (1 to iters).foreach { _ =>
+      val keep = degrees(e).filter(col("degree") >= k)
+        .select(col("node"))
+      val next = e
+        .join(keep.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
+        .join(keep.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
+        .select("a", "b").persist()
+      next.count()
+      e.unpersist()
+      e = next
+    }
+    val deg = degrees(e)
+    val minDeg = deg.agg(coalesce(min(col("degree")), lit(Long.MaxValue))
+      .as("__min"))
+    deg.crossJoin(broadcast(minDeg))
+      .select(col("node"), col("degree").as("core_degree"),
+        (col("__min") >= k).as("converged"))
+  }
+
+  /**
+   * Community detection by synchronous label propagation (Raghavan
+   * et al. 2007): every node starts as its own community, then each
+   * round adopts the most frequent label among its neighbors. The
+   * cheap community detector for web-graph / near-dup-cluster
+   * curation — no edge-weight model, no modularity optimization,
+   * O(edges) per round.
+   *
+   * Determinism pins both LPA degrees of freedom: updates are
+   * synchronous (all nodes flip on the round's START labels — no
+   * visit-order dependence), and frequency ties break to the
+   * SMALLEST label. Runs exactly `iters` rounds (the
+   * [[kCore]]/[[pageRankFixedPoint]] verification trade: the oracle
+   * unrolls the same rounds). Synchronous LPA can two-cycle on
+   * bipartite-ish structure rather than converge — callers wanting a
+   * stable partition take the final round as the answer, which the
+   * tie-break makes deterministic.
+   *
+   * Scale: one round = one shuffle join of the adjacency against the
+   * k-bounded label table + one map-side-combinable (node, label)
+   * count + one per-node argmax window; adjacency is materialized
+   * once and reused every round.
+   *
+   * @return (node, community, community_size)
+   */
+  def labelPropagation(edges: DataFrame, iters: Int,
+      srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    require(iters >= 1, "positive iteration count")
+    val e = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val nbrs = e.select(col("a").as("node"), col("b").as("nbr"))
+      .unionByName(e.select(col("b").as("node"), col("a").as("nbr")))
+      .persist()
+    nbrs.count()
+    var labels = nbrs.select(col("node")).distinct()
+      .select(col("node"), col("node").as("label")).persist()
+    labels.count()
+    val w = Window.partitionBy("node")
+      .orderBy(col("__c").desc, col("__nl"))
+    (1 to iters).foreach { _ =>
+      val next = nbrs
+        .join(labels.select(col("node").as("nbr"), col("label").as("__nl")),
+          Seq("nbr"))
+        .groupBy("node", "__nl").agg(count(lit(1)).as("__c"))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("node"), col("__nl").as("label"))
+        .persist()
+      next.count()
+      labels.unpersist()
+      labels = next
+    }
+    labels
+      .select(col("node"), col("label").as("community"),
+        count(lit(1)).over(Window.partitionBy("label")).as("community_size"))
+  }
+
+  /**
    * Per-node triangle counts + local clustering coefficient over an
    * undirected graph, via degree orientation ("compact-forward",
    * Latapy 2008; the same orientation MapReduce triangle counters use

@@ -141,6 +141,49 @@ class SeriesOpsSpec extends SparkTestBase {
     assert(out == Seq((0L, 2L, 666666L, true), (5L, 1L, 333333L, false)))
   }
 
+  test("k-core peels pendant chains one node per round; converged pins it") {
+    // triangle {1,2,3} + chain 3−4−5: k=2 needs two rounds
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("src", "dst")
+    val done = Graphs.kCore(e, k = 2, iters = 2).orderBy("node")
+      .as[(Long, Long, Boolean)].collect().toSeq
+    assert(done == Seq((1L, 2L, true), (2L, 2L, true), (3L, 2L, true)))
+    // one round is not enough: node 4 is still there at degree 1
+    val short = Graphs.kCore(e, k = 2, iters = 1).orderBy("node")
+      .as[(Long, Long, Boolean)].collect().toSeq
+    assert(short == Seq((1L, 2L, false), (2L, 2L, false), (3L, 3L, false),
+      (4L, 1L, false)))
+  }
+
+  test("label propagation: min-label tie-break floods a component") {
+    // path 1−2−3 plus isolated edge 10−11; synchronous, 3 rounds
+    val e = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("src", "dst")
+    val out = Graphs.labelPropagation(e, iters = 3).orderBy("node")
+      .as[(Long, Long, Long)].collect().toSeq
+    // round 1: 1→2's label? neighbors of 1 = {2} → label 2? no:
+    // sync round 1: l(1)=2? neighbors' labels {2} → 2; l(2)=min(1,3)=1;
+    // l(3)=2; l(10)=11, l(11)=10.
+    // round 2: l(1)=l'(2)=1; l(2)=min(l'(1),l'(3))=2; l(3)=1;
+    // l(10)=10, l(11)=11.
+    // round 3: l(1)=2, l(2)=1, l(3)=2, l(10)=11, l(11)=10.
+    assert(out == Seq((1L, 2L, 2L), (2L, 1L, 1L), (3L, 2L, 2L),
+      (10L, 11L, 1L), (11L, 10L, 1L)))
+  }
+
+  test("session path n-grams: windows within sessions, never across") {
+    def ts(epoch: Long) = new Timestamp(epoch * 1000)
+    val ev = Seq(
+      (1L, ts(0), 1L, "A"), (1L, ts(10), 2L, "B"),
+      (1L, ts(20), 3L, "C"), (1L, ts(30), 4L, "D"),
+      // user 2: session break between B and C — no 3-gram spans it
+      (2L, ts(0), 5L, "A"), (2L, ts(10), 6L, "B"), (2L, ts(5000), 7L, "C"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val out = graft.operators.Sessionize.pathNgrams(ev, "user_id", "ts",
+        "event_id", "event_type", gapSec = 1800L, n = 3)
+      .orderBy("path").as[(String, Long)].collect().toSeq
+    assert(out == Seq(("A>B>C", 1L), ("B>C>D", 1L)))
+  }
+
   test("association rules: support, confidence, lift on a hand fixture") {
     val rows = Seq(
       ("b1", "A"), ("b1", "B"), ("b1", "B"), // dup item collapses
