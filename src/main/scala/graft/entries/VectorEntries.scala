@@ -41,6 +41,18 @@ private[graft] object VectorEntries {
         .select("query_id", "neighbor_id", "rank").orderBy("query_id", "rank")
     },
 
+    // Hybrid-retrieval rank fusion: cosine and L2 brute-force lists
+    // (k=10 each) merged by reciprocal-rank fusion into a consensus
+    // top-5 — integer RRF weights, so the fused score is hash-exact.
+    "q_rrf" -> { (s, dir) =>
+      val e = spread(Tables.read(s, dir, "embeddings"))
+      val probes = e.filter(col("vec_id") < 10)
+      Similarity.rrfFuse(Seq(
+          Similarity.bruteForceTopK(e, probes, k = 10),
+          Similarity.bruteForceTopKL2(e, probes, k = 10)), k = 5)
+        .orderBy("query_id", "rank")
+    },
+
     // Hard negatives: nearest neighbors with a DIFFERENT label.
     "q_hard_negatives" -> { (s, dir) =>
       val e = spread(Tables.read(s, dir, "embeddings"))
@@ -216,6 +228,26 @@ private[graft] object VectorEntries {
         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank FROM s)
         SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank FROM r WHERE rank <= 5
         ORDER BY query_id, rank""",
+
+    // both retriever lists re-derived: ranks from float ORDER only
+    // (integer outputs), d2 mirrors the Spark elementwise fold
+    "q_rrf" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
+        |s AS (SELECT qid, vec_id AS nid,
+        |list_cosine_similarity(qe, embedding) AS sim,
+        |list_sum(list_transform(list_zip(qe, embedding),
+        |p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))**2)) AS d2
+        |FROM q, embeddings WHERE vec_id <> qid),
+        |rc AS (SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS r FROM s),
+        |rl AS (SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY d2 ASC, nid) AS r FROM s),
+        |uw AS (SELECT qid, nid, 1000000 // (60 + r) AS w FROM rc WHERE r <= 10
+        |UNION ALL SELECT qid, nid, 1000000 // (60 + r) FROM rl WHERE r <= 10),
+        |f AS (SELECT qid AS query_id, nid AS neighbor_id,
+        |CAST(SUM(w) AS BIGINT) AS rrf_ppm FROM uw GROUP BY 1, 2),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        |ORDER BY rrf_ppm DESC, neighbor_id) AS rank FROM f)
+        |SELECT query_id, neighbor_id, rrf_ppm, CAST(rank AS INTEGER) AS rank
+        |FROM rk WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     "q_hard_negatives" ->
       """WITH q AS (SELECT vec_id AS qid, embedding AS qe, label AS ql

@@ -921,6 +921,57 @@ object Corpus {
   }
 
   /**
+   * Per-document language-model score under a reference-trained
+   * word-bigram MLE — the integer-exact analog of perplexity-based
+   * quality filtering (CCNet / Wenzek et al. 2020: score each doc
+   * with an LM trained on a trusted corpus, drop the tail). Where
+   * [[bigramFamiliarity]] thresholds document frequency ("has anyone
+   * written this"), this scores CONDITIONAL probability
+   * P(w₂|w₁) = C(w₁w₂)/C(w₁·) ("how predictable is each next word"),
+   * the actual LM quantity — low average probability ≈ high
+   * perplexity ≈ boilerplate-free but also gibberish-prone text.
+   *
+   * Fixed-point per-bigram score `(10⁶·C(w₁w₂)) div C(w₁·)` keeps
+   * every value an exact BIGINT: no log/float, so results hash
+   * bit-identically across engines (the [[unigramDfScore]] trade —
+   * a monotone surrogate, which is all a rank-and-threshold filter
+   * consumes). Self-training (reference = corpus) guarantees every
+   * doc bigram has counts ≥ 1, so no smoothing branch is needed.
+   *
+   * Plan: doc bigrams pre-aggregate per (doc, bigram) before joining
+   * the LM (shrinks the join input to distinct bigrams per doc), the
+   * bigram table is vocabulary-bounded, and the prefix table derives
+   * from it by one more map-side-combinable agg — three shuffles
+   * total, all on bounded-cardinality keys.
+   *
+   * @return (idCol, n_bigrams, sum_p_ppm, avg_p_ppm)
+   */
+  def lmDocScore(docs: DataFrame, reference: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    graft.plans.NativeFns.register(docs.sparkSession)
+    // occurrence counts, not document frequency: MLE conditionals
+    val lm = reference
+      .select(explode(
+        graft.plans.WordShingles.shingles(col(textCol), 2)).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("__bc"))
+    val prefix = lm
+      .groupBy(expr("element_at(split(bigram, ' ', 2), 1)").as("__w1"))
+      .agg(sum("__bc").as("__pc"))
+    val docBigrams = docs.select(col(idCol),
+        explode(graft.plans.WordShingles.shingles(col(textCol), 2)).as("bigram"))
+      .groupBy(idCol, "bigram").agg(count(lit(1)).as("__n"))
+    docBigrams
+      .join(lm, Seq("bigram"))
+      .withColumn("__w1", expr("element_at(split(bigram, ' ', 2), 1)"))
+      .join(prefix, Seq("__w1"))
+      .withColumn("__p_ppm", expr("(1000000L * __bc) div __pc"))
+      .groupBy(idCol)
+      .agg(sum("__n").cast("long").as("n_bigrams"),
+        sum(col("__n") * col("__p_ppm")).cast("long").as("sum_p_ppm"))
+      .withColumn("avg_p_ppm", expr("sum_p_ppm div n_bigrams").cast("long"))
+  }
+
+  /**
    * Gopher-style structural repetition filter (Rae et al. 2021,
    * Table A1) — the line/paragraph members of the repetition family
    * that the scalar `TextFns.docSignals` (n-gram repetition ratio)

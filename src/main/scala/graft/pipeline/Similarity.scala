@@ -272,6 +272,74 @@ object Similarity {
     rank(scored, k)
   }
 
+  /**
+   * Exact EUCLIDEAN top-k — the second retriever view over the same
+   * corpus (cosine ranks by angle, L2 by magnitude-sensitive
+   * distance; they disagree whenever norms vary, which is exactly
+   * what makes fusing them informative). Same broadcast-query /
+   * corpus-streams shape as [[bruteForceTopK]].
+   *
+   * Ranks on SQUARED distance via a sequential left-to-right fold of
+   * `(x−y)²` — sqrt is rank-irrelevant (strictly monotone) and
+   * skipping it avoids the one hash-breaking case where two distinct
+   * sums round to the same double under sqrt.
+   */
+  def bruteForceTopKL2(corpus: DataFrame, queries: DataFrame, k: Int,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("v_c"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("v_q"))
+    val dist2 = aggregate(
+      zip_with(col("v_q"), col("v_c"),
+        (x, y) => (x.cast("double") - y.cast("double")) *
+          (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, v) => acc + v)
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("dist2", dist2)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("dist2").asc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "dist2", "rank")
+  }
+
+  /**
+   * Reciprocal-rank fusion (Cormack et al. 2009): merge the ranked
+   * lists of several retrievers into one consensus ranking,
+   * `score(d) = Σ_lists 1/(c + rank_list(d))` — no score calibration
+   * across retrievers needed, which is the whole point (cosine
+   * similarities and L2 distances are not comparable; ranks are).
+   * Standard glue for hybrid retrieval (dense + sparse, or several
+   * ANN index variants) feeding RAG / hard-negative mining.
+   *
+   * Fixed-point: each list contributes `1_000_000 div (c + rank)` so
+   * the fused score is an exact BIGINT — hash-stable across engines,
+   * no float summation order to worry about. A document absent from
+   * a list contributes nothing for it (the standard convention).
+   *
+   * Plan shape: union of k-bounded lists (tiny per query) → one
+   * map-side-combinable sum → per-query k-bounded rank window. Never
+   * touches the corpus — fusion cost is O(queries · k · lists).
+   *
+   * @param rankings each with (queryCol, idCol, rankCol) columns,
+   *                 rank 1-based as produced by the topK operators
+   * @return (query_id, neighbor_id, rrf_ppm, rank)
+   */
+  def rrfFuse(rankings: Seq[DataFrame], k: Int, c: Int = 60,
+      queryCol: String = "query_id", idCol: String = "neighbor_id",
+      rankCol: String = "rank"): DataFrame = {
+    require(rankings.nonEmpty, "need at least one ranked list")
+    val weighted = rankings.map(_.select(col(queryCol), col(idCol),
+        expr(s"CAST(1000000 DIV ($c + $rankCol) AS BIGINT)").as("__w")))
+      .reduce(_ unionByName _)
+    val fused = weighted.groupBy(queryCol, idCol)
+      .agg(sum("__w").as("rrf_ppm"))
+    val w = Window.partitionBy(queryCol)
+      .orderBy(col("rrf_ppm").desc, col(idCol))
+    fused.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(queryCol, idCol, "rrf_ppm", "rank")
+  }
+
   private def rank(scored: DataFrame, k: Int): DataFrame = {
     // rank window is per-query — partitions by query_id, so the sort is
     // k-bounded per group, not global. Ties broken by neighbor_id for

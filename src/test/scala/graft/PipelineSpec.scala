@@ -482,6 +482,41 @@ class PipelineSpec extends SparkTestBase {
       s"shapes disagree: only-rejoin=${rejoin -- carried} only-carry=${carried -- rejoin}")
   }
 
+  test("RRF fuses rank lists with integer weights; consensus doc wins") {
+    // doc 100 is rank 2 in both lists; doc 200/300 are rank 1 in one
+    // list only. RRF: 2·(10^6 div 62) = 32258 > 16393 = 10^6 div 61.
+    val a = Seq((1L, 200L, 1), (1L, 100L, 2)).toDF("query_id", "neighbor_id", "rank")
+    val b = Seq((1L, 300L, 1), (1L, 100L, 2)).toDF("query_id", "neighbor_id", "rank")
+    val out = graft.pipeline.Similarity.rrfFuse(Seq(a, b), k = 3)
+      .orderBy("rank").as[(Long, Long, Long, Int)].collect().toSeq
+    assert(out == Seq((1L, 100L, 32258L, 1), (1L, 200L, 16393L, 2),
+      (1L, 300L, 16393L, 3)))
+  }
+
+  test("L2 top-k ranks by magnitude where cosine ranks by angle") {
+    val e = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(10.0f, 0.1f)),   // nearly same angle, far in L2
+      (2L, Array(0.8f, 0.7f)))    // different angle, close in L2
+      .toDF("vec_id", "embedding")
+    val q = e.filter(col("vec_id") === 0)
+    val cos = graft.pipeline.Similarity.bruteForceTopK(e, q, 1)
+      .select("neighbor_id").as[Long].collect().toSeq
+    val l2 = graft.pipeline.Similarity.bruteForceTopKL2(e, q, 1)
+      .select("neighbor_id").as[Long].collect().toSeq
+    assert(cos == Seq(1L) && l2 == Seq(2L))
+  }
+
+  test("LM doc score: exact MLE conditional ppm on a hand corpus") {
+    // corpus bigrams: "a b" ×2, "a c" ×1, "b a" ×1 → C(a·)=3, C(b·)=1
+    val d = Seq((1L, "a b a c"), (2L, "a b")).toDF("doc_id", "text")
+    val out = graft.pipeline.Corpus.lmDocScore(d, d)
+      .orderBy("doc_id").as[(Long, Long, Long, Long)].collect().toSeq
+    // doc1: bigrams (a b)=666666, (b a)=1000000, (a c)=333333
+    // doc2: (a b)=666666
+    assert(out == Seq((1L, 3L, 1999999L, 666666L), (2L, 1L, 666666L, 666666L)))
+  }
+
   test("LSH top-k recall vs brute force is reasonable") {
     val e = Tables.read(spark, sf0001, "embeddings")
     val q = e.filter(col("vec_id") < 20)
