@@ -41,6 +41,18 @@ private[graft] object VectorEntries {
         .select("query_id", "neighbor_id", "rank").orderBy("query_id", "rank")
     },
 
+    // Product-quantization ADC top-k: 4 subspaces × label-derived
+    // codebooks, integer fixed-point distance table (floor(d2·2^20))
+    // so the ADC sum is order-free and hash-exact.
+    "q_ann_pq" -> { (s, dir) =>
+      val e = spread(Tables.read(s, dir, "embeddings"))
+      val books = Similarity.pqCodebooks(e, m = 4, subDim = 16)
+      val codes = Similarity.pqEncode(e, books, m = 4, subDim = 16)
+      Similarity.pqAdcTopK(codes, e.filter(col("vec_id") < 10), books,
+          k = 5, m = 4, subDim = 16)
+        .orderBy("query_id", "rank")
+    },
+
     // Hybrid-retrieval rank fusion: cosine and L2 brute-force lists
     // (k=10 each) merged by reciprocal-rank fusion into a consensus
     // top-5 — integer RRF weights, so the fused score is hash-exact.
@@ -228,6 +240,43 @@ private[graft] object VectorEntries {
         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank FROM s)
         SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank FROM r WHERE rank <= 5
         ORDER BY query_id, rank""",
+
+    // full PQ replication: decimal-exact subspace codebooks, argmin
+    // encode, fixed-point ADC (floor of an exponent-shift-exact
+    // double, so the BIGINT sums agree). MATERIALIZED: sub/cb/codes
+    // are multiply referenced (the q_kcore inlining lesson).
+    "q_ann_pq" ->
+      """WITH ss AS (SELECT unnest(range(0, 4)) AS s),
+        |sub AS MATERIALIZED (SELECT vec_id, label, s,
+        |embedding[s*16+1:(s+1)*16] AS sv FROM embeddings CROSS JOIN ss),
+        |flat AS (SELECT s, label, unnest(sv) AS v,
+        |generate_subscripts(sv, 1) AS pos FROM sub),
+        |cent AS (SELECT s, label AS code, pos,
+        |CAST(SUM(CAST(v AS DECIMAL(28,8))) AS DOUBLE)/COUNT(*) AS c
+        |FROM flat GROUP BY 1, 2, 3),
+        |cb AS MATERIALIZED (SELECT s, code,
+        |array_agg(c ORDER BY pos) AS centroid FROM cent GROUP BY 1, 2),
+        |enc AS (SELECT sub.vec_id, sub.s, cb.code,
+        |list_sum(list_transform(list_zip(sub.sv, cb.centroid),
+        |p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))**2)) AS d2
+        |FROM sub JOIN cb ON cb.s = sub.s),
+        |codes AS MATERIALIZED (SELECT vec_id, s, code FROM
+        |(SELECT *, row_number() OVER (PARTITION BY vec_id, s
+        |ORDER BY d2 ASC, code) AS rn FROM enc) WHERE rn = 1),
+        |dt AS MATERIALIZED (SELECT vec_id AS qid, s2.s, cb.code,
+        |CAST(floor(1048576 * list_sum(list_transform(
+        |list_zip(embedding[s2.s*16+1:(s2.s+1)*16], cb.centroid),
+        |p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))**2))) AS BIGINT) AS dfp
+        |FROM embeddings CROSS JOIN (SELECT unnest(range(0, 4)) AS s) s2
+        |JOIN cb ON cb.s = s2.s WHERE vec_id < 10),
+        |sc AS (SELECT dt.qid AS query_id, c.vec_id AS neighbor_id,
+        |CAST(SUM(dt.dfp) AS BIGINT) AS adc_fp
+        |FROM codes c JOIN dt ON dt.s = c.s AND dt.code = c.code
+        |WHERE c.vec_id <> dt.qid GROUP BY 1, 2),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        |ORDER BY adc_fp ASC, neighbor_id) AS rank FROM sc)
+        |SELECT query_id, neighbor_id, adc_fp, CAST(rank AS INTEGER) AS rank
+        |FROM rk WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     // both retriever lists re-derived: ranks from float ORDER only
     // (integer outputs), d2 mirrors the Spark elementwise fold

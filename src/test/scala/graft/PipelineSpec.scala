@@ -517,6 +517,50 @@ class PipelineSpec extends SparkTestBase {
     assert(out == Seq((1L, 3L, 1999999L, 666666L), (2L, 1L, 666666L, 666666L)))
   }
 
+  test("PQ: codebooks/encode/ADC exact on a hand fixture") {
+    // label 0 centroids per subspace: (1, 0); label 1: (11, 10)
+    val e = Seq(
+      (0L, Array(0.0f, 0.0f), 0), (1L, Array(2.0f, 0.0f), 0),
+      (2L, Array(10.0f, 10.0f), 1), (3L, Array(12.0f, 10.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val books = graft.pipeline.Similarity.pqCodebooks(e, m = 2, subDim = 1)
+    assert(books.count() == 4)
+    val codes = graft.pipeline.Similarity.pqEncode(e, books, m = 2, subDim = 1)
+      .as[(Long, Int, Int)].collect().toSet
+    assert(codes == Set((0L, 0, 0), (1L, 0, 0), (0L, 1, 0), (1L, 1, 0),
+      (2L, 0, 1), (3L, 0, 1), (2L, 1, 1), (3L, 1, 1)))
+    // query [9,9]: ADC to codes(1,1) = ((9-11)^2 + (9-10)^2)·2^20
+    val q = Seq((99L, Array(9.0f, 9.0f), 1)).toDF("vec_id", "embedding", "label")
+    val out = graft.pipeline.Similarity.pqAdcTopK(codes = graft.pipeline.Similarity
+        .pqEncode(e, books, m = 2, subDim = 1),
+        queries = q, books = books, k = 4, m = 2, subDim = 1)
+      .orderBy("rank").as[(Long, Long, Long, Int)].collect().toSeq
+    // codes (1,1) score 5·2^20 beats codes (0,0) at (64+81)·2^20;
+    // within a code group ties break to the smaller id
+    assert(out == Seq((99L, 2L, 5L * 1048576L, 1), (99L, 3L, 5L * 1048576L, 2),
+      (99L, 0L, 145L * 1048576L, 3), (99L, 1L, 145L * 1048576L, 4)))
+  }
+
+  test("PQ ADC recall vs brute force is reasonable at 4x16") {
+    val e = Tables.read(spark, sf0001, "embeddings")
+    val q = e.filter(col("vec_id") < 20)
+    val books = graft.pipeline.Similarity.pqCodebooks(e, m = 4, subDim = 16)
+    val codes = graft.pipeline.Similarity.pqEncode(e, books, m = 4, subDim = 16)
+    val exact = graft.pipeline.Similarity.bruteForceTopKL2(e, q, 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    // pure ADC on clustered data collapses clusters to one code tuple
+    // (unorderable within a cell) — recall is expectedly poor
+    val adc = graft.pipeline.Similarity.pqAdcTopK(codes, q, books, 5, 4, 16)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(adc.nonEmpty)
+    // the two-stage shape (ADC shortlist r=60 → exact refine) restores it
+    val rr = graft.pipeline.Similarity.pqAdcRerank(codes, q, books, e,
+        k = 5, r = 150, m = 4, subDim = 16)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & rr).size.toDouble / exact.size
+    assert(recall >= 0.75, s"PQ+rerank recall $recall too low")
+  }
+
   test("LSH top-k recall vs brute force is reasonable") {
     val e = Tables.read(spark, sf0001, "embeddings")
     val q = e.filter(col("vec_id") < 20)
