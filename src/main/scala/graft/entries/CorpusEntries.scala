@@ -311,6 +311,18 @@ private[graft] object CorpusEntries {
         .orderBy("node")
     },
 
+    // Cross-source quantile normalization: each doc's score mapped to
+    // the pooled distribution at its within-source quantile — fully
+    // integer (bucket scores, type-1 index), so hash-exact.
+    "q_quantile_norm" -> { (s, dir) =>
+      val scored = docs(s, dir).select(col("doc_id"), col("source"),
+        graft.pipeline.Corpus.hashBucket10k(
+          concat(lit("qn:"), col("text"))).cast("long").as("score"))
+      graft.pipeline.Corpus.quantileNormalize(spread(scored), "source", "score")
+        .select("doc_id", "source", "score", "rank", "permyriad", "norm_score")
+        .orderBy("doc_id")
+    },
+
     // Token-budget corpus selection: the best `budget` tokens by a
     // deterministic quality proxy (content-hash bucket as the score —
     // oracle-replicable; a real pipeline plugs qualityScore in). The
@@ -873,6 +885,27 @@ private[graft] object CorpusEntries {
          |CAST(count(*) OVER (PARTITION BY label) AS BIGINT) AS community_size
          |FROM l3 ORDER BY node""".stripMargin
     },
+
+    // type-1 pooled quantile at the source permyriad; all BIGINT
+    "q_quantile_norm" ->
+      s"""WITH t AS (SELECT doc_id, source,
+         |CAST(${bucketSql("'qn:' || text", 10000)} AS BIGINT) AS score
+         |FROM documents),
+         |s AS (SELECT doc_id, source, score,
+         |CAST(row_number() OVER (PARTITION BY source
+         |ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
+         |count(*) OVER (PARTITION BY source) AS n FROM t),
+         |sp AS (SELECT doc_id, source, score, rank,
+         |CAST(CASE WHEN n > 1 THEN ((rank - 1) * 10000) // (n - 1)
+         |ELSE 0 END AS BIGINT) AS permyriad FROM s),
+         |p AS (SELECT score AS pscore,
+         |row_number() OVER (ORDER BY score DESC, doc_id) AS pr FROM t),
+         |c AS (SELECT count(*) AS n_all FROM t)
+         |SELECT sp.doc_id, sp.source, sp.score, sp.rank, sp.permyriad,
+         |p.pscore AS norm_score
+         |FROM sp CROSS JOIN c
+         |JOIN p ON p.pr = 1 + (sp.permyriad * (c.n_all - 1)) // 10000
+         |ORDER BY doc_id""".stripMargin,
 
     "q_token_budget" ->
       s"""WITH t AS (SELECT doc_id,

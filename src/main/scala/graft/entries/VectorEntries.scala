@@ -53,6 +53,16 @@ private[graft] object VectorEntries {
         .orderBy("query_id", "rank")
     },
 
+    // MMR diversification: greedy rel-minus-redundancy selection of 5
+    // from each query's cosine top-20, fixed-point scores so the
+    // greedy trajectory is integer-deterministic.
+    "q_mmr" -> { (s, dir) =>
+      val e = spread(Tables.read(s, dir, "embeddings"))
+      Similarity.mmrTopK(e, e.filter(col("vec_id") < 10),
+          select = 5, poolSize = 20)
+        .orderBy("query_id", "sel_rank")
+    },
+
     // Hybrid-retrieval rank fusion: cosine and L2 brute-force lists
     // (k=10 each) merged by reciprocal-rank fusion into a consensus
     // top-5 — integer RRF weights, so the fused score is hash-exact.
@@ -240,6 +250,46 @@ private[graft] object VectorEntries {
         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank FROM s)
         SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank FROM r WHERE rank <= 5
         ORDER BY query_id, rank""",
+
+    // unrolled greedy rounds, all CTEs MATERIALIZED; coalesce(ms, 0)
+    // mirrors the Spark round-1 no-selection case
+    "q_mmr" -> {
+      val rounds = (2 to 5).map { i =>
+        s"""ms$i AS (SELECT p.qid, p.a AS nid, MAX(p.sim_fp) AS ms
+           |FROM pairs p JOIN acc${i - 1} s ON s.qid = p.qid AND s.nid = p.b
+           |GROUP BY 1, 2),
+           |sel$i AS MATERIALIZED (SELECT qid, nid, rel_fp, $i AS sel_rank FROM
+           |(SELECT c.qid, c.nid, c.rel_fp,
+           |row_number() OVER (PARTITION BY c.qid
+           |ORDER BY c.rel_fp - COALESCE(m.ms, 0) DESC, c.nid) AS rn
+           |FROM cands c LEFT JOIN ms$i m ON m.qid = c.qid AND m.nid = c.nid
+           |WHERE NOT EXISTS (SELECT 1 FROM acc${i - 1} s
+           |WHERE s.qid = c.qid AND s.nid = c.nid)) WHERE rn = 1),
+           |acc$i AS MATERIALIZED (SELECT * FROM acc${i - 1}
+           |UNION ALL SELECT * FROM sel$i)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
+         |s0 AS (SELECT qid, vec_id AS nid, embedding AS ne,
+         |${cosineSql("qe", "embedding")} AS sim
+         |FROM q, embeddings WHERE vec_id <> qid),
+         |pool AS MATERIALIZED (SELECT qid, nid, ne,
+         |CAST(floor(1048576 * sim) AS BIGINT) AS rel_fp,
+         |row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rk FROM s0),
+         |cands AS MATERIALIZED (SELECT qid, nid, ne, rel_fp FROM pool WHERE rk <= 20),
+         |p0 AS (SELECT a.qid, a.nid AS a, b.nid AS b, a.ne AS va, b.ne AS vb
+         |FROM cands a JOIN cands b ON a.qid = b.qid AND a.nid <> b.nid),
+         |pairs AS MATERIALIZED (SELECT qid, a, b,
+         |CAST(floor(1048576 * ${cosineSql("va", "vb")}) AS BIGINT) AS sim_fp
+         |FROM p0),
+         |sel1 AS MATERIALIZED (SELECT qid, nid, rel_fp, 1 AS sel_rank FROM
+         |(SELECT qid, nid, rel_fp, row_number() OVER (PARTITION BY qid
+         |ORDER BY rel_fp DESC, nid) AS rn FROM cands) WHERE rn = 1),
+         |acc1 AS MATERIALIZED (SELECT * FROM sel1),
+         |$rounds
+         |SELECT qid AS query_id, nid AS neighbor_id, rel_fp,
+         |CAST(sel_rank AS INTEGER) AS sel_rank
+         |FROM acc5 ORDER BY query_id, sel_rank""".stripMargin
+    },
 
     // full PQ replication: decimal-exact subspace codebooks, argmin
     // encode, fixed-point ADC (floor of an exponent-shift-exact

@@ -873,6 +873,40 @@ object Corpus {
   }
 
   /**
+   * Cross-source quantile normalization: map every document's score
+   * onto the POOLED score distribution at the same within-source
+   * quantile — the remedy when heterogeneous sources' quality scores
+   * aren't comparable (one scorer's 0.8 is another's 0.5) but a
+   * single mixing threshold must apply to all. The classic
+   * quantile-normalization recipe (Bolstad et al. 2003) restated for
+   * corpus scores: after mapping, every source has the same score
+   * distribution, so "top 20% overall" means top 20% of EACH source.
+   *
+   * Exact type-1 (floor-index) quantiles, all integer: the doc's
+   * within-source permyriad comes from [[groupPercentile]], and the
+   * mapped value is the pooled score at descending rank
+   * `1 + (permyriad · (N−1)) div 10000`. Both rank passes ride
+   * groupPercentile's two-phase bucket form — no single-task global
+   * sort — and the rank-indexed pooled lookup is a plain equi-join.
+   *
+   * @return input columns + (rank, permyriad, norm_score)
+   */
+  def quantileNormalize(scored: DataFrame, groupCol: String,
+      scoreCol: String, idCol: String = "doc_id"): DataFrame = {
+    val src = groupPercentile(scored, groupCol, scoreCol, idCol)
+    val pooled = groupPercentile(
+        scored.withColumn("__all", lit("all")), "__all", scoreCol, idCol)
+      .select(col("rank").as("__prank"), col(scoreCol).as("__pscore"))
+    val n = scored.agg(count(lit(1)).as("__N"))
+    src.crossJoin(broadcast(n))
+      .withColumn("__idx",
+        expr("1L + (permyriad * (__N - 1)) div 10000").cast("long"))
+      .join(pooled, col("__idx") === col("__prank"))
+      .withColumn("norm_score", col("__pscore"))
+      .drop("__N", "__idx", "__prank", "__pscore")
+  }
+
+  /**
    * Bigram familiarity — the contextual member of the LM-proxy family
    * ([[unigramDfScore]] is the unigram member): the share of a
    * document's word BIGRAMS that a reference corpus has seen at least

@@ -472,6 +472,79 @@ object Similarity {
       .select("query_id", "neighbor_id", "dist2", "rank")
   }
 
+  /**
+   * Maximal-marginal-relevance diversification (Carbonell & Goldstein
+   * 1998) at λ = 0.5: greedily select `select` results from each
+   * query's top-`poolSize` candidate pool, each round picking
+   * `argmax(rel − max_sim_to_already_selected)` — relevance minus
+   * redundancy, the standard de-duplication of retrieval results
+   * before they reach a context window (near-identical passages crowd
+   * out coverage). λ = 0.5 makes the score a plain difference (the
+   * ×2 scale is rank-irrelevant).
+   *
+   * Fixed-point: relevance and pairwise similarity enter as
+   * `floor(cosine · 2²⁰)` BIGINTs (exponent-shift-exact, the PQ ADC
+   * trade), so every round's argmax — and therefore the whole greedy
+   * trajectory — is integer-deterministic; ties break to the smaller
+   * id. The oracle replays the same unrolled rounds.
+   *
+   * Scale: the pool is k-bounded per query (poolSize² pairwise sims
+   * per query, computed once); each selection round is one per-query
+   * max + one argmax window over ≤ poolSize rows — never touches the
+   * corpus after the initial top-k.
+   *
+   * @return (query_id, neighbor_id, rel_fp, sel_rank)
+   */
+  def mmrTopK(corpus: DataFrame, queries: DataFrame, select: Int,
+      poolSize: Int, vecCol: String = "embedding",
+      idCol: String = "vec_id"): DataFrame = {
+    require(select >= 1 && poolSize >= select, "need 1 <= select <= poolSize")
+    val pool = bruteForceTopK(corpus, queries, poolSize, vecCol, idCol)
+    val cands = pool.select(col("query_id"), col("neighbor_id"),
+      floor(col("cosine") * lit(1048576.0)).cast("long").as("rel_fp"))
+    val cv = pool.select(col("query_id"), col("neighbor_id"))
+      .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__v")),
+        Seq("neighbor_id"))
+    val pairs = cv.select(col("query_id"), col("neighbor_id").as("a"), col("__v").as("__va"))
+      .join(cv.select(col("query_id"), col("neighbor_id").as("b"), col("__v").as("__vb")),
+        Seq("query_id"))
+      .filter(col("a") =!= col("b"))
+      .select(col("query_id"), col("a"), col("b"),
+        floor(VectorFns.cosine(col("__va"), col("__vb")) * lit(1048576.0))
+          .cast("long").as("sim_fp"))
+      .persist()
+    pairs.count()
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("__score").desc, col("neighbor_id"))
+    var selected = cands.limit(0)
+      .select(col("query_id"), col("neighbor_id"), col("rel_fp"),
+        lit(0).as("sel_rank"))
+    (1 to select).foreach { r =>
+      // round 1: no selected rows exist, the max-sim join finds
+      // nothing, coalesce(0) leaves score = rel_fp — plain argmax rel
+      val ms = pairs
+        .join(selected.select(col("query_id"), col("neighbor_id").as("b")),
+          Seq("query_id", "b"))
+        .groupBy(col("query_id"), col("a").as("neighbor_id"))
+        .agg(max(col("sim_fp")).as("__ms"))
+      val pick = cands
+        .join(selected.select("query_id", "neighbor_id"),
+          Seq("query_id", "neighbor_id"), "left_anti")
+        .join(ms, Seq("query_id", "neighbor_id"), "left")
+        .withColumn("__score", col("rel_fp") - coalesce(col("__ms"), lit(0L)))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("query_id"), col("neighbor_id"), col("rel_fp"),
+          lit(r).as("sel_rank"))
+      val next = selected.unionByName(pick).persist()
+      next.count()
+      selected.unpersist()
+      selected = next
+    }
+    pairs.unpersist()
+    selected
+  }
+
   private def rank(scored: DataFrame, k: Int): DataFrame = {
     // rank window is per-query — partitions by query_id, so the sort is
     // k-bounded per group, not global. Ties broken by neighbor_id for

@@ -561,6 +561,32 @@ class PipelineSpec extends SparkTestBase {
     assert(recall >= 0.75, s"PQ+rerank recall $recall too low")
   }
 
+  test("MMR trades relevance for diversity in greedy rounds") {
+    // query [1,1]: C/D most relevant; after C, the near-dup D is
+    // penalized and the orthogonal B wins round 2
+    val e = Seq(
+      (1L, Array(10.0f, 0.0f)), (2L, Array(0.0f, 10.0f)),
+      (3L, Array(9.0f, 1.0f)), (4L, Array(1.0f, 9.0f)),
+      (9L, Array(1.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val q = e.filter(col("vec_id") === 9)
+    val out = graft.pipeline.Similarity
+      .mmrTopK(e.filter(col("vec_id") < 9), q, select = 4, poolSize = 4)
+      .orderBy("sel_rank").select("neighbor_id").as[Long].collect().toSeq
+    assert(out == Seq(3L, 2L, 4L, 1L))
+  }
+
+  test("quantile normalization maps source ranks onto the pooled curve") {
+    val d = Seq((1L, "X", 30L), (2L, "X", 20L), (3L, "X", 10L),
+      (4L, "Y", 25L), (5L, "Y", 5L)).toDF("doc_id", "source", "score")
+    val out = graft.pipeline.Corpus.quantileNormalize(d, "source", "score")
+      .select("doc_id", "norm_score").orderBy("doc_id")
+      .as[(Long, Long)].collect().toSeq
+    // pooled desc: 30,25,20,10,5; X maps ranks 1/2/3 → idx 1/3/5,
+    // Y maps ranks 1/2 → idx 1/5
+    assert(out == Seq((1L, 30L), (2L, 20L), (3L, 5L), (4L, 30L), (5L, 5L)))
+  }
+
   test("LSH top-k recall vs brute force is reasonable") {
     val e = Tables.read(spark, sf0001, "embeddings")
     val q = e.filter(col("vec_id") < 20)
