@@ -73,6 +73,15 @@ private[graft] object CorpusEntries {
         .select("doc_id", "lang").orderBy("doc_id")
     },
 
+    // Minwise per-stratum sampling: exactly 10 docs per source by
+    // smallest deterministic md5 draw — exact counts where q_sample's
+    // Bernoulli gives exact rates, and coordinated across runs.
+    "q_sample_minwise" -> { (s, dir) =>
+      graft.pipeline.Corpus.minwiseSample(docs(s, dir), "source",
+          n = 10, seedTag = "strat")
+        .select("doc_id", "source", "draw_rank").orderBy("doc_id")
+    },
+
     // Mixture-targeted resampling: per-source keep rates derived from
     // target weights and actual counts, integer-exact permyriad.
     "q_mixture" -> { (s, dir) =>
@@ -885,6 +894,15 @@ private[graft] object CorpusEntries {
          |CAST(count(*) OVER (PARTITION BY label) AS BIGINT) AS community_size
          |FROM l3 ORDER BY node""".stripMargin
     },
+
+    "q_sample_minwise" ->
+      """WITH d AS (SELECT doc_id, source,
+        |md5('strat:' || CAST(doc_id AS VARCHAR)) AS h FROM documents),
+        |r AS (SELECT doc_id, source,
+        |CAST(row_number() OVER (PARTITION BY source ORDER BY h, doc_id)
+        |AS BIGINT) AS draw_rank FROM d)
+        |SELECT doc_id, source, draw_rank FROM r WHERE draw_rank <= 10
+        |ORDER BY doc_id""".stripMargin,
 
     // type-1 pooled quantile at the source permyriad; all BIGINT
     "q_quantile_norm" ->

@@ -494,6 +494,22 @@ private[graft] object SqlSeriesEntries {
         .orderBy("left_id", "right_id")
     },
 
+    // Entity resolution on the linkage pairs: min-label connected
+    // components (3 rounds, convergence audited) → entity ids +
+    // member counts — the "cluster then canonicalize" half of MDM.
+    "q_entity_resolution" -> { (s, dir) =>
+      val cust = Tables.read(s, dir, "customer")
+      val right = cust.filter(col("c_custkey") % 3 === 0)
+        .select((col("c_custkey") + 100000L).as("c_custkey"),
+          concat(col("c_name"), lit(" jr")).as("c_name"),
+          col("c_nationkey"), col("c_mktsegment"))
+      val pairs = graft.pipeline.RecordLinkage.link(cust, right, "c_name",
+        Seq("c_nationkey" -> 500L, "c_mktsegment" -> 300L), "c_custkey",
+        maxDf = 50, minScore = 1000L)
+      graft.pipeline.RecordLinkage.resolveEntities(pairs, iters = 3)
+        .orderBy("record_id")
+    },
+
     // Interval union (islands): per-user activity intervals
     // [ts, ts + 10min..40h] (length from event_id — deterministic)
     // merged into maximal disjoint islands.
@@ -1089,6 +1105,52 @@ private[graft] object SqlSeriesEntries {
         |SELECT lid AS left_id, rid AS right_id, jac AS name_jaccard_permille,
         |CAST(jac + ew AS BIGINT) AS score FROM sc WHERE jac + ew >= 1000
         |ORDER BY left_id, right_id""".stripMargin,
+
+    // linkage CTEs reused verbatim, then 3 unrolled min-label rounds
+    // (MATERIALIZED — the q_kcore inlining lesson)
+    "q_entity_resolution" -> {
+      val rounds = (1 to 3).map { i =>
+        s"""m$i AS (SELECT ne.node, MIN(l.label) AS ml FROM ne
+           |JOIN l${i - 1} l ON l.node = ne.nbr GROUP BY 1),
+           |l$i AS MATERIALIZED (SELECT n.node,
+           |least(n.label, COALESCE(m$i.ml, n.label)) AS label
+           |FROM l${i - 1} n LEFT JOIN m$i USING (node))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH rr AS (SELECT c_custkey + 100000 AS c_custkey, c_name || ' jr' AS c_name,
+         |c_nationkey, c_mktsegment FROM customer WHERE c_custkey % 3 = 0),
+         |lt AS (SELECT c_custkey AS lid, list_distinct(list_filter(
+         |regexp_split_to_array(c_name, '\\s+'), x -> x <> '')) AS tk FROM customer),
+         |rt AS (SELECT c_custkey AS rid, list_distinct(list_filter(
+         |regexp_split_to_array(c_name, '\\s+'), x -> x <> '')) AS tk FROM rr),
+         |lp AS (SELECT lid, unnest(tk) AS t FROM lt WHERE len(tk) > 0),
+         |rp AS (SELECT rid, unnest(tk) AS t FROM rt WHERE len(tk) > 0),
+         |rare AS (SELECT t FROM (SELECT t FROM lp UNION ALL SELECT t FROM rp)
+         |GROUP BY t HAVING COUNT(*) <= 50),
+         |cand AS (SELECT DISTINCT lp.lid, rp2.rid FROM lp
+         |JOIN rare USING (t)
+         |JOIN (SELECT rid, t FROM rp JOIN rare USING (t)) rp2 ON rp2.t = lp.t),
+         |sc AS (SELECT cand.lid, cand.rid,
+         |CAST(1000 * len(list_intersect(lt.tk, rt.tk)) //
+         |len(list_distinct(list_concat(lt.tk, rt.tk))) AS BIGINT) AS jac,
+         |CASE WHEN lc.c_nationkey = rc.c_nationkey THEN 500 ELSE 0 END +
+         |CASE WHEN lc.c_mktsegment = rc.c_mktsegment THEN 300 ELSE 0 END AS ew
+         |FROM cand JOIN lt ON lt.lid = cand.lid JOIN rt ON rt.rid = cand.rid
+         |JOIN customer lc ON lc.c_custkey = cand.lid
+         |JOIN rr rc ON rc.c_custkey = cand.rid),
+         |pr AS (SELECT lid, rid FROM sc WHERE jac + ew >= 1000),
+         |u AS MATERIALIZED (SELECT DISTINCT least(lid, rid) AS a,
+         |greatest(lid, rid) AS b FROM pr WHERE lid <> rid),
+         |ne AS MATERIALIZED (SELECT a AS node, b AS nbr FROM u
+         |UNION ALL SELECT b, a FROM u),
+         |l0 AS MATERIALIZED (SELECT DISTINCT node, node AS label FROM ne),
+         |$rounds,
+         |cv AS (SELECT COALESCE(bool_and(la.label = lb.label), true) AS c
+         |FROM u JOIN l3 la ON la.node = u.a JOIN l3 lb ON lb.node = u.b)
+         |SELECT node AS record_id, label AS entity_id,
+         |CAST(count(*) OVER (PARTITION BY label) AS BIGINT) AS n_members,
+         |cv.c AS converged
+         |FROM l3 CROSS JOIN cv ORDER BY record_id""".stripMargin
+    },
 
     // islands via running-max window; tied (start,end) rows are
     // interchangeable so the ROWS frame is order-tie-safe

@@ -873,6 +873,32 @@ object Corpus {
   }
 
   /**
+   * Fixed-size uniform sample per stratum: the `n` records with the
+   * smallest deterministic md5 draw in each group — the third classic
+   * sampling mode next to per-stratum Bernoulli ([[stratifiedSample]]:
+   * exact RATE, approximate count) and weighted-without-replacement
+   * (priority sampling): exact per-group COUNTS, uniform within the
+   * group, reproducible by any engine with md5. Minwise order makes
+   * the sample COORDINATED: re-running over a grown stratum keeps
+   * prior picks unless displaced, and two engines' samples of
+   * overlapping strata agree on the overlap.
+   *
+   * The rank window is per-stratum and n-bounded; no global sort.
+   *
+   * @return input columns + draw_rank (1..n within each stratum)
+   */
+  def minwiseSample(df: DataFrame, strataCol: String, n: Int,
+      seedTag: String, idCol: String = "doc_id"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(strataCol)
+      .orderBy(col("__draw"), col(idCol))
+    df.withColumn("__draw",
+        md5(concat(lit(seedTag + ":"), col(idCol).cast("string"))))
+      .withColumn("draw_rank", row_number().over(w).cast("long"))
+      .filter(col("draw_rank") <= n)
+      .drop("__draw")
+  }
+
+  /**
    * Cross-source quantile normalization: map every document's score
    * onto the POOLED score distribution at the same within-source
    * quantile — the remedy when heterogeneous sources' quality scores

@@ -561,6 +561,31 @@ class PipelineSpec extends SparkTestBase {
     assert(recall >= 0.75, s"PQ+rerank recall $recall too low")
   }
 
+  test("entity resolution: transitive pairs collapse; converged audits the bound") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L))
+      .toDF("left_id", "right_id")
+    val done = graft.pipeline.RecordLinkage.resolveEntities(pairs, iters = 2)
+      .orderBy("record_id").as[(Long, Long, Long, Boolean)].collect().toSeq
+    assert(done == Seq((1L, 1L, 3L, true), (2L, 1L, 3L, true),
+      (3L, 1L, 3L, true), (10L, 10L, 2L, true), (11L, 10L, 2L, true)))
+    // one round leaves the 3-chain bichrome and says so
+    val short = graft.pipeline.RecordLinkage.resolveEntities(pairs, iters = 1)
+    assert(!short.select("converged").distinct().as[Boolean].collect().head)
+  }
+
+  test("minwise sample: exact per-stratum counts, coordinated picks") {
+    val d = (1L to 40L).map(i => (i, if (i <= 25) "A" else "B"))
+      .toDF("doc_id", "source")
+    val s10 = graft.pipeline.Corpus.minwiseSample(d, "source", 10, "t")
+    assert(s10.groupBy("source").count().as[(String, Long)].collect().toMap
+      == Map("A" -> 10L, "B" -> 10L))
+    // coordination: the 5-sample is a subset of the 10-sample
+    val s5 = graft.pipeline.Corpus.minwiseSample(d, "source", 5, "t")
+      .select("doc_id").as[Long].collect().toSet
+    val s10ids = s10.select("doc_id").as[Long].collect().toSet
+    assert(s5.subsetOf(s10ids))
+  }
+
   test("MMR trades relevance for diversity in greedy rounds") {
     // query [1,1]: C/D most relevant; after C, the near-dup D is
     // penalized and the orthogonal B wins round 2
