@@ -672,6 +672,80 @@ object ProfileScale {
             .as("n_tokens"))
         graft.operators.Sampling.prioritySample(d, "n_tokens", "doc_id",
           k = 50)
+      },
+      // k-core over 97-node chains keyed by doc_id: the GRAPH grows
+      // linearly with the corpus (unlike the board fixture's constant
+      // mod-60 graph), so each peel round's join+degree pass must too.
+      "kcore" -> { m =>
+        val d = scaledDocs(spark, sfDir, m)
+        val e = d.select(col("doc_id").as("src"),
+            (col("doc_id") + 1).as("dst"))
+          .filter(pmod(col("doc_id"), lit(97)) =!= 96)
+        Graphs.kCore(e, k = 2, iters = 3)
+      },
+      // label propagation on the same linear-growing chain graph
+      "label_prop" -> { m =>
+        val d = scaledDocs(spark, sfDir, m)
+        val e = d.select(col("doc_id").as("src"),
+            (col("doc_id") + 1).as("dst"))
+          .filter(pmod(col("doc_id"), lit(97)) =!= 96)
+        Graphs.labelPropagation(e, iters = 3)
+      },
+      // session path n-grams: linear explode + bounded-vocab count
+      "session_paths" -> { m =>
+        val base = Tables.read(spark, sfDir, "events")
+          .select(col("user_id"),
+            date_trunc("second", col("ts")).cast("timestamp").as("ts"),
+            col("event_id"), col("event_type"))
+        val ev = (0 until m).map(k =>
+            base.select((col("user_id") + lit(k * 1000000L)).as("user_id"),
+              col("ts"), (col("event_id") + lit(k * 10000000L)).as("event_id"),
+              col("event_type")))
+          .reduce(_ unionByName _)
+          .repartition(spark.sparkContext.defaultParallelism)
+        graft.operators.Sessionize.pathNgrams(ev, "user_id", "ts",
+          "event_id", "event_type", gapSec = 43200L, n = 3, minCount = 3L)
+      },
+      // LM conditional scoring: doc-bigram pre-agg → vocab-bounded
+      // join; the join input (distinct per-doc bigrams) is the
+      // linearity-critical volume
+      "lm_score" -> { m =>
+        val d = scaledDocs(spark, sfDir, m)
+        Corpus.lmDocScore(d, d)
+      },
+      // PQ: encode is the corpus-linear pass; ADC streams codes
+      // against a broadcast distance table
+      "ann_pq" -> { m =>
+        val vecs = scaledVecs(spark, sfDir, m)
+        val books = Similarity.pqCodebooks(vecs, m = 4, subDim = 16)
+        val codes = Similarity.pqEncode(vecs, books, m = 4, subDim = 16)
+        Similarity.pqAdcTopK(codes, vecs.filter(col("vec_id") < 10),
+          books, k = 5, m = 4, subDim = 16)
+      },
+      // MMR: corpus cost is one brute top-k; the greedy rounds touch
+      // only the k-bounded pool (constant as the corpus grows)
+      "mmr" -> { m =>
+        val vecs = scaledVecs(spark, sfDir, m)
+        Similarity.mmrTopK(vecs, vecs.filter(col("vec_id") < 10),
+          select = 5, poolSize = 20)
+      },
+      // entity resolution over stars of 3 records per entity: pair
+      // volume and the min-label rounds both scale with the corpus
+      "entity_resolution" -> { m =>
+        val d = scaledDocs(spark, sfDir, m)
+        val pairs = d.select(col("doc_id").as("left_id"),
+            (col("doc_id") - pmod(col("doc_id"), lit(3))).as("right_id"))
+          .filter(col("left_id") =!= col("right_id"))
+        graft.pipeline.RecordLinkage.resolveEntities(pairs, iters = 3)
+      },
+      // quantile normalization: two two-phase rank passes + a
+      // rank-indexed equi-join — no single-task global sort at any m
+      "quantile_norm" -> { m =>
+        val d = scaledDocs(spark, sfDir, m).select(col("doc_id"),
+          concat(lit("s"), pmod(col("doc_id"), lit(20))).as("source"),
+          Corpus.hashBucket10k(concat(lit("qn:"),
+            col("doc_id").cast("string"))).cast("long").as("score"))
+        Corpus.quantileNormalize(d, "source", "score")
       })
 
     // warm-up: every op once at 1× so the 1×-vs-10× comparison is

