@@ -459,6 +459,34 @@ private[graft] object CorpusEntries {
 
     // Canonical-URL crawl dedup: case/port/slash/tracking-param/
     // param-order variants of one page collapse to one exact key.
+    // Longest-prefix URL rule filter: per-site allow + deeper deny
+    // carve-out (every 7th site unruled → default); the /page/other
+    // docs hit the deny, http /page docs the allow, https ones fall
+    // through (scheme mismatch) — three regimes in one fixture.
+    "q_url_rules" -> { (s, dir) =>
+      val k = expr("doc_id div 4")
+      val url = when(col("doc_id") % 4 === 0,
+          concat(lit("HTTP://Site"), k, lit(".COM:80/page/?utm_source=x&b=2&a=1")))
+        .when(col("doc_id") % 4 === 1,
+          concat(lit("http://site"), k, lit(".com/page?a=1&b=2")))
+        .when(col("doc_id") % 4 === 2,
+          concat(lit("https://site"), k, lit(".com:443/page?a=1&b=2")))
+        .otherwise(
+          concat(lit("http://site"), k, lit(".com/page/other/?b=2&a=1&fbclid=zz")))
+      val canon = docs(s, dir).select(col("doc_id"),
+        TextFns.canonicalUrl(url).as("url"))
+      val sites = docs(s, dir).select(expr("doc_id div 4").as("k"))
+        .distinct().filter(col("k") % 7 =!= 0)
+      val rules = sites.select(
+          concat(lit("http://site"), col("k").cast("string"),
+            lit(".com/page/other")).as("prefix"), lit("deny").as("action"))
+        .unionByName(sites.select(
+          concat(lit("http://site"), col("k").cast("string"),
+            lit(".com")).as("prefix"), lit("allow").as("action")))
+      graft.pipeline.Corpus.urlRuleFilter(canon, rules, "url")
+        .select("doc_id", "url", "action", "rule_prefix").orderBy("doc_id")
+    },
+
     "q_url_canon" -> { (s, dir) =>
       val k = expr("doc_id div 4")
       val url = when(col("doc_id") % 4 === 0,
@@ -754,6 +782,47 @@ private[graft] object CorpusEntries {
         |SELECT s.s.suffix AS suffix, CAST(s.s.level AS INTEGER) AS level,
         |CAST(COUNT(*) AS BIGINT) AS n_docs
         |FROM s GROUP BY 1, 2 ORDER BY level, suffix""".stripMargin,
+
+    // canonicalization CTEs shared with q_url_canon; prefixes at
+    // segment boundaries of the query-stripped form; longest wins
+    "q_url_rules" ->
+      """WITH u AS (SELECT doc_id, CASE doc_id % 4
+        |WHEN 0 THEN 'HTTP://Site' || (doc_id // 4) || '.COM:80/page/?utm_source=x&b=2&a=1'
+        |WHEN 1 THEN 'http://site' || (doc_id // 4) || '.com/page?a=1&b=2'
+        |WHEN 2 THEN 'https://site' || (doc_id // 4) || '.com:443/page?a=1&b=2'
+        |ELSE 'http://site' || (doc_id // 4) || '.com/page/other/?b=2&a=1&fbclid=zz'
+        |END AS url FROM documents),
+        |p AS (SELECT doc_id,
+        |lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.\-]*)://', 1)) AS scheme,
+        |lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)', 1)) AS hostport,
+        |regexp_replace(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)', 1), '/+$', '') AS path,
+        |regexp_extract(url, '\?([^#]*)', 1) AS query FROM u),
+        |n AS (SELECT doc_id, scheme,
+        |CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+        |     WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+        |     ELSE hostport END AS host, path,
+        |array_to_string(list_sort(list_filter(string_split(query, '&'),
+        |x -> x <> '' AND NOT regexp_matches(x, '^(utm_[^=]*|fbclid|gclid)(=|$)'))), '&') AS q
+        |FROM p),
+        |c AS MATERIALIZED (SELECT doc_id, scheme || '://' || host || path ||
+        |CASE WHEN q = '' THEN '' ELSE '?' || q END AS canon FROM n),
+        |sites AS (SELECT DISTINCT doc_id // 4 AS k FROM documents
+        |WHERE (doc_id // 4) % 7 <> 0),
+        |rules AS MATERIALIZED (
+        |SELECT 'http://site' || k || '.com/page/other' AS prefix, 'deny' AS action FROM sites
+        |UNION ALL SELECT 'http://site' || k || '.com', 'allow' FROM sites),
+        |pf AS (SELECT doc_id, regexp_replace(canon, '\?.*$', '') AS m FROM c),
+        |px AS (SELECT doc_id, unnest(list_transform(
+        |range(3, len(string_split(m, '/')) + 1),
+        |i -> array_to_string(string_split(m, '/')[1:i], '/'))) AS pfx FROM pf),
+        |j AS (SELECT px.doc_id, r.prefix, r.action,
+        |row_number() OVER (PARTITION BY px.doc_id
+        |ORDER BY len(r.prefix) DESC, r.prefix DESC) AS rn
+        |FROM px JOIN rules r ON r.prefix = px.pfx)
+        |SELECT c.doc_id, c.canon AS url,
+        |COALESCE(j.action, 'allow') AS action, j.prefix AS rule_prefix
+        |FROM c LEFT JOIN (SELECT * FROM j WHERE rn = 1) j USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     "q_url_canon" ->
       """WITH u AS (SELECT doc_id, CASE doc_id % 4

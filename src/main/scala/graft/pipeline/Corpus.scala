@@ -899,6 +899,48 @@ object Corpus {
   }
 
   /**
+   * Longest-prefix URL rule filter — robots.txt / blocklist
+   * semantics: each URL takes the action of the LONGEST rule prefix
+   * that matches it at a path-segment boundary, falling back to
+   * `defaultAction` when nothing matches. The crawl-curation
+   * gatekeeper (per-site allow with deeper deny carve-outs, or the
+   * reverse) that a plain equi-join can't express and a LIKE-join
+   * would turn into a scan per rule.
+   *
+   * Matching explodes each URL into its segment-boundary prefixes
+   * (query string stripped first, so rules never need to anticipate
+   * parameters) — bounded by path DEPTH, not rule count — and
+   * equi-joins the rule table: longest-match is then a per-URL
+   * struct-max, map-side combinable. Segment boundaries prevent the
+   * classic substring false match (`…/site1` never matches
+   * `…/site10`). Rules broadcast (rule tables are small by nature);
+   * swap the hint for a shuffle join past broadcast scale.
+   *
+   * @param rules (prefix, action) — prefixes unique, in the same
+   *              canonical form as `urlCol` (pass both through
+   *              [[graft.functions.TextFns.canonicalUrl]])
+   * @return input columns + (rule_prefix — null on default, action)
+   */
+  def urlRuleFilter(urls: DataFrame, rules: DataFrame, urlCol: String,
+      idCol: String = "doc_id", defaultAction: String = "allow"): DataFrame = {
+    val pfx = urls
+      .withColumn("__m", regexp_replace(col(urlCol), "\\?.*$", ""))
+      .withColumn("__pfx", explode(expr(
+        "transform(sequence(3, size(split(__m, '/'))), " +
+          "i -> array_join(slice(split(__m, '/'), 1, i), '/'))")))
+    val matched = pfx
+      .join(broadcast(rules.select(col("prefix").as("__pfx"),
+        col("action").as("__a"))), Seq("__pfx"))
+      .groupBy(idCol)
+      .agg(max(struct(length(col("__pfx")).as("l"), col("__pfx").as("p"),
+        col("__a").as("a"))).as("r"))
+      .select(col(idCol), col("r.p").as("rule_prefix"), col("r.a").as("__a"))
+    urls.join(matched, Seq(idCol), "left")
+      .withColumn("action", coalesce(col("__a"), lit(defaultAction)))
+      .drop("__a")
+  }
+
+  /**
    * Cross-source quantile normalization: map every document's score
    * onto the POOLED score distribution at the same within-source
    * quantile — the remedy when heterogeneous sources' quality scores

@@ -561,6 +561,22 @@ class PipelineSpec extends SparkTestBase {
     assert(recall >= 0.75, s"PQ+rerank recall $recall too low")
   }
 
+  test("url rule filter: longest prefix wins, boundaries exact, query ignored") {
+    val urls = Seq((1L, "http://a.com/x/y"), (2L, "http://a.com/z?q=1"),
+      (3L, "http://b.com/x"), (4L, "http://a.com2/x"))
+      .toDF("doc_id", "url")
+    val rules = Seq(("http://a.com", "allow"), ("http://a.com/x", "deny"))
+      .toDF("prefix", "action")
+    val out = graft.pipeline.Corpus.urlRuleFilter(urls, rules, "url")
+      .select("doc_id", "action", "rule_prefix").orderBy("doc_id")
+      .as[(Long, String, Option[String])].collect().toSeq
+    assert(out == Seq(
+      (1L, "deny", Some("http://a.com/x")),    // deeper rule beats site allow
+      (2L, "allow", Some("http://a.com")),     // query stripped before match
+      (3L, "allow", None),                     // unruled host → default
+      (4L, "allow", None)))                    // a.com prefix ≠ a.com2 host
+  }
+
   test("entity resolution: transitive pairs collapse; converged audits the bound") {
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L))
       .toDF("left_id", "right_id")
