@@ -234,6 +234,24 @@ private[graft] object StreamParityEntries {
     // the SAME q_interval_merge fixture grades against the SAME
     // island SQL. island_index is re-derived by start order (islands
     // are disjoint, so start order IS the batch numbering).
+    // Stream-stream interval JOIN (the watermarked two-stream state
+    // surface): even-id events join odd-id events of the same user
+    // within ±12h; inner-join output is exactly the batch theta-join,
+    // graded by the same SQL.
+    "q_sjoin_stream_parity" -> { (s, dir) =>
+      import s.implicits._
+      val base = ev(s, dir).select(col("user_id"),
+          date_trunc("second", col("ts")).cast("timestamp").as("ts"),
+          col("event_id"))
+        .as[(Long, Timestamp, Long)].collect().toSeq
+      val lefts = base.filter(_._3 % 2 == 0)
+      val rights = base.filter(_._3 % 2 == 1)
+      PipelineReplay.replayIntervalJoin(s, lefts, rights,
+          beforeSec = 43200L, afterSec = 43200L, watermarkSec = 3600L)
+        .toDF("user_id", "l_id", "r_id")
+        .orderBy("user_id", "l_id", "r_id")
+    },
+
     "q_interval_stream_parity" -> { (s, dir) =>
       import s.implicits._
       val fx = ev(s, dir).filter(col("user_id") % 5 === 0)
@@ -259,6 +277,17 @@ private[graft] object StreamParityEntries {
 
     // identical island semantics → the batch oracle verbatim
     "q_interval_stream_parity" -> SqlSeriesEntries.oracles("q_interval_merge"),
+
+    // the batch theta-join IS the parity oracle
+    "q_sjoin_stream_parity" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |epoch_us(date_trunc('second', ts)) // 1000000 AS t FROM events),
+        |l AS (SELECT * FROM e WHERE event_id % 2 = 0),
+        |r AS (SELECT * FROM e WHERE event_id % 2 = 1)
+        |SELECT l.user_id AS user_id, l.event_id AS l_id, r.event_id AS r_id
+        |FROM l JOIN r ON r.user_id = l.user_id
+        |AND r.t BETWEEN l.t - 43200 AND l.t + 43200
+        |ORDER BY l.user_id, l_id, r_id""".stripMargin,
 
     "q_dedup_stream_parity" ->
       """SELECT md5(text) AS content_hash,

@@ -233,6 +233,36 @@ object PipelineReplay {
       .filter(_._1 >= 0L)
   }
 
+  /** Replay two event sequences through [[StreamJoin.intervalJoin]]
+    * (both sides MemoryStreams with watermarks); returns matched
+    * (key, l_id, r_id) triples. Inner stream-stream joins emit when
+    * the second side arrives — no timers, so no sentinel rows; a
+    * second empty-advance batch is still processed so late-arriving
+    * state-store flushes land before the sink is read. */
+  def replayIntervalJoin(spark: SparkSession,
+      lefts: Seq[(Long, Timestamp, Long)],
+      rights: Seq[(Long, Timestamp, Long)],
+      beforeSec: Long, afterSec: Long,
+      watermarkSec: Long): Seq[(Long, Long, Long)] = {
+    if (lefts.isEmpty || rights.isEmpty) return Seq.empty
+    val sess = child(spark)
+    import sess.implicits._
+    implicit val sq = sess.sqlContext
+    val lMem = MemoryStream[(Long, Timestamp, Long)]
+    val rMem = MemoryStream[(Long, Timestamp, Long)]
+    val out = StreamJoin.intervalJoin(
+        lMem.toDF().toDF("l_key", "l_ts", "l_id"),
+        rMem.toDF().toDF("r_key", "r_ts", "r_id"),
+        "l_key", "r_key", "l_ts", "r_ts",
+        beforeSec, afterSec, watermarkSec)
+      .select("l_key", "l_id", "r_id")
+    runToMemory(sess, out, "append") { q =>
+      lMem.addData(lefts: _*)
+      rMem.addData(rights: _*)
+      q.processAllAvailable()
+    }.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+  }
+
   /** Replay a token stream through [[StreamHeavyHitters.candidates]]
     * (single batch → the sink holds exactly the final per-bucket
     * Misra-Gries summaries); returns (bucket, token, mg_count).

@@ -822,4 +822,17 @@ class StreamingSpec extends SparkTestBase {
     assert(batch("up")._4.contains(7L), "crossing at the hand-computed index")
     assert(batch("flat")._3 == 0L && batch("flat")._4.isEmpty)
   }
+
+  test("stream-stream interval join: window-bounded, key-scoped, inner-exact") {
+    def ts(epoch: Long) = new java.sql.Timestamp(epoch * 1000L)
+    // key 1: left@100 matches right@50 (in [-100,+60]) and right@160
+    // (boundary: +60 exactly); right@161 is out. key 2 never matches
+    // key 1; lone left on key 3 matches nothing.
+    val lefts = Seq((1L, ts(100), 10L), (2L, ts(100), 20L), (3L, ts(500), 30L))
+    val rights = Seq((1L, ts(50), 11L), (1L, ts(160), 12L), (1L, ts(161), 13L),
+      (2L, ts(90), 21L))
+    val out = graft.streaming.PipelineReplay.replayIntervalJoin(spark,
+      lefts, rights, beforeSec = 100L, afterSec = 60L, watermarkSec = 30L)
+    assert(out.toSet == Set((1L, 10L, 11L), (1L, 10L, 12L), (2L, 20L, 21L)))
+  }
 }
