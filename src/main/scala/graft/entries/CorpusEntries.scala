@@ -332,6 +332,34 @@ private[graft] object CorpusEntries {
         .orderBy("doc_id")
     },
 
+    // Jelinek-Mercer interpolated LM score (λ=0.3 on the unigram
+    // term): the smoothing-between-estimates member of the family.
+    "q_lm_interp" -> { (s, dir) =>
+      val d = docs(s, dir)
+      graft.pipeline.Corpus.lmDocScore(spread(d), d, uniPermille = 300L)
+        .orderBy("doc_id")
+    },
+
+    // Warm-start PageRank after graph drift: 2 cold iterations on the
+    // base host graph produce the maintained ranks; every 11th doc
+    // contributes a new edge; 2 warm rounds on the drifted graph.
+    "q_pagerank_incr" -> { (s, dir) =>
+      val d = docs(s, dir)
+      def host(c: org.apache.spark.sql.Column) = concat(lit("h"), c)
+      val oldEdges = d.select(host(pmod(col("doc_id"), lit(20))).as("src"),
+          host(pmod(col("doc_id") * 7 + 3, lit(20))).as("dst"))
+        .unionByName(d.select(host(pmod(col("doc_id"), lit(20))).as("src"),
+          host(pmod(col("doc_id") * 13 + 7, lit(20))).as("dst")))
+      val delta = d.filter(col("doc_id") % 11 === 0)
+        .select(host(pmod(col("doc_id"), lit(20))).as("src"),
+          host(pmod(col("doc_id") * 3 + 1, lit(20))).as("dst"))
+      val prev = graft.pipeline.Graphs.pageRankFixedPoint(
+        spread(oldEdges), iters = 2)
+      graft.pipeline.Graphs.pageRankWarmStart(
+          spread(oldEdges.unionByName(delta)), prev, iters = 2)
+        .orderBy("node")
+    },
+
     // Token-budget corpus selection: the best `budget` tokens by a
     // deterministic quality proxy (content-hash bucket as the score —
     // oracle-replicable; a real pipeline plugs qualityScore in). The
@@ -936,6 +964,90 @@ private[graft] object CorpusEntries {
         |SELECT doc_id, n_bigrams, sum_p_ppm,
         |CAST(sum_p_ppm // n_bigrams AS BIGINT) AS avg_p_ppm
         |FROM a ORDER BY doc_id""".stripMargin,
+
+    // same CTE chain as q_lm_score + the unigram MLE term; the 700/300
+    // permille split mirrors the Spark integer interpolation exactly
+    "q_lm_interp" ->
+      """WITH toks AS (SELECT doc_id,
+        |list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w
+        |FROM documents),
+        |bg AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS bigram
+        |FROM toks, LATERAL (SELECT unnest(range(1, len(w))) AS i)
+        |WHERE len(w) >= 2),
+        |lm AS (SELECT bigram, CAST(count(*) AS BIGINT) AS bc FROM bg GROUP BY 1),
+        |pf AS (SELECT split_part(bigram, ' ', 1) AS w1,
+        |CAST(SUM(bc) AS BIGINT) AS pc FROM lm GROUP BY 1),
+        |uni AS (SELECT w2, CAST(count(*) AS BIGINT) AS uc FROM
+        |(SELECT unnest(w) AS w2 FROM toks) GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(uc) AS BIGINT) AS t FROM uni),
+        |db AS (SELECT doc_id, bigram, CAST(count(*) AS BIGINT) AS n
+        |FROM bg GROUP BY 1, 2),
+        |j AS (SELECT db.doc_id, db.n,
+        |((700 * ((1000000 * lm.bc) // pf.pc) +
+        |300 * ((1000000 * uni.uc) // tot.t)) // 1000) AS p_ppm
+        |FROM db JOIN lm USING (bigram)
+        |JOIN pf ON pf.w1 = split_part(db.bigram, ' ', 1)
+        |JOIN uni ON uni.w2 = split_part(db.bigram, ' ', 2)
+        |CROSS JOIN tot),
+        |a AS (SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_bigrams,
+        |CAST(SUM(n * p_ppm) AS BIGINT) AS sum_p_ppm FROM j GROUP BY 1)
+        |SELECT doc_id, n_bigrams, sum_p_ppm,
+        |CAST(sum_p_ppm // n_bigrams AS BIGINT) AS avg_p_ppm
+        |FROM a ORDER BY doc_id""".stripMargin,
+
+    // cold r0..r2 replayed, then the delta edge set and two warm
+    // rounds; chained rank CTEs MATERIALIZED (q_kcore lesson)
+    "q_pagerank_incr" ->
+      """WITH e_old AS MATERIALIZED (
+        |SELECT DISTINCT 'h' || CAST(doc_id % 20 AS VARCHAR) AS src,
+        |'h' || CAST((doc_id*7+3) % 20 AS VARCHAR) AS dst FROM documents
+        |UNION
+        |SELECT DISTINCT 'h' || CAST(doc_id % 20 AS VARCHAR),
+        |'h' || CAST((doc_id*13+7) % 20 AS VARCHAR) FROM documents),
+        |nodes_old AS MATERIALIZED (SELECT DISTINCT node FROM
+        |(SELECT src AS node FROM e_old UNION SELECT dst FROM e_old)),
+        |deg_old AS MATERIALIZED (SELECT src, count(*) AS d FROM e_old GROUP BY src),
+        |p_old AS MATERIALIZED (SELECT 1000000000 // count(*) AS init,
+        |(150 * (1000000000 // count(*))) // 1000 AS base FROM nodes_old),
+        |r0 AS (SELECT node, (SELECT init FROM p_old) AS rank FROM nodes_old),
+        |c1 AS (SELECT e_old.dst AS node, SUM(r0.rank // deg_old.d) AS m
+        |FROM e_old JOIN r0 ON e_old.src = r0.node
+        |JOIN deg_old ON e_old.src = deg_old.src GROUP BY e_old.dst),
+        |r1 AS MATERIALIZED (SELECT nodes_old.node,
+        |(SELECT base FROM p_old) + ((850 * COALESCE(c1.m, 0)) // 1000) AS rank
+        |FROM nodes_old LEFT JOIN c1 USING (node)),
+        |c2 AS (SELECT e_old.dst AS node, SUM(r1.rank // deg_old.d) AS m
+        |FROM e_old JOIN r1 ON e_old.src = r1.node
+        |JOIN deg_old ON e_old.src = deg_old.src GROUP BY e_old.dst),
+        |r2 AS MATERIALIZED (SELECT nodes_old.node,
+        |(SELECT base FROM p_old) + ((850 * COALESCE(c2.m, 0)) // 1000) AS rank
+        |FROM nodes_old LEFT JOIN c2 USING (node)),
+        |e AS MATERIALIZED (SELECT src, dst FROM e_old
+        |UNION SELECT DISTINCT 'h' || CAST(doc_id % 20 AS VARCHAR),
+        |'h' || CAST((doc_id*3+1) % 20 AS VARCHAR) FROM documents
+        |WHERE doc_id % 11 = 0),
+        |nodes AS MATERIALIZED (SELECT DISTINCT node FROM
+        |(SELECT src AS node FROM e UNION SELECT dst FROM e)),
+        |deg AS MATERIALIZED (SELECT src, count(*) AS d FROM e GROUP BY src),
+        |p AS MATERIALIZED (SELECT 1000000000 // count(*) AS init,
+        |(150 * (1000000000 // count(*))) // 1000 AS base FROM nodes),
+        |w0 AS MATERIALIZED (SELECT nodes.node,
+        |COALESCE(r2.rank, (SELECT init FROM p)) AS rank
+        |FROM nodes LEFT JOIN r2 USING (node)),
+        |wc1 AS (SELECT e.dst AS node, SUM(w0.rank // deg.d) AS m
+        |FROM e JOIN w0 ON e.src = w0.node JOIN deg ON e.src = deg.src
+        |GROUP BY e.dst),
+        |w1 AS MATERIALIZED (SELECT nodes.node,
+        |(SELECT base FROM p) + ((850 * COALESCE(wc1.m, 0)) // 1000) AS rank
+        |FROM nodes LEFT JOIN wc1 USING (node)),
+        |wc2 AS (SELECT e.dst AS node, SUM(w1.rank // deg.d) AS m
+        |FROM e JOIN w1 ON e.src = w1.node JOIN deg ON e.src = deg.src
+        |GROUP BY e.dst),
+        |w2 AS (SELECT nodes.node,
+        |(SELECT base FROM p) + ((850 * COALESCE(wc2.m, 0)) // 1000) AS rank
+        |FROM nodes LEFT JOIN wc2 USING (node))
+        |SELECT node, CAST(rank AS BIGINT) AS rank FROM w2
+        |ORDER BY node""".stripMargin,
 
     // three unrolled synchronous LPA rounds; every CTE MATERIALIZED
     // (the q_kcore exponential-inlining lesson)

@@ -1048,8 +1048,21 @@ object Corpus {
    *
    * @return (idCol, n_bigrams, sum_p_ppm, avg_p_ppm)
    */
+  /** @param uniPermille Jelinek-Mercer interpolation weight on the
+    *        UNIGRAM term, in permille: per-bigram score becomes
+    *        `((1000−λ)·P(w₂|w₁) + λ·P(w₂)) div 1000` with unigram
+    *        MLE `P(w₂) = C(w₂)/T` over the reference's token
+    *        occurrences. 0 (default) is the pure-conditional form —
+    *        exactly the un-interpolated score, since
+    *        `(1000·p) div 1000 = p`. Interpolation is what keeps the
+    *        score robust when w₁ is rare (a one-occurrence prefix
+    *        makes every continuation look certain); self-trained
+    *        corpora have no unseen bigrams, so λ here is smoothing
+    *        BETWEEN estimates, not smoothing over zeros. */
   def lmDocScore(docs: DataFrame, reference: DataFrame,
-      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+      textCol: String = "text", idCol: String = "doc_id",
+      uniPermille: Long = 0L): DataFrame = {
+    require(uniPermille >= 0 && uniPermille <= 1000, "permille weight")
     graft.plans.NativeFns.register(docs.sparkSession)
     // occurrence counts, not document frequency: MLE conditionals
     val lm = reference
@@ -1059,14 +1072,24 @@ object Corpus {
     val prefix = lm
       .groupBy(expr("element_at(split(bigram, ' ', 2), 1)").as("__w1"))
       .agg(sum("__bc").as("__pc"))
+    val unigrams = reference
+      .select(explode(
+        graft.plans.WordShingles.shingles(col(textCol), 1)).as("__w2"))
+      .groupBy("__w2").agg(count(lit(1)).as("__uc"))
+    val total = unigrams.agg(sum("__uc").as("__T"))
     val docBigrams = docs.select(col(idCol),
         explode(graft.plans.WordShingles.shingles(col(textCol), 2)).as("bigram"))
       .groupBy(idCol, "bigram").agg(count(lit(1)).as("__n"))
     docBigrams
       .join(lm, Seq("bigram"))
       .withColumn("__w1", expr("element_at(split(bigram, ' ', 2), 1)"))
+      .withColumn("__w2", expr("element_at(split(bigram, ' ', 2), 2)"))
       .join(prefix, Seq("__w1"))
-      .withColumn("__p_ppm", expr("(1000000L * __bc) div __pc"))
+      .join(unigrams, Seq("__w2"))
+      .crossJoin(broadcast(total))
+      .withColumn("__p_ppm", expr(
+        s"((${1000L - uniPermille} * ((1000000L * __bc) div __pc) + " +
+          s"$uniPermille * ((1000000L * __uc) div __T)) div 1000)"))
       .groupBy(idCol)
       .agg(sum("__n").cast("long").as("n_bigrams"),
         sum(col("__n") * col("__p_ppm")).cast("long").as("sum_p_ppm"))

@@ -77,6 +77,57 @@ object Graphs {
   }
 
   /**
+   * Warm-start PageRank — rank MAINTENANCE under graph drift, the
+   * [[graft.pipeline.Similarity.ivfRetrainCentroids]] of the link
+   * family: instead of re-running the full cold iteration after
+   * edges change, resume the SAME deterministic integer iteration
+   * from the previously maintained ranks (nodes new to the graph
+   * start at the uniform share). Because the iteration is
+   * bit-deterministic, warm-starting from a cold run's k-iteration
+   * state and stepping `iters` more is IDENTICAL to a cold
+   * (k+iters)-iteration run on an unchanged graph — the spec pins
+   * that identity — and after drift, the handful of warm rounds
+   * re-propagates rank only from where the graph actually changed.
+   * Per-iteration cost is the same one join + one combinable sum;
+   * the savings is ROUNDS, which at web-graph scale is the whole
+   * bill.
+   *
+   * @param prevRanks (node, rank) from a prior run — same `scale`
+   * @return (node, rank) over the NEW edge set's nodes
+   */
+  def pageRankWarmStart(edges: DataFrame, prevRanks: DataFrame,
+      iters: Int, dampingPermille: Long = 850L,
+      scale: Long = 1000000000L, srcCol: String = "src",
+      dstCol: String = "dst"): DataFrame = {
+    require(iters >= 1, "at least one iteration")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct().persist()
+    e.count()
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node"))).distinct().persist()
+    val outDeg = e.groupBy("src").agg(count(lit(1)).as("__deg"))
+    val n = nodes.count()
+    val init = scale / n
+    val base = ((1000L - dampingPermille) * init) / 1000L
+    var ranks = nodes
+      .join(prevRanks.select(col("node"), col("rank").as("__prev")),
+        Seq("node"), "left")
+      .select(col("node"), coalesce(col("__prev"), lit(init)).as("rank"))
+    (1 to iters).foreach { _ =>
+      val contribs = e
+        .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
+        .join(outDeg, Seq("src"))
+        .select(col("dst").as("node"), expr("rank div __deg").as("__c"))
+      val summed = contribs.groupBy("node").agg(sum("__c").as("__in"))
+      ranks = nodes.join(summed, Seq("node"), "left")
+        .select(col("node"),
+          (lit(base) + expr(s"($dampingPermille * coalesce(__in, 0L)) div 1000"))
+            .cast("long").as("rank"))
+    }
+    ranks
+  }
+
+  /**
    * k-core decomposition by iterative peeling: repeatedly remove
    * nodes of degree < k until none remain (Matula–Beck; the
    * MapReduce/Pregel peel loop). The k-core separates load-bearing

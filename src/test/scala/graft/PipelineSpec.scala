@@ -602,6 +602,31 @@ class PipelineSpec extends SparkTestBase {
     assert(s5.subsetOf(s10ids))
   }
 
+  test("warm-start PageRank resumes the exact iteration trajectory") {
+    val e = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"))
+      .toDF("src", "dst")
+    val cold3 = graft.pipeline.Graphs.pageRankFixedPoint(e, iters = 3)
+      .as[(String, Long)].collect().toMap
+    val prev = graft.pipeline.Graphs.pageRankFixedPoint(e, iters = 2)
+    val warm = graft.pipeline.Graphs.pageRankWarmStart(e, prev, iters = 1)
+      .as[(String, Long)].collect().toMap
+    assert(warm == cold3) // bit-identical: warm(k→+1) = cold(k+1)
+    // drift: a brand-new node starts at the uniform share and pulls rank
+    val e2 = e.unionByName(Seq(("c", "d")).toDF("src", "dst"))
+    val drifted = graft.pipeline.Graphs.pageRankWarmStart(e2, prev, iters = 1)
+      .as[(String, Long)].collect().toMap
+    assert(drifted.contains("d") && drifted("d") > 0)
+  }
+
+  test("interpolated LM score: exact 700/300 permille mix on the hand corpus") {
+    val d = Seq((1L, "a b a c"), (2L, "a b")).toDF("doc_id", "text")
+    val out = graft.pipeline.Corpus.lmDocScore(d, d, uniPermille = 300L)
+      .orderBy("doc_id").as[(Long, Long, Long, Long)].collect().toSeq
+    // uni: a 500000, b 333333, c 166666; interp ab 566666, ba 850000,
+    // ac 283332
+    assert(out == Seq((1L, 3L, 1699998L, 566666L), (2L, 1L, 566666L, 566666L)))
+  }
+
   test("MMR trades relevance for diversity in greedy rounds") {
     // query [1,1]: C/D most relevant; after C, the near-dup D is
     // penalized and the orthogonal B wins round 2
