@@ -252,6 +252,25 @@ private[graft] object StreamParityEntries {
         .orderBy("user_id", "l_id", "r_id")
     },
 
+    // LEFT-OUTER stream-stream join: unmatched even-id events emit a
+    // null partner only after the global watermark clears their
+    // window — replayed with horizon sentinels, graded by the batch
+    // LEFT JOIN. A tighter ±2h window leaves a real unmatched tail.
+    "q_sjoin_outer_stream_parity" -> { (s, dir) =>
+      import s.implicits._
+      val base = ev(s, dir).select(col("user_id"),
+          date_trunc("second", col("ts")).cast("timestamp").as("ts"),
+          col("event_id"))
+        .as[(Long, Timestamp, Long)].collect().toSeq
+      val lefts = base.filter(_._3 % 2 == 0)
+      val rights = base.filter(_._3 % 2 == 1)
+      PipelineReplay.replayIntervalJoin(s, lefts, rights,
+          beforeSec = 7200L, afterSec = 7200L, watermarkSec = 3600L,
+          joinType = "left_outer")
+        .toDF("user_id", "l_id", "r_id")
+        .orderBy("user_id", "l_id", "r_id")
+    },
+
     "q_interval_stream_parity" -> { (s, dir) =>
       import s.implicits._
       val fx = ev(s, dir).filter(col("user_id") % 5 === 0)
@@ -277,6 +296,17 @@ private[graft] object StreamParityEntries {
 
     // identical island semantics → the batch oracle verbatim
     "q_interval_stream_parity" -> SqlSeriesEntries.oracles("q_interval_merge"),
+
+    // the batch LEFT theta-join IS the outer parity oracle
+    "q_sjoin_outer_stream_parity" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |epoch_us(date_trunc('second', ts)) // 1000000 AS t FROM events),
+        |l AS (SELECT * FROM e WHERE event_id % 2 = 0),
+        |r AS (SELECT * FROM e WHERE event_id % 2 = 1)
+        |SELECT l.user_id AS user_id, l.event_id AS l_id, r.event_id AS r_id
+        |FROM l LEFT JOIN r ON r.user_id = l.user_id
+        |AND r.t BETWEEN l.t - 7200 AND l.t + 7200
+        |ORDER BY l.user_id, l_id, r_id""".stripMargin,
 
     // the batch theta-join IS the parity oracle
     "q_sjoin_stream_parity" ->

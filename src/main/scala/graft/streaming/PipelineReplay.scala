@@ -243,7 +243,8 @@ object PipelineReplay {
       lefts: Seq[(Long, Timestamp, Long)],
       rights: Seq[(Long, Timestamp, Long)],
       beforeSec: Long, afterSec: Long,
-      watermarkSec: Long): Seq[(Long, Long, Long)] = {
+      watermarkSec: Long,
+      joinType: String = "inner"): Seq[(Long, Long, Option[Long])] = {
     if (lefts.isEmpty || rights.isEmpty) return Seq.empty
     val sess = child(spark)
     import sess.implicits._
@@ -254,13 +255,32 @@ object PipelineReplay {
         lMem.toDF().toDF("l_key", "l_ts", "l_id"),
         rMem.toDF().toDF("r_key", "r_ts", "r_id"),
         "l_key", "r_key", "l_ts", "r_ts",
-        beforeSec, afterSec, watermarkSec)
+        beforeSec, afterSec, watermarkSec, joinType)
       .select("l_key", "l_id", "r_id")
     runToMemory(sess, out, "append") { q =>
       lMem.addData(lefts: _*)
       rMem.addData(rights: _*)
       q.processAllAvailable()
-    }.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      if (joinType != "inner") {
+        // outer nulls emit only once the GLOBAL watermark (min over
+        // both streams) clears every left row's match window: one
+        // sentinel per stream on a never-matching key, far enough
+        // that T_max + afterSec + watermarkSec is strictly passed
+        val tMax = (lefts.iterator ++ rights.iterator)
+          .map(_._2.getTime).max
+        val horizon = new Timestamp(
+          tMax + (afterSec + watermarkSec + 10L) * 1000L)
+        lMem.addData((-1L, horizon, -1L))
+        rMem.addData((-1L, horizon, -1L))
+        q.processAllAvailable()
+        // a second empty advance lets the state store flush evictions
+        lMem.addData((-1L, new Timestamp(horizon.getTime + 1000L), -2L))
+        rMem.addData((-1L, new Timestamp(horizon.getTime + 1000L), -2L))
+        q.processAllAvailable()
+      }
+    }.map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2))))
+      .filter(_._1 >= 0L)
   }
 
   /** Replay a token stream through [[StreamHeavyHitters.candidates]]

@@ -26,16 +26,26 @@ import org.apache.spark.sql.functions._
  */
 object StreamJoin {
 
+  /** @param joinType "inner" (default) or "left_outer". The outer
+    *        form emits an unmatched left row with nulls only after
+    *        the GLOBAL watermark (min over both streams) passes the
+    *        row's match window — "impressions with no click inside
+    *        the attribution window", emitted exactly once, as soon
+    *        as no future right row could still match. */
   def intervalJoin(left: DataFrame, right: DataFrame,
       lKeyCol: String, rKeyCol: String, ltsCol: String, rtsCol: String,
-      beforeSec: Long, afterSec: Long, watermarkSec: Long): DataFrame = {
+      beforeSec: Long, afterSec: Long, watermarkSec: Long,
+      joinType: String = "inner"): DataFrame = {
     require(beforeSec >= 0 && afterSec >= 0 && watermarkSec >= 0,
       "non-negative window and watermark")
+    require(Set("inner", "left_outer")(joinType),
+      "inner or left_outer")
     val l = left.withWatermark(ltsCol, s"$watermarkSec seconds")
     val r = right.withWatermark(rtsCol, s"$watermarkSec seconds")
     l.join(r,
       col(lKeyCol) === col(rKeyCol) &&
         col(rtsCol) >= col(ltsCol) - expr(s"INTERVAL $beforeSec SECONDS") &&
-        col(rtsCol) <= col(ltsCol) + expr(s"INTERVAL $afterSec SECONDS"))
+        col(rtsCol) <= col(ltsCol) + expr(s"INTERVAL $afterSec SECONDS"),
+      joinType)
   }
 }

@@ -833,6 +833,14 @@ class StreamingSpec extends SparkTestBase {
       (2L, ts(90), 21L))
     val out = graft.streaming.PipelineReplay.replayIntervalJoin(spark,
       lefts, rights, beforeSec = 100L, afterSec = 60L, watermarkSec = 30L)
-    assert(out.toSet == Set((1L, 10L, 11L), (1L, 10L, 12L), (2L, 20L, 21L)))
+    assert(out.toSet == Set((1L, 10L, Some(11L)), (1L, 10L, Some(12L)),
+      (2L, 20L, Some(21L))))
+    // left outer: the lone key-3 left emits with a null match once the
+    // watermark clears its window; matched rows are identical
+    val outer = graft.streaming.PipelineReplay.replayIntervalJoin(spark,
+      lefts, rights, beforeSec = 100L, afterSec = 60L, watermarkSec = 30L,
+      joinType = "left_outer")
+    assert(outer.toSet == Set((1L, 10L, Some(11L)), (1L, 10L, Some(12L)),
+      (2L, 20L, Some(21L)), (3L, 30L, None)))
   }
 }
