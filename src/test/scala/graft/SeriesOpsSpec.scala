@@ -165,6 +165,22 @@ class SeriesOpsSpec extends SparkTestBase {
     assert(out == Seq((1L, 5L), (1L, 5L), (2L, 3L), (4L, 1L)))
   }
 
+  test("skyline property: window form equals brute-force dominance on 300 points") {
+    // deterministic pseudo-random points with duplicates and ties
+    val pts = (1 to 300).map { i =>
+      val h = i * 2654435761L
+      (((h >>> 7) % 97).toLong, ((h >>> 17) % 89).toLong)
+    }
+    val brute = pts.filter { case (x, y) =>
+      !pts.exists { case (a, b) =>
+        a <= x && b <= y && (a < x || b < y) }
+    }.sorted
+    val got = graft.operators.Skyline
+      .pareto2D(pts.toDF("x", "y"), "x", "y", bucketWidth = 16L)
+      .orderBy("x", "y").as[(Long, Long)].collect().toSeq
+    assert(got == brute, s"window skyline diverged from the definition")
+  }
+
   test("FD discovery: violating groups counted, null-only groups benign") {
     val d = Seq((1L, Some("x")), (1L, Some("x")), (2L, Some("y")),
       (2L, Some("z")), (3L, None), (3L, None)).toDF("a", "b")
