@@ -738,6 +738,37 @@ object ProfileScale {
           .filter(col("left_id") =!= col("right_id"))
         graft.pipeline.RecordLinkage.resolveEntities(pairs, iters = 3)
       },
+      // URL rule filter: prefix explode is depth-bounded per URL and
+      // the rule table (2 per site, sites ∝ corpus) stays broadcast
+      "url_rules" -> { m =>
+        val d = scaledDocs(spark, sfDir, m)
+        val urls = d.select(col("doc_id"),
+          concat(lit("http://site"), (col("doc_id") % 50000).cast("string"),
+            lit(".com/a/b/page"), pmod(col("doc_id"), lit(7)).cast("string"))
+            .as("url"))
+        val sites = d.select((col("doc_id") % 50000).as("k")).distinct()
+          .filter(col("k") % 7 =!= 0)
+        val rules = sites.select(concat(lit("http://site"),
+              col("k").cast("string"), lit(".com/a/b")).as("prefix"),
+            lit("deny").as("action"))
+          .unionByName(sites.select(concat(lit("http://site"),
+              col("k").cast("string"), lit(".com")).as("prefix"),
+            lit("allow").as("action")))
+        Corpus.urlRuleFilter(urls, rules, "url")
+      },
+      // warm-start PageRank on the linear-growing chain graph: cold 2
+      // rounds produce the maintained ranks, drift adds an edge per
+      // 97-block, 2 warm rounds re-propagate
+      "pagerank_incr" -> { m =>
+        val d = scaledDocs(spark, sfDir, m)
+        val oldE = d.select(col("doc_id").as("src"),
+            (col("doc_id") + 1).as("dst"))
+          .filter(pmod(col("doc_id"), lit(97)) =!= 96)
+        val delta = d.filter(pmod(col("doc_id"), lit(97)) === 0)
+          .select(col("doc_id").as("src"), (col("doc_id") + 50).as("dst"))
+        val prev = Graphs.pageRankFixedPoint(oldE, iters = 2)
+        Graphs.pageRankWarmStart(oldE.unionByName(delta), prev, iters = 2)
+      },
       // quantile normalization: two two-phase rank passes + a
       // rank-indexed equi-join — no single-task global sort at any m
       "quantile_norm" -> { m =>
