@@ -119,11 +119,14 @@ object Bench {
     // verification harnesses; the two sets are kept separate because
     // the properties are independent (a future streaming ingest
     // benchmark would be streaming but NOT verification).
-    val streamingQueries = Set("q_alarm_stream_parity",
-      "q_dedup_stream_parity", "q_sessions_stream_parity",
-      "q_funnel_stream_parity", "q_statagg_stream_parity",
-      "q_heavy_stream_parity", "q_neardup_stream_parity",
-      "q_cusum_stream_parity")
+    // Derived, not hand-listed (round 13): a hand-written set drifted
+    // the moment StreamParityEntries grew (round 12 added three
+    // stream-parity queries that ran interleaved with batch queries,
+    // leaked state-store residue into subsequent batch timings, and
+    // counted in the engine-only headline). Deriving from the registry
+    // that DEFINES the parity queries makes that drift impossible.
+    val streamingQueries =
+      graft.entries.StreamParityEntries.queries.keySet + "q_alarm_stream_parity"
     // Verification harnesses measure the test harness (fixture
     // collection + replay), not an engine operator: timed and
     // reported, but outside the engine-only headline "value".

@@ -1,0 +1,78 @@
+package graft
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart}
+import org.apache.spark.sql.SparkSession
+
+/**
+ * Single-query forensics: times ONE named `SparkEntry` query under
+ * exactly the Bench format-4 protocol (construction + `toRdd.count()`
+ * in one window, cache cleared between trials), but additionally
+ * splits the window into CONSTRUCTION (the `fn(spark, dir)` call —
+ * where eager operators like kCore/labelPropagation run their
+ * persist+count rounds) vs EXECUTION (the returned plan's
+ * `toRdd.count()`), and counts the Spark jobs each phase submits with
+ * their scheduler-side wall time. Built for the round-12 `q_kcore`
+ * contradiction (bench median 43.5 s vs profile cell 6.7 s): the two
+ * instruments ran different fixtures AND different measurement
+ * windows, and neither could say where inside the query the time
+ * went.
+ *
+ * Usage: runMain graft.ProfileQuery <queryName> [sfDir] [trials]
+ */
+object ProfileQuery {
+
+  private final class JobListener extends SparkListener {
+    val started = TrieMap.empty[Int, Long]
+    val jobs = TrieMap.empty[Int, Long] // jobId -> elapsed ms
+    override def onJobStart(j: SparkListenerJobStart): Unit =
+      started.put(j.jobId, j.time)
+    override def onJobEnd(j: SparkListenerJobEnd): Unit =
+      started.get(j.jobId).foreach(t0 => jobs.put(j.jobId, j.time - t0))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val name = args(0)
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val trials = if (args.length > 2) args(2).toInt else 3
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.codegen.cache.maxEntries", "4000")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val fn = SparkEntry.queries(name)
+    (1 to trials).foreach { t =>
+      val lst = new JobListener
+      spark.sparkContext.addSparkListener(lst)
+      val t0 = System.nanoTime()
+      val df = fn(spark, sfDir)
+      val t1 = System.nanoTime()
+      Thread.sleep(300) // let the listener bus drain (private API)
+      val constructionJobs = lst.jobs.size
+      val constructionJobMs = lst.jobs.values.sum
+      val t2 = System.nanoTime()
+      df.queryExecution.toRdd.count()
+      val t3 = System.nanoTime()
+      Thread.sleep(300) // let the listener bus drain (private API)
+      val totalJobs = lst.jobs.size
+      val totalJobMs = lst.jobs.values.sum
+      spark.sparkContext.removeSparkListener(lst)
+      spark.catalog.clearCache()
+      println(f"trial $t: total ${(t1 - t0 + t3 - t2) / 1e9}%.2fs = " +
+        f"construct ${(t1 - t0) / 1e9}%.2fs " +
+        f"($constructionJobs jobs, ${constructionJobMs / 1e3}%.2fs sched) " +
+        f"+ execute ${(t3 - t2) / 1e9}%.2fs " +
+        f"(${totalJobs - constructionJobs} jobs, " +
+        f"${(totalJobMs - constructionJobMs) / 1e3}%.2fs sched)")
+    }
+    spark.stop()
+  }
+}

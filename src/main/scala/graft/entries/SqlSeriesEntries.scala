@@ -518,6 +518,23 @@ private[graft] object SqlSeriesEntries {
         .orderBy("lhs", "rhs")
     },
 
+    // Level-2 FD discovery on a constructed lattice: {c1,c2}→c12
+    // holds while neither singleton does (the composite-key shape),
+    // c12→c1 and c12→c2 hold at level 1 so their pair-RHS arms are
+    // TANE-pruned, and `noise` (independent of the key split) never
+    // holds — pruning, holding, and violating all exercised.
+    "q_fd_discover2" -> { (s, dir) =>
+      val o = Tables.read(s, dir, "orders").select(
+        expr("o_orderkey % 7").cast("long").as("c1"),
+        expr("(o_orderkey div 7) % 5").cast("long").as("c2"),
+        expr("(o_orderkey % 7) * 5 + (o_orderkey div 7) % 5").cast("long")
+          .as("c12"),
+        expr("o_custkey % 3").cast("long").as("noise"))
+      graft.operators.Profiling.fdDiscoverL2(o,
+          Seq("c1", "c2", "c12", "noise"))
+        .orderBy("lhs1", "lhs2", "rhs")
+    },
+
     // Entity resolution on the linkage pairs: min-label connected
     // components (3 rounds, convergence audited) → entity ids +
     // member counts — the "cluster then canonicalize" half of MDM.
@@ -658,7 +675,8 @@ private[graft] object SqlSeriesEntries {
         |CAST(lang AS VARCHAR) AS dep FROM documents),
         |c AS (SELECT det, COUNT(*) AS c FROM p GROUP BY 1),
         |nd AS (SELECT det, COUNT(*) AS nd FROM (SELECT DISTINCT det, dep FROM p) GROUP BY 1),
-        |j AS (SELECT c.det, c.c, nd.nd FROM c JOIN nd ON c.det = nd.det)
+        |j AS (SELECT c.det, c.c, nd.nd FROM c JOIN nd
+        |ON c.det IS NOT DISTINCT FROM nd.det)
         |SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
         |CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating_groups,
         |CAST(SUM(c) AS BIGINT) AS n_rows,
@@ -1162,6 +1180,42 @@ private[graft] object SqlSeriesEntries {
          |ORDER BY lhs, rhs""".stripMargin
     },
 
+    // level-1 holds computed in CTE arms, level-2 arms filtered by
+    // the same TANE rule the operator applies (non-implied only)
+    "q_fd_discover2" -> {
+      val cols = Seq("c1", "c2", "c12", "noise")
+      val l1Arms = for { a <- cols; b <- cols if a != b } yield
+        s"""SELECT '$a' AS lhs, '$b' AS rhs,
+           |CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) = 0 AS holds
+           |FROM (SELECT $a AS k, count(DISTINCT $b) AS nd FROM o GROUP BY 1)""".stripMargin
+      val l2Arms = for {
+        i <- cols.indices; j <- cols.indices if i < j
+        b <- cols if b != cols(i) && b != cols(j)
+      } yield {
+        val (a1, a2) = if (cols(i) < cols(j)) (cols(i), cols(j))
+          else (cols(j), cols(i))
+        s"""SELECT '$a1' AS lhs1, '$a2' AS lhs2, '$b' AS rhs,
+           |CAST(COUNT(*) AS BIGINT) AS n_groups,
+           |CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating,
+           |CAST((1000000 * SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END)) // COUNT(*)
+           |AS BIGINT) AS viol_ppm,
+           |CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) = 0 AS holds
+           |FROM (SELECT $a1 AS k1, $a2 AS k2, count(DISTINCT $b) AS nd
+           |FROM o GROUP BY 1, 2)""".stripMargin
+      }
+      s"""WITH o AS (SELECT o_orderkey % 7 AS c1, (o_orderkey // 7) % 5 AS c2,
+         |(o_orderkey % 7) * 5 + (o_orderkey // 7) % 5 AS c12,
+         |o_custkey % 3 AS noise FROM orders),
+         |l1 AS MATERIALIZED (${l1Arms.mkString("\nUNION ALL\n")}),
+         |l2 AS (${l2Arms.mkString("\nUNION ALL\n")})
+         |SELECT l2.lhs1, l2.lhs2, l2.rhs, l2.n_groups, l2.n_violating,
+         |l2.viol_ppm, l2.holds FROM l2
+         |JOIN l1 h1 ON h1.lhs = l2.lhs1 AND h1.rhs = l2.rhs
+         |JOIN l1 h2 ON h2.lhs = l2.lhs2 AND h2.rhs = l2.rhs
+         |WHERE NOT h1.holds AND NOT h2.holds
+         |ORDER BY l2.lhs1, l2.lhs2, l2.rhs""".stripMargin
+    },
+
     // linkage CTEs reused verbatim, then 3 unrolled min-label rounds
     // (MATERIALIZED — the q_kcore inlining lesson)
     "q_entity_resolution" -> {
@@ -1299,7 +1353,8 @@ private[graft] object SqlSeriesEntries {
         |SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS cents,
         |CAST(COUNT(*) AS BIGINT) AS n_events
         |FROM events GROUP BY 1, 2)
-        |SELECT event_type, CAST(day AS BIGINT) AS day, cents, n_events,
+        |SELECT event_type, CAST(day AS BIGINT) AS day,
+        |CAST(cents AS BIGINT) AS cents, n_events,
         |CAST(SUM(cents) OVER (PARTITION BY event_type ORDER BY day
         |RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS rolling_cents,
         |CAST(COUNT(*) OVER (PARTITION BY event_type ORDER BY day

@@ -50,8 +50,13 @@ object AssocRules {
         col("n_ab"),
         expr("(1000000L * n_ab) div __n").as("support_ppm"),
         expr("(1000000L * n_ab) div n_a").as("confidence_ppm"),
+        // The denominator n_a·n_b gets the same decimal discipline as
+        // the numerator: two hot items at ~3·10⁹ counts each would
+        // wrap BIGINT·BIGINT before the decimal promotion kicked in.
         expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * n_ab * __n - " +
-          "pmod(CAST(1000000 AS DECIMAL(38,0)) * n_ab * __n, n_a * n_b)) " +
-          "/ (n_a * n_b) AS BIGINT)").as("lift_ppm"))
+          "pmod(CAST(1000000 AS DECIMAL(38,0)) * n_ab * __n, " +
+          "CAST(n_a AS DECIMAL(19,0)) * CAST(n_b AS DECIMAL(19,0)))) " +
+          "/ (CAST(n_a AS DECIMAL(19,0)) * CAST(n_b AS DECIMAL(19,0))) " +
+          "AS BIGINT)").as("lift_ppm"))
   }
 }

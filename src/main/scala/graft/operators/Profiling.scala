@@ -292,7 +292,12 @@ object Profiling {
       .agg(count(lit(1)).cast("long").as("__c"))
     val distinctDeps = pairs.distinct().groupBy("__det")
       .agg(count(lit(1)).cast("long").as("__nd"))
-    perDet.join(distinctDeps, Seq("__det"))
+      .withColumnRenamed("__det", "__det_r")
+    // Null-safe join key (<=>): groupBy keeps a null-determinant group
+    // on both sides, but a plain equi-join would silently drop it from
+    // every count — violating the "null is an ordinary value" contract
+    // above on exactly the dirtiest input (round-12 advice).
+    perDet.join(distinctDeps, col("__det") <=> col("__det_r"))
       .agg(count(lit(1)).cast("long").as("n_groups"),
         sum(when(col("__nd") > 1, 1L).otherwise(0L)).cast("long")
           .as("n_violating_groups"),
@@ -441,28 +446,111 @@ object Profiling {
    * LHS — the level-1 lattice; larger LHS sets explode
    * combinatorially and start from these results anyway).
    *
-   * Per pair: one map-side-combinable groupBy on the LHS with an
-   * exact COUNT(DISTINCT rhs) — |cols|·(|cols|−1) bounded aggregates,
-   * each a single shuffle on its LHS key; the per-pair result is one
-   * row. All-NULL B inside a group counts zero distinct values and
-   * does not violate (a dependency constrains present values).
+   * Per LHS column (not per ordered pair — round-12 advice): ONE
+   * groupBy on the LHS computes exact COUNT(DISTINCT rhs) for EVERY
+   * other column at once, so the input is scanned |cols| times, not
+   * |cols|·(|cols|−1) — on a 100 TB table with 8 profiled columns
+   * that is 8 scans instead of 56. (Catalyst plans the multi-distinct
+   * aggregate with one Expand, so per-LHS shuffle volume is
+   * rows·(p−1) either way; the scan count is what the rewrite buys.)
+   * The per-LHS one-row result unpivots to the per-pair rows via an
+   * in-row explode — output identical to the per-pair form. All-NULL
+   * B inside a group counts zero distinct values and does not violate
+   * (a dependency constrains present values).
    *
    * @return (lhs, rhs, n_groups, n_violating, viol_ppm, holds)
    */
   def fdDiscover(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.size >= 2, "need at least two columns to mine")
-    val pairs = for { a <- cols; b <- cols if a != b } yield (a, b)
-    pairs.map { case (a, b) =>
-      df.groupBy(col(a).as("__k"))
-        .agg(countDistinct(col(b)).as("__nd"))
-        .agg(count(lit(1)).cast("long").as("n_groups"),
-          sum(when(col("__nd") > 1, 1L).otherwise(0L)).cast("long")
-            .as("n_violating"))
-        .select(lit(a).as("lhs"), lit(b).as("rhs"),
-          col("n_groups"), col("n_violating"),
-          expr("(1000000L * n_violating) div n_groups").cast("long")
+    cols.map { a =>
+      val rhs = cols.filterNot(_ == a)
+      val ndCols = rhs.map(b => countDistinct(col(b)).as(s"__nd_$b"))
+      val perGroup = df.groupBy(col(a).as("__k"))
+        .agg(ndCols.head, ndCols.tail: _*)
+      val nvCols = rhs.map(b =>
+        sum(when(col(s"__nd_$b") > 1, 1L).otherwise(0L)).cast("long")
+          .as(s"__nv_$b"))
+      val agged = perGroup.agg(
+        count(lit(1)).cast("long").as("n_groups"),
+        nvCols: _*)
+      agged.select(col("n_groups"), explode(array(rhs.map(b =>
+          struct(lit(b).as("rhs"), col(s"__nv_$b").as("n_violating"))): _*))
+          .as("__x"))
+        .select(lit(a).as("lhs"), col("__x.rhs").as("rhs"),
+          col("n_groups"), col("__x.n_violating").as("n_violating"),
+          expr("(1000000L * __x.n_violating) div n_groups").cast("long")
             .as("viol_ppm"),
-          (col("n_violating") === 0L).as("holds"))
+          (col("__x.n_violating") === 0L).as("holds"))
     }.reduce(_ unionByName _)
+  }
+
+  /**
+   * Level-2 FD discovery — the next rung of the TANE lattice that
+   * [[fdDiscover]] documents as its scope cut: mine {a1, a2} → b for
+   * every unordered LHS pair, SEEDED by the level-1 survivors. TANE
+   * pruning applies exactly: if a1 → b (or a2 → b) already holds,
+   * {a1, a2} → b is implied and NOT minimal, so the pair-RHS
+   * combination is skipped rather than re-counted — the seeding is
+   * what keeps the lattice walk from exploding (the reason level 1
+   * "starts from these results anyway").
+   *
+   * Scan discipline: the level-1 pass costs p scans (fdDiscover),
+   * the level-2 pass one groupBy per LHS PAIR computing
+   * countDistinct for every surviving RHS at once — C(p,2) scans,
+   * inherent to the lattice level, with the RHS set pruned per pair.
+   * The level-1 `holds` map is p·(p−1) rows, fetched through
+   * [[graft.pipeline.DriverBounds.boundedCollect]] like every
+   * planner stat. A pair whose every RHS is implied contributes no
+   * scan at all.
+   *
+   * @return (lhs1, lhs2, rhs, n_groups, n_violating, viol_ppm,
+   *         holds) — lhs1 < lhs2 lexicographically; only minimal
+   *         (non-implied) candidates appear
+   */
+  def fdDiscoverL2(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 3, "need at least three columns for level 2")
+    val p = cols.size.toLong
+    val level1 = graft.pipeline.DriverBounds.boundedCollect(
+        fdDiscover(df, cols).select("lhs", "rhs", "holds"),
+        p * (p - 1), "fdDiscoverL2 level-1 seed")
+      .map(r => (r.getString(0), r.getString(1)) -> r.getBoolean(2)).toMap
+    val lhsPairs = for {
+      i <- cols.indices; j <- cols.indices if i < j
+    } yield {
+      val (a1, a2) = (cols(i), cols(j))
+      if (a1 < a2) (a1, a2) else (a2, a1)
+    }
+    val spark = df.sparkSession
+    val perPair = lhsPairs.flatMap { case (a1, a2) =>
+      val rhs = cols.filterNot(c => c == a1 || c == a2)
+        .filterNot(b => level1((a1, b)) || level1((a2, b)))
+      if (rhs.isEmpty) None
+      else {
+        val ndCols = rhs.map(b => countDistinct(col(b)).as(s"__nd_$b"))
+        val perGroup = df.groupBy(col(a1).as("__k1"), col(a2).as("__k2"))
+          .agg(ndCols.head, ndCols.tail: _*)
+        val nvCols = rhs.map(b =>
+          sum(when(col(s"__nd_$b") > 1, 1L).otherwise(0L)).cast("long")
+            .as(s"__nv_$b"))
+        val agged = perGroup.agg(
+          count(lit(1)).cast("long").as("n_groups"),
+          nvCols: _*)
+        Some(agged.select(col("n_groups"), explode(array(rhs.map(b =>
+            struct(lit(b).as("rhs"), col(s"__nv_$b").as("n_violating"))): _*))
+            .as("__x"))
+          .select(lit(a1).as("lhs1"), lit(a2).as("lhs2"),
+            col("__x.rhs").as("rhs"),
+            col("n_groups"), col("__x.n_violating").as("n_violating"),
+            expr("(1000000L * __x.n_violating) div n_groups").cast("long")
+              .as("viol_ppm"),
+            (col("__x.n_violating") === 0L).as("holds")))
+      }
+    }
+    if (perPair.isEmpty) {
+      import spark.implicits._
+      Seq.empty[(String, String, String, Long, Long, Long, Boolean)]
+        .toDF("lhs1", "lhs2", "rhs", "n_groups", "n_violating",
+          "viol_ppm", "holds")
+    } else perPair.reduce(_ unionByName _)
   }
 }

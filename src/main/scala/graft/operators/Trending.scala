@@ -44,12 +44,25 @@ object Trending {
     val aged = events.select(col(keyCol), unix_timestamp(col(tsCol)).as("__t"))
       .crossJoin(broadcast(anchor))
       .withColumn("__age", expr(s"(__t0 - __t) div $halfLifeSec"))
+    // Decayed sum and the ppm both run in DECIMAL(38,0): per-row terms
+    // are ≤ 2^K so a long SUM wraps past ~2^(63−K) in-horizon events,
+    // and `10⁶·decayed` / `n·2^K` each wrap long well inside the
+    // documented K≤60 range (K=20 already overflows at ~8.8M events).
+    // Decimal keeps the arithmetic exact at any event count; the final
+    // BIGINT casts are ANSI-checked, so a key that genuinely exceeds
+    // int64 fails loudly instead of reporting a negative score.
     aged.groupBy(col(keyCol))
       .agg(count(lit(1)).as("n_events"),
         sum(when(col("__age") <= k,
-            expr(s"shiftleft(1L, cast($k - __age AS int))"))
-          .otherwise(lit(0L))).as("decayed_units"))
-      .withColumn("recency_ppm",
-        expr(s"(1000000L * decayed_units) div (n_events * ${1L << k})"))
+            expr(s"CAST(shiftleft(1L, cast($k - __age AS int)) " +
+              "AS DECIMAL(38,0))"))
+          .otherwise(expr("CAST(0 AS DECIMAL(38,0))"))).as("__du"))
+      .select(col(keyCol), col("n_events"),
+        expr("CAST(__du AS BIGINT)").as("decayed_units"),
+        expr(s"CAST((CAST(1000000 AS DECIMAL(38,0)) * __du - " +
+          s"pmod(CAST(1000000 AS DECIMAL(38,0)) * __du, " +
+          s"CAST(n_events AS DECIMAL(38,0)) * ${1L << k})) / " +
+          s"(CAST(n_events AS DECIMAL(38,0)) * ${1L << k}) AS BIGINT)")
+          .as("recency_ppm"))
   }
 }

@@ -722,10 +722,13 @@ object Corpus {
       .sortableBits(col(scoreCol).cast("double"))
     val withP = ranked.withColumn("__pb",
       shiftrightunsigned(sbits, 48).cast("int"))
-    // the single pre-cut job: ≤65536 rows of (bucket, sum, count)
-    val sums = withP.groupBy("__pb")
-      .agg(sum(col(tokenCol).cast("long")).as("t"), count(lit(1)).as("c"))
-      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    // the single pre-cut job: ≤65536 rows of (bucket, sum, count) —
+    // bounded by the 16-bit bucket domain; asserted, not assumed
+    val sums = DriverBounds.boundedCollect(
+        withP.groupBy("__pb")
+          .agg(sum(col(tokenCol).cast("long")).as("t"), count(lit(1)).as("c")),
+        65536L, "tokenBudgetSelect bucket sums")
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
       // prefix buckets order by score when compared as 16-bit
       // sign-flipped ints (negative doubles land in [32768,65535],
       // positives in [0,32767]); XOR 0x8000 makes the walk key
@@ -925,8 +928,14 @@ object Corpus {
       idCol: String = "doc_id", defaultAction: String = "allow"): DataFrame = {
     val pfx = urls
       .withColumn("__m", regexp_replace(col(urlCol), "\\?.*$", ""))
+      // greatest(..., 3): sequence(3, 2) DESCENDS in Spark, so a
+      // malformed URL with fewer than three '/'-segments (one that
+      // skipped canonicalUrl) would otherwise emit bogus whole-string
+      // prefixes instead of deterministically falling through to
+      // defaultAction; the floor makes the sequence 3..3 → the single
+      // (sub-3-segment, hence unmatched) prefix (round-12 advice).
       .withColumn("__pfx", explode(expr(
-        "transform(sequence(3, size(split(__m, '/'))), " +
+        "transform(sequence(3, greatest(size(split(__m, '/')), 3)), " +
           "i -> array_join(slice(split(__m, '/'), 1, i), '/'))")))
     val matched = pfx
       .join(broadcast(rules.select(col("prefix").as("__pfx"),

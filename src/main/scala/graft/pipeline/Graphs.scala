@@ -155,25 +155,35 @@ object Graphs {
   def kCore(edges: DataFrame, k: Int, iters: Int,
       srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
     require(k >= 1 && iters >= 1, "positive k and iteration count")
+    // localCheckpoint, NOT persist (round-13 forensics): each round's
+    // frame references the previous round ~5× (degree union ×2, two
+    // semi-join legs, the projection), and persist() caches EXECUTION
+    // but does not truncate the LOGICAL plan — so round r's plan tree
+    // held ~5^r copies of the base lineage and Catalyst re-analysis
+    // grew exponentially: at sf0.1 the 4-round bench fixture spent
+    // 32-45 s of driver-side analysis against <2 s of actual job
+    // execution (measured with ProfileQuery; this single query was
+    // 22% of the round-12 board). localCheckpoint materializes AND
+    // truncates lineage to a LogicalRDD, making every round's plan
+    // constant-size. Cluster note: localCheckpoint blocks live in the
+    // block manager (lost with an executor); an iterative job on an
+    // unreliable cluster should set a reliable checkpoint dir and use
+    // checkpoint() — the plan-shape argument is identical.
     var e = edges
       .select(least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"))
       .filter(col("a") =!= col("b"))
-      .distinct().persist()
-    e.count()
+      .distinct().localCheckpoint()
     def degrees(ed: DataFrame) = ed.select(col("a").as("node"))
       .unionByName(ed.select(col("b").as("node")))
       .groupBy("node").agg(count(lit(1)).as("degree"))
     (1 to iters).foreach { _ =>
       val keep = degrees(e).filter(col("degree") >= k)
         .select(col("node"))
-      val next = e
+      e = e
         .join(keep.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
         .join(keep.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
-        .select("a", "b").persist()
-      next.count()
-      e.unpersist()
-      e = next
+        .select("a", "b").localCheckpoint()
     }
     val deg = degrees(e)
     val minDeg = deg.agg(coalesce(min(col("degree")), lit(Long.MaxValue))
@@ -218,25 +228,23 @@ object Graphs {
       .distinct()
     val nbrs = e.select(col("a").as("node"), col("b").as("nbr"))
       .unionByName(e.select(col("b").as("node"), col("a").as("nbr")))
-      .persist()
-    nbrs.count()
+      .localCheckpoint() // truncate lineage: see the kCore note — the
+    // adjacency is embedded in every round's plan, and each round's
+    // labels frame would otherwise carry the whole prior chain into
+    // Catalyst re-analysis
     var labels = nbrs.select(col("node")).distinct()
-      .select(col("node"), col("node").as("label")).persist()
-    labels.count()
+      .select(col("node"), col("node").as("label")).localCheckpoint()
     val w = Window.partitionBy("node")
       .orderBy(col("__c").desc, col("__nl"))
     (1 to iters).foreach { _ =>
-      val next = nbrs
+      labels = nbrs
         .join(labels.select(col("node").as("nbr"), col("label").as("__nl")),
           Seq("nbr"))
         .groupBy("node", "__nl").agg(count(lit(1)).as("__c"))
         .withColumn("__rn", row_number().over(w))
         .filter(col("__rn") === 1)
         .select(col("node"), col("__nl").as("label"))
-        .persist()
-      next.count()
-      labels.unpersist()
-      labels = next
+        .localCheckpoint()
     }
     labels
       .select(col("node"), col("label").as("community"),

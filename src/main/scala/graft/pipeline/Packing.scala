@@ -56,9 +56,12 @@ object Packing {
       .withColumn("__pid", spark_partition_id())
       .persist()
     sized.count()
-    // phase 1: P partition totals → driver prefix scan (P longs, trivial)
-    val totals = sized.groupBy("__pid").agg(sum("n_tokens").as("t"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // phase 1: P partition totals → driver prefix scan (P longs,
+    // trivial; bounded by spark_partition_id's domain — asserted)
+    val totals = DriverBounds.boundedCollect(
+        sized.groupBy("__pid").agg(sum("n_tokens").as("t")),
+        parts.toLong, "streamPacks partition totals")
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
     val offsets = (0 until parts).scanLeft(0L) {
       case (acc, pid) => acc + totals.getOrElse(pid, 0L)
     }

@@ -48,9 +48,12 @@ object PhraseSearch {
     // reaches the posting scan
     val pruned = postings.filter(col("term").isin(phrase: _*))
     // rarest-first join order from the pruned postings' term counts
-    // (k rows; a driver-side scalar fetch like every planner stat)
-    val dfs = pruned.groupBy("term").agg(count(lit(1)).as("__df"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // (k rows; a driver-side scalar fetch like every planner stat —
+    // bounded by the phrase's own distinct-term count; asserted)
+    val dfs = DriverBounds.boundedCollect(
+        pruned.groupBy("term").agg(count(lit(1)).as("__df")),
+        phrase.distinct.size.toLong, "phraseSearch term stats")
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
     // a phrase term with no postings at all -> no matches anywhere.
     // The empty frame derives its id column from the POSTINGS schema
     // (not a hardcoded LongType) so both return paths of this method

@@ -94,35 +94,36 @@ object RecordLinkage {
   def resolveEntities(pairs: DataFrame, iters: Int,
       leftCol: String = "left_id", rightCol: String = "right_id"): DataFrame = {
     require(iters >= 1, "positive iteration count")
+    // localCheckpoint, not persist: labels is referenced twice per
+    // round (the neighbor-min join and the carry join), so each
+    // round's plan would otherwise embed ~3 copies of the previous
+    // round's FULL logical plan — persist caches execution but not
+    // the lineage Catalyst re-analyzes, the exact exponential that
+    // made the round-12 q_kcore bench cell 25× its execution cost
+    // (see [[Graphs.kCore]]).
     val e = pairs
       .select(least(col(leftCol), col(rightCol)).as("a"),
         greatest(col(leftCol), col(rightCol)).as("b"))
-      .filter(col("a") =!= col("b")).distinct().persist()
-    e.count()
+      .filter(col("a") =!= col("b")).distinct().localCheckpoint()
     val nbrs = e.select(col("a").as("node"), col("b").as("nbr"))
       .unionByName(e.select(col("b").as("node"), col("a").as("nbr")))
     var labels = nbrs.select("node").distinct()
-      .select(col("node"), col("node").as("label")).persist()
-    labels.count()
+      .select(col("node"), col("node").as("label")).localCheckpoint()
     (1 to iters).foreach { _ =>
       val nbrMin = nbrs
         .join(labels.select(col("node").as("nbr"), col("label").as("__nl")),
           Seq("nbr"))
         .groupBy("node").agg(min("__nl").as("__ml"))
-      val next = labels.join(nbrMin, Seq("node"), "left")
+      labels = labels.join(nbrMin, Seq("node"), "left")
         .select(col("node"), least(col("label"),
           coalesce(col("__ml"), col("label"))).as("label"))
-        .persist()
-      next.count()
-      labels.unpersist()
-      labels = next
+        .localCheckpoint()
     }
     val conv = e
       .join(labels.select(col("node").as("a"), col("label").as("__la")), Seq("a"))
       .join(labels.select(col("node").as("b"), col("label").as("__lb")), Seq("b"))
       .agg(coalesce(min((col("__la") === col("__lb")).cast("int")) === 1,
         lit(true)).as("__conv"))
-    e.unpersist()
     labels
       .select(col("node").as("record_id"), col("label").as("entity_id"))
       .withColumn("n_members", count(lit(1))

@@ -21,6 +21,13 @@ import graft.functions.VectorFns
  */
 object Similarity {
 
+  /** Driver-row budget for [[mmrTopK]]'s two collects (candidates:
+    * |queries|·poolSize; sims: |queries|·poolSize²) — ~4M tuples of a
+    * few longs is a few hundred MB of driver heap, comfortably inside
+    * a default driver while still serving e.g. 100 queries at a
+    * 200-doc pool (100·200² = 4M). Past it, run per-query-batch. */
+  val MmrMaxDriverRows: Long = 4000000L
+
   /** Exact top-k neighbors per query. `queries` must be small enough
     * to broadcast (the usual batch-of-probes shape).
     * @return (query_id, neighbor_id, cosine, rank) rank 1..k */
@@ -497,7 +504,8 @@ object Similarity {
    */
   def mmrTopK(corpus: DataFrame, queries: DataFrame, select: Int,
       poolSize: Int, vecCol: String = "embedding",
-      idCol: String = "vec_id"): DataFrame = {
+      idCol: String = "vec_id",
+      maxDriverRows: Long = MmrMaxDriverRows): DataFrame = {
     require(select >= 1 && poolSize >= select, "need 1 <= select <= poolSize")
     val pool = bruteForceTopK(corpus, queries, poolSize, vecCol, idCol)
     val cands = pool.select(col("query_id"), col("neighbor_id"),
@@ -519,10 +527,17 @@ object Similarity {
     // join + argmax window) was measured at 13.3 s on a 200-row pool
     // (11 jobs of fixed scheduling overhead); this is the whole cost
     // of the operator beyond the corpus-linear top-k above.
+    // The pool bound is per-QUERY (poolSize); the query count is the
+    // caller's, so the collect caps are asserted, not assumed
+    // (round-12 advice #7): |queries|·poolSize candidate rows and
+    // |queries|·poolSize² sim rows must fit the documented driver
+    // budget or the operator fails loudly naming the regime.
     val spark = corpus.sparkSession
-    val candRows = cands.collect().map(r =>
+    val candRows = DriverBounds.boundedCollect(cands, maxDriverRows,
+        "mmrTopK candidate pool").map(r =>
       (r.getLong(0), r.getLong(1), r.getLong(2)))
-    val simRows = pairs.collect().map(r =>
+    val simRows = DriverBounds.boundedCollect(pairs, maxDriverRows,
+        "mmrTopK pairwise sims").map(r =>
       ((r.getLong(0), r.getLong(1), r.getLong(2)), r.getLong(3))).toMap
     val out = candRows.groupBy(_._1).toSeq.flatMap { case (qid, cs) =>
       val rel = cs.map(c => c._2 -> c._3).toMap

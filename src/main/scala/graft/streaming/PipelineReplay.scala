@@ -283,6 +283,51 @@ object PipelineReplay {
       .filter(_._1 >= 0L)
   }
 
+  /** Drive [[StreamJoin.intervalJoin]] in TIME-ORDERED micro-batches
+    * of `chunkSec` event-time seconds and return the state-store row
+    * count after each batch — the eviction-contract probe: with both
+    * sides watermarked and the time bound in the join condition,
+    * state must PLATEAU at (window span + watermark + batch slack) ×
+    * arrival rate, independent of stream LENGTH. A state curve that
+    * keeps climbing with the stream means eviction is broken and a
+    * 100 TB/day stream eventually OOMs its state stores. */
+  def measureIntervalJoinState(spark: SparkSession,
+      lefts: Seq[(Long, Timestamp, Long)],
+      rights: Seq[(Long, Timestamp, Long)],
+      beforeSec: Long, afterSec: Long, watermarkSec: Long,
+      chunkSec: Long): Seq[Long] = {
+    if (lefts.isEmpty && rights.isEmpty) return Seq.empty
+    val sess = child(spark)
+    import sess.implicits._
+    implicit val sq = sess.sqlContext
+    val lMem = MemoryStream[(Long, Timestamp, Long)]
+    val rMem = MemoryStream[(Long, Timestamp, Long)]
+    val out = StreamJoin.intervalJoin(
+        lMem.toDF().toDF("l_key", "l_ts", "l_id"),
+        rMem.toDF().toDF("r_key", "r_ts", "r_id"),
+        "l_key", "r_key", "l_ts", "r_ts",
+        beforeSec, afterSec, watermarkSec, "inner")
+      .select("l_key", "l_id", "r_id")
+    val states = scala.collection.mutable.ArrayBuffer.empty[Long]
+    runToMemory(sess, out, "append") { q =>
+      val t0 = (lefts.iterator ++ rights.iterator).map(_._2.getTime).min
+      val chunks = (lefts.map((_, true)) ++ rights.map((_, false)))
+        .groupBy { case (row, _) => (row._2.getTime - t0) / (chunkSec * 1000L) }
+        .toSeq.sortBy(_._1)
+      chunks.foreach { case (_, rows) =>
+        val (ls, rs) = rows.partition(_._2)
+        if (ls.nonEmpty) lMem.addData(ls.map(_._1): _*)
+        if (rs.nonEmpty) rMem.addData(rs.map(_._1): _*)
+        q.processAllAvailable()
+        Option(q.lastProgress).foreach { p =>
+          if (p.stateOperators.nonEmpty)
+            states += p.stateOperators.map(_.numRowsTotal).sum
+        }
+      }
+    }
+    states.toSeq
+  }
+
   /** Replay a token stream through [[StreamHeavyHitters.candidates]]
     * (single batch → the sink holds exactly the final per-bucket
     * Misra-Gries summaries); returns (bucket, token, mg_count).

@@ -17,11 +17,12 @@ class PlanSweepSpec extends SparkTestBase {
     // q_*_stream_parity: building those frames runs the streaming
     // replay harnesses (StreamParity / PipelineReplay); their plan
     // shapes are covered by their own specs.
-    val exempt = Set("bm_published", "q_alarm_stream_parity",
-      "q_dedup_stream_parity", "q_sessions_stream_parity",
-      "q_funnel_stream_parity", "q_statagg_stream_parity",
-      "q_heavy_stream_parity", "q_neardup_stream_parity",
-      "q_interval_stream_parity")
+    // Derived from the registry that defines the parity queries (same
+    // round-13 fix as Bench.streamingQueries): a hand-written list
+    // missed q_cusum_stream_parity and both q_sjoin parities when
+    // round 12 added them.
+    val exempt = graft.entries.StreamParityEntries.queries.keySet ++
+      Set("bm_published", "q_alarm_stream_parity")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, _) if exempt(name) => None
       case (name, fn) =>

@@ -176,6 +176,32 @@ class RobustnessSpec extends SparkTestBase {
     assert(got == Set(3L), s"token-less rows must not pair: $got")
   }
 
+  test("boundedCollect: over-cap input fails loudly, never materializes") {
+    val five = Seq(1L, 2L, 3L, 4L, 5L).toDF("v")
+    val ok = graft.pipeline.DriverBounds.boundedCollect(five, 5L, "probe")
+    assert(ok.length == 5)
+    val e = intercept[IllegalArgumentException] {
+      graft.pipeline.DriverBounds.boundedCollect(five, 3L, "probe")
+    }
+    assert(e.getMessage.contains("documented bound of 3 rows"))
+  }
+
+  test("mmrTopK: a query load past the driver-row budget fails loudly") {
+    // 2 queries x poolSize 4 = 8 candidate rows > maxDriverRows 3 —
+    // the out-of-regime caller gets the contract error, not an OOM
+    val e = Seq(
+      (1L, Array(10.0f, 0.0f)), (2L, Array(0.0f, 10.0f)),
+      (3L, Array(9.0f, 1.0f)), (4L, Array(1.0f, 9.0f)),
+      (8L, Array(1.0f, 2.0f)), (9L, Array(1.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val ex = intercept[IllegalArgumentException] {
+      graft.pipeline.Similarity.mmrTopK(
+        e.filter(col("vec_id") < 8), e.filter(col("vec_id") >= 8),
+        select = 2, poolSize = 4, maxDriverRows = 3L).collect()
+    }
+    assert(ex.getMessage.contains("mmrTopK"))
+  }
+
   test("histogram degenerate: single bucket swallows the domain; all-null column") {
     val one = Profiling.histogram(Seq(1L, 2L, 3L).toDF("v"), "v", 1, 0L, 100L)
       .collect().head

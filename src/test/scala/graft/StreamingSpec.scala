@@ -843,4 +843,35 @@ class StreamingSpec extends SparkTestBase {
     assert(outer.toSet == Set((1L, 10L, Some(11L)), (1L, 10L, Some(12L)),
       (2L, 20L, Some(21L)), (3L, 30L, None)))
   }
+
+  test("stream-stream join state PLATEAUS at window-span x rate, " +
+      "independent of stream length") {
+    // the eviction contract the intervalJoin scaladoc claims, proven:
+    // 1 event/sec/side on one key, window ±60s, watermark 30s, fed in
+    // 60s micro-batches. State may hold at most the rows still inside
+    // (window span + watermark + one batch of slack) on each side —
+    // model bound (60+60+30+60) x 2 sides = 420 rows — and a 3x
+    // longer stream must peak at the SAME plateau, not 3x higher.
+    def ts(epoch: Long) = new java.sql.Timestamp(epoch * 1000L)
+    def mk(n: Long) = (
+      (0L until n).map(i => (1L, ts(1000000L + i), 2L * i)),
+      (0L until n).map(i => (1L, ts(1000000L + i), 2L * i + 1L)))
+    val (l1, r1) = mk(600L)
+    val s1 = graft.streaming.PipelineReplay.measureIntervalJoinState(
+      spark, l1, r1, beforeSec = 60L, afterSec = 60L,
+      watermarkSec = 30L, chunkSec = 60L)
+    val (l3, r3) = mk(1800L)
+    val s3 = graft.streaming.PipelineReplay.measureIntervalJoinState(
+      spark, l3, r3, beforeSec = 60L, afterSec = 60L,
+      watermarkSec = 30L, chunkSec = 60L)
+    assert(s1.nonEmpty && s3.nonEmpty)
+    val (p1, p3) = (s1.max, s3.max)
+    assert(p1 <= 600L, s"peak state $p1 exceeds the window-span model")
+    assert(p3 <= 600L, s"peak state $p3 exceeds the window-span model")
+    // plateau: tripling the stream moves the peak < 20%, i.e. state
+    // scales with the WINDOW, never the stream
+    assert(p3 <= (p1 * 12L) / 10L, s"3x stream peak $p3 vs 1x peak $p1")
+    // eviction is live: mid-stream state sits well below total input
+    assert(s3.last < 3600L, "final state must not hold the whole stream")
+  }
 }

@@ -59,6 +59,24 @@ for name in todo:
     if sorted(gcols) != sorted(wcols):
         print(f"{name}: SCHEMA MISMATCH spark={sorted(gcols)} oracle={sorted(wcols)}")
         fail += 1; continue
+    # Dtype lint (round 13): the driver's comparator hashes PANDAS
+    # frames, where DuckDB HUGEINT (e.g. an uncast SUM(BIGINT))
+    # materializes as float64 — fetchall() above returns Python ints
+    # and masked exactly that artifact twice (r11 q_bpe_merges, r12
+    # q_rolling: values equal, hash_match false). Compare dtype KINDS
+    # through the same pandas path the driver uses; any int-vs-float
+    # (or other kind) divergence fails even when values match.
+    def kinds(df):
+        return {c: ("i" if k in "iu" else k)
+                for c, k in ((c, df[c].dtype.kind) for c in df.columns)}
+    gk = kinds(con.execute(
+        f"SELECT * FROM '{out}/{name}/*.parquet'").df())
+    wk = kinds(con.execute(oracle[name]).df())
+    dtbad = [f"{c}: spark={gk[c]} oracle={wk[c]}"
+             for c in sorted(gk) if c in wk and gk[c] != wk[c]]
+    if dtbad:
+        print(f"{name}: DTYPE LINT FAIL {'; '.join(dtbad)}")
+        fail += 1; continue
     g = sorted([tuple(norm(r[i]) for i in gi) for r in got])
     w = sorted([tuple(norm(r[i]) for i in wi) for r in want])
     if g == w:
