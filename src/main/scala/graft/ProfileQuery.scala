@@ -19,7 +19,7 @@ import org.apache.spark.sql.SparkSession
  * windows, and neither could say where inside the query the time
  * went.
  *
- * Usage: runMain graft.ProfileQuery <queryName> [sfDir] [trials]
+ * Usage: runMain graft.ProfileQuery <name[,name...]> [sfDir] [trials]
  */
 object ProfileQuery {
 
@@ -33,7 +33,7 @@ object ProfileQuery {
   }
 
   def main(args: Array[String]): Unit = {
-    val name = args(0)
+    val qnames = args(0).split(',').map(_.trim).filter(_.nonEmpty).toSeq
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val trials = if (args.length > 2) args(2).toInt else 3
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -48,30 +48,35 @@ object ProfileQuery {
       .config("spark.sql.codegen.cache.maxEntries", "4000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val fn = SparkEntry.queries(name)
-    (1 to trials).foreach { t =>
-      val lst = new JobListener
-      spark.sparkContext.addSparkListener(lst)
-      val t0 = System.nanoTime()
-      val df = fn(spark, sfDir)
-      val t1 = System.nanoTime()
-      Thread.sleep(300) // let the listener bus drain (private API)
-      val constructionJobs = lst.jobs.size
-      val constructionJobMs = lst.jobs.values.sum
-      val t2 = System.nanoTime()
-      df.queryExecution.toRdd.count()
-      val t3 = System.nanoTime()
-      Thread.sleep(300) // let the listener bus drain (private API)
-      val totalJobs = lst.jobs.size
-      val totalJobMs = lst.jobs.values.sum
-      spark.sparkContext.removeSparkListener(lst)
-      spark.catalog.clearCache()
-      println(f"trial $t: total ${(t1 - t0 + t3 - t2) / 1e9}%.2fs = " +
-        f"construct ${(t1 - t0) / 1e9}%.2fs " +
-        f"($constructionJobs jobs, ${constructionJobMs / 1e3}%.2fs sched) " +
-        f"+ execute ${(t3 - t2) / 1e9}%.2fs " +
-        f"(${totalJobs - constructionJobs} jobs, " +
-        f"${(totalJobMs - constructionJobMs) / 1e3}%.2fs sched)")
+    qnames.foreach { name =>
+      val fn = SparkEntry.queries(name)
+      (1 to trials).foreach { t =>
+        val lst = new JobListener
+        spark.sparkContext.addSparkListener(lst)
+        val t0 = System.nanoTime()
+        val df = fn(spark, sfDir)
+        val t1 = System.nanoTime()
+        Thread.sleep(300) // let the listener bus drain (private API)
+        val constructionJobs = lst.jobs.size
+        val constructionJobMs = lst.jobs.values.sum
+        val t2 = System.nanoTime()
+        df.queryExecution.toRdd.count()
+        val t3 = System.nanoTime()
+        Thread.sleep(300) // let the listener bus drain (private API)
+        val totalJobs = lst.jobs.size
+        val totalJobMs = lst.jobs.values.sum
+        spark.sparkContext.removeSparkListener(lst)
+        spark.catalog.clearCache()
+        graft.streaming.StreamParity.activeReplays.foreach { q =>
+          try q.stop() catch { case scala.util.control.NonFatal(_) => () }
+        }
+        println(f"$name trial $t: total ${(t1 - t0 + t3 - t2) / 1e9}%.2fs = " +
+          f"construct ${(t1 - t0) / 1e9}%.2fs " +
+          f"($constructionJobs jobs, ${constructionJobMs / 1e3}%.2fs sched) " +
+          f"+ execute ${(t3 - t2) / 1e9}%.2fs " +
+          f"(${totalJobs - constructionJobs} jobs, " +
+          f"${(totalJobMs - constructionJobMs) / 1e3}%.2fs sched)")
+      }
     }
     spark.stop()
   }

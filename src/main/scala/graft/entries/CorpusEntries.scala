@@ -460,6 +460,14 @@ private[graft] object CorpusEntries {
         .orderBy(desc("lift_ppm"), col("tok_a"), col("tok_b"))
     },
 
+    // TextRank keywords: integer PageRank (2 rounds) over the
+    // adjacent-token co-occurrence graph, top-25 by rank.
+    "q_textrank" -> { (s, dir) =>
+      graft.pipeline.Corpus.textRankKeywords(spread(docs(s, dir)),
+          iters = 2, k = 25)
+        .orderBy("kw_rank")
+    },
+
     // Curriculum ordering: quality-score quartiles, 4 shards per bin,
     // deterministic within-bin permutation (seed 7).
     "q_curriculum" -> { (s, dir) =>
@@ -1589,6 +1597,40 @@ private[graft] object CorpusEntries {
         |SELECT tok_a, tok_b, n_pair, n_a, n_b, lift_ppm FROM j
         |WHERE lift_ppm >= 1500000
         |ORDER BY lift_ppm DESC, tok_a, tok_b""".stripMargin,
+
+    // the q_pagerank unroll on the bigram co-occurrence graph; e is
+    // MATERIALIZED (referenced by deg + both contribution rounds)
+    "q_textrank" ->
+      """WITH w AS (SELECT list_filter(regexp_split_to_array(text, '\s+'),
+        |x -> x <> '') AS w FROM documents),
+        |bg AS (SELECT unnest(CASE WHEN len(w) >= 2
+        |THEN list_transform(range(1, len(w)), i -> array_to_string(w[i:i+1], ' '))
+        |ELSE [] END) AS gram FROM w),
+        |pr AS (SELECT split_part(gram, ' ', 1) AS a, split_part(gram, ' ', 2) AS b
+        |FROM bg WHERE split_part(gram, ' ', 1) <> split_part(gram, ' ', 2)),
+        |e AS MATERIALIZED (SELECT DISTINCT a AS src, b AS dst FROM pr
+        |UNION SELECT DISTINCT b, a FROM pr),
+        |nodes AS MATERIALIZED (SELECT DISTINCT node FROM
+        |(SELECT src AS node FROM e UNION SELECT dst FROM e)),
+        |deg AS MATERIALIZED (SELECT src, count(*) AS d FROM e GROUP BY src),
+        |p AS (SELECT 1000000000 // count(*) AS init,
+        |(150 * (1000000000 // count(*))) // 1000 AS base FROM nodes),
+        |r0 AS (SELECT node, (SELECT init FROM p) AS rank FROM nodes),
+        |c1 AS (SELECT e.dst AS node, SUM(r0.rank // deg.d) AS m
+        |FROM e JOIN r0 ON e.src = r0.node JOIN deg ON e.src = deg.src
+        |GROUP BY e.dst),
+        |r1 AS MATERIALIZED (SELECT nodes.node,
+        |(SELECT base FROM p) + ((850 * COALESCE(c1.m, 0)) // 1000) AS rank
+        |FROM nodes LEFT JOIN c1 USING (node)),
+        |c2 AS (SELECT e.dst AS node, SUM(r1.rank // deg.d) AS m
+        |FROM e JOIN r1 ON e.src = r1.node JOIN deg ON e.src = deg.src
+        |GROUP BY e.dst),
+        |r2 AS (SELECT nodes.node,
+        |(SELECT base FROM p) + ((850 * COALESCE(c2.m, 0)) // 1000) AS rank
+        |FROM nodes LEFT JOIN c2 USING (node))
+        |SELECT node, CAST(rank AS BIGINT) AS rank,
+        |CAST(row_number() OVER (ORDER BY rank DESC, node) AS BIGINT) AS kw_rank
+        |FROM r2 ORDER BY rank DESC, node LIMIT 25""".stripMargin,
 
     "q_heavy_hitters" ->
       """WITH t AS (SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'),

@@ -1545,6 +1545,43 @@ object Corpus {
   }
 
   /**
+   * TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank
+   * over the word co-occurrence graph — adjacent-token edges in both
+   * directions (the paper's undirected window-2 keyword graph),
+   * duplicates collapsed (the unweighted formulation). Composes
+   * [[collocations]]' bigram pass with
+   * [[Graphs.pageRankFixedPoint]]'s integer-exact iteration, so the
+   * extraction is deterministic to the bit and oracle-checkable like
+   * every other score in the engine.
+   *
+   * Scale: the explode is the only corpus-linear pass; the graph it
+   * leaves is VOCABULARY-sized (distinct adjacent pairs), and the
+   * PageRank rounds run entirely on that vocab graph. Top-k is an
+   * orderBy+limit — TakeOrderedAndProject per-partition heaps, no
+   * global sort; the kw_rank window then orders k rows, not the
+   * vocabulary.
+   *
+   * @return (node, rank, kw_rank) — the k highest-ranked tokens,
+   *         kw_rank 1..k, rank ties broken to lexicographic token
+   */
+  def textRankKeywords(docs: DataFrame, iters: Int, k: Int,
+      textCol: String = "text"): DataFrame = {
+    require(iters >= 1 && k >= 1, "positive iterations and k")
+    graft.plans.NativeFns.register(docs.sparkSession)
+    val bi = docs.select(
+        explode(graft.plans.WordShingles.shingles(col(textCol), 2)).as("gram"))
+      .select(element_at(split(col("gram"), " ", 2), 1).as("a"),
+        element_at(split(col("gram"), " ", 2), 2).as("b"))
+      .filter(col("a") =!= col("b"))
+    val edges = bi.unionByName(bi.select(col("b").as("a"), col("a").as("b")))
+    Graphs.pageRankFixedPoint(edges, iters, srcCol = "a", dstCol = "b")
+      .orderBy(col("rank").desc, col("node")).limit(k)
+      .withColumn("kw_rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("rank").desc, col("node"))).cast("long"))
+  }
+
+  /**
    * Corpus snapshot diff — classify every document as added /
    * removed / changed / unchanged between two corpus versions, the
    * audit step between two training-data releases ("what actually
