@@ -87,8 +87,13 @@ object Bpe {
       textCol: String = "text"): DataFrame = {
     require(numMerges >= 1, "numMerges must be >= 1")
     val spark = docs.sparkSession
-    var state = wordVocab(docs, textCol).persist()
-    state.count()
+    // localCheckpoint (round 13): each round chains one replaceAll
+    // onto the state plan, so persist-only iteration re-analyzes an
+    // O(r)-deep plan every round (O(r²) total) — harmless at 20
+    // merges, compounding at a production merge count; truncating
+    // per round makes every round's plan constant-size (the
+    // Graphs.kCore lesson applied before it costs anything).
+    var state = wordVocab(docs, textCol).localCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var r = 1
     var exhausted = false
@@ -100,15 +105,12 @@ object Bpe {
         val (p1, p2, cnt) = (best.head.getString(0), best.head.getString(1),
           best.head.getLong(2))
         merges += ((r, p1, p2, cnt))
-        val next = state.withColumn("seq", replaceAll(col("seq"),
-          lit(Sep + p1 + SepSep + p2 + Sep), lit(Sep + p1 + p2 + Sep))).persist()
-        next.count()
-        state.unpersist()
-        state = next
+        state = state.withColumn("seq", replaceAll(col("seq"),
+          lit(Sep + p1 + SepSep + p2 + Sep), lit(Sep + p1 + p2 + Sep)))
+          .localCheckpoint()
         r += 1
       }
     }
-    state.unpersist()
     import spark.implicits._
     merges.toSeq.toDF("rank", "p1", "p2", "pair_cnt")
   }

@@ -348,16 +348,21 @@ object Dedup {
     val parts = math.max(2, math.min(
       pairs.sparkSession.sparkContext.defaultParallelism,
       (nEdges / 50000L).toInt + 1))
+    // localCheckpoint, not persist (round 13): labels is referenced
+    // twice per round (neighbor-min + carry) plus once by the
+    // convergence count, so persist-only iteration compounds Catalyst
+    // re-analysis ~3× per round — the q_kcore exponential (see
+    // Graphs.kCore); checkpointing truncates each round's plan to a
+    // LogicalRDD while preserving the repartition's co-location.
     val edges = base
       .union(base.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
       .repartition(parts, col("id_b"))
-      .persist()
-    edges.count()
+      .localCheckpoint()
     base.unpersist()
     var labels = edges.select(col("id_a").as("doc_id")).distinct()
       .withColumn("cluster_id", col("doc_id"))
       .repartition(parts, col("doc_id"))
-      .persist()
+      .localCheckpoint()
     var changedCount = 1L
     var i = 0
     while (changedCount > 0 && i < maxIterations) {
@@ -370,10 +375,9 @@ object Dedup {
         .select(col("doc_id"),
           least(col("cluster_id"), coalesce(col("n_min"), col("cluster_id")))
             .as("cluster_id"))
-        .persist()
+        .localCheckpoint()
       changedCount = next.join(labels.withColumnRenamed("cluster_id", "old"),
         Seq("doc_id")).filter(col("cluster_id") =!= col("old")).count()
-      labels.unpersist()
       labels = next
       i += 1
     }
@@ -382,7 +386,6 @@ object Dedup {
     if (changedCount > 0) throw new IllegalStateException(
       s"label propagation did not converge in $maxIterations rounds " +
         "(component diameter too large) — raise maxIterations")
-    edges.unpersist()
     labels
   }
 

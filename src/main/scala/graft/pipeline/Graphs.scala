@@ -52,11 +52,16 @@ object Graphs {
     require(iters >= 1, "at least one iteration")
     require(dampingPermille >= 0 && dampingPermille <= 1000,
       "damping is a permille")
+    // localCheckpoint (round 13): e and nodes are EMBEDDED in every
+    // iteration's lazy plan (contribution join + carry join), so a
+    // persist-only base leaves Catalyst re-analyzing k copies of the
+    // full distinct-union lineage at iteration k; truncation makes
+    // the per-iteration plan increment constant-size (Graphs.kCore).
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .distinct().persist()
-    e.count() // eager: fans out to degrees, nodes, and every iteration
+      .distinct().localCheckpoint()
     val nodes = e.select(col("src").as("node"))
-      .unionByName(e.select(col("dst").as("node"))).distinct().persist()
+      .unionByName(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint()
     val outDeg = e.groupBy("src").agg(count(lit(1)).as("__deg"))
     val n = nodes.count()
     val init = scale / n
@@ -100,11 +105,12 @@ object Graphs {
       scale: Long = 1000000000L, srcCol: String = "src",
       dstCol: String = "dst"): DataFrame = {
     require(iters >= 1, "at least one iteration")
+    // same truncation rationale as [[pageRankFixedPoint]]
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .distinct().persist()
-    e.count()
+      .distinct().localCheckpoint()
     val nodes = e.select(col("src").as("node"))
-      .unionByName(e.select(col("dst").as("node"))).distinct().persist()
+      .unionByName(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint()
     val outDeg = e.groupBy("src").agg(count(lit(1)).as("__deg"))
     val n = nodes.count()
     val init = scale / n
