@@ -460,6 +460,22 @@ private[graft] object CorpusEntries {
         .orderBy(desc("lift_ppm"), col("tok_a"), col("tok_b"))
     },
 
+    // Per-source Zipf/vocabulary-concentration audit: type-token,
+    // hapax share, top-10 token mass — all integer ppm.
+    "q_vocab_profile" -> { (s, dir) =>
+      graft.pipeline.Corpus.vocabProfile(spread(docs(s, dir)), topK = 10)
+        .orderBy("source")
+    },
+
+    // DSIR importance scores: hashed-bigram likelihood ratios of the
+    // src0 target model vs the full raw corpus, fixed-point.
+    "q_dsir" -> { (s, dir) =>
+      val d = spread(docs(s, dir))
+      graft.pipeline.Corpus.dsirScore(d,
+          d.filter(col("source") === "src0"), buckets = 10000)
+        .orderBy("doc_id")
+    },
+
     // TextRank keywords: integer PageRank (2 rounds) over the
     // adjacent-token co-occurrence graph, top-25 by rank.
     "q_textrank" -> { (s, dir) =>
@@ -1597,6 +1613,59 @@ private[graft] object CorpusEntries {
         |SELECT tok_a, tok_b, n_pair, n_a, n_b, lift_ppm FROM j
         |WHERE lift_ppm >= 1500000
         |ORDER BY lift_ppm DESC, tok_a, tok_b""".stripMargin,
+
+    "q_vocab_profile" ->
+      """WITH t AS (SELECT source,
+        |unnest(list_filter(regexp_split_to_array(text, '\s+'),
+        |x -> x <> '')) AS tok FROM documents),
+        |c AS (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
+        |FROM t GROUP BY 1, 2),
+        |r AS (SELECT source, tok, c, row_number() OVER
+        |(PARTITION BY source ORDER BY c DESC, tok) AS rk FROM c),
+        |g AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |CAST(COUNT(*) AS BIGINT) AS n_types,
+        |CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax_types,
+        |CAST(SUM(CASE WHEN rk <= 10 THEN c ELSE 0 END) AS BIGINT) AS tk
+        |FROM r GROUP BY 1)
+        |SELECT source, n_tokens, n_types,
+        |CAST((1000000 * n_types) // greatest(n_tokens, 1) AS BIGINT)
+        |AS type_token_ppm, hapax_types,
+        |CAST((1000000 * hapax_types) // greatest(n_types, 1) AS BIGINT)
+        |AS hapax_ppm,
+        |CAST((1000000 * tk) // greatest(n_tokens, 1) AS BIGINT)
+        |AS topk_mass_ppm
+        |FROM g ORDER BY source""".stripMargin,
+
+    // hashed-bigram bucket models in CTEs; the ratio table reuses the
+    // shared bucketSql md5 fold so both engines hash identically
+    "q_dsir" ->
+      s"""WITH w AS (SELECT doc_id, source,
+        |list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS w
+        |FROM documents),
+        |bg AS (SELECT doc_id, source, unnest(CASE WHEN len(w) >= 2
+        |THEN list_transform(range(1, len(w)), i -> array_to_string(w[i:i+1], ' '))
+        |ELSE [] END) AS g FROM w),
+        |hb AS MATERIALIZED (SELECT doc_id, source,
+        |${bucketSql("'dsir:' || g", 10000)} AS b FROM bg),
+        |tc AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS t FROM hb
+        |WHERE source = 'src0' GROUP BY 1),
+        |tt AS (SELECT CAST(COALESCE(SUM(t), 0) AS BIGINT) AS tn FROM tc),
+        |rc AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS r FROM hb GROUP BY 1),
+        |rt AS (SELECT CAST(COALESCE(SUM(r), 0) AS BIGINT) AS rn FROM rc),
+        |ratio AS (SELECT rc.b, LEAST(1000000000,
+        |CAST((1000000::HUGEINT * (COALESCE(tc.t, 0) + 1) *
+        |((SELECT rn FROM rt) + 10000)) //
+        |((rc.r + 1)::HUGEINT * ((SELECT tn FROM tt) + 10000)) AS BIGINT))
+        |AS ratio_ppm FROM rc LEFT JOIN tc USING (b)),
+        |sc AS (SELECT hb.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+        |CAST(SUM(ratio.ratio_ppm) AS BIGINT) AS sum_ratio_ppm
+        |FROM hb JOIN ratio USING (b) GROUP BY 1)
+        |SELECT d.doc_id, COALESCE(sc.n_grams, 0) AS n_grams,
+        |COALESCE(sc.sum_ratio_ppm, 0) AS sum_ratio_ppm,
+        |COALESCE(CAST(sc.sum_ratio_ppm // sc.n_grams AS BIGINT), 0)
+        |AS mean_ratio_ppm
+        |FROM documents d LEFT JOIN sc USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
 
     // the q_pagerank unroll on the bigram co-occurrence graph; e is
     // MATERIALIZED (referenced by deg + both contribution rounds)

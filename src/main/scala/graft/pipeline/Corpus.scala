@@ -1545,6 +1545,128 @@ object Corpus {
   }
 
   /**
+   * Per-source vocabulary concentration audit — the Zipf-shape drift
+   * signal between corpus versions and sources: token count, type
+   * (distinct-token) count, type-token ratio, hapax share (types
+   * seen exactly once — high hapax = noisy/OCR-ish text, near-zero
+   * hapax = templated spam), and top-k token mass (how much of the
+   * source one stopword-sized head covers). All integer ppm.
+   *
+   * Scale: one explode → (source, token) count (map-side
+   * combinable), then per-source aggregates over the
+   * vocabulary-bounded count table; the top-k mass rides a per-source
+   * rank window on that same bounded table, never on raw tokens.
+   *
+   * @return (strataCol, n_tokens, n_types, type_token_ppm,
+   *         hapax_types, hapax_ppm, topk_mass_ppm)
+   */
+  def vocabProfile(docs: DataFrame, topK: Int = 10,
+      strataCol: String = "source", textCol: String = "text"): DataFrame = {
+    require(topK >= 1, "positive topK")
+    graft.plans.NativeFns.register(docs.sparkSession)
+    val counts = docs.select(col(strataCol).as("__s"),
+        explode(graft.plans.WordShingles.shingles(col(textCol), 1))
+          .as("__tok"))
+      .groupBy("__s", "__tok").agg(count(lit(1)).cast("long").as("__c"))
+    val ranked = counts.withColumn("__rk", row_number().over(
+      org.apache.spark.sql.expressions.Window.partitionBy("__s")
+        .orderBy(col("__c").desc, col("__tok"))))
+    ranked.groupBy(col("__s").as(strataCol))
+      .agg(sum("__c").cast("long").as("n_tokens"),
+        count(lit(1)).cast("long").as("n_types"),
+        sum(when(col("__c") === 1L, 1L).otherwise(0L)).cast("long")
+          .as("hapax_types"),
+        sum(when(col("__rk") <= topK, col("__c")).otherwise(0L)).cast("long")
+          .as("__topk_mass"))
+      .select(col(strataCol), col("n_tokens"), col("n_types"),
+        expr("(1000000L * n_types) div greatest(n_tokens, 1L)").cast("long")
+          .as("type_token_ppm"),
+        col("hapax_types"),
+        expr("(1000000L * hapax_types) div greatest(n_types, 1L)")
+          .cast("long").as("hapax_ppm"),
+        expr("(1000000L * __topk_mass) div greatest(n_tokens, 1L)")
+          .cast("long").as("topk_mass_ppm"))
+  }
+
+  /**
+   * DSIR-style importance scoring (Xie et al. 2023, "Data Selection
+   * for Language Models via Importance Resampling") over HASHED
+   * BIGRAM features: estimate add-one-smoothed bucket models of the
+   * TARGET distribution (the high-quality corpus you want more of)
+   * and the RAW distribution (the crawl you are selecting from),
+   * then score every raw document by its grams' likelihood ratios —
+   * the principled replacement for hand-tuned quality thresholds
+   * when "quality" means "looks like this reference corpus".
+   *
+   * Integer-exact deviation from the paper, documented: DSIR scores
+   * `log p_t(x) − log p_r(x) = Σ_g log(θt_g/θr_g)`; cross-engine
+   * float logs are not bit-stable, so the score here is the
+   * LINEAR-space sum `Σ_g ratio_ppm(g)` with
+   * `ratio_ppm = min(10⁹, ⌊10⁶·(t_g+1)·(R+B) / ((r_g+1)·(T+B))⌋)`
+   * (B = bucket count, T/R = total target/raw grams). Per-gram
+   * integer, order-free sum, hash-exact in DuckDB; monotone per gram
+   * in the same direction as the log form, with the clamp bounding
+   * the one regime (a single never-in-raw gram) where linear and log
+   * aggregation could rank differently. Resampling composes
+   * downstream: feed `mean_ratio_ppm` to [[tokenBudgetSelect]] (best
+   * N tokens by importance) or a threshold filter.
+   *
+   * Scale: two corpus-linear explode+count passes build
+   * bucket-bounded (≤ B rows) model tables; the per-doc scoring pass
+   * joins the raw grams against the BROADCAST ratio table — the
+   * 100 TB side never shuffles. Deterministic: the md5 bucket fold is
+   * the same [[hashBucket10k]] family every sampler uses.
+   *
+   * @return (idCol, n_grams, sum_ratio_ppm, mean_ratio_ppm) — one
+   *         row per raw doc; gram-less docs score 0
+   */
+  def dsirScore(raw: DataFrame, target: DataFrame, buckets: Int = 10000,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(buckets >= 2 && buckets <= 1000000, "bucket count sanity")
+    graft.plans.NativeFns.register(raw.sparkSession)
+    def grams(df: DataFrame, cols: Column*) = df.select(cols :+
+        explode(graft.plans.WordShingles.shingles(col(textCol), 2))
+          .as("__g"): _*)
+      .withColumn("__b", pmod(
+        ascii(substring(md5(concat(lit("dsir:"), col("__g"))), 1, 1)) * 29791 +
+        ascii(substring(md5(concat(lit("dsir:"), col("__g"))), 2, 1)) * 961 +
+        ascii(substring(md5(concat(lit("dsir:"), col("__g"))), 3, 1)) * 31 +
+        ascii(substring(md5(concat(lit("dsir:"), col("__g"))), 4, 1)),
+        lit(buckets)))
+    val tC = grams(target).groupBy("__b")
+      .agg(count(lit(1)).cast("long").as("__t"))
+    val tTot = tC.agg(coalesce(sum("__t"), lit(0L)).as("__tn"))
+    val rG = grams(raw, col(idCol))
+    val rC = rG.groupBy(col("__b").as("__rb"))
+      .agg(count(lit(1)).cast("long").as("__r"))
+    val rTot = rC.agg(coalesce(sum("__r"), lit(0L)).as("__rn"))
+    // bucket-bounded ratio table (≤ B rows): built from the raw-side
+    // buckets (only those can be probed), target side left-joined
+    val ratios = rC
+      .join(tC.withColumnRenamed("__b", "__rb"), Seq("__rb"), "left")
+      .crossJoin(broadcast(tTot)).crossJoin(broadcast(rTot))
+      .select(col("__rb"),
+        least(lit(1000000000L), expr(
+          s"CAST((CAST(1000000 AS DECIMAL(38,0)) * (coalesce(__t, 0L) + 1) * (__rn + $buckets) - " +
+          s"pmod(CAST(1000000 AS DECIMAL(38,0)) * (coalesce(__t, 0L) + 1) * (__rn + $buckets), " +
+          s"CAST(__r + 1 AS DECIMAL(38,0)) * (__tn + $buckets))) / " +
+          s"(CAST(__r + 1 AS DECIMAL(38,0)) * (__tn + $buckets)) AS BIGINT)"))
+          .as("__ratio_ppm"))
+    val scored = rG
+      .join(broadcast(ratios), rG("__b") === ratios("__rb"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("long").as("n_grams"),
+        sum("__ratio_ppm").cast("long").as("sum_ratio_ppm"))
+      .withColumn("mean_ratio_ppm",
+        expr("sum_ratio_ppm div n_grams").cast("long"))
+    raw.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("sum_ratio_ppm"), lit(0L)).as("sum_ratio_ppm"),
+        coalesce(col("mean_ratio_ppm"), lit(0L)).as("mean_ratio_ppm"))
+  }
+
+  /**
    * TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank
    * over the word co-occurrence graph — adjacent-token edges in both
    * directions (the paper's undirected window-2 keyword graph),

@@ -627,6 +627,41 @@ class PipelineSpec extends SparkTestBase {
     assert(out == Seq((1L, 3L, 1699998L, 566666L), (2L, 1L, 566666L, 566666L)))
   }
 
+  test("DSIR: target-like docs outscore alien docs; gram-less docs score 0") {
+    // target speaks "the quick fox"; raw has a target-like doc, an
+    // alien-vocabulary doc, and a one-word (gram-less) doc
+    val raw = Seq(
+      (1L, "the quick fox the quick fox"),
+      (2L, "zzz qqq www zzz qqq www"),
+      (3L, "solo")).toDF("doc_id", "text")
+    val target = Seq((10L, "the quick fox jumps the quick fox"))
+      .toDF("doc_id", "text")
+    val out = graft.pipeline.Corpus.dsirScore(raw, target)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val byId = out.map(r => r._1 -> r).toMap
+    assert(byId(3L) == ((3L, 0L, 0L, 0L)), "gram-less doc scores zero")
+    assert(byId(1L)._4 > byId(2L)._4,
+      s"target-like must outscore alien: ${byId(1L)} vs ${byId(2L)}")
+    // alien grams never occur in target: ratio = floor(1e6*(0+1)*(R+B)
+    // /((r+1)*(T+B))) — strictly below the matched grams' ratio
+    assert(out.forall(r => r._3 >= 0L && r._4 <= 1000000000L))
+  }
+
+  test("vocabProfile: exact integer stats on a hand corpus") {
+    val d = Seq((1L, "X", "a a b"), (2L, "Y", "c d"))
+      .toDF("doc_id", "source", "text")
+    val out = graft.pipeline.Corpus.vocabProfile(d, topK = 1)
+      .orderBy("source")
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    // X: tokens 3, types 2 (a,b), ttr 666666, hapax {b} 1 -> 500000,
+    // top-1 mass a=2 -> 666666. Y: 2 tokens, 2 types, all hapax,
+    // top-1 (c by tie-to-token) mass 1/2.
+    assert(out == Seq(
+      ("X", 3L, 2L, 666666L, 1L, 500000L, 666666L),
+      ("Y", 2L, 2L, 1000000L, 2L, 1000000L, 500000L)), s"$out")
+  }
+
   test("MMR trades relevance for diversity in greedy rounds") {
     // query [1,1]: C/D most relevant; after C, the near-dup D is
     // penalized and the orthogonal B wins round 2
