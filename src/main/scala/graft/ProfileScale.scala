@@ -777,6 +777,34 @@ object ProfileScale {
           Corpus.hashBucket10k(concat(lit("qn:"),
             col("doc_id").cast("string"))).cast("long").as("score"))
         Corpus.quantileNormalize(d, "source", "score")
+      },
+      // DSIR: two corpus-linear gram passes + bucket-bounded
+      // broadcast ratio join — the raw corpus must never shuffle
+      "dsir" -> { m =>
+        val d = scaledDocs(spark, sfDir, m)
+        Corpus.dsirScore(d, d.filter(pmod(col("doc_id"), lit(10)) === 0))
+      },
+      // per-source vocab concentration: rank window rides the
+      // vocab-bounded count table (suffixed copies grow the vocab
+      // linearly — worst case for the count table)
+      "vocab_profile" -> (m =>
+        Corpus.vocabProfile(scaledDocs(spark, sfDir, m)
+            .withColumn("source", concat(lit("s"), pmod(col("doc_id"), lit(20)))),
+          topK = 10)),
+      // TextRank: vocabulary-sized co-occurrence graph + 2 integer
+      // PageRank rounds; explode is the only corpus-linear pass
+      "textrank" -> (m =>
+        Corpus.textRankKeywords(scaledDocs(spark, sfDir, m), iters = 2, k = 25)),
+      // level-2 FD lattice on doc_id-derived integer columns (the
+      // composite-key shape); C(4,2) pair scans by design
+      "fd_discover2" -> { m =>
+        val d = scaledDocs(spark, sfDir, m).select(
+          expr("doc_id % 7").cast("long").as("c1"),
+          expr("(doc_id div 7) % 5").cast("long").as("c2"),
+          expr("(doc_id % 7) * 5 + (doc_id div 7) % 5").cast("long").as("c12"),
+          expr("doc_id % 3").cast("long").as("noise"))
+        graft.operators.Profiling.fdDiscoverL2(d,
+          Seq("c1", "c2", "c12", "noise"))
       })
 
     // warm-up: every op once at 1× so the 1×-vs-10× comparison is
