@@ -64,6 +64,10 @@ object Graphs {
       .localCheckpoint()
     val outDeg = e.groupBy("src").agg(count(lit(1)).as("__deg"))
     val n = nodes.count()
+    // loud contract failure instead of a bare ArithmeticException in
+    // `scale / n` when the edge set is empty (e.g. a degenerate
+    // co-occurrence graph from an empty corpus)
+    require(n > 0, "pageRank needs a non-empty edge set")
     val init = scale / n
     val base = ((1000L - dampingPermille) * init) / 1000L
     var ranks = nodes.withColumn("rank", lit(init))
@@ -113,6 +117,7 @@ object Graphs {
       .localCheckpoint()
     val outDeg = e.groupBy("src").agg(count(lit(1)).as("__deg"))
     val n = nodes.count()
+    require(n > 0, "pageRank needs a non-empty edge set")
     val init = scale / n
     val base = ((1000L - dampingPermille) * init) / 1000L
     var ranks = nodes

@@ -176,6 +176,43 @@ class RobustnessSpec extends SparkTestBase {
     assert(got == Set(3L), s"token-less rows must not pair: $got")
   }
 
+  test("fdDiscoverL2: composite key holds, implied RHS pruned, noise violates") {
+    // c12 = c1*5 + c2: {c1,c2}->c12 exactly; c12->c1 and c12->c2 hold
+    // at level 1 so every (c12, *) pair-RHS arm must be TANE-pruned
+    val d = spark.range(200).toDF("id").selectExpr(
+      "CAST(id % 7 AS LONG) AS c1", "CAST((id div 7) % 5 AS LONG) AS c2",
+      "CAST((id % 7) * 5 + (id div 7) % 5 AS LONG) AS c12",
+      "CAST(id % 3 AS LONG) AS noise")
+    val out = Profiling.fdDiscoverL2(d, Seq("c1", "c2", "c12", "noise"))
+      .orderBy("lhs1", "lhs2", "rhs")
+      .as[(String, String, String, Long, Long, Long, Boolean)]
+      .collect().toSeq
+    val byKey = out.map(r => (r._1, r._2, r._3) -> r._7).toMap
+    assert(byKey(("c1", "c2", "c12")) === true, "composite key must hold")
+    assert(!byKey.contains(("c1", "c12", "c2")) &&
+      !byKey.contains(("c12", "noise", "c1")),
+      "implied pair-RHS combinations must be pruned, not counted")
+    assert(byKey(("c1", "c2", "noise")) === false, "noise never determined")
+  }
+
+  test("textrank/pagerank: empty co-occurrence graph fails loudly") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      graft.pipeline.Corpus.textRankKeywords(empty, iters = 1, k = 5).collect()
+    }
+    assert(e.getMessage.contains("non-empty edge set"))
+  }
+
+  test("dsir: empty target degrades to pure smoothing, never crashes") {
+    val raw = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val target = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val out = graft.pipeline.Corpus.dsirScore(raw, target)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // t=0 everywhere: ratio = floor(1e6*1*(R+B)/((r+1)*B)), R=2, B=1e4
+    // r=1 per gram -> floor(1e6*10002/(2*10000)) = 500100
+    assert(out == Seq((1L, 2L, 1000200L, 500100L)), s"$out")
+  }
+
   test("boundedCollect: over-cap input fails loudly, never materializes") {
     val five = Seq(1L, 2L, 3L, 4L, 5L).toDF("v")
     val ok = graft.pipeline.DriverBounds.boundedCollect(five, 5L, "probe")
