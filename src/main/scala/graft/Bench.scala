@@ -123,10 +123,13 @@ object Bench {
     // the moment StreamParityEntries grew (round 12 added three
     // stream-parity queries that ran interleaved with batch queries,
     // leaked state-store residue into subsequent batch timings, and
-    // counted in the engine-only headline). Deriving from the registry
-    // that DEFINES the parity queries makes that drift impossible.
+    // counted in the engine-only headline). Derived by the
+    // `_stream_parity` NAMING CONVENTION over the whole declared
+    // surface — not from StreamParityEntries alone, because
+    // q_alarm_stream_parity lives in MetricsEntries and a future
+    // alarm-family parity row would re-create the drift.
     val streamingQueries =
-      graft.entries.StreamParityEntries.queries.keySet + "q_alarm_stream_parity"
+      SparkEntry.queries.keySet.filter(_.endsWith("_stream_parity"))
     // Verification harnesses measure the test harness (fixture
     // collection + replay), not an engine operator: timed and
     // reported, but outside the engine-only headline "value".
@@ -219,8 +222,15 @@ object Bench {
           scala.collection.mutable.ArrayBuffer.empty) += ((dt, ok))
       }
     // Interleaved trial rounds: full sweep once per trial, so a load
-    // spike lands on at most one sample of any given query.
-    (1 to trials).foreach(_ => sweep(names))
+    // spike lands on at most one sample of any given query. The GC
+    // prompt between sweeps is checkpoint hygiene (round 13): the
+    // iterative operators localCheckpoint per round, and checkpoint
+    // blocks are freed by the ContextCleaner only after the owning
+    // frames are GARBAGE-COLLECTED — clearCache() never touches them.
+    // One GC per sweep bounds the accumulation to a single sweep's
+    // worth of (small) per-round frames; per-query GC would cost real
+    // wall time for no additional bound.
+    (1 to trials).foreach { _ => sweep(names); System.gc() }
     final case class Timing(name: String, median: Double, min: Double,
         max: Double, ok: Boolean)
     def aggregate(): Seq[Timing] = names.map { case (name, _) =>

@@ -32,6 +32,20 @@ object ProfileQuery {
       started.get(j.jobId).foreach(t0 => jobs.put(j.jobId, j.time - t0))
   }
 
+  /** Wait until the listener's job count stabilizes (two consecutive
+    * unchanged 100 ms polls, 2 s cap) — a fixed sleep misattributes
+    * late job-end events from a loaded bus into the next phase,
+    * skewing exactly the construct/execute split this tool exists to
+    * measure. */
+  private def drain(lst: JobListener): Unit = {
+    var prev = -1; var stable = 0; var waited = 0
+    while (stable < 2 && waited < 2000) {
+      Thread.sleep(100); waited += 100
+      val n = lst.jobs.size
+      if (n == prev) stable += 1 else { stable = 0; prev = n }
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val qnames = args(0).split(',').map(_.trim).filter(_.nonEmpty).toSeq
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
@@ -56,17 +70,19 @@ object ProfileQuery {
         val t0 = System.nanoTime()
         val df = fn(spark, sfDir)
         val t1 = System.nanoTime()
-        Thread.sleep(300) // let the listener bus drain (private API)
+        drain(lst)
         val constructionJobs = lst.jobs.size
         val constructionJobMs = lst.jobs.values.sum
         val t2 = System.nanoTime()
         df.queryExecution.toRdd.count()
         val t3 = System.nanoTime()
-        Thread.sleep(300) // let the listener bus drain (private API)
+        drain(lst)
         val totalJobs = lst.jobs.size
         val totalJobMs = lst.jobs.values.sum
         spark.sparkContext.removeSparkListener(lst)
         spark.catalog.clearCache()
+        // free localCheckpoint blocks (ContextCleaner acts on GC)
+        System.gc()
         graft.streaming.StreamParity.activeReplays.foreach { q =>
           try q.stop() catch { case scala.util.control.NonFatal(_) => () }
         }

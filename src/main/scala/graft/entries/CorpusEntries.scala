@@ -1652,10 +1652,10 @@ private[graft] object CorpusEntries {
         |tt AS (SELECT CAST(COALESCE(SUM(t), 0) AS BIGINT) AS tn FROM tc),
         |rc AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS r FROM hb GROUP BY 1),
         |rt AS (SELECT CAST(COALESCE(SUM(r), 0) AS BIGINT) AS rn FROM rc),
-        |ratio AS (SELECT rc.b, LEAST(1000000000,
-        |CAST((1000000::HUGEINT * (COALESCE(tc.t, 0) + 1) *
+        |ratio AS (SELECT rc.b, CAST(LEAST(1000000000::HUGEINT,
+        |(1000000::HUGEINT * (COALESCE(tc.t, 0) + 1) *
         |((SELECT rn FROM rt) + 10000)) //
-        |((rc.r + 1)::HUGEINT * ((SELECT tn FROM tt) + 10000)) AS BIGINT))
+        |((rc.r + 1)::HUGEINT * ((SELECT tn FROM tt) + 10000))) AS BIGINT)
         |AS ratio_ppm FROM rc LEFT JOIN tc USING (b)),
         |sc AS (SELECT hb.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
         |CAST(SUM(ratio.ratio_ppm) AS BIGINT) AS sum_ratio_ppm

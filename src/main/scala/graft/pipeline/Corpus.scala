@@ -43,16 +43,24 @@ object Corpus {
         size(col("col")).cast("long").as("n_chunk_tokens"))
   }
 
-  /** Deterministic content-hash bucket in [0, 100): the ascii codes of
-    * the first four md5 hex chars folded mod 100 — replicable in any
-    * engine with md5, unlike rand()/xxhash sampling. */
-  def hashBucket(c: Column): Column = {
+  /** The ONE definition of the engine's deterministic md5 bucket fold
+    * (ascii codes of the first four md5 hex chars, base-31 Horner,
+    * mod `mod`) — replicable in any engine with md5, unlike
+    * rand()/xxhash sampling. Every bucketing caller (samplers,
+    * cappers, DSIR feature hashing) and the DuckDB-side
+    * `Fixtures.bucketSql` must stay in lockstep with this fold; a
+    * second inline copy is how a salt/fold tweak silently breaks
+    * Spark/DuckDB bucket parity (round-13 review). */
+  def hashBucketN(c: Column, mod: Int): Column = {
     val h = md5(c)
     (ascii(substring(h, 1, 1)) * 31 * 31 * 31 +
       ascii(substring(h, 2, 1)) * 31 * 31 +
       ascii(substring(h, 3, 1)) * 31 +
-      ascii(substring(h, 4, 1))) % 100
+      ascii(substring(h, 4, 1))) % mod
   }
+
+  /** Deterministic content-hash bucket in [0, 100). */
+  def hashBucket(c: Column): Column = hashBucketN(c, 100)
 
   /**
    * Stratified sampling for data mixing: per-stratum keep-percentages
@@ -73,15 +81,8 @@ object Corpus {
     docs.filter(hashBucket(concat(lit("sample:"), col(textCol))) < quota)
   }
 
-  /** Finer deterministic bucket in [0, 10000) for permyriad rates —
-    * same md5 fold as [[hashBucket]], wider modulus. */
-  def hashBucket10k(c: Column): Column = {
-    val h = md5(c)
-    (ascii(substring(h, 1, 1)) * 31 * 31 * 31 +
-      ascii(substring(h, 2, 1)) * 31 * 31 +
-      ascii(substring(h, 3, 1)) * 31 +
-      ascii(substring(h, 4, 1))) % 10000
-  }
+  /** Finer deterministic bucket in [0, 10000) for permyriad rates. */
+  def hashBucket10k(c: Column): Column = hashBucketN(c, 10000)
 
   /**
    * Resample a corpus toward a target source mixture — the "data
@@ -1627,12 +1628,8 @@ object Corpus {
     def grams(df: DataFrame, cols: Column*) = df.select(cols :+
         explode(graft.plans.WordShingles.shingles(col(textCol), 2))
           .as("__g"): _*)
-      .withColumn("__b", pmod(
-        ascii(substring(md5(concat(lit("dsir:"), col("__g"))), 1, 1)) * 29791 +
-        ascii(substring(md5(concat(lit("dsir:"), col("__g"))), 2, 1)) * 961 +
-        ascii(substring(md5(concat(lit("dsir:"), col("__g"))), 3, 1)) * 31 +
-        ascii(substring(md5(concat(lit("dsir:"), col("__g"))), 4, 1)),
-        lit(buckets)))
+      .withColumn("__b",
+        hashBucketN(concat(lit("dsir:"), col("__g")), buckets))
     val tC = grams(target).groupBy("__b")
       .agg(count(lit(1)).cast("long").as("__t"))
     val tTot = tC.agg(coalesce(sum("__t"), lit(0L)).as("__tn"))
@@ -1645,12 +1642,18 @@ object Corpus {
     val ratios = rC
       .join(tC.withColumnRenamed("__b", "__rb"), Seq("__rb"), "left")
       .crossJoin(broadcast(tTot)).crossJoin(broadcast(rTot))
+      // clamp in DECIMAL, THEN cast: a target corpus concentrated in
+      // one bucket against a huge raw corpus can push the pre-clamp
+      // ratio past int64, and an ANSI BIGINT cast INSIDE the least()
+      // would throw on exactly the degenerate input the clamp exists
+      // to bound (round-13 review)
       .select(col("__rb"),
-        least(lit(1000000000L), expr(
-          s"CAST((CAST(1000000 AS DECIMAL(38,0)) * (coalesce(__t, 0L) + 1) * (__rn + $buckets) - " +
+        expr(
+          s"CAST(least((CAST(1000000 AS DECIMAL(38,0)) * (coalesce(__t, 0L) + 1) * (__rn + $buckets) - " +
           s"pmod(CAST(1000000 AS DECIMAL(38,0)) * (coalesce(__t, 0L) + 1) * (__rn + $buckets), " +
           s"CAST(__r + 1 AS DECIMAL(38,0)) * (__tn + $buckets))) / " +
-          s"(CAST(__r + 1 AS DECIMAL(38,0)) * (__tn + $buckets)) AS BIGINT)"))
+          s"(CAST(__r + 1 AS DECIMAL(38,0)) * (__tn + $buckets)), " +
+          "CAST(1000000000 AS DECIMAL(38,0))) AS BIGINT)")
           .as("__ratio_ppm"))
     val scored = rG
       .join(broadcast(ratios), rG("__b") === ratios("__rb"))

@@ -136,8 +136,12 @@ class OracleLintSpec extends AnyFunSuite {
     val tainted = taintClosure(sql, uncastSumAliases(sql))
     finalSelectItems(sql).flatMap { item =>
       val r1 = "(?is)^SUM\\s*\\(.*".r.matches(item)
-      val bare = "(?is)^([A-Za-z_][A-Za-z0-9_]*)(\\s+AS\\s+\\w+)?$".r
-        .findFirstMatchIn(item)
+      // optional table qualifier: `d.s` passes the dtype through just
+      // as `s` does, and the board already projects qualified columns
+      // (q_fd_discover2's `l2.n_violating`) — round-13 review hole
+      val bare =
+        "(?is)^(?:[A-Za-z_][A-Za-z0-9_]*\\.)?([A-Za-z_][A-Za-z0-9_]*)(\\s+AS\\s+\\w+)?$".r
+          .findFirstMatchIn(item)
       val r2 = bare.exists(m => tainted.contains(m.group(1).toLowerCase))
       if (r1) Some(s"uncast top-level SUM in final select: ${item.take(60)}")
       else if (r2) Some(s"bare pass-through of uncast SUM alias: $item")
@@ -154,6 +158,13 @@ class OracleLintSpec extends AnyFunSuite {
       """WITH d AS (SELECT k, SUM(CAST(v AS BIGINT)) AS cents FROM t GROUP BY 1)
         |SELECT k, CAST(cents AS BIGINT) AS cents FROM d""".stripMargin
     assert(violations(fixed).isEmpty)
+  }
+
+  test("the lint catches a table-QUALIFIED pass-through of the tainted alias") {
+    val qualified =
+      """WITH d AS (SELECT k, SUM(v) AS s FROM t GROUP BY 1)
+        |SELECT d.k, d.s FROM d""".stripMargin
+    assert(violations(qualified).exists(_.contains("d.s")))
   }
 
   test("the lint catches a rename laundering the tainted alias") {

@@ -17,12 +17,15 @@ class PlanSweepSpec extends SparkTestBase {
     // q_*_stream_parity: building those frames runs the streaming
     // replay harnesses (StreamParity / PipelineReplay); their plan
     // shapes are covered by their own specs.
-    // Derived from the registry that defines the parity queries (same
-    // round-13 fix as Bench.streamingQueries): a hand-written list
-    // missed q_cusum_stream_parity and both q_sjoin parities when
-    // round 12 added them.
-    val exempt = graft.entries.StreamParityEntries.queries.keySet ++
-      Set("bm_published", "q_alarm_stream_parity")
+    // Derived by the `_stream_parity` naming convention over the whole
+    // declared surface (same round-13 fix as Bench.streamingQueries):
+    // a hand-written list missed q_cusum_stream_parity and both
+    // q_sjoin parities when round 12 added them, and a registry-scoped
+    // set would still miss parity rows living outside
+    // StreamParityEntries (q_alarm_stream_parity is in MetricsEntries).
+    val exempt =
+      SparkEntry.queries.keySet.filter(_.endsWith("_stream_parity")) +
+        "bm_published"
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, _) if exempt(name) => None
       case (name, fn) =>

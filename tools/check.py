@@ -49,7 +49,12 @@ for name in todo:
         got = con.execute(
             f"SELECT * FROM '{out}/{name}/*.parquet'").fetchall()
         gcols = [d[0] for d in con.description]
-        want = con.execute(oracle[name]).fetchall()
+        # materialize the oracle ONCE (types preserved, HUGEINT
+        # included) — the dtype lint below needs a second, pandas-typed
+        # read, and re-executing heavy unrolled oracles doubles the
+        # whole check's DuckDB cost
+        con.execute(f"CREATE OR REPLACE TEMP TABLE __oracle AS {oracle[name]}")
+        want = con.execute("SELECT * FROM __oracle").fetchall()
         wcols = [d[0] for d in con.description]
     except Exception as e:
         print(f"{name}: ERROR {e}"); fail += 1; continue
@@ -71,7 +76,7 @@ for name in todo:
                 for c, k in ((c, df[c].dtype.kind) for c in df.columns)}
     gk = kinds(con.execute(
         f"SELECT * FROM '{out}/{name}/*.parquet'").df())
-    wk = kinds(con.execute(oracle[name]).df())
+    wk = kinds(con.execute("SELECT * FROM __oracle").df())
     dtbad = [f"{c}: spark={gk[c]} oracle={wk[c]}"
              for c in sorted(gk) if c in wk and gk[c] != wk[c]]
     if dtbad:
