@@ -67,7 +67,34 @@ import org.apache.spark.sql.SparkSession
   * auto-repair pass) marks the whole artifact `"tainted":true` — a
   * polluted JVM or loaded machine can no longer masquerade as an
   * engine regression. SPARK_GRAFT_SKIP (comma-separated query names)
-  * excludes queries from a run for A/B forensics.
+  * excludes queries from a run for A/B forensics; SPARK_GRAFT_ONLY
+  * restricts a run to the listed queries (same forensics tool from
+  * the other side — isolate a suspect set on an otherwise-idle JVM).
+  *
+  * Stall instrumentation (round 14): six round-13 closing attempts
+  * were tainted by ambient host stalls with NO instrument that could
+  * tell "environment" from "engine" — the claim was an inference from
+  * floor stability. Two direct measurements close that gap:
+  *
+  *  1. CPU canary: a fixed deterministic spin (cpus threads, each a
+  *     constant-iteration integer mix loop) runs at the start of every
+  *     sweep and every 40 queries within it. Its wall time on a quiet
+  *     host is a constant; under external load / cgroup throttle it
+  *     inflates proportionally to stolen CPU. The full canary series
+  *     (per sweep, with in-sweep index) lands in BENCH_DETAIL.json;
+  *     the artifact line carries min/median/max — a tainted run now
+  *     SHOWS the stall instead of asserting it.
+  *
+  *  2. Per-sample process-CPU deltas: each timed query sample records
+  *     process CPU seconds consumed during its wall window. A host
+  *     stall means wall inflates while CPU does not (the work is the
+  *     same; the time went to waiting). A sample is STALL-SUSPECT when
+  *     wall > 1.2x the query's fastest sample (+50 ms absolute) AND
+  *     its CPU delta stays within 1.25x of that fastest sample's CPU.
+  *     Medians are computed over clean samples when >=3 remain
+  *     (minima always over all samples — a stall can only inflate,
+  *     never deflate, a minimum); "stall_excluded" counts the dropped
+  *     samples so the filtering is visible, not silent.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -136,6 +163,8 @@ object Bench {
     val verificationQueries = streamingQueries
     val skip = sys.env.getOrElse("SPARK_GRAFT_SKIP", "")
       .split(',').map(_.trim).filter(_.nonEmpty).toSet
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
     // SPARK_GRAFT_ORDER_SEED permutes the batch-query order (streaming
     // still last): a permuted run whose medians match the sorted run
     // within noise proves the timings are order-independent — the
@@ -143,6 +172,7 @@ object Bench {
     val orderSeed = sys.env.get("SPARK_GRAFT_ORDER_SEED").map(_.toLong)
     val sorted = SparkEntry.queries.toSeq
       .filterNot { case (n, _) => skip.contains(n) }
+      .filter { case (n, _) => only.forall(_.contains(n)) }
       .sortBy { case (n, _) => (streamingQueries.contains(n), n) }
     val names = orderSeed match {
       case None => sorted
@@ -176,21 +206,60 @@ object Bench {
       }
     }
     val errMsgs = scala.collection.mutable.Map.empty[String, String]
+    // per-sample (wall seconds, process-CPU-delta seconds, ok)
     val samples = scala.collection.mutable.Map.empty[String,
-      scala.collection.mutable.ArrayBuffer[(Double, Boolean)]]
+      scala.collection.mutable.ArrayBuffer[(Double, Double, Boolean)]]
+    // Process CPU time (all JVM threads) — the stall discriminator: a
+    // host stall inflates wall while the query's CPU seconds stay put.
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+    def processCpuSec(): Double = osBean.getProcessCpuTime / 1e9
+    // CPU canary: `cpus` threads, each a fixed-iteration integer mix
+    // loop (multiply-rotate-xor — cheap, unvectorizable, constant
+    // work). Wall time to drain all threads measures CPU actually
+    // available to this JVM at that instant: quiet host => a constant;
+    // external load or cgroup throttle => proportional inflation. The
+    // sink is volatile so the JIT cannot delete the loops.
+    @volatile var canarySink = 0L
+    def canarySpin(): Double = {
+      val t0 = System.nanoTime()
+      val threads = (0 until cpus.toInt).map { tid =>
+        new Thread(() => {
+          var x = 0x9e3779b97f4a7c15L + tid
+          var i = 0
+          while (i < (1 << 24)) {
+            x = java.lang.Long.rotateLeft(x * 0xff51afd7ed558ccdL, 31) ^ (x >>> 33)
+            i += 1
+          }
+          canarySink ^= x
+        })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join())
+      (System.nanoTime() - t0) / 1e9
+    }
+    // (sweep index, position within sweep, seconds) — full series to
+    // BENCH_DETAIL.json so a taint verdict carries its own evidence.
+    val canarySeries = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Double)]
+    var sweepIdx = 0
     // One timed pass over `qs`; appends one sample per query. The
     // timed window is the QUERY alone — cache-clear and streaming
     // teardown are harness hygiene between timings, and charging them
     // to the query would re-create the measurement distortion the
     // teardown exists to prevent.
     def sweep(qs: Seq[(String, (SparkSession, String) =>
-        org.apache.spark.sql.DataFrame)]): Unit =
-      qs.foreach { case (name, fn) =>
+        org.apache.spark.sql.DataFrame)]): Unit = {
+      sweepIdx += 1
+      qs.zipWithIndex.foreach { case ((name, fn), pos) =>
         // a timing starts only on a streaming-quiet JVM (parent
         // session AND the child-session replay registry)
         require(leakedStreams().isEmpty,
           s"streaming residue before $name: " +
             leakedStreams().map(_.name).mkString(","))
+        // canary at sweep start and every 40 queries — ~5 host-load
+        // readings per full-board sweep, <2% wall overhead
+        if (pos % 40 == 0)
+          canarySeries += ((sweepIdx, pos, canarySpin()))
+        val cpu0 = processCpuSec()
         val t0 = System.nanoTime()
         // toRdd.count(), NOT Dataset.count() (round 10, format 4):
         // count() re-optimizes a new Aggregate plan and Catalyst then
@@ -216,11 +285,13 @@ object Bench {
               }).replaceAll("[\\u0000-\\u001f\"\\\\]", " ").take(300))
             false }
         val dt = (System.nanoTime() - t0) / 1e9
+        val dcpu = processCpuSec() - cpu0
         spark.catalog.clearCache()
         if (streamingQueries.contains(name)) drainStreamingResidue()
         samples.getOrElseUpdate(name,
-          scala.collection.mutable.ArrayBuffer.empty) += ((dt, ok))
+          scala.collection.mutable.ArrayBuffer.empty) += ((dt, dcpu, ok))
       }
+    }
     // Interleaved trial rounds: full sweep once per trial, so a load
     // spike lands on at most one sample of any given query. The GC
     // prompt between sweeps is checkpoint hygiene (round 13): the
@@ -232,15 +303,35 @@ object Bench {
     // wall time for no additional bound.
     (1 to trials).foreach { _ => sweep(names); System.gc() }
     final case class Timing(name: String, median: Double, min: Double,
-        max: Double, ok: Boolean)
+        max: Double, ok: Boolean, stallDropped: Int)
+    def medianOf(ts: Seq[Double]): Double = {
+      val s = ts.sorted
+      if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+    }
     def aggregate(): Seq[Timing] = names.map { case (name, _) =>
       val ss = samples(name).toSeq
-      val ok = ss.forall(_._2)
-      val ts = ss.map(_._1).sorted
-      val median =
-        if (ts.size % 2 == 1) ts(ts.size / 2)
-        else (ts(ts.size / 2 - 1) + ts(ts.size / 2)) / 2.0
-      Timing(name, median, ts.head, ts.last, ok)
+      val ok = ss.forall(_._3)
+      val walls = ss.map(_._1)
+      val minW = walls.min
+      // CPU delta of the fastest-wall sample: the query's own cost in
+      // CPU seconds on an uncontended pass.
+      val minCpu = ss.minBy(_._1)._2
+      // Stall-suspect: wall inflated >20% (+50 ms) over the fastest
+      // sample while CPU stayed within 25% of the fastest sample's —
+      // the extra wall went to waiting, not work. GC/recompile noise
+      // inflates CPU too, so it is NOT excluded here (it is the JVM
+      // genuinely doing more; the repair passes handle it).
+      def stalled(s: (Double, Double, Boolean)) =
+        s._1 > minW * 1.2 && s._1 - minW > 0.05 && s._2 < minCpu * 1.25 + 0.01
+      val clean = ss.filterNot(stalled)
+      val dropped = ss.size - clean.size
+      // medians over clean samples when >=3 remain; minima ALWAYS over
+      // every sample (a stall can only inflate a minimum, never fake
+      // a fast one).
+      val medBase = if (clean.size >= 3) clean.map(_._1) else walls
+      Timing(name, medianOf(medBase), minW, walls.max, ok,
+        if (clean.size >= 3) dropped else 0)
     }
     // Unstable = median >20% above the fastest trial AND >100 ms above
     // it. The relative test alone flags 30 ms wobble on a 0.15 s query
@@ -305,6 +396,17 @@ object Bench {
           .filter(_._2 > 0).toMap
       } catch { case scala.util.control.NonFatal(_) => Map.empty }
     }
+    // Canary summary: on a quiet host the series is flat at its min;
+    // max/min >1.5 is direct evidence of a host stall window during
+    // this run (and its sweep indices say WHEN).
+    val canaryTimes = canarySeries.map(_._3).toSeq
+    val canaryJson =
+      if (canaryTimes.isEmpty) "null"
+      else s"""{"n":${canaryTimes.size},"min":${f3(canaryTimes.min)},"median":${f3(medianOf(canaryTimes))},"max":${f3(canaryTimes.max)},"drift":${f3(canaryTimes.max / canaryTimes.min)}}"""
+    val canarySeriesJson = canarySeries
+      .map { case (sw, pos, s) => s"[$sw,$pos,${f3(s)}]" }
+      .mkString("[", ",", "]")
+    val stallExcluded = results.map(_.stallDropped).sum
     val (verif, engine) = results.partition(r => verificationQueries(r.name))
     val total = engine.collect { case r if r.ok => r.median }.sum
     // "floor" = sum of per-query MINIMA: the engine's uncontended cost.
@@ -345,7 +447,7 @@ object Bench {
       s"BENCH REGRESSIONS vs BENCH_BASELINE_F4 (min > 1.5x baseline floor): " +
         regressions.sortBy(-_._2).map { case (n, v) => f"$n=$v%.2fx" }
           .mkString(", "))
-    val detail = s"""{"format":4,"metric":"total","value":$total,"floor":$floor,"unit":"sec","warmup":$warmedUp,"trials":$trials,"reran":$needRerun,"tainted":$tainted,"queries":${qmap(engine, f6)},"verification":${qmap(verif, f6)},"verification_total":$verifTotal,"spread":$spread,"unstable":$unstable,"errors":$errors,"baseline_n":${ratios.size},"baseline_ratios":$ratioJson,"regressions":$regJson,"sf":"$sfDir"}"""
+    val detail = s"""{"format":4,"metric":"total","value":$total,"floor":$floor,"unit":"sec","warmup":$warmedUp,"trials":$trials,"reran":$needRerun,"tainted":$tainted,"queries":${qmap(engine, f6)},"verification":${qmap(verif, f6)},"verification_total":$verifTotal,"spread":$spread,"unstable":$unstable,"errors":$errors,"baseline_n":${ratios.size},"baseline_ratios":$ratioJson,"regressions":$regJson,"canary":$canaryJson,"canary_series":$canarySeriesJson,"stall_excluded":$stallExcluded,"sf":"$sfDir"}"""
     try {
       val w = new java.io.PrintWriter("BENCH_DETAIL.json", "UTF-8")
       try w.println(detail) finally w.close()
@@ -360,7 +462,7 @@ object Bench {
     // mid-line). A final totals-only line — printed last, so the tail
     // capture always retains it whole — keeps the official artifact
     // self-contained however many queries the compact line carries.
-    println(s"""{"format":4,"metric":"total","value":${f3(total)},"floor":${f3(floor)},"unit":"sec","trials":$trials,"reran":$needRerun,"tainted":$tainted,"unstable_n":$unstableCount,"nqueries":${engine.size},"baseline_n":${ratios.size},"regressions_n":${regressions.size},"regressions_top":$regJsonTop,"sf":"$sfDir"}""")
+    println(s"""{"format":4,"metric":"total","value":${f3(total)},"floor":${f3(floor)},"unit":"sec","trials":$trials,"reran":$needRerun,"tainted":$tainted,"unstable_n":$unstableCount,"nqueries":${engine.size},"baseline_n":${ratios.size},"regressions_n":${regressions.size},"regressions_top":$regJsonTop,"canary":$canaryJson,"stall_excluded":$stallExcluded,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

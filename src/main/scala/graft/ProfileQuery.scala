@@ -86,6 +86,12 @@ object ProfileQuery {
         graft.streaming.StreamParity.activeReplays.foreach { q =>
           try q.stop() catch { case scala.util.control.NonFatal(_) => () }
         }
+        // mirror Bench.drainStreamingResidue (ADVICE): stopping the
+        // replay leaves state-store providers and their maintenance
+        // thread alive, skewing subsequent trials of the very
+        // construct/execute split this tool measures
+        try org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+        catch { case scala.util.control.NonFatal(_) => () }
         println(f"$name trial $t: total ${(t1 - t0 + t3 - t2) / 1e9}%.2fs = " +
           f"construct ${(t1 - t0) / 1e9}%.2fs " +
           f"($constructionJobs jobs, ${constructionJobMs / 1e3}%.2fs sched) " +

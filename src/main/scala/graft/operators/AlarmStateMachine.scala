@@ -63,8 +63,10 @@ object AlarmStateMachine {
     // breaches() has no otherwise-branch, so a typo'd operator would
     // make every slot silently abstain — the alarm could never fire
     // and nothing would report the misconfiguration.
-    slas.select(col("period").cast("long"), col("comparison_operator"),
-        col("treat_missing_data")).distinct().collect()
+    graft.pipeline.DriverBounds.boundedCollect(
+      slas.select(col("period").cast("long"), col("comparison_operator"),
+        col("treat_missing_data")).distinct(), 10000L,
+      "AlarmStateMachine distinct SLA configs (definition metadata)")
       .foreach { r =>
         require(!r.isNullAt(0) && r.getLong(0) > 0,
           s"SLA period must be positive, got ${r.get(0)}")

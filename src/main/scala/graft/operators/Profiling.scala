@@ -243,8 +243,10 @@ object Profiling {
       .withColumn("__pid", spark_partition_id())
       .persist()
     u.count()
-    val totals = u.groupBy("__pid").agg(sum("__c").as("t"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val totals = graft.pipeline.DriverBounds.boundedCollect(
+      u.groupBy("__pid").agg(sum("__c").as("t")), parts.toLong,
+      "histogramEquiDepth partition totals (one row per range partition)")
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
     val off = (0 until parts).scanLeft(0L) {
       (a, p) => a + totals.getOrElse(p, 0L)
     }
@@ -481,6 +483,12 @@ object Profiling {
           expr("(1000000L * __x.n_violating) div n_groups").cast("long")
             .as("viol_ppm"),
           (col("__x.n_violating") === 0L).as("holds"))
+        // degenerate empty input: the global agg over zero groups
+        // yields one row with n_groups=0 and NULL n_violating/holds —
+        // garbage that NPEs downstream consumers (the fdDiscoverL2
+        // seed unboxed it, per ADVICE). An empty table profiles to an
+        // empty dependency report, lazily (no extra scan).
+        .filter(col("n_groups") > 0)
     }.reduce(_ unionByName _)
   }
 
@@ -514,6 +522,12 @@ object Profiling {
         fdDiscover(df, cols).select("lhs", "rhs", "holds"),
         p * (p - 1), "fdDiscoverL2 level-1 seed")
       .map(r => (r.getString(0), r.getString(1)) -> r.getBoolean(2)).toMap
+    // loud contract failure, not an NPE three lines later: fdDiscover
+    // on an empty input yields an empty seed (see its empty-input
+    // filter), and a lattice walk over nothing is a caller bug
+    require(level1.nonEmpty,
+      "fdDiscoverL2 needs a non-empty input DataFrame — the level-1 " +
+        "seed is empty")
     val lhsPairs = for {
       i <- cols.indices; j <- cols.indices if i < j
     } yield {

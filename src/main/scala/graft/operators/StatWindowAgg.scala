@@ -59,7 +59,9 @@ object StatWindowAgg {
     // The distinct pNN statistics are definition METADATA (a handful of
     // strings), not data — resolving them driver-side keeps
     // percentile_approx's fraction foldable for codegen.
-    val allStats = defsF.select("statistic").distinct().collect()
+    val allStats = graft.pipeline.DriverBounds.boundedCollect(
+      defsF.select("statistic").distinct(), 10000L,
+      "StatWindowAgg distinct statistics (definition metadata)")
       .map(_.getString(0)).toSeq
     // fail fast on a typo'd/out-of-range statistic: without this, an
     // unmatched statistic silently produces NULL metricvalue rows

@@ -105,9 +105,13 @@ object Bpe {
         val (p1, p2, cnt) = (best.head.getString(0), best.head.getString(1),
           best.head.getLong(2))
         merges += ((r, p1, p2, cnt))
-        state = state.withColumn("seq", replaceAll(col("seq"),
-          lit(Sep + p1 + SepSep + p2 + Sep), lit(Sep + p1 + p2 + Sep)))
-          .localCheckpoint()
+        // cycle, not bare localCheckpoint (round 14): the superseded
+        // round's checkpoint blocks are released as soon as the new
+        // state materializes — without it a production merge count
+        // accumulates O(rounds x vocab) dead blocks until driver GC
+        state = Lineage.cycle(state.withColumn("seq", replaceAll(col("seq"),
+          lit(Sep + p1 + SepSep + p2 + Sep), lit(Sep + p1 + p2 + Sep))),
+          state)
         r += 1
       }
     }

@@ -779,9 +779,12 @@ object Corpus {
           floor((col(scoreCol).cast("double") - dLo) / (dHi - dLo) * BudgetBuckets))
           .cast("int")
         val withB = inCut.withColumn("__bk", bucket)
-        val sums2 = withB.groupBy("__bk")
-          .agg(sum(col(tokenCol).cast("long")).as("t"))
-          .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(-_._1)
+        val sums2 = DriverBounds.boundedCollect(
+          withB.groupBy("__bk")
+            .agg(sum(col(tokenCol).cast("long")).as("t")),
+          BudgetBuckets.toLong,
+          "token-budget refinement bucket sums (one row per sub-bucket)")
+          .map(r => (r.getInt(0), r.getLong(1))).sortBy(-_._1)
         var cum2 = 0L
         var cut2 = Int.MinValue
         var rem2 = 0L
@@ -1963,9 +1966,12 @@ object Corpus {
       .withColumn("__pid", spark_partition_id())
       .persist()
     u.count()
-    val totals = u.groupBy("__pid")
-      .agg(sum("__c1").as("t1"), sum("__c2").as("t2"))
-      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val totals = DriverBounds.boundedCollect(
+      u.groupBy("__pid")
+        .agg(sum("__c1").as("t1"), sum("__c2").as("t2")),
+      parts.toLong,
+      "quantile-normalization partition totals (one row per range partition)")
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
     val off = (0 until parts).scanLeft((0L, 0L)) { case ((o1, o2), pid) =>
       val (t1, t2) = totals.getOrElse(pid, (0L, 0L)); (o1 + t1, o2 + t2)
     }

@@ -323,7 +323,13 @@ object Dedup {
       _.dataType == org.apache.spark.sql.types.LongType)
     if (longIds && nEdges <= smallGraphThreshold) {
       val spark = pairs.sparkSession
-      val edgeArr = base.collect().map(r => (r.getLong(0), r.getLong(1)))
+      // the size gate above already proved nEdges <= threshold; the
+      // boundedCollect keeps the idiom uniform (every driver collect
+      // carries its cap) and guards against a count/collect race on a
+      // non-deterministic upstream
+      val edgeArr = DriverBounds.boundedCollect(base, smallGraphThreshold,
+        "near-dup clustering small-graph union-find edges")
+        .map(r => (r.getLong(0), r.getLong(1)))
       base.unpersist()
       val parent = scala.collection.mutable.Map.empty[Long, Long]
       def find(x: Long): Long = {
@@ -378,6 +384,9 @@ object Dedup {
         .localCheckpoint()
       changedCount = next.join(labels.withColumnRenamed("cluster_id", "old"),
         Seq("doc_id")).filter(col("cluster_id") =!= col("old")).count()
+      // release AFTER the convergence count — it is the last reader
+      // of the superseded round's blocks (round-14 storage hygiene)
+      Lineage.release(labels)
       labels = next
       i += 1
     }

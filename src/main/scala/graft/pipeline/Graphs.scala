@@ -191,10 +191,12 @@ object Graphs {
     (1 to iters).foreach { _ =>
       val keep = degrees(e).filter(col("degree") >= k)
         .select(col("node"))
-      e = e
+      // cycle releases the superseded round's checkpoint blocks once
+      // the new edge set materializes (round-14 storage hygiene)
+      e = Lineage.cycle(e
         .join(keep.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
         .join(keep.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
-        .select("a", "b").localCheckpoint()
+        .select("a", "b"), e)
     }
     val deg = degrees(e)
     val minDeg = deg.agg(coalesce(min(col("degree")), lit(Long.MaxValue))
@@ -248,14 +250,13 @@ object Graphs {
     val w = Window.partitionBy("node")
       .orderBy(col("__c").desc, col("__nl"))
     (1 to iters).foreach { _ =>
-      labels = nbrs
+      labels = Lineage.cycle(nbrs
         .join(labels.select(col("node").as("nbr"), col("label").as("__nl")),
           Seq("nbr"))
         .groupBy("node", "__nl").agg(count(lit(1)).as("__c"))
         .withColumn("__rn", row_number().over(w))
         .filter(col("__rn") === 1)
-        .select(col("node"), col("__nl").as("label"))
-        .localCheckpoint()
+        .select(col("node"), col("__nl").as("label")), labels)
     }
     labels
       .select(col("node"), col("label").as("community"),

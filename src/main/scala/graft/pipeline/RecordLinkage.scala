@@ -114,10 +114,9 @@ object RecordLinkage {
         .join(labels.select(col("node").as("nbr"), col("label").as("__nl")),
           Seq("nbr"))
         .groupBy("node").agg(min("__nl").as("__ml"))
-      labels = labels.join(nbrMin, Seq("node"), "left")
+      labels = Lineage.cycle(labels.join(nbrMin, Seq("node"), "left")
         .select(col("node"), least(col("label"),
-          coalesce(col("__ml"), col("label"))).as("label"))
-        .localCheckpoint()
+          coalesce(col("__ml"), col("label"))).as("label")), labels)
     }
     val conv = e
       .join(labels.select(col("node").as("a"), col("label").as("__la")), Seq("a"))

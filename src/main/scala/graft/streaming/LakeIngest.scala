@@ -100,10 +100,14 @@ object LakeIngest {
             if (!bad.isEmpty) bad.write.mode("append").text(errDir)
             if (compactLagBatches > 0) {
               // distinct partition tuples of THIS batch: metadata-scale
-              val touched = withParts
-                .select("region", "year", "month", "day", "hour")
-                .filter(col("year").isNotNull)
-                .distinct().collect()
+              // (a micro-batch spans minutes of event time — even a
+              // full day of regions is thousands of tuples, not data)
+              val touched = graft.pipeline.DriverBounds.boundedCollect(
+                withParts
+                  .select("region", "year", "month", "day", "hour")
+                  .filter(col("year").isNotNull)
+                  .distinct(), 100000L,
+                "LakeIngest touched-partition tuples (batch metadata)")
                 .map(r => s"$outDir/region=${r.get(0)}/year=${r.get(1)}" +
                   s"/month=${r.get(2)}/day=${r.get(3)}/hour=${r.get(4)}")
               touched.foreach(p => openPartitions(p) = batchId)

@@ -297,10 +297,14 @@ object StreamingAlarmPipeline {
     // poisoned source offset and crash-loops every restart).
     val perSla = slas.columns.contains("statistic")
     validateStatistic(statistic)
-    if (perSla) slas.select("statistic").distinct().collect()
+    if (perSla) graft.pipeline.DriverBounds.boundedCollect(
+        slas.select("statistic").distinct(), 10000L,
+        "StreamingAlarmPipeline distinct statistics (definition metadata)")
       .foreach(r => Option(r.getString(0)).foreach(validateStatistic))
-    slas.select(col("period").cast("long"), col("comparison_operator"),
-        col("treat_missing_data")).distinct().collect()
+    graft.pipeline.DriverBounds.boundedCollect(
+      slas.select(col("period").cast("long"), col("comparison_operator"),
+        col("treat_missing_data")).distinct(), 10000L,
+      "StreamingAlarmPipeline distinct SLA configs (definition metadata)")
       .foreach { r =>
         require(!r.isNullAt(0) && r.getLong(0) > 0,
           s"SLA period must be positive, got ${r.get(0)}")

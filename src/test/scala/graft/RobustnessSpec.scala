@@ -213,6 +213,43 @@ class RobustnessSpec extends SparkTestBase {
     assert(out == Seq((1L, 2L, 1000200L, 500100L)), s"$out")
   }
 
+  test("Lineage.cycle: superseded checkpoint blocks are released deterministically") {
+    val sc = spark.sparkContext
+    spark.catalog.clearCache()
+    val before = sc.getPersistentRDDs.size
+    val a = spark.range(100).toDF("v").localCheckpoint()
+    assert(sc.getPersistentRDDs.size == before + 1,
+      "localCheckpoint registers one persistent RDD")
+    val b = graft.pipeline.Lineage.cycle(a.withColumn("w", col("v") * 2), a)
+    // the new checkpoint replaced the old in the registry — release
+    // is deterministic, not GC-dependent (the round-14 ADVICE fix)
+    assert(sc.getPersistentRDDs.size == before + 1,
+      "cycle releases the superseded checkpoint as the new one lands")
+    assert(b.count() == 100, "the new frame is readable after release")
+    graft.pipeline.Lineage.release(b)
+    assert(sc.getPersistentRDDs.size == before)
+    // release of a non-checkpoint frame is a silent no-op
+    graft.pipeline.Lineage.release(spark.range(3).toDF("v"))
+  }
+
+  test("fdDiscover: empty input profiles to an empty report, not NULL garbage") {
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("a",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("b",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("c",
+          org.apache.spark.sql.types.LongType))))
+    assert(graft.operators.Profiling.fdDiscover(empty, Seq("a", "b", "c"))
+      .count() == 0)
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Profiling.fdDiscoverL2(empty, Seq("a", "b", "c"))
+    }
+    assert(e.getMessage.contains("non-empty input"))
+  }
+
   test("boundedCollect: over-cap input fails loudly, never materializes") {
     val five = Seq(1L, 2L, 3L, 4L, 5L).toDF("v")
     val ok = graft.pipeline.DriverBounds.boundedCollect(five, 5L, "probe")
@@ -221,6 +258,52 @@ class RobustnessSpec extends SparkTestBase {
       graft.pipeline.DriverBounds.boundedCollect(five, 3L, "probe")
     }
     assert(e.getMessage.contains("documented bound of 3 rows"))
+  }
+
+  test("StatWindowAgg: a definitions table past the metadata bound fails loudly") {
+    // 10001 distinct statistic strings exceed the documented 10k
+    // metadata cap — the guard fires BEFORE validation or the join,
+    // naming the contract, instead of materializing an unbounded
+    // driver array (round-14 DriverBounds migration)
+    val defs = spark.range(10001)
+      .selectExpr("concat('u', id) AS unique_id",
+        "concat('p0.', id) AS statistic", "60 AS period",
+        "'minute' AS frequency")
+    val dps = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1.0))
+      .toDF("series_id", "ts", "value")
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.StatWindowAgg.aggregate(dps, defs)
+    }
+    assert(e.getMessage.contains("StatWindowAgg distinct statistics"))
+  }
+
+  test("AlarmStateMachine: an SLA table past the metadata bound fails loudly") {
+    val slas = spark.range(10001)
+      .selectExpr("id AS series_id", "id + 1 AS period", "0.5 AS threshold",
+        "'GreaterThanThreshold' AS comparison_operator",
+        "1 AS datapoints_to_alarm", "1 AS evaluation_periods",
+        "'missing' AS treat_missing_data")
+    val series = Seq((1L, 0L, 1.0))
+      .toDF("series_id", "window_start", "metricvalue")
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.AlarmStateMachine.evaluate(series, slas)
+    }
+    assert(e.getMessage.contains("AlarmStateMachine distinct SLA configs"))
+  }
+
+  test("StreamingAlarmPipeline: per-SLA statistics past the metadata bound fail loudly") {
+    val slas = spark.range(10001)
+      .selectExpr("id AS series_id", "60 AS period", "0.5 AS threshold",
+        "'GreaterThanThreshold' AS comparison_operator",
+        "1 AS datapoints_to_alarm", "1 AS evaluation_periods",
+        "'missing' AS treat_missing_data",
+        "concat('p0.', id) AS statistic")
+    val dps = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1.0))
+      .toDF("series_id", "ts", "value")
+    val e = intercept[IllegalArgumentException] {
+      graft.streaming.StreamingAlarmPipeline.evaluateStream(dps, slas, "Sum")
+    }
+    assert(e.getMessage.contains("StreamingAlarmPipeline distinct statistics"))
   }
 
   test("mmrTopK: a query load past the driver-row budget fails loudly") {
