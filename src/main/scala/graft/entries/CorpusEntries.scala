@@ -476,6 +476,17 @@ private[graft] object CorpusEntries {
         .orderBy("doc_id")
     },
 
+    // DSIR importance-weighted resample: 200 docs over 8 score tiers,
+    // budget apportioned largest-remainder by tier weight, coordinated
+    // minwise draw within tier.
+    "q_dsir_sample" -> { (s, dir) =>
+      val d = spread(docs(s, dir))
+      graft.pipeline.Corpus.dsirResample(d,
+          d.filter(col("source") === "src0"), totalN = 200L, tiers = 8,
+          buckets = 10000)
+        .orderBy("tier", "draw_rank")
+    },
+
     // TextRank keywords: integer PageRank (2 rounds) over the
     // adjacent-token co-occurrence graph, top-25 by rank.
     "q_textrank" -> { (s, dir) =>
@@ -1666,6 +1677,58 @@ private[graft] object CorpusEntries {
         |AS mean_ratio_ppm
         |FROM documents d LEFT JOIN sc USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+
+    // the q_dsir scoring chain, then: fixed-width score tiers,
+    // largest-remainder apportionment in HUGEINT (ROW_NUMBER over
+    // remainders = the driver's BigInt sort), md5-minwise rank per
+    // tier — every stage integer/string-exact on both engines
+    "q_dsir_sample" ->
+      s"""WITH w AS (SELECT doc_id, source,
+        |list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS w
+        |FROM documents),
+        |bg AS (SELECT doc_id, source, unnest(CASE WHEN len(w) >= 2
+        |THEN list_transform(range(1, len(w)), i -> array_to_string(w[i:i+1], ' '))
+        |ELSE [] END) AS g FROM w),
+        |hb AS MATERIALIZED (SELECT doc_id, source,
+        |${bucketSql("'dsir:' || g", 10000)} AS b FROM bg),
+        |tc AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS t FROM hb
+        |WHERE source = 'src0' GROUP BY 1),
+        |tt AS (SELECT CAST(COALESCE(SUM(t), 0) AS BIGINT) AS tn FROM tc),
+        |rc AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS r FROM hb GROUP BY 1),
+        |rt AS (SELECT CAST(COALESCE(SUM(r), 0) AS BIGINT) AS rn FROM rc),
+        |ratio AS (SELECT rc.b, CAST(LEAST(1000000000::HUGEINT,
+        |(1000000::HUGEINT * (COALESCE(tc.t, 0) + 1) *
+        |((SELECT rn FROM rt) + 10000)) //
+        |((rc.r + 1)::HUGEINT * ((SELECT tn FROM tt) + 10000))) AS BIGINT)
+        |AS ratio_ppm FROM rc LEFT JOIN tc USING (b)),
+        |sc AS (SELECT hb.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+        |CAST(SUM(ratio.ratio_ppm) AS BIGINT) AS sum_ratio_ppm
+        |FROM hb JOIN ratio USING (b) GROUP BY 1),
+        |scores AS MATERIALIZED (SELECT d.doc_id,
+        |COALESCE(CAST(sc.sum_ratio_ppm // sc.n_grams AS BIGINT), 0) AS mean
+        |FROM documents d LEFT JOIN sc USING (doc_id)),
+        |mx AS (SELECT COALESCE(MAX(mean), 0) AS m FROM scores),
+        |t AS MATERIALIZED (SELECT doc_id, mean,
+        |LEAST(7, mean // ((SELECT m FROM mx) // 8 + 1)) AS tier FROM scores),
+        |st AS (SELECT tier, CAST(SUM(mean) AS HUGEINT) AS tw,
+        |CAST(COUNT(*) AS HUGEINT) AS tcnt FROM t GROUP BY 1),
+        |sel AS (SELECT tier, CASE WHEN (SELECT SUM(tw) FROM st) = 0
+        |THEN tcnt ELSE tw END AS wv FROM st),
+        |wt AS (SELECT CAST(SUM(wv) AS HUGEINT) AS wtot FROM sel),
+        |base AS (SELECT tier,
+        |(200::HUGEINT * wv) // (SELECT wtot FROM wt) AS b,
+        |(200::HUGEINT * wv) % (SELECT wtot FROM wt) AS rem FROM sel),
+        |lo AS (SELECT 200 - SUM(b) AS L FROM base),
+        |alloc AS (SELECT tier, b + CASE WHEN
+        |ROW_NUMBER() OVER (ORDER BY rem DESC, tier) <= (SELECT L FROM lo)
+        |THEN 1 ELSE 0 END AS na FROM base),
+        |rk AS (SELECT doc_id, tier, mean, ROW_NUMBER() OVER
+        |(PARTITION BY tier ORDER BY
+        |md5('dsir-sample:' || CAST(doc_id AS VARCHAR)), doc_id) AS dr FROM t)
+        |SELECT rk.doc_id, CAST(rk.tier AS BIGINT) AS tier,
+        |rk.mean AS mean_ratio_ppm, CAST(rk.dr AS BIGINT) AS draw_rank
+        |FROM rk JOIN alloc USING (tier) WHERE rk.dr <= alloc.na
+        |ORDER BY tier, draw_rank""".stripMargin,
 
     // the q_pagerank unroll on the bigram co-occurrence graph; e is
     // MATERIALIZED (referenced by deg + both contribution rounds)

@@ -1673,6 +1673,95 @@ object Corpus {
   }
 
   /**
+   * DSIR importance-weighted resampling — the operator a real
+   * pipeline runs right after [[dsirScore]]: draw `totalN` documents
+   * from the raw corpus with inclusion probability proportional to
+   * importance, integer-exact. The paper's resampler draws
+   * categorically with probability ∝ weight; a bit-reproducible,
+   * engine-portable rendition of that is TIERED exact-count
+   * stratification: documents are binned into `tiers` fixed-width
+   * score tiers, the budget is split across tiers PROPORTIONAL TO
+   * TIER WEIGHT (sum of `mean_ratio_ppm`) by largest-remainder
+   * apportionment (Σ allocations = totalN exactly — no float
+   * probabilities, no rounding drift), and each tier's quota is
+   * filled by the same coordinated minwise draw [[minwiseSample]]
+   * uses (md5 order — uniform within tier, reproducible by any
+   * engine with md5).
+   *
+   * Degenerate regimes, pinned: an all-zero-weight corpus (target
+   * and raw share no buckets... impossible by construction since
+   * ratios are ≥ 1, but an all-gramless corpus scores 0) falls back
+   * to count-proportional apportionment — uniform sampling; a tier
+   * allocated past its population returns its whole population and
+   * the global sample runs short rather than silently re-weighting —
+   * re-run on the residue to rebalance (documented, not hidden).
+   *
+   * Scale: the scoring pass is [[dsirScore]] (broadcast ratio table,
+   * the 100 TB side never shuffles); tier stats are a ≤`tiers`-row
+   * aggregate fetched through [[DriverBounds.boundedCollect]];
+   * apportionment is O(tiers) driver arithmetic in BigInt (the
+   * weight sums exceed int64 at corpus scale); the draw is one
+   * per-tier rank window — partitionBy(tier), never a global sort —
+   * against a broadcast `tiers`-row quota table.
+   *
+   * @return (idCol, tier, mean_ratio_ppm, draw_rank) — the sampled
+   *         docs; draw_rank 1..quota within each tier
+   */
+  def dsirResample(raw: DataFrame, target: DataFrame, totalN: Long,
+      tiers: Int = 10, buckets: Int = 10000, textCol: String = "text",
+      idCol: String = "doc_id", seedTag: String = "dsir-sample"): DataFrame = {
+    require(totalN >= 1, "positive sample size")
+    require(tiers >= 1 && tiers <= 10000, "tier count sanity")
+    val spark = raw.sparkSession
+    val scores = dsirScore(raw, target, buckets, textCol, idCol)
+      .select(col(idCol), col("mean_ratio_ppm"))
+    // tier width from the observed score range: one 1-row agg
+    // (planner statistic, not data)
+    val maxScore = DriverBounds.boundedCollect(
+      scores.agg(coalesce(max("mean_ratio_ppm"), lit(0L)).as("m")),
+      1L, "dsirResample max score (single-row aggregate)")
+      .head.getLong(0)
+    val width = maxScore / tiers + 1
+    val tiered = scores.withColumn("tier",
+      least(lit(tiers - 1L), expr(s"mean_ratio_ppm div ${width}L"))
+        .cast("long"))
+    val stats = DriverBounds.boundedCollect(
+      tiered.groupBy("tier")
+        .agg(sum("mean_ratio_ppm").cast("long").as("w"),
+          count(lit(1)).cast("long").as("c")),
+      tiers.toLong, "dsirResample tier stats (one row per tier)")
+      .map(r => (r.getLong(0), BigInt(r.getLong(1)), BigInt(r.getLong(2))))
+    require(stats.nonEmpty,
+      "dsirResample needs a non-empty raw corpus — zero tier rows")
+    // largest-remainder apportionment, BigInt (tier weight sums pass
+    // int64 at corpus scale): base share = floor(N*w/W); the leftover
+    // goes to the largest fractional remainders, ties to the lower
+    // tier — Σ quotas = totalN exactly
+    val useCounts = stats.map(_._2).sum == 0
+    val weights = stats.map { case (t, w, c) => (t, if (useCounts) c else w) }
+    val wTot = weights.map(_._2).sum
+    val base = weights.map { case (t, w) =>
+      (t, BigInt(totalN) * w / wTot, BigInt(totalN) * w % wTot) }
+    val leftover = (BigInt(totalN) - base.map(_._2).sum).toLong
+    val extras = base.sortBy { case (t, _, rem) => (-rem, t) }
+      .take(leftover.toInt).map(_._1).toSet
+    val alloc = base.map { case (t, b, _) =>
+      (t, b.toLong + (if (extras(t)) 1L else 0L)) }
+    import spark.implicits._
+    val allocDf = broadcast(alloc.toSeq.toDF("tier", "n_alloc"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("tier")
+      .orderBy(col("__draw"), col(idCol))
+    tiered
+      .withColumn("__draw",
+        md5(concat(lit(seedTag + ":"), col(idCol).cast("string"))))
+      .withColumn("draw_rank", row_number().over(w).cast("long"))
+      .join(allocDf, Seq("tier"))
+      .filter(col("draw_rank") <= col("n_alloc"))
+      .select(col(idCol), col("tier"), col("mean_ratio_ppm"),
+        col("draw_rank"))
+  }
+
+  /**
    * TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank
    * over the word co-occurrence graph — adjacent-token edges in both
    * directions (the paper's undirected window-2 keyword graph),

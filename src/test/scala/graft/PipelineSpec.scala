@@ -648,6 +648,40 @@ class PipelineSpec extends SparkTestBase {
     assert(out.forall(r => r._3 >= 0L && r._4 <= 1000000000L))
   }
 
+  test("dsirResample: exact-count apportionment, weight-monotone, deterministic") {
+    // 20 target-like + 20 alien docs; sample 10 over 4 tiers — the
+    // high-score tier must carry (weight-proportional) more quota
+    val raw = (1L to 20L).map(i => (i, "the quick fox jumps")) ++
+      (21L to 40L).map(i => (i, "zzz qqq www rrr"))
+    val rawDf = raw.toDF("doc_id", "text")
+    val target = Seq((100L, "the quick fox jumps over the quick fox"))
+      .toDF("doc_id", "text")
+    val out = graft.pipeline.Corpus.dsirResample(rawDf, target,
+        totalN = 10L, tiers = 4)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // exact count: quotas sum to N and every tier fills (populations
+    // of 20 each far exceed any quota)
+    assert(out.size == 10, s"exact-count sample: ${out.size}")
+    // per-tier draw_rank is 1..quota dense
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._4).sorted == (1L to rows.size).toSeq)
+    }
+    val targetLike = out.count(_._1 <= 20L)
+    assert(targetLike > out.size - targetLike,
+      s"weight-proportional tiers favor target-like docs: $targetLike/10")
+    // bit-deterministic across runs
+    val again = graft.pipeline.Corpus.dsirResample(rawDf, target,
+        totalN = 10L, tiers = 4)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out.toSet == again.toSet)
+    // loud contract on an empty corpus
+    val e = intercept[IllegalArgumentException] {
+      graft.pipeline.Corpus.dsirResample(
+        rawDf.filter(col("doc_id") < 0L), target, totalN = 5L)
+    }
+    assert(e.getMessage.contains("non-empty raw corpus"))
+  }
+
   test("vocabProfile: exact integer stats on a hand corpus") {
     val d = Seq((1L, "X", "a a b"), (2L, "Y", "c d"))
       .toDF("doc_id", "source", "text")
