@@ -591,6 +591,22 @@ private[graft] object CorpusEntries {
       graft.pipeline.Bpe.encode(spread(d), m).orderBy("doc_id")
     },
 
+    // Unigram-LM tokenizer training (SentencePiece family, hard-EM,
+    // integer-exact): 2 EM rounds, 300-piece vocab target.
+    "q_unigram_train" -> { (s, dir) =>
+      graft.pipeline.UnigramLm.train(spread(docs(s, dir)), vocabSize = 300,
+        rounds = 2).orderBy("rank")
+    },
+
+    // Encode with the trained unigram vocab: per-doc word/piece
+    // counts (the Bpe.encode fertility shape, directly comparable).
+    "q_unigram_encode" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val vocab = graft.pipeline.UnigramLm.train(spread(d), vocabSize = 300,
+        rounds = 2)
+      graft.pipeline.UnigramLm.encode(spread(d), vocab).orderBy("doc_id")
+    },
+
     // Exact heavy hitters (tokens ≥ 2% of the stream) via the
     // Misra-Gries candidate pass + exact confirm — never a
     // long-tail shuffle; result bit-equal to the naive group-by.
@@ -749,10 +765,119 @@ private[graft] object CorpusEntries {
          |CAST((1000000 * COALESCE(SUM(g.nu), 0)) // greatest(COALESCE(SUM(g.nw), 0), 1) AS BIGINT) AS fertility_ppm
          |FROM documents d LEFT JOIN g USING (doc_id) GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Unrolled deterministic Viterbi DP (the [[graft.pipeline.UnigramLm]]
+    * segmentation): state CTEs `dp{t}0..dp{t}{w}` over prefix lengths,
+    * candidate step `c{t}{j}` joining the previous `p` states with the
+    * piece table on the connecting substring, best state by
+    * ROW_NUMBER (np ASC, ws DESC, k DESC) — the same total order the
+    * Scala struct-min applies. `wordsCte` exposes (word, cnt);
+    * `piecesCte` exposes (piece, w). Emits ",c...,dp...,fin{t}". */
+  private def unigramDpSql(t: String, wordsCte: String, piecesCte: String,
+      w: Int, p: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s",\ndp${t}0 AS MATERIALIZED (SELECT word, cnt, 0 AS j, " +
+      "CAST(0 AS BIGINT) AS np, CAST(0 AS BIGINT) AS ws, '' AS seg " +
+      s"FROM $wordsCte WHERE length(word) BETWEEN 1 AND $w)"
+    for (j <- 1 to w) {
+      val from = (math.max(0, j - p) until j)
+        .map(i => s"SELECT * FROM dp$t$i").mkString(" UNION ALL ")
+      sb ++= s""",
+c$t$j AS (SELECT d.word, d.cnt, d.np + 1 AS np,
+ d.ws + COALESCE(pc.w, 0) AS ws,
+ d.seg || chr(31) || substr(d.word, d.j + 1, $j - d.j) AS seg,
+ $j - d.j AS k
+ FROM ($from) d LEFT JOIN $piecesCte pc
+ ON pc.piece = substr(d.word, d.j + 1, $j - d.j)
+ WHERE length(d.word) >= $j AND ($j - d.j = 1 OR pc.w IS NOT NULL)),
+dp$t$j AS MATERIALIZED (SELECT word, cnt, $j AS j, np, ws, seg FROM
+ (SELECT *, ROW_NUMBER() OVER (PARTITION BY word
+  ORDER BY np ASC, ws DESC, k DESC) AS rn FROM c$t$j) WHERE rn = 1)"""
+    }
+    val all = (0 to w).map(i => s"SELECT * FROM dp$t$i").mkString(" UNION ALL ")
+    sb ++= s",\nfin$t AS MATERIALIZED (SELECT word, cnt, np, ws, " +
+      s"substr(seg, 2) AS seg FROM ($all) WHERE j = length(word) AND j > 0)"
+    sb.toString
+  }
+
+  /** The full 2-round unigram-LM training chain: seed inventory →
+    * (DP → usage → prune) × 2 → final vocab cut. Mirrors
+    * UnigramLm.train(vocabSize, rounds = 2, maxPieceLen = 4,
+    * maxWordLen = 12, minFreq = 2, shrinkPermille = 800). */
+  private def unigramTrainCtes(vocabSize: Int): String = {
+    val W = 12; val P = 4
+    def pruneCte(name: String, usage: String, m: String): String =
+      s"""$name AS MATERIALIZED (
+SELECT c.piece, COALESCE(u.w, 0) AS w FROM uchars c LEFT JOIN $usage u USING (piece)
+UNION ALL
+SELECT piece, w FROM (SELECT piece, w, ROW_NUMBER() OVER (ORDER BY w DESC, piece) AS rk
+ FROM $usage WHERE length(piece) > 1)
+WHERE rk <= GREATEST(GREATEST(0, $vocabSize - (SELECT n FROM nch)),
+ ((SELECT m FROM $m) * 800) // 1000))"""
+    s"""WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS w FROM documents),
+wd AS (SELECT unnest(w) AS word FROM w),
+uwords AS MATERIALIZED (SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM wd
+ WHERE NOT contains(word, chr(31)) AND length(word) <= $W GROUP BY 1),
+useeds AS MATERIALIZED (SELECT piece, CAST(SUM(cnt) AS BIGINT) AS w FROM
+ (SELECT cnt, unnest(flatten(list_transform(range(1, length(word) + 1), s ->
+  list_transform(range(1, least($P, length(word) - s + 1) + 1), k ->
+  substr(word, s, k))))) AS piece FROM uwords)
+ GROUP BY 1 HAVING length(piece) = 1 OR SUM(cnt) >= 2),
+uchars AS MATERIALIZED (SELECT piece FROM useeds WHERE length(piece) = 1),
+nch AS (SELECT COUNT(*) AS n FROM uchars),
+p1 AS MATERIALIZED (SELECT piece, w FROM useeds)""" +
+      unigramDpSql("r1", "uwords", "p1", W, P) +
+      s""",
+usage1 AS MATERIALIZED (SELECT piece, CAST(SUM(cnt) AS BIGINT) AS w FROM
+ (SELECT cnt, unnest(string_split(seg, chr(31))) AS piece FROM finr1) GROUP BY 1),
+m1 AS (SELECT COUNT(*) AS m FROM usage1 WHERE length(piece) > 1),
+""" + pruneCte("p2", "usage1", "m1") +
+      unigramDpSql("r2", "uwords", "p2", W, P) +
+      s""",
+usage2 AS MATERIALIZED (SELECT piece, CAST(SUM(cnt) AS BIGINT) AS w FROM
+ (SELECT cnt, unnest(string_split(seg, chr(31))) AS piece FROM finr2) GROUP BY 1),
+m2 AS (SELECT COUNT(*) AS m FROM usage2 WHERE length(piece) > 1),
+""" + pruneCte("p3", "usage2", "m2") +
+      s""",
+uvocab AS MATERIALIZED (
+SELECT piece, w FROM p3 WHERE length(piece) = 1
+UNION ALL
+SELECT piece, w FROM (SELECT piece, w, ROW_NUMBER() OVER (ORDER BY w DESC, piece) AS rk
+ FROM p3 WHERE length(piece) > 1)
+WHERE rk <= GREATEST(0, $vocabSize - (SELECT n FROM nch)))"""
+  }
+
+  private def unigramTrainOracle(vocabSize: Int): String =
+    unigramTrainCtes(vocabSize) +
+      """
+SELECT piece, CAST(length(piece) AS BIGINT) AS piece_len, w AS usage,
+CAST(ROW_NUMBER() OVER (ORDER BY w DESC, piece) AS BIGINT) AS rank
+FROM uvocab ORDER BY rank"""
+
+  private def unigramEncodeOracle(vocabSize: Int): String =
+    unigramTrainCtes(vocabSize) +
+      s""",
+docw AS MATERIALIZED (SELECT doc_id, unnest(w) AS word FROM w),
+dwords AS MATERIALIZED (SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
+ FROM docw GROUP BY 1),
+vp AS MATERIALIZED (SELECT piece, w FROM uvocab)""" +
+      unigramDpSql("e", "dwords", "vp", 12, 4) +
+      """,
+units AS (SELECT word, CAST(np AS BIGINT) AS np FROM fine
+ UNION ALL
+ SELECT word, CAST(length(word) AS BIGINT) AS np FROM dwords
+ WHERE length(word) > 12),
+g AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+ CAST(SUM(np) AS BIGINT) AS n_pieces FROM docw JOIN units USING (word) GROUP BY 1)
+SELECT d.doc_id, COALESCE(g.n_words, 0) AS n_words,
+COALESCE(g.n_pieces, 0) AS n_pieces
+FROM documents d LEFT JOIN g USING (doc_id) ORDER BY doc_id"""
+
   def oracles: Map[String, String] = Map(
     "q_bpe_merges" -> bpeMergesOracle(4),
     "q_bpe_encode" -> bpeEncodeOracle(4),
     "q_fertility" -> bpeFertilityOracle(4),
+    "q_unigram_train" -> unigramTrainOracle(300),
+    "q_unigram_encode" -> unigramEncodeOracle(300),
 
     "q_src_lang_mix" ->
       """WITH t AS (SELECT source, lang,

@@ -648,6 +648,48 @@ class PipelineSpec extends SparkTestBase {
     assert(out.forall(r => r._3 >= 0L && r._4 <= 1000000000L))
   }
 
+  test("unigramLm: hand-computed train and encode on a two-word corpus") {
+    // words: ab x3, c x1. Seeds (minFreq 2 + char exemption):
+    // a:3, b:3, ab:3, c:1. Viterbi "ab" -> single piece "ab" (fewest
+    // pieces); "c" -> "c". Usage: ab 3, c 1; chars a/b usage 0.
+    // Final vocab rank by (usage desc, piece asc).
+    val d = Seq((1L, "ab ab c"), (2L, "ab")).toDF("doc_id", "text")
+    val vocab = graft.pipeline.UnigramLm.train(d, vocabSize = 5, rounds = 2)
+    val v = vocab.orderBy("rank")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(v == Seq(("ab", 2L, 3L, 1L), ("c", 1L, 1L, 2L),
+      ("a", 1L, 0L, 3L), ("b", 1L, 0L, 4L)), s"$v")
+    val enc = graft.pipeline.UnigramLm.encode(d, vocab).orderBy("doc_id")
+      .as[(Long, Long, Long)].collect().toSeq
+    // doc1: 3 words -> pieces ab, ab, c = 3; doc2: 1 word -> 1 piece
+    assert(enc == Seq((1L, 3L, 3L), (2L, 1L, 1L)), s"$enc")
+  }
+
+  test("unigramLm: tie-breaks prefer higher weight sum, then longer pieces") {
+    // word "abc" x2 with pieces ab, bc both frequent: segmentations
+    // of 2 pieces: [ab,c] ws=w(ab)+w(c) vs [a,bc] ws=w(a)+w(bc).
+    // Seed weights: a:2, b:2, c:2, ab:2, bc:2, abc:2 (all subs x2) —
+    // "abc" itself is a piece -> np=1 wins outright.
+    val d = Seq((1L, "abc abc")).toDF("doc_id", "text")
+    val vocab = graft.pipeline.UnigramLm.train(d, vocabSize = 10, rounds = 1)
+    val used = vocab.filter(col("usage") > 0)
+      .orderBy("rank").as[(String, Long, Long, Long)].collect().toSeq
+    assert(used == Seq(("abc", 3L, 2L, 1L)), s"$used")
+    // hand vocab without "abc" but with equal-weight ab/bc: the two
+    // 2-piece segmentations [ab, c] and [a, bc] tie on np and ws, and
+    // the k-desc rule (longer final piece) must pick [a, bc] — both
+    // give np=2, so assert the count AND determinism across runs
+    val manual = Seq(("a", 1L, 0L, 1L), ("b", 1L, 0L, 2L),
+      ("c", 1L, 0L, 3L), ("ab", 2L, 0L, 4L), ("bc", 2L, 0L, 5L))
+      .toDF("piece", "piece_len", "usage", "rank")
+    val enc = graft.pipeline.UnigramLm.encode(d, manual)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(enc == Seq((1L, 2L, 4L)), s"$enc")
+    val enc2 = graft.pipeline.UnigramLm.encode(d, manual)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(enc == enc2)
+  }
+
   test("dsirResample: exact-count apportionment, weight-monotone, deterministic") {
     // 20 target-like + 20 alien docs; sample 10 over 4 tiers — the
     // high-score tier must carry (weight-proportional) more quota
