@@ -2,7 +2,9 @@ package graft
 
 import scala.collection.concurrent.TrieMap
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart}
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
 
 /**
@@ -26,10 +28,32 @@ object ProfileQuery {
   private final class JobListener extends SparkListener {
     val started = TrieMap.empty[Int, Long]
     val jobs = TrieMap.empty[Int, Long] // jobId -> elapsed ms
+    // memory axis (round 14): per-task peak EXECUTION memory (the
+    // operator working set Spark's memory manager accounts — joins,
+    // sorts, aggregates), spill volumes, and shuffle bytes. Peak is
+    // the max over tasks; multiplied by concurrent task slots it
+    // upper-bounds an executor's demand at this per-partition size,
+    // which is the number a 100x extrapolation needs (partition count
+    // grows with data; per-partition working set is what must fit).
+    val peakTaskMem = new AtomicLong(0L)
+    val spillMemB = new AtomicLong(0L)
+    val spillDiskB = new AtomicLong(0L)
+    val shufReadB = new AtomicLong(0L)
+    val shufWriteB = new AtomicLong(0L)
     override def onJobStart(j: SparkListenerJobStart): Unit =
       started.put(j.jobId, j.time)
     override def onJobEnd(j: SparkListenerJobEnd): Unit =
       started.get(j.jobId).foreach(t0 => jobs.put(j.jobId, j.time - t0))
+    override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+      val m = t.taskMetrics
+      if (m != null) {
+        peakTaskMem.updateAndGet(p => math.max(p, m.peakExecutionMemory))
+        spillMemB.addAndGet(m.memoryBytesSpilled)
+        spillDiskB.addAndGet(m.diskBytesSpilled)
+        shufReadB.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        shufWriteB.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      }
+    }
   }
 
   /** Wait until the listener's job count stabilizes (two consecutive
@@ -67,6 +91,14 @@ object ProfileQuery {
       (1 to trials).foreach { t =>
         val lst = new JobListener
         spark.sparkContext.addSparkListener(lst)
+        // JVM heap peak per trial: reset the heap pools' peak-usage
+        // watermark so the reading covers THIS trial only
+        import scala.jdk.CollectionConverters._
+        val heapPools = java.lang.management.ManagementFactory
+          .getMemoryPoolMXBeans.asScala
+          .filter(_.getType == java.lang.management.MemoryType.HEAP)
+        heapPools.foreach(p => try p.resetPeakUsage()
+          catch { case scala.util.control.NonFatal(_) => () })
         val t0 = System.nanoTime()
         val df = fn(spark, sfDir)
         val t1 = System.nanoTime()
@@ -92,12 +124,20 @@ object ProfileQuery {
         // construct/execute split this tool measures
         try org.apache.spark.sql.execution.streaming.state.StateStore.stop()
         catch { case scala.util.control.NonFatal(_) => () }
+        val heapPeakB = heapPools.map(_.getPeakUsage.getUsed).sum
+        def mb(b: Long) = b / 1048576.0
         println(f"$name trial $t: total ${(t1 - t0 + t3 - t2) / 1e9}%.2fs = " +
           f"construct ${(t1 - t0) / 1e9}%.2fs " +
           f"($constructionJobs jobs, ${constructionJobMs / 1e3}%.2fs sched) " +
           f"+ execute ${(t3 - t2) / 1e9}%.2fs " +
           f"(${totalJobs - constructionJobs} jobs, " +
-          f"${(totalJobMs - constructionJobMs) / 1e3}%.2fs sched)")
+          f"${(totalJobMs - constructionJobMs) / 1e3}%.2fs sched) | " +
+          f"mem: peakTask ${mb(lst.peakTaskMem.get)}%.1f MB, " +
+          f"heapPeak ${mb(heapPeakB)}%.0f MB, " +
+          f"spill mem ${mb(lst.spillMemB.get)}%.0f MB / " +
+          f"disk ${mb(lst.spillDiskB.get)}%.0f MB, " +
+          f"shuffle r ${mb(lst.shufReadB.get)}%.0f MB / " +
+          f"w ${mb(lst.shufWriteB.get)}%.0f MB")
       }
     }
     spark.stop()
