@@ -1713,8 +1713,13 @@ object Corpus {
     require(totalN >= 1, "positive sample size")
     require(tiers >= 1 && tiers <= 10000, "tier count sanity")
     val spark = raw.sparkSession
+    // persist: three actions read the scoring DAG (max agg, tier
+    // stats, the final draw) — without reuse the two corpus explodes
+    // and the ratio build execute three times (measured 3x wall on
+    // the bench cell). Narrow frame: one (id, long) row per doc.
     val scores = dsirScore(raw, target, buckets, textCol, idCol)
       .select(col(idCol), col("mean_ratio_ppm"))
+      .persist()
     // tier width from the observed score range: one 1-row agg
     // (planner statistic, not data)
     val maxScore = DriverBounds.boundedCollect(
@@ -1751,7 +1756,7 @@ object Corpus {
     val allocDf = broadcast(alloc.toSeq.toDF("tier", "n_alloc"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy("tier")
       .orderBy(col("__draw"), col(idCol))
-    tiered
+    val out = tiered
       .withColumn("__draw",
         md5(concat(lit(seedTag + ":"), col(idCol).cast("string"))))
       .withColumn("draw_rank", row_number().over(w).cast("long"))
@@ -1759,6 +1764,12 @@ object Corpus {
       .filter(col("draw_rank") <= col("n_alloc"))
       .select(col(idCol), col("tier"), col("mean_ratio_ppm"),
         col("draw_rank"))
+    // materialize the draw (bounded by totalN rows — a tiny frame),
+    // then release the persisted corpus-sized scores: the caller gets
+    // a checkpointed result that no longer references the cache
+    val cp = out.localCheckpoint()
+    scores.unpersist(blocking = false)
+    cp
   }
 
   /**

@@ -71,6 +71,10 @@ object UnigramLm {
       .select(col("word"), col("cnt"), lit(0L).as("np"),
         lit(0L).as("ws"), lit("").as("seg"))
       .withColumn("j", lit(0))
+      // eager checkpoints: an A/B against lazy (eager = false) showed
+      // no win from collapsing the per-step barriers — the DP frames
+      // are small and the joins dominate — and eager keeps each
+      // step's cost attributable in profiles
       .localCheckpoint()
     val perJ = scala.collection.mutable.ArrayBuffer[DataFrame](dp0)
     for (j <- 1 to maxWordLen) {
