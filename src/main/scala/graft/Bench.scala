@@ -95,6 +95,18 @@ import org.apache.spark.sql.SparkSession
   *     (minima always over all samples — a stall can only inflate,
   *     never deflate, a minimum); "stall_excluded" counts the dropped
   *     samples so the filtering is visible, not silent.
+  *
+  * Canary-gated sweeps + confirmation isolation (round 15): every
+  * sweep (trial, repair, confirmation) is preceded by a bandwidth-
+  * canary GATE that defers the sweep (bounded sleep-and-retry) while
+  * the probe reads >GATE_DRIFT x the session's best — the run waits
+  * out measured contention windows instead of timing through them;
+  * all decisions land in "gate_log". Confirmation sweeps write to a
+  * SEPARATE sample buffer: board medians / instability / taint are
+  * computed from board trials alone (solo calm-context samples biased
+  * them downward — round-15 ADVICE), while floors, spread minima, and
+  * the regression verdict fold the confirmation minima in (a minimum
+  * can only improve toward the true uncontended cost).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -207,81 +219,85 @@ object Bench {
     }
     val errMsgs = scala.collection.mutable.Map.empty[String, String]
     // per-sample (wall seconds, process-CPU-delta seconds, ok)
-    val samples = scala.collection.mutable.Map.empty[String,
+    type SampleBuf = scala.collection.mutable.Map[String,
       scala.collection.mutable.ArrayBuffer[(Double, Double, Boolean)]]
+    val samples: SampleBuf = scala.collection.mutable.Map.empty
+    // Confirmation-sweep samples live in a SEPARATE buffer (round-15
+    // ADVICE): solo calm-context samples mixed into the board buffer
+    // biased flagged queries' medians downward and could flip
+    // instability flags (new-minima effect widens median-min gaps) —
+    // the board statistics (value/unstable/tainted/spread) must
+    // describe the board run alone. Confirmation samples feed ONLY
+    // the regression verdict, where an extra sample can only lower a
+    // minimum toward the query's true uncontended cost.
+    val confirmSamples: SampleBuf = scala.collection.mutable.Map.empty
     // Process CPU time (all JVM threads) — the stall discriminator: a
     // host stall inflates wall while the query's CPU seconds stay put.
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
       .asInstanceOf[com.sun.management.OperatingSystemMXBean]
     def processCpuSec(): Double = osBean.getProcessCpuTime / 1e9
-    // CPU canary: `cpus` threads, each a fixed-iteration integer mix
-    // loop (multiply-rotate-xor — cheap, unvectorizable, constant
-    // work). Wall time to drain all threads measures CPU actually
-    // available to this JVM at that instant: quiet host => a constant;
-    // external load or cgroup throttle => proportional inflation. The
-    // sink is volatile so the JIT cannot delete the loops.
-    @volatile var canarySink = 0L
-    def canarySpin(): Double = {
-      val t0 = System.nanoTime()
-      val threads = (0 until cpus.toInt).map { tid =>
-        new Thread(() => {
-          var x = 0x9e3779b97f4a7c15L + tid
-          var i = 0
-          while (i < (1 << 24)) {
-            x = java.lang.Long.rotateLeft(x * 0xff51afd7ed558ccdL, 31) ^ (x >>> 33)
-            i += 1
-          }
-          canarySink ^= x
-        })
-      }
-      threads.foreach(_.start()); threads.foreach(_.join())
-      (System.nanoTime() - t0) / 1e9
-    }
-    // Memory-BANDWIDTH canary (round-14 second phase): the spin
-    // canary is register-resident and blind to exactly the resource
-    // Spark contends on — the two same-day closing runs showed query
-    // minima drifting +11%/+46% (median/p90) between runs while the
-    // spin canary stayed flat at 0.047/0.051, and the inflation was
-    // monotone in query SIZE (scan/shuffle-bound small queries 1.5x,
-    // cache-resident compute 1.03x): a memory-bandwidth/IO signature,
-    // not a CPU one. This canary stream-sums a 512 MiB array across
-    // `cpus` threads (4 GiB of traffic per reading) and measures the
-    // wall time — a direct effective-bandwidth probe that degrades
-    // with the same contention the queries feel.
-    val bwArr = new Array[Long](64 << 20) // 512 MiB
-    def canaryBw(): Double = {
-      val n = bwArr.length
-      val nt = math.max(1, cpus.toInt)
-      val t0 = System.nanoTime()
-      val threads = (0 until nt).map { tid =>
-        new Thread(() => {
-          var s = 0L
-          var pass = 0
-          while (pass < 8) {
-            var i = tid * (n / nt)
-            val end = if (tid == nt - 1) n else (tid + 1) * (n / nt)
-            while (i < end) { s += bwArr(i); i += 1 }
-            pass += 1
-          }
-          canarySink ^= s
-        })
-      }
-      threads.foreach(_.start()); threads.foreach(_.join())
-      (System.nanoTime() - t0) / 1e9
-    }
+    // The host-weather canary pair — see graft.Canary (factored out
+    // round 15 so ProfileQuery cells carry the same readings). spin =
+    // CPU availability; bw = effective memory bandwidth (round-14
+    // second phase: the spin canary is register-resident and blind to
+    // exactly the resource Spark contends on — same-day closing runs
+    // showed query minima drifting +11%/+46% while spin stayed flat,
+    // monotone in query size: a bandwidth signature, not a CPU one).
+    def canarySpin(): Double = Canary.spin(cpus.toInt)
+    def canaryBw(): Double = Canary.bw(cpus.toInt)
     // (sweep index, position within sweep, spin secs, bandwidth secs)
     // — full series to BENCH_DETAIL.json so a taint verdict carries
     // its own evidence.
     val canarySeries =
       scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Double, Double)]
     var sweepIdx = 0
+    // Canary-gated sweeps (round 15, the VERDICT's composition of the
+    // round-14 instrument): every sweep is preceded by a bandwidth
+    // probe, and the sweep DEFERS (sleep-and-retry, bounded attempts)
+    // while the probe reads more than GATE_DRIFT x the session's best
+    // reading — i.e. the run WAITS OUT measured contention windows
+    // instead of timing through them and repairing afterward. The gate
+    // can only skip bad weather, never manufacture good numbers: a
+    // probe is ~1 s of untimed wall, and when no calm window appears
+    // within the attempt budget the sweep proceeds anyway with the
+    // forced decision recorded. Every gate decision lands in the
+    // artifact ("gate_log": [context, attempt, bw secs, verdict]), so
+    // a tainted:false claim carries the weather record that earned it.
+    val gateEnabled = sys.env.getOrElse("SPARK_GRAFT_GATE", "1") != "0"
+    val gateDrift = sys.env.getOrElse("SPARK_GRAFT_GATE_DRIFT", "1.5").toDouble
+    val gateTries = math.max(1, sys.env.getOrElse("SPARK_GRAFT_GATE_TRIES", "5").toInt)
+    val gateSleepMs = math.max(0L,
+      sys.env.getOrElse("SPARK_GRAFT_GATE_SLEEP_MS", "8000").toLong)
+    var bestBw = Double.MaxValue
+    val gateLog =
+      scala.collection.mutable.ArrayBuffer.empty[(String, Int, Double, String)]
+    var gateDeferred = 0
+    var gateForced = 0
+    def gateSweep(context: String): Unit = if (gateEnabled) {
+      var attempt = 1
+      var go = false
+      while (!go) {
+        val bw = canaryBw()
+        bestBw = math.min(bestBw, bw)
+        val calm = bw <= bestBw * gateDrift
+        val last = attempt >= gateTries
+        val verdict =
+          if (calm) "ok"
+          else if (last) { gateForced += 1; "forced" }
+          else { gateDeferred += 1; "defer" }
+        gateLog += ((context, attempt, bw, verdict))
+        go = calm || last
+        if (!go) { Thread.sleep(gateSleepMs); attempt += 1 }
+      }
+    }
     // One timed pass over `qs`; appends one sample per query. The
     // timed window is the QUERY alone — cache-clear and streaming
     // teardown are harness hygiene between timings, and charging them
     // to the query would re-create the measurement distortion the
     // teardown exists to prevent.
     def sweep(qs: Seq[(String, (SparkSession, String) =>
-        org.apache.spark.sql.DataFrame)]): Unit = {
+        org.apache.spark.sql.DataFrame)],
+        into: SampleBuf = samples): Unit = {
       sweepIdx += 1
       qs.zipWithIndex.foreach { case ((name, fn), pos) =>
         // a timing starts only on a streaming-quiet JVM (parent
@@ -291,8 +307,11 @@ object Bench {
             leakedStreams().map(_.name).mkString(","))
         // canary pair at sweep start and every 40 queries — ~5
         // host-load readings per full-board sweep, <3% wall overhead
-        if (pos % 40 == 0)
-          canarySeries += ((sweepIdx, pos, canarySpin(), canaryBw()))
+        if (pos % 40 == 0) {
+          val bw = canaryBw()
+          bestBw = math.min(bestBw, bw)
+          canarySeries += ((sweepIdx, pos, canarySpin(), bw))
+        }
         val cpu0 = processCpuSec()
         val t0 = System.nanoTime()
         // toRdd.count(), NOT Dataset.count() (round 10, format 4):
@@ -322,7 +341,7 @@ object Bench {
         val dcpu = processCpuSec() - cpu0
         spark.catalog.clearCache()
         if (streamingQueries.contains(name)) drainStreamingResidue()
-        samples.getOrElseUpdate(name,
+        into.getOrElseUpdate(name,
           scala.collection.mutable.ArrayBuffer.empty) += ((dt, dcpu, ok))
       }
     }
@@ -335,7 +354,10 @@ object Bench {
     // One GC per sweep bounds the accumulation to a single sweep's
     // worth of (small) per-round frames; per-query GC would cost real
     // wall time for no additional bound.
-    (1 to trials).foreach { _ => sweep(names); System.gc() }
+    (1 to trials).foreach { t =>
+      gateSweep(s"trial-$t")
+      sweep(names); System.gc()
+    }
     final case class Timing(name: String, median: Double, min: Double,
         max: Double, ok: Boolean, stallDropped: Int)
     def medianOf(ts: Seq[Double]): Double = {
@@ -414,6 +436,7 @@ object Bench {
     var repairs = 0
     while (repairs < maxRepairs && results.exists(isUnstable)) {
       val unstableNames = results.filter(isUnstable).map(_.name).toSet
+      gateSweep(s"repair-${repairs + 1}")
       sweep(names.filter { case (n, _) => unstableNames.contains(n) })
       results = aggregate()
       repairs += 1
@@ -437,9 +460,18 @@ object Bench {
     // uncontended cost — exactly the quantity the floor-vs-floor
     // criterion is defined on — so this sharpens the estimator rather
     // than biasing it.
+    // The regression minimum folds in confirmation samples (they run
+    // solo, the calmest context, and a minimum can only improve) while
+    // the board Timings stay confirmation-free — see confirmSamples.
+    def bestMin(name: String): Double = {
+      val board = samples.get(name).map(_.map(_._1).min)
+      val solo = confirmSamples.get(name)
+        .filter(_.nonEmpty).map(_.map(_._1).min)
+      (board.toSeq ++ solo.toSeq).min
+    }
     def flaggedOf(rs: Seq[Timing]): Set[String] = rs.collect {
       case r if r.ok && r.min > 0 &&
-        baseline.get(r.name).exists(b => r.min / b > 1.5) => r.name
+        baseline.get(r.name).exists(b => bestMin(r.name) / b > 1.5) => r.name
     }.toSet
     val regressionsRaw = results.flatMap(r => baseline.get(r.name).collect {
       case b if r.ok && r.min > 0 && r.min / b > 1.5 => r.name -> r.min / b })
@@ -448,8 +480,9 @@ object Bench {
     while (confirms < maxConfirm && flaggedOf(results).nonEmpty) {
       val flagged = flaggedOf(results)
       System.gc()
-      sweep(names.filter { case (n, _) => flagged.contains(n) })
-      results = aggregate()
+      gateSweep(s"confirm-${confirms + 1}")
+      sweep(names.filter { case (n, _) => flagged.contains(n) },
+        into = confirmSamples)
       confirms += 1
     }
     // failed queries report -1 (never a fake wall time) and are listed
@@ -457,7 +490,13 @@ object Bench {
     // Locale.ROOT: a comma-decimal default locale would emit invalid JSON.
     def f6(v: Double) = String.format(java.util.Locale.ROOT, "%.6f", Double.box(v))
     def f3(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val spread = results.map(r => "\"" + r.name + "\":[" + f6(r.min) + "," + f6(r.max) + "]")
+    // spread lo = bestMin (board + confirmation minima): the spread
+    // minimum is FLOOR material (make_baseline.py reads it), and a
+    // solo confirmation sample is the best uncontended-cost estimate
+    // this process produces; max stays board-context. Medians /
+    // instability / taint never see confirmation samples.
+    val spread = results.map(r =>
+        "\"" + r.name + "\":[" + f6(bestMin(r.name)) + "," + f6(r.max) + "]")
       .mkString("{", ",", "}")
     val unstable = results.filter(isUnstable)
       .map(r => "\"" + r.name + "\"").mkString("[", ",", "]")
@@ -480,11 +519,12 @@ object Bench {
     val stallExcluded = results.map(_.stallDropped).sum
     val (verif, engine) = results.partition(r => verificationQueries(r.name))
     val total = engine.collect { case r if r.ok => r.median }.sum
-    // "floor" = sum of per-query MINIMA: the engine's uncontended cost.
-    // On a quiet box floor ≈ value; under host stalls value inflates
-    // while floor stays put, so the pair separates engine regressions
-    // (both move) from environment noise (only value moves).
-    val floor = engine.collect { case r if r.ok => r.min }.sum
+    // "floor" = sum of per-query MINIMA (confirmation minima folded
+    // in, like spread): the engine's uncontended cost. On a quiet box
+    // floor ≈ value; under host stalls value inflates while floor
+    // stays put, so the pair separates engine regressions (both move)
+    // from environment noise (only value moves).
+    val floor = engine.collect { case r if r.ok => bestMin(r.name) }.sum
     val verifTotal = verif.collect { case r if r.ok => r.median }.sum
     val unstableCount = results.count(isUnstable)
     val tainted = unstableCount > taintThreshold
@@ -504,7 +544,7 @@ object Bench {
       rs.map(r => "\"" + r.name + "\":" + (if (r.ok) f(r.median) else "-1.0"))
         .mkString("{", ",", "}")
     val ratios = results.flatMap(r => baseline.get(r.name).collect {
-      case b if r.ok && r.min > 0 => r.name -> r.min / b })
+      case b if r.ok && r.min > 0 => r.name -> bestMin(r.name) / b })
     val regressions = ratios.filter(_._2 > 1.5)
     val ratioJson = ratios
       .map { case (n, v) => "\"" + n + "\":" + f3(v) }.mkString("{", ",", "}")
@@ -520,7 +560,16 @@ object Bench {
       s"BENCH REGRESSIONS vs BENCH_BASELINE_F4 (min > 1.5x baseline floor): " +
         regressions.sortBy(-_._2).map { case (n, v) => f"$n=$v%.2fx" }
           .mkString(", "))
-    val detail = s"""{"format":4,"metric":"total","value":$total,"floor":$floor,"unit":"sec","warmup":$warmedUp,"trials":$trials,"reran":$needRerun,"tainted":$tainted,"queries":${qmap(engine, f6)},"verification":${qmap(verif, f6)},"verification_total":$verifTotal,"spread":$spread,"unstable":$unstable,"errors":$errors,"baseline_n":${ratios.size},"baseline_ratios":$ratioJson,"regressions":$regJson,"regressions_raw":$regRawJson,"confirm_sweeps":$confirms,"canary":$canaryJson,"canary_bw":$canaryBwJson,"canary_series":$canarySeriesJson,"stall_excluded":$stallExcluded,"sf":"$sfDir"}"""
+    // confirmation-sample minima per confirmed query (provenance for
+    // floor re-basing) + the gate's decision log
+    val confirmMinJson = confirmSamples.toSeq.sortBy(_._1)
+      .collect { case (n, ss) if ss.nonEmpty =>
+        "\"" + n + "\":" + f6(ss.map(_._1).min) }
+      .mkString("{", ",", "}")
+    val gateLogJson = gateLog
+      .map { case (ctx, att, bw, v) => s"""["$ctx",$att,${f3(bw)},"$v"]""" }
+      .mkString("[", ",", "]")
+    val detail = s"""{"format":4,"metric":"total","value":$total,"floor":$floor,"unit":"sec","warmup":$warmedUp,"trials":$trials,"reran":$needRerun,"tainted":$tainted,"queries":${qmap(engine, f6)},"verification":${qmap(verif, f6)},"verification_total":$verifTotal,"spread":$spread,"unstable":$unstable,"errors":$errors,"baseline_n":${ratios.size},"baseline_ratios":$ratioJson,"regressions":$regJson,"regressions_raw":$regRawJson,"confirm_sweeps":$confirms,"confirm_min":$confirmMinJson,"canary":$canaryJson,"canary_bw":$canaryBwJson,"canary_series":$canarySeriesJson,"stall_excluded":$stallExcluded,"gate":{"enabled":$gateEnabled,"drift":$gateDrift,"deferred":$gateDeferred,"forced":$gateForced},"gate_log":$gateLogJson,"sf":"$sfDir"}"""
     try {
       val w = new java.io.PrintWriter("BENCH_DETAIL.json", "UTF-8")
       try w.println(detail) finally w.close()
@@ -535,7 +584,7 @@ object Bench {
     // mid-line). A final totals-only line — printed last, so the tail
     // capture always retains it whole — keeps the official artifact
     // self-contained however many queries the compact line carries.
-    println(s"""{"format":4,"metric":"total","value":${f3(total)},"floor":${f3(floor)},"unit":"sec","trials":$trials,"reran":$needRerun,"tainted":$tainted,"unstable_n":$unstableCount,"nqueries":${engine.size},"baseline_n":${ratios.size},"regressions_n":${regressions.size},"regressions_raw_n":${regressionsRaw.size},"confirm_sweeps":$confirms,"regressions_top":$regJsonTop,"canary":$canaryJson,"canary_bw":$canaryBwJson,"stall_excluded":$stallExcluded,"sf":"$sfDir"}""")
+    println(s"""{"format":4,"metric":"total","value":${f3(total)},"floor":${f3(floor)},"unit":"sec","trials":$trials,"reran":$needRerun,"tainted":$tainted,"unstable_n":$unstableCount,"nqueries":${engine.size},"baseline_n":${ratios.size},"regressions_n":${regressions.size},"regressions_raw_n":${regressionsRaw.size},"confirm_sweeps":$confirms,"regressions_top":$regJsonTop,"canary":$canaryJson,"canary_bw":$canaryBwJson,"stall_excluded":$stallExcluded,"gate":{"enabled":$gateEnabled,"deferred":$gateDeferred,"forced":$gateForced},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -89,6 +89,12 @@ object ProfileQuery {
     qnames.foreach { name =>
       val fn = SparkEntry.queries(name)
       (1 to trials).foreach { t =>
+        // host-weather reading per trial (round-15: profile cells
+        // carry the same canary evidence as bench artifacts — the sf1
+        // memory sweep showed 2x wall spread between trials with no
+        // weather column to attribute it to)
+        val canSpin = Canary.spin(cpus.toInt)
+        val canBw = Canary.bw(cpus.toInt)
         val lst = new JobListener
         spark.sparkContext.addSparkListener(lst)
         // JVM heap peak per trial: reset the heap pools' peak-usage
@@ -137,7 +143,8 @@ object ProfileQuery {
           f"spill mem ${mb(lst.spillMemB.get)}%.0f MB / " +
           f"disk ${mb(lst.spillDiskB.get)}%.0f MB, " +
           f"shuffle r ${mb(lst.shufReadB.get)}%.0f MB / " +
-          f"w ${mb(lst.shufWriteB.get)}%.0f MB")
+          f"w ${mb(lst.shufWriteB.get)}%.0f MB | " +
+          f"canary spin ${canSpin}%.3fs bw ${canBw}%.3fs")
       }
     }
     spark.stop()

@@ -103,8 +103,13 @@ private[graft] object Fixtures {
     * oracles in lockstep with the Scala fold — the round-8 salt change
     * had to edit four hand-inlined copies. */
   def bucketSql(expr: String, mod: Int): String =
+    s"(${foldSql(expr)}) % $mod"
+
+  /** The un-modded fold (see [[graft.pipeline.Corpus.hashFold]]) —
+    * for oracles whose modulus is a SQL expression, not a literal. */
+  def foldSql(expr: String): String =
     s"(ascii(substr(md5($expr), 1, 1)) * 29791 + " +
       s"ascii(substr(md5($expr), 2, 1)) * 961 + " +
       s"ascii(substr(md5($expr), 3, 1)) * 31 + " +
-      s"ascii(substr(md5($expr), 4, 1))) % $mod"
+      s"ascii(substr(md5($expr), 4, 1)))"
 }

@@ -516,7 +516,13 @@ object Profiling {
    *         (non-implied) candidates appear
    */
   def fdDiscoverL2(df: DataFrame, cols: Seq[String]): DataFrame = {
-    require(cols.size >= 3, "need at least three columns for level 2")
+    // DISTINCT arity (round-15 ADVICE): a duplicate-laden list (e.g.
+    // the same column three times) passes a bare size check but
+    // yields ZERO lhs≠rhs level-1 pairs, so the empty-seed guard
+    // below would misdiagnose a column-arity caller bug as an
+    // empty-input one — the two failure modes must report distinctly
+    require(cols.distinct.size >= 3,
+      "need at least three distinct columns for level 2")
     val p = cols.size.toLong
     val level1 = graft.pipeline.DriverBounds.boundedCollect(
         fdDiscover(df, cols).select("lhs", "rhs", "holds"),

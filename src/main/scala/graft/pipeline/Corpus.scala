@@ -51,12 +51,18 @@ object Corpus {
     * `Fixtures.bucketSql` must stay in lockstep with this fold; a
     * second inline copy is how a salt/fold tweak silently breaks
     * Spark/DuckDB bucket parity (round-13 review). */
-  def hashBucketN(c: Column, mod: Int): Column = {
+  def hashBucketN(c: Column, mod: Int): Column = hashFold(c) % mod
+
+  /** The un-modded fold — for callers whose modulus is data-dependent
+    * (a column, not a literal), e.g. [[UnigramLm.sample]]'s draw over
+    * a per-word alternative count. Non-negative and < 31⁴, so `%`
+    * equals `pmod` on it. */
+  def hashFold(c: Column): Column = {
     val h = md5(c)
-    (ascii(substring(h, 1, 1)) * 31 * 31 * 31 +
+    ascii(substring(h, 1, 1)) * 31 * 31 * 31 +
       ascii(substring(h, 2, 1)) * 31 * 31 +
       ascii(substring(h, 3, 1)) * 31 +
-      ascii(substring(h, 4, 1))) % mod
+      ascii(substring(h, 4, 1))
   }
 
   /** Deterministic content-hash bucket in [0, 100). */
@@ -1730,12 +1736,19 @@ object Corpus {
     val tiered = scores.withColumn("tier",
       least(lit(tiers - 1L), expr(s"mean_ratio_ppm div ${width}L"))
         .cast("long"))
+    // DECIMAL(38,0) tier weight (round-15 ADVICE): the BigInt driver
+    // arithmetic protects nothing if the SPARK-side sum already
+    // overflowed int64 — at the corpus scale the apportionment doc
+    // cites (~9.2e9 max-score docs) a `.cast("long")` sum wraps (or
+    // throws under ANSI) before the driver ever sees it. Same
+    // decimal discipline as dsirScore's ratio math.
     val stats = DriverBounds.boundedCollect(
       tiered.groupBy("tier")
-        .agg(sum("mean_ratio_ppm").cast("long").as("w"),
+        .agg(sum(col("mean_ratio_ppm").cast("decimal(38,0)")).as("w"),
           count(lit(1)).cast("long").as("c")),
       tiers.toLong, "dsirResample tier stats (one row per tier)")
-      .map(r => (r.getLong(0), BigInt(r.getLong(1)), BigInt(r.getLong(2))))
+      .map(r => (r.getLong(0),
+        BigInt(r.getDecimal(1).toBigIntegerExact), BigInt(r.getLong(2))))
     require(stats.nonEmpty,
       "dsirResample needs a non-empty raw corpus — zero tier rows")
     // largest-remainder apportionment, BigInt (tier weight sums pass

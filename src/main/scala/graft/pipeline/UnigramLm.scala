@@ -44,8 +44,15 @@ import org.apache.spark.sql.functions._
  * inventory) and fall back to character segmentation in
  * [[encode]] — a coverage policy, not a crash.
  *
- * Ranking windows (usage rank, final vocab rank) run on the
- * vocabulary-bounded piece table, never the corpus.
+ * Ranking (usage rank, final vocab rank) runs on the
+ * vocabulary-bounded piece table, never the corpus — and since round
+ * 15 through [[usageRank]]'s two-phase distributed prefix scan
+ * (the [[Packing.streamPacks]] idiom), never through a
+ * single-partition global window: a 100 TB multilingual corpus has
+ * tens of millions of distinct ≤4-char pieces, and the shrink
+ * schedule keeps 80% per round, so the pre-prune trick the engine's
+ * other global windows use (BM25 top-k, the 64-bucket pre-rank)
+ * does not apply here.
  */
 object UnigramLm {
 
@@ -55,16 +62,26 @@ object UnigramLm {
    * Deterministic Viterbi segmentation of every word in `words`
    * (word, cnt) under piece inventory `pieces` (piece, w).
    * DP over prefix lengths: state j holds the unique best
-   * segmentation of word[1..j]; step j joins states j-maxPieceLen..
-   * j-1 with the piece table on the connecting substring. Single
-   * characters are always admissible (weight 0 when absent from the
-   * inventory) so the DP never strands.
+   * segmentation of word[1..j] (the top `nBest` when `nBest` > 1);
+   * step j joins states j-maxPieceLen..j-1 with the piece table on
+   * the connecting substring. Single characters are always
+   * admissible (weight 0 when absent from the inventory) so the DP
+   * never strands.
+   *
+   * The returned frame is localCheckpoint-ed and every per-step DP
+   * frame's block storage is released before returning (round-15
+   * ADVICE: maxWordLen+1 dead checkpoint RDDs per call otherwise sit
+   * in the block manager until driver GC). Callers release the
+   * returned frame via [[Lineage.release]] once its consumer
+   * materializes.
    *
    * @return (word, cnt, np, ws, seg) — piece count, weight sum, and
-   *         the segmentation as pieces joined by [[Sep]]
+   *         the segmentation as pieces joined by [[Sep]]; one row per
+   *         word when `nBest` = 1, up to `nBest` otherwise
    */
   private[pipeline] def viterbi(words: DataFrame, pieces: DataFrame,
-      maxWordLen: Int, maxPieceLen: Int): DataFrame = {
+      maxWordLen: Int, maxPieceLen: Int, nBest: Int = 1): DataFrame = {
+    require(nBest >= 1, "nBest must be positive")
     val pc = pieces.select(col("piece"), col("w").cast("long").as("__w"))
     val dp0 = words
       .filter(length(col("word")).between(1, maxWordLen))
@@ -95,20 +112,79 @@ object UnigramLm {
       // (np asc, ws desc, k desc); k differs across candidates of the
       // same word (one candidate per predecessor state), so the order
       // is total and seg is payload, never a comparator
-      val best = cand
-        .groupBy("word", "cnt")
-        .agg(min(struct(col("np"), (-col("ws")).as("nws"),
-          (-col("k")).as("nk"), col("seg"), col("ws"))).as("b"))
-        .select(col("word"), col("cnt"), col("b.np").as("np"),
-          col("b.ws").as("ws"), col("b.seg").as("seg"))
-        .withColumn("j", lit(j))
-        .localCheckpoint()
-      perJ += best
+      val best =
+        if (nBest == 1)
+          cand
+            .groupBy("word", "cnt")
+            .agg(min(struct(col("np"), (-col("ws")).as("nws"),
+              (-col("k")).as("nk"), col("seg"), col("ws"))).as("b"))
+            .select(col("word"), col("cnt"), col("b.np").as("np"),
+              col("b.ws").as("ws"), col("b.seg").as("seg"))
+        else {
+          // n-best: keep the top states under the SAME order extended
+          // by seg — with >1 survivor per predecessor, candidates of
+          // one word can tie on (np, ws, k), and seg (which encodes
+          // the full segmentation, hence is distinct by construction)
+          // restores totality. The window partitions by word — a
+          // per-word top-n, never a global sort.
+          val byState = Window.partitionBy("word")
+            .orderBy(col("np"), col("ws").desc, col("k").desc, col("seg"))
+          cand.withColumn("__rn", row_number().over(byState))
+            .filter(col("__rn") <= nBest)
+            .select("word", "cnt", "np", "ws", "seg")
+        }
+      perJ += best.withColumn("j", lit(j)).localCheckpoint()
     }
-    perJ.toSeq.reduce(_ unionByName _)
+    val out = perJ.toSeq.reduce(_ unionByName _)
       .filter(col("j") === length(col("word")))
       .select(col("word"), col("cnt"), col("np"), col("ws"),
         expr("substring(seg, 2)").as("seg"))
+      .localCheckpoint()
+    perJ.foreach(Lineage.release)
+    out
+  }
+
+  /**
+   * row_number over (w desc, piece) on a (piece, w) table as a
+   * two-phase distributed prefix scan — the [[Packing.streamPacks]]
+   * idiom: range-partition on the rank key, per-partition counts
+   * (P rows) prefix-scanned on the driver, broadcast back as
+   * offsets, then a per-partition window. Output ranks are identical
+   * to a global `Window.orderBy` (the key (w, piece) is total —
+   * piece is unique — so no tie can straddle a range boundary); only
+   * the parallelism differs. The result is localCheckpoint-ed (the
+   * two phases must see one physical partitioning, and the caller
+   * gets a frame it can [[Lineage.release]]) and the intermediate
+   * cache is dropped before returning.
+   *
+   * @return the input plus `rk` (long, 1-based)
+   */
+  private[pipeline] def usageRank(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val parts = math.max(2, spark.sparkContext.defaultParallelism)
+    val part = df
+      .repartitionByRange(parts, col("w").desc, col("piece"))
+      .withColumn("__pid", spark_partition_id())
+      .persist()
+    part.count()
+    val counts = DriverBounds.boundedCollect(
+        part.groupBy("__pid").agg(count(lit(1)).as("c")),
+        parts.toLong, "usageRank partition counts (one row per partition)")
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = (0 until parts).scanLeft(0L) {
+      case (acc, pid) => acc + counts.getOrElse(pid, 0L)
+    }
+    val offsetDf = (0 until parts).map(pid => (pid, offsets(pid)))
+      .toDF("__pid", "__offset")
+    val w = Window.partitionBy("__pid")
+      .orderBy(col("w").desc, col("piece"))
+    val out = part.join(broadcast(offsetDf), Seq("__pid"))
+      .withColumn("rk", (col("__offset") + row_number().over(w)).cast("long"))
+      .drop("__pid", "__offset")
+      .localCheckpoint()
+    part.unpersist(blocking = false)
+    out
   }
 
   /**
@@ -145,7 +221,6 @@ object UnigramLm {
       .select("piece").localCheckpoint()
     val nChars = chars.count()
     val multiTarget = math.max(0L, vocabSize.toLong - nChars)
-    val byUsage = Window.orderBy(col("w").desc, col("piece"))
     var pieces = seeds
     for (_ <- 1 to rounds) {
       val segs = viterbi(words, pieces, maxWordLen, maxPieceLen)
@@ -153,27 +228,36 @@ object UnigramLm {
         .select(col("cnt"), explode(split(col("seg"), Sep)).as("piece"))
         .groupBy("piece").agg(sum("cnt").cast("long").as("w"))
         .localCheckpoint()
+      Lineage.release(segs)
       // shrink schedule on the vocabulary-bounded usage table: the
-      // count and the rank window never touch the corpus
+      // count and the two-phase rank never touch the corpus
       val multiCount = usage.filter(length(col("piece")) > 1).count()
       val keep = math.max(multiTarget, multiCount * shrinkPermille / 1000L)
-      val keptMulti = usage.filter(length(col("piece")) > 1)
-        .withColumn("rk", row_number().over(byUsage))
-        .filter(col("rk") <= keep).select("piece", "w")
+      val rankedMulti = usageRank(usage.filter(length(col("piece")) > 1))
+      val keptMulti = rankedMulti.filter(col("rk") <= keep)
+        .select("piece", "w")
       val next = chars.join(usage, Seq("piece"), "left")
         .select(col("piece"), coalesce(col("w"), lit(0L)).as("w"))
         .unionByName(keptMulti)
         .localCheckpoint()
+      Lineage.release(rankedMulti)
+      Lineage.release(usage)
       Lineage.release(pieces)
       pieces = next
     }
-    val multiFinal = pieces.filter(length(col("piece")) > 1)
-      .withColumn("rk", row_number().over(byUsage))
-      .filter(col("rk") <= multiTarget).select("piece", "w")
-    pieces.filter(length(col("piece")) === 1).unionByName(multiFinal)
-      .withColumn("rank", row_number().over(byUsage).cast("long"))
+    val rankedFinal = usageRank(pieces.filter(length(col("piece")) > 1))
+    val full = pieces.filter(length(col("piece")) === 1)
+      .unionByName(rankedFinal.filter(col("rk") <= multiTarget)
+        .select("piece", "w"))
+    val rankedAll = usageRank(full)
+    Lineage.release(rankedFinal)
+    Lineage.release(pieces)
+    Lineage.release(words)
+    Lineage.release(seeds)
+    Lineage.release(chars)
+    rankedAll
       .select(col("piece"), length(col("piece")).cast("long").as("piece_len"),
-        col("w").as("usage"), col("rank"))
+        col("w").as("usage"), col("rk").as("rank"))
   }
 
   /**
@@ -210,5 +294,117 @@ object UnigramLm {
       .select(col(idCol),
         coalesce(col("n_words"), lit(0L)).as("n_words"),
         coalesce(col("n_pieces"), lit(0L)).as("n_pieces"))
+  }
+
+  /**
+   * Subword-regularization sampling (the reason the Kudo paper
+   * exists): for each distinct word, enumerate its `nBest` best
+   * segmentations via the n-best Viterbi DP and DRAW one
+   * deterministically — alternative `1 + hashFold(seedTag:word) mod
+   * n_alt` under the engine's md5 fold ([[Corpus.hashFold]]), so the
+   * draw replays bit-identically and the DuckDB oracle replicates it
+   * (`Fixtures.foldSql`). Deviation from the paper's
+   * alpha-smoothed soft sampling, documented like [[train]]'s
+   * hard-EM: the draw is uniform over the n-best list rather than
+   * weighted by segmentation probability — float log-probs are not
+   * bit-stable, and the augmentation value lives in the VARIETY of
+   * segmentations, which the uniform draw preserves.
+   *
+   * Alternatives are ranked by the DP's own total order
+   * (np asc, ws desc, seg asc). Words longer than `dpMaxLen` fall
+   * back to character segmentation with a single alternative —
+   * [[encode]]'s coverage policy.
+   *
+   * Scale shape: the DP runs on DISTINCT words (vocabulary-bounded)
+   * with per-word windows; nothing here is corpus-linear except the
+   * one tokenize+count pass.
+   *
+   * @param vocab [[train]] output (piece, piece_len, usage, rank)
+   * @return (word, cnt, n_alt, alt, np, seg) — the drawn
+   *         segmentation per distinct word; cnt is the corpus
+   *         occurrence count, alt the drawn alternative's rank
+   */
+  def sample(docs: DataFrame, vocab: DataFrame, nBest: Int = 3,
+      maxPieceLen: Int = 4, dpMaxLen: Int = 12,
+      seedTag: String = "subword-reg", textCol: String = "text"): DataFrame = {
+    require(nBest >= 1, "nBest must be positive")
+    graft.plans.NativeFns.register(docs.sparkSession)
+    val distinctW = docs.select(explode(
+        graft.plans.WordShingles.shingles(col(textCol), 1)).as("word"))
+      .groupBy("word").agg(count(lit(1)).cast("long").as("cnt"))
+    val pieces = vocab.select(col("piece"), col("usage").as("w"))
+    val fin = viterbi(distinctW.filter(length(col("word")) <= dpMaxLen),
+      pieces, dpMaxLen, maxPieceLen, nBest)
+    val byAlt = Window.partitionBy("word")
+      .orderBy(col("np"), col("ws").desc, col("seg"))
+    val ranked = fin
+      .withColumn("alt", row_number().over(byAlt).cast("long"))
+    val nAlt = ranked.groupBy("word").agg(max("alt").as("n_alt"))
+    val draw = pmod(Corpus.hashFold(
+      concat(lit(seedTag + ":"), col("word"))), col("n_alt")) + 1L
+    val short = ranked.join(nAlt, Seq("word"))
+      .filter(col("alt") === draw)
+      .select("word", "cnt", "n_alt", "alt", "np", "seg")
+    val long = distinctW.filter(length(col("word")) > dpMaxLen)
+      .select(col("word"), col("cnt"), lit(1L).as("n_alt"),
+        lit(1L).as("alt"), length(col("word")).cast("long").as("np"),
+        array_join(expr(
+          "transform(sequence(1, length(word)), i -> substring(word, i, 1))"),
+          Sep).as("seg"))
+    short.unionByName(long)
+  }
+
+  /**
+   * Incremental vocabulary maintenance: re-weight and re-prune an
+   * existing trained vocabulary against a NEW corpus slice without
+   * retraining — the tokenizer-family member of the engine's
+   * incremental discipline (`pageRankIncremental`, `ivfIncremental`,
+   * `dedupIncremental`). One Viterbi pass segments the slice under
+   * the existing piece weights; each piece's weight becomes
+   * `old usage + slice usage` (cumulative evidence); multi-char
+   * pieces are re-pruned to `vocabSize` and the whole vocabulary
+   * re-ranked. Single-char pieces keep the character-coverage
+   * guarantee (never pruned). Out-of-vocabulary CHARACTERS in the
+   * slice still segment (the DP admits any single char at weight 0)
+   * but are NOT added to the vocabulary — additions require retrain;
+   * this is maintenance, and keeping the piece set closed is what
+   * makes it cheap (no seed-inventory pass over the slice).
+   *
+   * @param vocab [[train]] output (piece, piece_len, usage, rank)
+   * @return (piece, piece_len, usage, rank) — same shape as
+   *         [[train]], usable wherever the original vocabulary was
+   */
+  def refresh(docs: DataFrame, vocab: DataFrame, vocabSize: Int,
+      maxPieceLen: Int = 4, maxWordLen: Int = 12,
+      textCol: String = "text"): DataFrame = {
+    require(vocabSize >= 1, "positive vocab size")
+    graft.plans.NativeFns.register(docs.sparkSession)
+    val words = docs.select(explode(
+        graft.plans.WordShingles.shingles(col(textCol), 1)).as("word"))
+      .filter(!col("word").contains(Sep))
+      .filter(length(col("word")) <= maxWordLen)
+      .groupBy("word").agg(count(lit(1)).cast("long").as("cnt"))
+    val pieces = vocab.select(col("piece"), col("usage").as("w"))
+    val segs = viterbi(words, pieces, maxWordLen, maxPieceLen)
+    val sliceUsage = segs
+      .select(col("cnt"), explode(split(col("seg"), Sep)).as("piece"))
+      .groupBy("piece").agg(sum("cnt").cast("long").as("__wn"))
+    val combined = pieces.join(sliceUsage, Seq("piece"), "left")
+      .select(col("piece"),
+        (col("w") + coalesce(col("__wn"), lit(0L))).as("w"))
+      .localCheckpoint()
+    Lineage.release(segs)
+    val chars = combined.filter(length(col("piece")) === 1)
+    val nChars = chars.count()
+    val multiTarget = math.max(0L, vocabSize.toLong - nChars)
+    val rankedMulti = usageRank(combined.filter(length(col("piece")) > 1))
+    val full = chars.unionByName(
+      rankedMulti.filter(col("rk") <= multiTarget).select("piece", "w"))
+    val rankedAll = usageRank(full)
+    Lineage.release(rankedMulti)
+    Lineage.release(combined)
+    rankedAll
+      .select(col("piece"), length(col("piece")).cast("long").as("piece_len"),
+        col("w").as("usage"), col("rk").as("rank"))
   }
 }

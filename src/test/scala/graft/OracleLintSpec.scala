@@ -62,13 +62,23 @@ class OracleLintSpec extends AnyFunSuite {
     * satisfying `sep` when `binary` says the position is a binary-
     * operator position (prev non-space char ends an operand). Returns
     * (operands, operators). */
+  /** Marker op for DuckDB's `//` integer division — which PRESERVES
+    * HUGEINT, unlike single `/` (DOUBLE promotion). Emitted by
+    * [[splitTop]] so [[hugeintExpr]] can tell the two apart (round-15
+    * ADVICE: splitting `SUM(x) // 2` at the first slash cleared the
+    * expression as a ratio — a false negative on the board's most
+    * common operator). */
+  private val IntDiv = '\u0001'
+
   private def splitTop(s: String, sep: Char => Boolean): (Seq[String], Seq[Char]) = {
     val parts = scala.collection.mutable.ArrayBuffer.empty[String]
     val ops = scala.collection.mutable.ArrayBuffer.empty[Char]
     val cur = new StringBuilder
     var d = 0; var inStr = false
     var prevNonSpace: Char = 0
-    for (c <- s) {
+    var i = 0
+    while (i < s.length) {
+      val c = s(i)
       if (inStr) { cur += c; if (c == '\'') inStr = false }
       else if (c == '\'') { cur += c; inStr = true }
       else if (c == '(') { d += 1; cur += c }
@@ -76,9 +86,15 @@ class OracleLintSpec extends AnyFunSuite {
       else if (d == 0 && sep(c) &&
         (Character.isLetterOrDigit(prevNonSpace) || prevNonSpace == ')' ||
           prevNonSpace == '_' || prevNonSpace == '\'')) {
-        parts += cur.result(); cur.clear(); ops += c
+        parts += cur.result(); cur.clear()
+        // `//` is one operator (integer division), not two slashes —
+        // peek and consume both, emitting the IntDiv marker
+        if (c == '/' && i + 1 < s.length && s(i + 1) == '/') {
+          ops += IntDiv; i += 1
+        } else ops += c
       } else cur += c
       if (!Character.isWhitespace(c)) prevNonSpace = c
+      i += 1
     }
     parts += cur.result()
     (parts.toSeq.map(_.trim), ops.toSeq)
@@ -320,6 +336,36 @@ class OracleLintSpec extends AnyFunSuite {
         |FROM t GROUP BY 1)
         |SELECT k, s FROM d""".stripMargin
     assert(violations(filteredCast).isEmpty)
+  }
+
+  test("round-15 ADVICE hole: `//` integer division preserves HUGEINT") {
+    // DuckDB `SUM(x) // 2` stays HUGEINT — the old splitTop split at
+    // the first slash and the clean-ratio rule cleared it
+    val intDiv =
+      """WITH d AS (SELECT k, SUM(x) AS s FROM t GROUP BY 1)
+        |SELECT k, s // 2 AS half FROM d""".stripMargin
+    assert(violations(intDiv).exists(_.contains("half")))
+    // direct form, no CTE laundering
+    assert(violations("SELECT k, SUM(x) // 2 AS half FROM t GROUP BY 1")
+      .exists(_.contains("half")))
+    // no-space form: `//` must still parse as one operator
+    assert(violations("SELECT k, SUM(x)//2 AS half FROM t GROUP BY 1")
+      .exists(_.contains("half")))
+    // cast-wrapped is clean — the board's standard idiom
+    assert(violations(
+      """WITH d AS (SELECT k, SUM(x) AS s FROM t GROUP BY 1)
+        |SELECT k, CAST(s // 2 AS BIGINT) AS half FROM d""".stripMargin).isEmpty)
+    // single `/` still promotes to DOUBLE (pandas float64 both sides)
+    assert(violations(
+      """WITH d AS (SELECT k, SUM(x) AS s FROM t GROUP BY 1)
+        |SELECT k, s / 2 AS ratio FROM d""".stripMargin).isEmpty)
+    // `//` over CLEAN operands is BIGINT, not HUGEINT — no flag
+    assert(violations(
+      "SELECT k, CAST(n AS BIGINT) // 2 AS half FROM t").isEmpty)
+    // a decimal operand makes `//` DOUBLE floor-division — clean
+    assert(violations(
+      """WITH d AS (SELECT k, SUM(x) AS s FROM t GROUP BY 1)
+        |SELECT k, s // 2.0 AS half FROM d""".stripMargin).isEmpty)
   }
 
   test("no oracle on the board projects an uncast SUM dtype") {
