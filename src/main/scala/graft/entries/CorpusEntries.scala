@@ -607,6 +607,31 @@ private[graft] object CorpusEntries {
       graft.pipeline.UnigramLm.encode(spread(d), vocab).orderBy("doc_id")
     },
 
+    // Subword-regularization sampling (Kudo 2018's point): per
+    // distinct word, a deterministic md5 draw over its 3-best
+    // Viterbi segmentations under the trained vocab.
+    "q_unigram_sample" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val vocab = graft.pipeline.UnigramLm.train(spread(d), vocabSize = 300,
+        rounds = 2)
+      graft.pipeline.UnigramLm.sample(spread(d), vocab, nBest = 3)
+        .orderBy("word")
+    },
+
+    // Incremental vocab maintenance: train on the even-doc_id half,
+    // then re-weight + re-prune (300 -> 250) against the odd half
+    // without retraining — the tokenizer member of the engine's
+    // incremental family (pagerank_incr / ann_ivf_incr / dedup_incr).
+    "q_unigram_incr" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val vocab = graft.pipeline.UnigramLm.train(
+        spread(d.filter(col("doc_id") % 2 === 0)), vocabSize = 300,
+        rounds = 2)
+      graft.pipeline.UnigramLm.refresh(
+          spread(d.filter(col("doc_id") % 2 =!= 0)), vocab, vocabSize = 250)
+        .orderBy("rank")
+    },
+
     // Exact heavy hitters (tokens ≥ 2% of the stream) via the
     // Misra-Gries candidate pass + exact confirm — never a
     // long-tail shuffle; result bit-equal to the naive group-by.
@@ -773,7 +798,13 @@ private[graft] object CorpusEntries {
     * Scala struct-min applies. `wordsCte` exposes (word, cnt);
     * `piecesCte` exposes (piece, w). Emits ",c...,dp...,fin{t}". */
   private def unigramDpSql(t: String, wordsCte: String, piecesCte: String,
-      w: Int, p: Int): String = {
+      w: Int, p: Int, nbest: Int = 1): String = {
+    // nbest > 1 keeps the top n states per prefix under the same
+    // order EXTENDED BY seg — with more than one survivor per
+    // predecessor, candidates can tie on (np, ws, k) and seg (the
+    // full segmentation, distinct by construction) restores totality.
+    // Mirrors UnigramLm.viterbi's nBest branch exactly.
+    val segOrd = if (nbest > 1) ", seg" else ""
     val sb = new StringBuilder
     sb ++= s",\ndp${t}0 AS MATERIALIZED (SELECT word, cnt, 0 AS j, " +
       "CAST(0 AS BIGINT) AS np, CAST(0 AS BIGINT) AS ws, '' AS seg " +
@@ -791,7 +822,7 @@ c$t$j AS (SELECT d.word, d.cnt, d.np + 1 AS np,
  WHERE length(d.word) >= $j AND ($j - d.j = 1 OR pc.w IS NOT NULL)),
 dp$t$j AS MATERIALIZED (SELECT word, cnt, $j AS j, np, ws, seg FROM
  (SELECT *, ROW_NUMBER() OVER (PARTITION BY word
-  ORDER BY np ASC, ws DESC, k DESC) AS rn FROM c$t$j) WHERE rn = 1)"""
+  ORDER BY np ASC, ws DESC, k DESC$segOrd) AS rn FROM c$t$j) WHERE rn <= $nbest)"""
     }
     val all = (0 to w).map(i => s"SELECT * FROM dp$t$i").mkString(" UNION ALL ")
     sb ++= s",\nfin$t AS MATERIALIZED (SELECT word, cnt, np, ws, " +
@@ -803,7 +834,8 @@ dp$t$j AS MATERIALIZED (SELECT word, cnt, $j AS j, np, ws, seg FROM
     * (DP → usage → prune) × 2 → final vocab cut. Mirrors
     * UnigramLm.train(vocabSize, rounds = 2, maxPieceLen = 4,
     * maxWordLen = 12, minFreq = 2, shrinkPermille = 800). */
-  private def unigramTrainCtes(vocabSize: Int): String = {
+  private def unigramTrainCtes(vocabSize: Int,
+      where: String = "TRUE"): String = {
     val W = 12; val P = 4
     def pruneCte(name: String, usage: String, m: String): String =
       s"""$name AS MATERIALIZED (
@@ -813,7 +845,7 @@ SELECT piece, w FROM (SELECT piece, w, ROW_NUMBER() OVER (ORDER BY w DESC, piece
  FROM $usage WHERE length(piece) > 1)
 WHERE rk <= GREATEST(GREATEST(0, $vocabSize - (SELECT n FROM nch)),
  ((SELECT m FROM $m) * 800) // 1000))"""
-    s"""WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS w FROM documents),
+    s"""WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS w FROM documents WHERE $where),
 wd AS (SELECT unnest(w) AS word FROM w),
 uwords AS MATERIALIZED (SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM wd
  WHERE NOT contains(word, chr(31)) AND length(word) <= $W GROUP BY 1),
@@ -872,12 +904,76 @@ SELECT d.doc_id, COALESCE(g.n_words, 0) AS n_words,
 COALESCE(g.n_pieces, 0) AS n_pieces
 FROM documents d LEFT JOIN g USING (doc_id) ORDER BY doc_id"""
 
+  /** Subword-regularization draw: the same train chain, an n-best DP
+    * over the distinct corpus words, per-word alternative ranking by
+    * the DP's total order (np, ws DESC, seg), and the engine's md5
+    * fold picking `1 + fold % n_alt` — [[Fixtures.foldSql]] keeps the
+    * draw in lockstep with `Corpus.hashFold`. Words over the DP bound
+    * fall back to a single char-segmentation alternative. */
+  private def unigramSampleOracle(vocabSize: Int, nbest: Int): String =
+    unigramTrainCtes(vocabSize) +
+      s""",
+docw AS MATERIALIZED (SELECT doc_id, unnest(w) AS word FROM w),
+dwords AS MATERIALIZED (SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
+ FROM docw GROUP BY 1),
+vp AS MATERIALIZED (SELECT piece, w FROM uvocab)""" +
+      unigramDpSql("s", "dwords", "vp", 12, 4, nbest) +
+      s""",
+ranked AS (SELECT word, cnt, np, ws, seg,
+ CAST(ROW_NUMBER() OVER (PARTITION BY word ORDER BY np, ws DESC, seg) AS BIGINT) AS alt
+ FROM fins),
+nalt AS (SELECT word, CAST(MAX(alt) AS BIGINT) AS n_alt FROM ranked GROUP BY 1),
+shortpick AS (SELECT r.word, r.cnt, n.n_alt, r.alt,
+ CAST(r.np AS BIGINT) AS np, r.seg
+ FROM ranked r JOIN nalt n USING (word)
+ WHERE r.alt = 1 + (${Fixtures.foldSql("'subword-reg:' || r.word")} % n.n_alt)),
+longpick AS (SELECT word, cnt, CAST(1 AS BIGINT) AS n_alt,
+ CAST(1 AS BIGINT) AS alt, CAST(length(word) AS BIGINT) AS np,
+ array_to_string(list_transform(range(1, length(word) + 1),
+  i -> substr(word, i, 1)), chr(31)) AS seg
+ FROM dwords WHERE length(word) > 12)
+SELECT word, cnt, n_alt, alt, np, seg FROM shortpick
+UNION ALL
+SELECT word, cnt, n_alt, alt, np, seg FROM longpick
+ORDER BY word"""
+
+  /** Incremental vocab maintenance: train on the even-doc_id half,
+    * Viterbi the odd half under that vocab, weight = old usage +
+    * slice usage, re-prune multi-char pieces to the new (smaller)
+    * target, re-rank — mirrors `UnigramLm.refresh`. */
+  private def unigramIncrOracle(baseVocab: Int, newVocab: Int): String =
+    unigramTrainCtes(baseVocab, "doc_id % 2 = 0") +
+      s""",
+sw AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS w2 FROM documents WHERE doc_id % 2 = 1),
+swd AS (SELECT unnest(w2) AS word FROM sw),
+swords AS MATERIALIZED (SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM swd
+ WHERE NOT contains(word, chr(31)) AND length(word) <= 12 GROUP BY 1),
+vp AS MATERIALIZED (SELECT piece, w FROM uvocab)""" +
+      unigramDpSql("i", "swords", "vp", 12, 4) +
+      s""",
+susage AS (SELECT piece, CAST(SUM(cnt) AS BIGINT) AS wn FROM
+ (SELECT cnt, unnest(string_split(seg, chr(31))) AS piece FROM fini) GROUP BY 1),
+comb AS MATERIALIZED (SELECT v.piece, v.w + COALESCE(s.wn, 0) AS w
+ FROM vp v LEFT JOIN susage s USING (piece)),
+cch AS (SELECT COUNT(*) AS n FROM comb WHERE length(piece) = 1),
+keptm AS (SELECT piece, w FROM
+ (SELECT piece, w, ROW_NUMBER() OVER (ORDER BY w DESC, piece) AS rk
+  FROM comb WHERE length(piece) > 1)
+ WHERE rk <= GREATEST(0, $newVocab - (SELECT n FROM cch))),
+vfinal AS (SELECT piece, w FROM comb WHERE length(piece) = 1
+ UNION ALL SELECT piece, w FROM keptm)
+SELECT piece, CAST(length(piece) AS BIGINT) AS piece_len, w AS usage,
+CAST(ROW_NUMBER() OVER (ORDER BY w DESC, piece) AS BIGINT) AS rank
+FROM vfinal ORDER BY rank"""
+
   def oracles: Map[String, String] = Map(
     "q_bpe_merges" -> bpeMergesOracle(4),
     "q_bpe_encode" -> bpeEncodeOracle(4),
     "q_fertility" -> bpeFertilityOracle(4),
     "q_unigram_train" -> unigramTrainOracle(300),
     "q_unigram_encode" -> unigramEncodeOracle(300),
+    "q_unigram_sample" -> unigramSampleOracle(300, 3),
+    "q_unigram_incr" -> unigramIncrOracle(300, 250),
 
     "q_src_lang_mix" ->
       """WITH t AS (SELECT source, lang,

@@ -690,6 +690,60 @@ class PipelineSpec extends SparkTestBase {
     assert(enc == enc2)
   }
 
+  test("unigramLm.sample: n-best enumeration, deterministic md5 draw, char fallback") {
+    // word "abc" x2 under pieces ab/bc (weight 2) + chars (weight 0):
+    // three segmentations — [a,bc] and [ab,c] tie on (np=2, ws=2) and
+    // order by seg ("a..." < "ab..."), then [a,b,c] at np=3
+    val d = Seq((1L, "abc abc"), (2L, "abcdefghijklm")).toDF("doc_id", "text")
+    val manual = Seq(("a", 1L, 0L, 1L), ("b", 1L, 0L, 2L),
+      ("c", 1L, 0L, 3L), ("ab", 2L, 2L, 4L), ("bc", 2L, 2L, 5L))
+      .toDF("piece", "piece_len", "usage", "rank")
+    val out = graft.pipeline.UnigramLm.sample(d, manual, nBest = 3)
+      .orderBy("word")
+      .as[(String, Long, Long, Long, Long, String)].collect().toSeq
+    val S = graft.pipeline.UnigramLm.Sep
+    // the engine's md5 fold, replicated locally: the draw must be
+    // 1 + fold("subword-reg:" + word) % n_alt
+    def fold(s: String): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      (h(0).toLong * 29791 + h(1).toLong * 961 + h(2).toLong * 31 + h(3).toLong)
+    }
+    val alts = Seq(s"a${S}bc", s"ab${S}c", s"a${S}b${S}c")
+    val expAlt = 1L + fold("subword-reg:abc") % 3
+    val abc = out.find(_._1 == "abc").get
+    assert(abc == (("abc", 2L, 3L, expAlt,
+      if (expAlt == 3) 3L else 2L, alts(expAlt.toInt - 1))), s"$abc")
+    // 13-char word exceeds dpMaxLen=12: single char-fallback alternative
+    val long = out.find(_._1 == "abcdefghijklm").get
+    assert(long == (("abcdefghijklm", 1L, 1L, 1L, 13L,
+      "abcdefghijklm".map(_.toString).mkString(S))), s"$long")
+    // bit-stable across runs
+    val out2 = graft.pipeline.UnigramLm.sample(d, manual, nBest = 3)
+      .orderBy("word")
+      .as[(String, Long, Long, Long, Long, String)].collect().toSeq
+    assert(out == out2)
+  }
+
+  test("unigramLm.refresh: cumulative re-weight, re-prune, char coverage kept") {
+    // base vocab from "ab ab c": (ab usage 3, c 1, a 0, b 0)
+    val base = Seq((1L, "ab ab c"), (2L, "ab")).toDF("doc_id", "text")
+    val vocab = graft.pipeline.UnigramLm.train(base, vocabSize = 5, rounds = 2)
+    // slice "ab c c c": slice usage ab 1, c 3 -> combined ab 4, c 4
+    val slice = Seq((3L, "ab c c c")).toDF("doc_id", "text")
+    val kept = graft.pipeline.UnigramLm.refresh(slice, vocab, vocabSize = 5)
+      .orderBy("rank").as[(String, Long, Long, Long)].collect().toSeq
+    // tie at w=4 breaks to lexicographic piece: ab before c
+    assert(kept == Seq(("ab", 2L, 4L, 1L), ("c", 1L, 4L, 2L),
+      ("a", 1L, 0L, 3L), ("b", 1L, 0L, 4L)), s"$kept")
+    // shrinking to vocabSize=3 must drop the multi-char piece (chars
+    // are never pruned: 3 chars fill the whole budget)
+    val pruned = graft.pipeline.UnigramLm.refresh(slice, vocab, vocabSize = 3)
+      .orderBy("rank").as[(String, Long, Long, Long)].collect().toSeq
+    assert(pruned == Seq(("c", 1L, 4L, 1L), ("a", 1L, 0L, 2L),
+      ("b", 1L, 0L, 3L)), s"$pruned")
+  }
+
   test("dsirResample: exact-count apportionment, weight-monotone, deterministic") {
     // 20 target-like + 20 alien docs; sample 10 over 4 tiers — the
     // high-score tier must carry (weight-proportional) more quota
