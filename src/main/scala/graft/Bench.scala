@@ -273,7 +273,22 @@ object Bench {
       scala.collection.mutable.ArrayBuffer.empty[(String, Int, Double, String)]
     var gateDeferred = 0
     var gateForced = 0
+    // Seed the session-best reference from THREE spaced probes before
+    // the first gate decision: a single seed probe taken inside a
+    // dirty window would set the reference high and wave every
+    // subsequent dirty sweep through (the round-15 sorted closing run
+    // seeded at 0.233 s vs the session's true 0.035 floor — trial-1
+    // passed a gate it should have deferred).
+    def gateSeed(): Unit = if (gateEnabled && bestBw == Double.MaxValue) {
+      (1 to 3).foreach { i =>
+        val bw = canaryBw()
+        bestBw = math.min(bestBw, bw)
+        gateLog += (("seed", i, bw, "seed"))
+        if (i < 3) Thread.sleep(math.min(gateSleepMs, 2000L))
+      }
+    }
     def gateSweep(context: String): Unit = if (gateEnabled) {
+      gateSeed()
       var attempt = 1
       var go = false
       while (!go) {

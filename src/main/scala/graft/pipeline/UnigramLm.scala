@@ -159,7 +159,7 @@ object UnigramLm {
    *
    * @return the input plus `rk` (long, 1-based)
    */
-  private[pipeline] def usageRank(df: DataFrame): DataFrame = {
+  private[graft] def usageRank(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val parts = math.max(2, spark.sparkContext.defaultParallelism)

@@ -690,6 +690,22 @@ class PipelineSpec extends SparkTestBase {
     assert(enc == enc2)
   }
 
+  test("usageRank: two-phase prefix-scan rank equals the global-window rank") {
+    // heavy weight ties across partitions — every tie must still land
+    // on the same side of each range boundary as the single-partition
+    // window would put it (the key (w, piece) is total: piece unique)
+    val rows = (1 to 500).map(i => (f"p$i%03d", (i % 17).toLong))
+    val ranked = graft.pipeline.UnigramLm
+      .usageRank(rows.toDF("piece", "w").repartition(13))
+      .select("piece", "w", "rk")
+      .as[(String, Long, Long)].collect().toSeq.sortBy(_._3)
+    val expected = rows.sortBy { case (p, w) => (-w, p) }
+      .zipWithIndex.map { case ((p, w), i) => (p, w, i + 1L) }
+    assert(ranked == expected)
+    // dense 1..n exactly once
+    assert(ranked.map(_._3) == (1L to 500L))
+  }
+
   test("unigramLm.sample: n-best enumeration, deterministic md5 draw, char fallback") {
     // word "abc" x2 under pieces ab/bc (weight 2) + chars (weight 0):
     // three segmentations — [a,bc] and [ab,c] tie on (np=2, ws=2) and
