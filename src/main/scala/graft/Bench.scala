@@ -480,8 +480,10 @@ object Bench {
     // the board Timings stay confirmation-free — see confirmSamples.
     def bestMin(name: String): Double = {
       val board = samples.get(name).map(_.map(_._1).min)
+      // ok solo samples only: a query that FAILS a solo sweep records
+      // a fast-exception wall that would fake a sub-floor minimum
       val solo = confirmSamples.get(name)
-        .filter(_.nonEmpty).map(_.map(_._1).min)
+        .map(_.filter(_._3).map(_._1)).filter(_.nonEmpty).map(_.min)
       (board.toSeq ++ solo.toSeq).min
     }
     def flaggedOf(rs: Seq[Timing]): Set[String] = rs.collect {
