@@ -60,6 +60,16 @@ private[graft] object CorpusEntries {
         .orderBy("doc_id")
     },
 
+    // C4-style blocklist phrase gate: mixed 1/2/3-token phrases,
+    // occurrence + distinct-phrase counts, deterministic exemplar.
+    "q_blocklist" -> { (s, dir) =>
+      import s.implicits._
+      val phrases = Seq("spark", "table table", "slow slow",
+        "fast key scan", "data window the").toDF("phrase")
+      graft.pipeline.Corpus.blocklistFilter(spread(docs(s, dir)), phrases)
+        .orderBy("doc_id")
+    },
+
     // Corpus prep: token-window chunking with overlap.
     "q_chunks" -> { (s, dir) =>
       graft.pipeline.Corpus.chunk(docs(s, dir), chunkTokens = 20, overlapTokens = 5)
@@ -974,6 +984,29 @@ FROM vfinal ORDER BY rank"""
     "q_unigram_encode" -> unigramEncodeOracle(300),
     "q_unigram_sample" -> unigramSampleOracle(300, 3),
     "q_unigram_incr" -> unigramIncrOracle(300, 250),
+
+    "q_blocklist" ->
+      """WITH t AS (SELECT doc_id,
+        |list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks FROM documents),
+        |bl AS (SELECT unnest(['spark', 'table table', 'slow slow',
+        | 'fast key scan', 'data window the']) AS phrase),
+        |g1 AS (SELECT doc_id, unnest(toks) AS phrase FROM t),
+        |g2 AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 2
+        | THEN list_transform(range(1, len(toks)), i -> array_to_string(toks[i:i+1], ' '))
+        | ELSE [] END) AS phrase FROM t),
+        |g3 AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 3
+        | THEN list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' '))
+        | ELSE [] END) AS phrase FROM t),
+        |h AS (SELECT g.doc_id, g.phrase FROM
+        | (SELECT * FROM g1 UNION ALL SELECT * FROM g2 UNION ALL SELECT * FROM g3) g
+        | JOIN bl USING (phrase)),
+        |p AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits,
+        | CAST(COUNT(DISTINCT phrase) AS BIGINT) AS n_phrases,
+        | MIN(phrase) AS min_phrase FROM h GROUP BY 1)
+        |SELECT d.doc_id, COALESCE(n_hits, 0) AS n_hits,
+        |COALESCE(n_phrases, 0) AS n_phrases, min_phrase,
+        |COALESCE(n_hits, 0) > 0 AS blocked
+        |FROM documents d LEFT JOIN p USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     "q_src_lang_mix" ->
       """WITH t AS (SELECT source, lang,

@@ -960,6 +960,67 @@ object Corpus {
   }
 
   /**
+   * Blocklist PHRASE filter — the C4-style "bad words" content gate
+   * (Raffel et al. 2020 drop any page containing a listed word or
+   * phrase; reference pipelines keep curated multi-word lists): flag
+   * every document containing any blocklisted token sequence, with
+   * hit counts for threshold policies ("drop on any hit" vs "flag
+   * above k"). The phrase member of the filter family next to
+   * [[urlRuleFilter]] (URL side) and `TextFns.redact` (rewrite side).
+   *
+   * Matching is EXACT token-sequence containment under the engine's
+   * one tokenizer (`WordShingles`): for each distinct phrase LENGTH n
+   * present in the list (a handful — lists are 1–4 tokens a phrase),
+   * one corpus n-gram explode equi-joins the length-n phrases. Scale
+   * shape: the explode is corpus-linear per distinct length (bounded
+   * by `maxPhraseTokens`, asserted), the join side is the blocklist
+   * (small by nature — Spark broadcasts it; past broadcast scale it
+   * stays an equi-join), hot phrases ride AQE skew-join, and the
+   * per-doc rollup is map-side combinable. Never a regex-per-rule
+   * scan, never a LIKE join.
+   *
+   * @param phrases one column `phrase`: tokens joined by single
+   *                spaces, each 1..`maxPhraseTokens` tokens
+   * @return (idCol, n_hits, n_phrases, min_phrase, blocked) —
+   *         n_hits counts OCCURRENCES, n_phrases distinct matched
+   *         phrases, min_phrase the lexicographically first matched
+   *         phrase (deterministic exemplar), blocked = any hit
+   */
+  def blocklistFilter(docs: DataFrame, phrases: DataFrame,
+      maxPhraseTokens: Int = 8, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    graft.plans.NativeFns.register(docs.sparkSession)
+    val pl = phrases.select(col("phrase"))
+      .withColumn("__n", size(split(col("phrase"), " ")))
+      .localCheckpoint()
+    val ns = DriverBounds.boundedCollect(
+        pl.select("__n").distinct(), maxPhraseTokens.toLong,
+        s"blocklistFilter distinct phrase lengths (1..$maxPhraseTokens " +
+          "— longer phrases are a list-curation bug, not a scan job)")
+      .map(_.getInt(0)).sorted
+    require(ns.forall(n => n >= 1 && n <= maxPhraseTokens),
+      s"blocklist phrases must be 1..$maxPhraseTokens tokens, " +
+        s"got lengths ${ns.mkString(",")}")
+    val hits = ns.map { n =>
+      docs.select(col(idCol), explode(
+          graft.plans.WordShingles.shingles(col(textCol), n)).as("phrase"))
+        .join(pl.filter(col("__n") === n).select("phrase"), Seq("phrase"))
+        .select(col(idCol), col("phrase"))
+    }.reduceOption(_ unionByName _)
+      .getOrElse(docs.select(col(idCol), lit("").as("phrase")).limit(0))
+    val perDoc = hits.groupBy(col(idCol))
+      .agg(count(lit(1)).cast("long").as("n_hits"),
+        countDistinct(col("phrase")).cast("long").as("n_phrases"),
+        min(col("phrase")).as("min_phrase"))
+    docs.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        coalesce(col("n_phrases"), lit(0L)).as("n_phrases"),
+        col("min_phrase"),
+        (coalesce(col("n_hits"), lit(0L)) > 0L).as("blocked"))
+  }
+
+  /**
    * Cross-source quantile normalization: map every document's score
    * onto the POOLED score distribution at the same within-source
    * quantile — the remedy when heterogeneous sources' quality scores

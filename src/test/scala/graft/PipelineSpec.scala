@@ -690,6 +690,24 @@ class PipelineSpec extends SparkTestBase {
     assert(enc == enc2)
   }
 
+  test("blocklistFilter: occurrence/distinct counts, exemplar, clean docs, length guard") {
+    val d = Seq((1L, "a b a b c"), (2L, "x y z z"), (3L, "")).toDF("doc_id", "text")
+    val phrases = Seq("a b", "c", "q").toDF("phrase")
+    val out = graft.pipeline.Corpus.blocklistFilter(d, phrases)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Option[String], Boolean)].collect().toSeq
+    // doc1: "a b" occurs twice (positions 1 and 3) + "c" once -> 3
+    // hits over 2 distinct phrases, exemplar "a b"; doc2/doc3 clean
+    assert(out == Seq((1L, 3L, 2L, Some("a b"), true),
+      (2L, 0L, 0L, None, false), (3L, 0L, 0L, None, false)), s"$out")
+    // overlong phrase is a list-curation bug, reported as one
+    val nine = Seq(("1 2 3 4 5 6 7 8 9")).toDF("phrase")
+    val err = intercept[IllegalArgumentException] {
+      graft.pipeline.Corpus.blocklistFilter(d, nine).collect()
+    }
+    assert(err.getMessage.contains("1..8"))
+  }
+
   test("usageRank: two-phase prefix-scan rank equals the global-window rank") {
     // heavy weight ties across partitions — every tie must still land
     // on the same side of each range boundary as the single-partition
