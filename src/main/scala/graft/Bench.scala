@@ -580,8 +580,11 @@ object Bench {
     // confirmation-sample minima per confirmed query (provenance for
     // floor re-basing) + the gate's decision log
     val confirmMinJson = confirmSamples.toSeq.sortBy(_._1)
-      .collect { case (n, ss) if ss.nonEmpty =>
-        "\"" + n + "\":" + f6(ss.map(_._1).min) }
+      .collect { case (n, ss) if ss.exists(_._3) =>
+        // ok samples only — same hazard bestMin guards: a failed solo
+        // sweep's fast-exception wall would publish a fake sub-floor
+        // minimum in the very field floor re-basing reads
+        "\"" + n + "\":" + f6(ss.filter(_._3).map(_._1).min) }
       .mkString("{", ",", "}")
     val gateLogJson = gateLog
       .map { case (ctx, att, bw, v) => s"""["$ctx",$att,${f3(bw)},"$v"]""" }

@@ -25,7 +25,25 @@ object Canary {
 
   @volatile private var sink = 0L
 
-  private lazy val bwArr = new Array[Long](64 << 20) // 512 MiB
+  // allocated on first bw() call and KEPT between readings (a probe
+  // that reallocates measures the allocator, not the bus) — but
+  // releasable: ProfileQuery measures JVM heap peaks, and a
+  // permanently-live 512 MiB array would inflate every heapPeak
+  // reading by ~512 MB and break comparability with pre-round-15
+  // memory cells (round-15 review). Bench never releases (its heap
+  // readings don't exist and the retained array keeps probes
+  // allocator-free).
+  private var bwArrRef: Array[Long] = null
+
+  private def bwArr: Array[Long] = synchronized {
+    if (bwArrRef == null) bwArrRef = new Array[Long](64 << 20) // 512 MiB
+    bwArrRef
+  }
+
+  /** Drop the bandwidth array so heap measurements taken after the
+    * canary reading don't carry its 512 MiB. The next bw() call
+    * re-allocates (outside any timed window in ProfileQuery). */
+  def releaseBw(): Unit = synchronized { bwArrRef = null }
 
   /** Wall seconds to drain `threads` fixed-iteration spin threads. */
   def spin(threads: Int): Double = {
@@ -48,7 +66,8 @@ object Canary {
   /** Wall seconds for 8 multi-threaded stream-sum passes over the
     * 512 MiB array — lower is more effective bandwidth. */
   def bw(threads: Int): Double = {
-    val n = bwArr.length
+    val arr = bwArr
+    val n = arr.length
     val nt = math.max(1, threads)
     val t0 = System.nanoTime()
     val ts = (0 until nt).map { tid =>
@@ -58,7 +77,7 @@ object Canary {
         while (pass < 8) {
           var i = tid * (n / nt)
           val end = if (tid == nt - 1) n else (tid + 1) * (n / nt)
-          while (i < end) { s += bwArr(i); i += 1 }
+          while (i < end) { s += arr(i); i += 1 }
           pass += 1
         }
         sink ^= s

@@ -95,6 +95,10 @@ object ProfileQuery {
         // weather column to attribute it to)
         val canSpin = Canary.spin(cpus.toInt)
         val canBw = Canary.bw(cpus.toInt)
+        // the bw array must NOT survive into the heap measurement —
+        // a live 512 MiB probe buffer would inflate every heapPeak
+        // reading and break comparability with earlier memory cells
+        Canary.releaseBw()
         val lst = new JobListener
         spark.sparkContext.addSparkListener(lst)
         // JVM heap peak per trial: reset the heap pools' peak-usage

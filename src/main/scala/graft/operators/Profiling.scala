@@ -523,9 +523,13 @@ object Profiling {
     // empty-input one — the two failure modes must report distinctly
     require(cols.distinct.size >= 3,
       "need at least three distinct columns for level 2")
-    val p = cols.size.toLong
+    // operate on the DISTINCT list throughout (round-15 review): a
+    // duplicate-laden list with >=3 distinct names passed the guard
+    // but emitted degenerate {a,a}->b rows and double-scanned pairs
+    val dcols = cols.distinct
+    val p = dcols.size.toLong
     val level1 = graft.pipeline.DriverBounds.boundedCollect(
-        fdDiscover(df, cols).select("lhs", "rhs", "holds"),
+        fdDiscover(df, dcols).select("lhs", "rhs", "holds"),
         p * (p - 1), "fdDiscoverL2 level-1 seed")
       .map(r => (r.getString(0), r.getString(1)) -> r.getBoolean(2)).toMap
     // loud contract failure, not an NPE three lines later: fdDiscover
@@ -535,14 +539,14 @@ object Profiling {
       "fdDiscoverL2 needs a non-empty input DataFrame — the level-1 " +
         "seed is empty")
     val lhsPairs = for {
-      i <- cols.indices; j <- cols.indices if i < j
+      i <- dcols.indices; j <- dcols.indices if i < j
     } yield {
-      val (a1, a2) = (cols(i), cols(j))
+      val (a1, a2) = (dcols(i), dcols(j))
       if (a1 < a2) (a1, a2) else (a2, a1)
     }
     val spark = df.sparkSession
     val perPair = lhsPairs.flatMap { case (a1, a2) =>
-      val rhs = cols.filterNot(c => c == a1 || c == a2)
+      val rhs = dcols.filterNot(c => c == a1 || c == a2)
         .filterNot(b => level1((a1, b)) || level1((a2, b)))
       if (rhs.isEmpty) None
       else {

@@ -167,7 +167,10 @@ object UnigramLm {
       .repartitionByRange(parts, col("w").desc, col("piece"))
       .withColumn("__pid", spark_partition_id())
       .persist()
-    part.count()
+    // no separate materializing count(): the phase-1 aggregation's
+    // shuffle map stage reads (and therefore caches) every partition
+    // of `part` itself — an extra count is one redundant job per
+    // rank call (round-15 review)
     val counts = DriverBounds.boundedCollect(
         part.groupBy("__pid").agg(count(lit(1)).as("c")),
         parts.toLong, "usageRank partition counts (one row per partition)")
@@ -277,8 +280,12 @@ object UnigramLm {
     graft.plans.NativeFns.register(docs.sparkSession)
     val docWords = docs.select(col(idCol),
       explode(graft.plans.WordShingles.shingles(col(textCol), 1)).as("word"))
+    // checkpoint: BOTH branches (DP words, char-fallback words) read
+    // this vocabulary-bounded table — uncached, each would re-run the
+    // corpus tokenize+explode+count (round-15 review)
     val distinctW = docWords.groupBy("word")
       .agg(count(lit(1)).cast("long").as("cnt"))
+      .localCheckpoint()
     val pieces = vocab.select(col("piece"), col("usage").as("w"))
     val short = viterbi(distinctW.filter(length(col("word")) <= dpMaxLen),
         pieces, dpMaxLen, maxPieceLen)
@@ -329,9 +336,13 @@ object UnigramLm {
       seedTag: String = "subword-reg", textCol: String = "text"): DataFrame = {
     require(nBest >= 1, "nBest must be positive")
     graft.plans.NativeFns.register(docs.sparkSession)
+    // checkpoint: the DP branch and the char-fallback branch both
+    // read this table — uncached, the corpus tokenize+count would
+    // run twice, contradicting the one-corpus-pass claim above
     val distinctW = docs.select(explode(
         graft.plans.WordShingles.shingles(col(textCol), 1)).as("word"))
       .groupBy("word").agg(count(lit(1)).cast("long").as("cnt"))
+      .localCheckpoint()
     val pieces = vocab.select(col("piece"), col("usage").as("w"))
     val fin = viterbi(distinctW.filter(length(col("word")) <= dpMaxLen),
       pieces, dpMaxLen, maxPieceLen, nBest)
