@@ -244,6 +244,17 @@ object ProfileScale {
       // hot-key join balanced.
       "unigram_df" -> (m =>
         Corpus.unigramDfScore(scaledDocs(spark, sfDir, m))),
+      // blocklist phrase gate under hot phrases: the list includes
+      // tokens present in most documents, so the length-1 join key
+      // carries corpus-scale occurrence counts — the per-n explode
+      // must stay linear and the broadcast join balanced.
+      "blocklist" -> { m =>
+        val s2 = spark
+        import s2.implicits._
+        Corpus.blocklistFilter(scaledDocs(spark, sfDir, m),
+          Seq("spark", "table table", "slow slow", "fast key scan",
+            "data window the").toDF("phrase"))
+      },
       // substring-window dedup under the worst hot window: a 12-token
       // tail appended to EVERY document, so its interior window keys
       // carry 100% of the corpus (the strip_paragraphs stress, one
