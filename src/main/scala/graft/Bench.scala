@@ -479,12 +479,17 @@ object Bench {
     // solo, the calmest context, and a minimum can only improve) while
     // the board Timings stay confirmation-free — see confirmSamples.
     def bestMin(name: String): Double = {
-      val board = samples.get(name).map(_.map(_._1).min)
-      // ok solo samples only: a query that FAILS a solo sweep records
-      // a fast-exception wall that would fake a sub-floor minimum
+      // ok samples only on BOTH sides (round-15 ADVICE closed the board
+      // half): a query that fails any sweep records a fast-exception
+      // wall, and spread/floor are floor material (make_baseline.py
+      // min-merges them) — one unguarded failed sample could publish a
+      // fake sub-floor minimum into the committed baseline.
+      val board = samples.get(name)
+        .map(_.filter(_._3).map(_._1)).filter(_.nonEmpty).map(_.min)
       val solo = confirmSamples.get(name)
         .map(_.filter(_._3).map(_._1)).filter(_.nonEmpty).map(_.min)
-      (board.toSeq ++ solo.toSeq).min
+      val mins = board.toSeq ++ solo.toSeq
+      if (mins.isEmpty) Double.NaN else mins.min
     }
     def flaggedOf(rs: Seq[Timing]): Set[String] = rs.collect {
       case r if r.ok && r.min > 0 &&
@@ -512,7 +517,11 @@ object Bench {
     // solo confirmation sample is the best uncontended-cost estimate
     // this process produces; max stays board-context. Medians /
     // instability / taint never see confirmation samples.
-    val spread = results.map(r =>
+    // ok queries only: spread minima are floor material, and a !ok
+    // query's walls are exception times, not engine cost (round-15
+    // ADVICE — the filter in bestMin covers mixed ok/!ok samples, this
+    // one covers all-failed queries whose bestMin is NaN).
+    val spread = results.filter(_.ok).map(r =>
         "\"" + r.name + "\":[" + f6(bestMin(r.name)) + "," + f6(r.max) + "]")
       .mkString("{", ",", "}")
     val unstable = results.filter(isUnstable)
@@ -589,7 +598,16 @@ object Bench {
     val gateLogJson = gateLog
       .map { case (ctx, att, bw, v) => s"""["$ctx",$att,${f3(bw)},"$v"]""" }
       .mkString("[", ",", "]")
-    val detail = s"""{"format":4,"metric":"total","value":$total,"floor":$floor,"unit":"sec","warmup":$warmedUp,"trials":$trials,"reran":$needRerun,"tainted":$tainted,"queries":${qmap(engine, f6)},"verification":${qmap(verif, f6)},"verification_total":$verifTotal,"spread":$spread,"unstable":$unstable,"errors":$errors,"baseline_n":${ratios.size},"baseline_ratios":$ratioJson,"regressions":$regJson,"regressions_raw":$regRawJson,"confirm_sweeps":$confirms,"confirm_min":$confirmMinJson,"canary":$canaryJson,"canary_bw":$canaryBwJson,"canary_series":$canarySeriesJson,"stall_excluded":$stallExcluded,"gate":{"enabled":$gateEnabled,"drift":$gateDrift,"deferred":$gateDeferred,"forced":$gateForced},"gate_log":$gateLogJson,"sf":"$sfDir"}"""
+    // Confirmation-sweep failures were invisible (round-15 ADVICE):
+    // "errors" lists board !ok results and aggregate() never re-runs
+    // after confirms, so a query erroring on every solo sweep shipped
+    // an artifact with no failure record. List every query with at
+    // least one failed solo sample, with its first captured message.
+    val confirmErrJson = confirmSamples.toSeq.sortBy(_._1)
+      .collect { case (n, ss) if ss.exists(!_._3) =>
+        "\"" + n + "\":\"" + errMsgs.getOrElse(n, "unknown") + "\"" }
+      .mkString("{", ",", "}")
+    val detail = s"""{"format":4,"metric":"total","value":$total,"floor":$floor,"unit":"sec","warmup":$warmedUp,"trials":$trials,"reran":$needRerun,"tainted":$tainted,"queries":${qmap(engine, f6)},"verification":${qmap(verif, f6)},"verification_total":$verifTotal,"spread":$spread,"unstable":$unstable,"errors":$errors,"baseline_n":${ratios.size},"baseline_ratios":$ratioJson,"regressions":$regJson,"regressions_raw":$regRawJson,"confirm_sweeps":$confirms,"confirm_min":$confirmMinJson,"confirm_errors":$confirmErrJson,"canary":$canaryJson,"canary_bw":$canaryBwJson,"canary_series":$canarySeriesJson,"stall_excluded":$stallExcluded,"gate":{"enabled":$gateEnabled,"drift":$gateDrift,"deferred":$gateDeferred,"forced":$gateForced},"gate_log":$gateLogJson,"sf":"$sfDir"}"""
     try {
       val w = new java.io.PrintWriter("BENCH_DETAIL.json", "UTF-8")
       try w.println(detail) finally w.close()

@@ -97,8 +97,13 @@ object ProfileQuery {
         val canBw = Canary.bw(cpus.toInt)
         // the bw array must NOT survive into the heap measurement —
         // a live 512 MiB probe buffer would inflate every heapPeak
-        // reading and break comparability with earlier memory cells
+        // reading and break comparability with earlier memory cells.
+        // Dropping the reference is not enough: resetPeakUsage reads
+        // the pools' CURRENT usage as the new watermark, and a dead
+        // 512 MiB array still counts as used until a GC actually
+        // collects it — so force one before re-basing the peaks.
         Canary.releaseBw()
+        System.gc()
         val lst = new JobListener
         spark.sparkContext.addSparkListener(lst)
         // JVM heap peak per trial: reset the heap pools' peak-usage

@@ -990,7 +990,11 @@ object Corpus {
       maxPhraseTokens: Int = 8, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
     graft.plans.NativeFns.register(docs.sparkSession)
-    val pl = phrases.select(col("phrase"))
+    // distinct FIRST (round-15 ADVICE): a duplicated list entry would
+    // double n_hits per occurrence (n_phrases is countDistinct and
+    // unaffected), silently skewing hit-count threshold policies, and
+    // would count twice against the boundedCollect budget below.
+    val pl = phrases.select(col("phrase")).distinct()
       .withColumn("__n", size(split(col("phrase"), " ")))
       .localCheckpoint()
     val ns = DriverBounds.boundedCollect(

@@ -700,6 +700,13 @@ class PipelineSpec extends SparkTestBase {
     // hits over 2 distinct phrases, exemplar "a b"; doc2/doc3 clean
     assert(out == Seq((1L, 3L, 2L, Some("a b"), true),
       (2L, 0L, 0L, None, false), (3L, 0L, 0L, None, false)), s"$out")
+    // a duplicated list entry must not double-count hits (round-15
+    // ADVICE: the phrase list is distinct()ed before count and join)
+    val dup = Seq("a b", "a b", "c", "q").toDF("phrase")
+    val out2 = graft.pipeline.Corpus.blocklistFilter(d, dup)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Option[String], Boolean)].collect().toSeq
+    assert(out2 == out, s"$out2")
     // overlong phrase is a list-curation bug, reported as one
     val nine = Seq(("1 2 3 4 5 6 7 8 9")).toDF("phrase")
     val err = intercept[IllegalArgumentException] {
