@@ -748,6 +748,29 @@ private[graft] object CorpusEntries {
       graft.pipeline.Corpus.dupAttribution(
           spread(base.unionByName(mirror).unionByName(scraper)))
         .orderBy("dup_source", "keeper_source")
+    },
+
+    // Trained quality classifier (fastText/CCNet-style stage):
+    // multinomial NB over token counts, source as the class label,
+    // 75% train split — the full Laplace weight matrix in fixed-point
+    // integer log2 (no float logs anywhere).
+    "q_classifier_train" -> { (s, dir) =>
+      val tr = docs(s, dir).filter(col("doc_id") % 4 =!= 3)
+        .select(col("doc_id"), col("text"), col("source").as("label"))
+      graft.pipeline.Classifier.nbTrain(tr).orderBy("label", "token")
+    },
+
+    // NB scoring of the held-out 25%: per-doc argmax class under the
+    // deterministic (score desc, label asc) order, with runner-up
+    // margin; the weight matrix rides a broadcast, the corpus side
+    // only shuffles for the per-(doc, label) rollup.
+    "q_classifier_score" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val tr = d.filter(col("doc_id") % 4 =!= 3)
+        .select(col("doc_id"), col("text"), col("source").as("label"))
+      val te = d.filter(col("doc_id") % 4 === 3).select("doc_id", "text")
+      graft.pipeline.Classifier.nbScore(spread(te),
+        graft.pipeline.Classifier.nbTrain(tr)).orderBy("doc_id")
     }
   )
 
@@ -976,7 +999,113 @@ SELECT piece, CAST(length(piece) AS BIGINT) AS piece_len, w AS usage,
 CAST(ROW_NUMBER() OVER (ORDER BY w DESC, piece) AS BIGINT) AS rank
 FROM vfinal ORDER BY rank"""
 
+  /** DuckDB rendition of [[graft.pipeline.Classifier.withIlog2Fx]]:
+    * the identical all-integer shift-and-square iteration unrolled as
+    * a CTE chain over the `nbstats` (kind, label, token, x) table —
+    * 11 normalization steps, then 20 square-and-compare fractional
+    * bits. Ends at `ilg` (kind, label, token, x, lg); bit-identical
+    * to the engine by construction (same int64 ops in the same
+    * order). */
+  private def ilogCtes: String = {
+    val sb = new StringBuilder
+    sb ++= "il0 AS (SELECT kind, label, token, x, " +
+      "GREATEST(CAST(x AS BIGINT), 1) AS t, CAST(0 AS BIGINT) AS e " +
+      "FROM nbstats)"
+    var i = 0
+    for (s <- Seq(32, 16, 8, 4, 2, 1)) {
+      val thr = 1L << (30 + s); val d = 1L << s
+      sb ++= s",\nil${i + 1} AS (SELECT kind, label, token, x, " +
+        s"CASE WHEN t >= $thr THEN t // $d ELSE t END AS t, " +
+        s"CASE WHEN t >= $thr THEN e + $s ELSE e END AS e FROM il$i)"
+      i += 1
+    }
+    for (s <- Seq(16, 8, 4, 2, 1)) {
+      val thr = 1L << (31 - s); val m = 1L << s
+      sb ++= s",\nil${i + 1} AS (SELECT kind, label, token, x, " +
+        s"CASE WHEN t < $thr THEN t * $m ELSE t END AS t, " +
+        s"CASE WHEN t < $thr THEN e - $s ELSE e END AS e FROM il$i)"
+      i += 1
+    }
+    sb ++= s",\nim0 AS (SELECT kind, label, token, x, t AS m, " +
+      s"CAST(0 AS BIGINT) AS f, e FROM il$i)"
+    for (j <- 1 to graft.pipeline.Classifier.FracBits) {
+      sb ++= s",\nim$j AS (SELECT kind, label, token, x, " +
+        s"CASE WHEN m*m >= ${1L << 61} THEN (m*m) // ${1L << 31} " +
+        s"ELSE (m*m) // ${1L << 30} END AS m, " +
+        s"f*2 + CASE WHEN m*m >= ${1L << 61} THEN 1 ELSE 0 END AS f, e " +
+        s"FROM im${j - 1})"
+    }
+    sb ++= s",\nilg AS MATERIALIZED (SELECT kind, label, token, x, " +
+      s"(30 + e) * ${1L << graft.pipeline.Classifier.FracBits} + f AS lg " +
+      s"FROM im${graft.pipeline.Classifier.FracBits})"
+    sb.toString
+  }
+
+  /** The NB model CTEs shared by both classifier oracles: 75% train
+    * split labeled by source, Laplace-smoothed (label, token) counts,
+    * one ilog chain over the union of every log argument, then the
+    * full vocab x labels weight matrix `model`. */
+  private def nbModelCtes: String =
+    s"""tr AS (SELECT doc_id, source AS label, text FROM documents
+      |WHERE doc_id % 4 <> 3),
+      |tw AS (SELECT doc_id, label,
+      |list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS w
+      |FROM tr),
+      |tok AS MATERIALIZED (SELECT label, unnest(w) AS token FROM tw),
+      |tc AS MATERIALIZED (SELECT label, token,
+      |CAST(COUNT(*) AS BIGINT) AS cnt FROM tok GROUP BY 1, 2),
+      |vocab AS MATERIALIZED (SELECT DISTINCT token FROM tok),
+      |vn AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM vocab),
+      |tt AS (SELECT label, CAST(SUM(cnt) AS BIGINT) AS tcnt FROM tc
+      |GROUP BY 1),
+      |dc AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS ndocs FROM tr
+      |GROUP BY 1),
+      |nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM tr),
+      |nbstats AS MATERIALIZED (
+      |SELECT 'tc' AS kind, label, token, cnt + 1 AS x FROM tc
+      |UNION ALL SELECT 'den', label, '', tcnt + (SELECT v FROM vn) FROM tt
+      |UNION ALL SELECT 'pn', label, '', ndocs FROM dc
+      |UNION ALL SELECT 'pd', '', '', (SELECT n FROM nd)),
+      |$ilogCtes,
+      |labels AS (SELECT pn.label,
+      |pn.lg - (SELECT lg FROM ilg WHERE kind = 'pd') AS prior_fx,
+      |den.lg AS den_lg
+      |FROM (SELECT label, lg FROM ilg WHERE kind = 'pn') pn
+      |JOIN (SELECT label, lg FROM ilg WHERE kind = 'den') den USING (label)),
+      |model AS MATERIALIZED (SELECT l.label, v.token,
+      |COALESCE(t.x - 1, 0) AS cnt,
+      |COALESCE(t.lg, 0) - l.den_lg AS w_fx, l.prior_fx
+      |FROM vocab v CROSS JOIN labels l
+      |LEFT JOIN (SELECT label, token, x, lg FROM ilg WHERE kind = 'tc') t
+      |ON t.label = l.label AND t.token = v.token)""".stripMargin
+
   def oracles: Map[String, String] = Map(
+    "q_classifier_train" ->
+      s"""WITH $nbModelCtes
+        |SELECT label, token, cnt, w_fx, prior_fx FROM model
+        |ORDER BY label, token""".stripMargin,
+
+    "q_classifier_score" ->
+      s"""WITH $nbModelCtes,
+        |te AS (SELECT doc_id, text FROM documents WHERE doc_id % 4 = 3),
+        |ttok AS (SELECT doc_id,
+        |unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+        |x -> x <> '')) AS token FROM te),
+        |contrib AS (SELECT doc_id, label, CAST(SUM(w_fx) AS BIGINT) AS sw
+        |FROM ttok JOIN model USING (token) GROUP BY 1, 2),
+        |sc AS (SELECT te.doc_id, l.label,
+        |COALESCE(c.sw, 0) + l.prior_fx AS score_fx
+        |FROM te CROSS JOIN (SELECT DISTINCT label, prior_fx FROM model) l
+        |LEFT JOIN contrib c ON c.doc_id = te.doc_id AND c.label = l.label),
+        |rk AS (SELECT doc_id, label, score_fx,
+        |ROW_NUMBER() OVER (PARTITION BY doc_id
+        |ORDER BY score_fx DESC, label) AS rn,
+        |LEAD(score_fx) OVER (PARTITION BY doc_id
+        |ORDER BY score_fx DESC, label) AS nxt FROM sc)
+        |SELECT doc_id, label AS label_pred, score_fx,
+        |score_fx - COALESCE(nxt, score_fx) AS margin_fx
+        |FROM rk WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
     "q_bpe_merges" -> bpeMergesOracle(4),
     "q_bpe_encode" -> bpeEncodeOracle(4),
     "q_fertility" -> bpeFertilityOracle(4),

@@ -2471,6 +2471,76 @@ class PipelineSpec extends SparkTestBase {
     }
   }
 
+  test("ilog2Fx: exact at powers of two, near-floor everywhere, monotone") {
+    import graft.pipeline.Classifier
+    val xs = (1L to 300L) ++ Seq(1023L, 1024L, 1025L, 65535L, 65536L,
+      1000000007L, (1L << 40), (1L << 40) + 12345L, (1L << 50) - 1L)
+    val got = Classifier.withIlog2Fx(
+        xs.toDF("x"), "x", "lg")
+      .orderBy("x").as[(Long, Long)].collect().toSeq
+    // independent pure-Scala rendition of the same iteration — any
+    // Spark-side expression slip (wrong shift, swapped branch) breaks
+    // exact equality here
+    def ref(x0: Long): Long = {
+      var t = math.max(x0, 1L); var e = 0L
+      for (s <- Seq(32, 16, 8, 4, 2, 1))
+        if (t >= (1L << (30 + s))) { t >>= s; e += s }
+      for (s <- Seq(16, 8, 4, 2, 1))
+        if (t < (1L << (31 - s))) { t <<= s; e -= s }
+      var f = 0L
+      for (_ <- 1 to Classifier.FracBits) {
+        val sq = t * t
+        if (sq >= (1L << 61)) { t = sq >> 31; f = f * 2 + 1 }
+        else { t = sq >> 30; f = f * 2 }
+      }
+      (30L + e) * (1L << Classifier.FracBits) + f
+    }
+    got.foreach { case (x, lg) => assert(lg == ref(x), s"x=$x") }
+    // exact at powers of two; within 4 fx units of the real log2
+    assert(got.find(_._1 == 1L).get._2 == 0L)
+    assert(got.find(_._1 == 1024L).get._2 == 10L * (1L << 20))
+    assert(got.find(_._1 == (1L << 40)).get._2 == 40L * (1L << 20))
+    got.foreach { case (x, lg) =>
+      val real = math.log(x.toDouble) / math.log(2.0) * (1L << 20)
+      assert(math.abs(lg - real) <= 4.0, s"x=$x lg=$lg real=$real")
+    }
+    // monotone non-decreasing
+    got.sliding(2).foreach { case Seq((_, a), (_, b)) => assert(a <= b) }
+  }
+
+  test("nb classifier: Laplace weights, argmax, OOV ignored, lex tie-break") {
+    import graft.pipeline.Classifier
+    val train = Seq((1L, "a a b", "A"), (2L, "a a", "A"), (3L, "b b c", "B"))
+      .toDF("doc_id", "text", "label")
+    val model = Classifier.nbTrain(train)
+    val rows = model.orderBy("label", "token")
+      .as[(String, String, Long, Long, Long)].collect().toSeq
+    // full matrix: 3 vocab tokens x 2 labels
+    assert(rows.map(r => (r._1, r._2, r._3)) == Seq(
+      ("A", "a", 4L), ("A", "b", 1L), ("A", "c", 0L),
+      ("B", "a", 0L), ("B", "b", 2L), ("B", "c", 1L)))
+    def ilogOf(x: Long): Long = Classifier.withIlog2Fx(
+      Seq(x).toDF("x"), "x", "lg").as[(Long, Long)].head()._2
+    // w(A,a) = ilog(5) - ilog(5+3); prior_A = ilog(2) - ilog(3)
+    assert(rows.head._4 == ilogOf(5L) - ilogOf(8L))
+    assert(rows.head._5 == ilogOf(2L) - ilogOf(3L))
+    assert(rows(3)._4 == ilogOf(1L) - ilogOf(6L)) // unseen (B,a)
+    val test = Seq((10L, "a a"), (11L, "c c c"), (12L, "zz"), (13L, ""))
+      .toDF("doc_id", "text")
+    val scored = Classifier.nbScore(test, model).orderBy("doc_id")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(scored.map(r => (r._1, r._2)) ==
+      Seq((10L, "A"), (11L, "B"), (12L, "A"), (13L, "A")))
+    // OOV-only and empty docs score prior-only: margin = prior gap
+    val priorGap = (ilogOf(2L) - ilogOf(3L)) - (ilogOf(1L) - ilogOf(3L))
+    assert(scored(2)._4 == priorGap && scored(3)._4 == priorGap)
+    scored.foreach(r => assert(r._4 >= 0L))
+    // deterministic: re-train + re-score bit-identical
+    val again = Classifier.nbScore(test, Classifier.nbTrain(train))
+      .orderBy("doc_id").as[(Long, String, Long, Long)].collect().toSeq
+    assert(again == scored)
+  }
+
   test("dup attribution: non-keepers charge (own source → keeper source)") {
     val d = Seq(
       (1L, "s1", "t1"), (2L, "s2", "t1"), (4L, "s3", "t1"), // keeper 1 (s1)
