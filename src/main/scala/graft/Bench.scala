@@ -273,6 +273,22 @@ object Bench {
       scala.collection.mutable.ArrayBuffer.empty[(String, Int, Double, String)]
     var gateDeferred = 0
     var gateForced = 0
+    // Mid-sweep weather gate (round 16, the round-15 verdict's last
+    // instrument gap): the start gate defers sweep starts, but both
+    // round-15 closing runs were tainted by bandwidth patches landing
+    // INSIDE sweeps — measured by the per-40-query canary and ignored
+    // by the gate. Now every 40-query window is bracketed by probes:
+    // a dirty START probe defers the window (sleep + re-probe, cheap),
+    // a dirty END probe DISCARDS the window's just-taken samples and
+    // re-runs them after the pause (bounded by SPARK_GRAFT_MID_TRIES
+    // re-runs — a re-run costs a window's wall, so the budget is
+    // small). Exhausted budgets commit anyway with "forced" logged —
+    // the gate can skip weather, never manufacture numbers. Every
+    // decision lands in gate_log as ("win-<context>-<idx>", attempt,
+    // bw, verdict) with verdict in defer/redo/ok/forced.
+    val midTries = math.max(0,
+      sys.env.getOrElse("SPARK_GRAFT_MID_TRIES", "2").toInt)
+    var gateRedo = 0
     // Seed the session-best reference from THREE spaced probes before
     // the first gate decision: a single seed probe taken inside a
     // dirty window would set the reference high and wave every
@@ -312,21 +328,17 @@ object Bench {
     // teardown exists to prevent.
     def sweep(qs: Seq[(String, (SparkSession, String) =>
         org.apache.spark.sql.DataFrame)],
-        into: SampleBuf = samples): Unit = {
+        into: SampleBuf = samples, context: String = ""): Unit = {
       sweepIdx += 1
-      qs.zipWithIndex.foreach { case ((name, fn), pos) =>
+      // time ONE query; returns the sample for the caller to commit
+      def timeOne(name: String,
+          fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+          : (Double, Double, Boolean) = {
         // a timing starts only on a streaming-quiet JVM (parent
         // session AND the child-session replay registry)
         require(leakedStreams().isEmpty,
           s"streaming residue before $name: " +
             leakedStreams().map(_.name).mkString(","))
-        // canary pair at sweep start and every 40 queries — ~5
-        // host-load readings per full-board sweep, <3% wall overhead
-        if (pos % 40 == 0) {
-          val bw = canaryBw()
-          bestBw = math.min(bestBw, bw)
-          canarySeries += ((sweepIdx, pos, canarySpin(), bw))
-        }
         val cpu0 = processCpuSec()
         val t0 = System.nanoTime()
         // toRdd.count(), NOT Dataset.count() (round 10, format 4):
@@ -356,8 +368,63 @@ object Bench {
         val dcpu = processCpuSec() - cpu0
         spark.catalog.clearCache()
         if (streamingQueries.contains(name)) drainStreamingResidue()
-        into.getOrElseUpdate(name,
-          scala.collection.mutable.ArrayBuffer.empty) += ((dt, dcpu, ok))
+        (dt, dcpu, ok)
+      }
+      // 40-query windows, each bracketed by canary probes (the probe
+      // cadence the old per-40 reading had, plus one closing probe per
+      // sweep). The end probe doubles as the next window's start probe
+      // ("carried") so calm sweeps pay the same probe count as before.
+      var carried: Option[Double] = None
+      qs.zipWithIndex.grouped(40).zipWithIndex.foreach { case (win, wi) =>
+        val startPos = win.head._2
+        var defers = 0
+        var redos = 0
+        var committed = false
+        while (!committed) {
+          val attempt = defers + redos + 1
+          val ctx = s"win-$context-$wi"
+          val bwStart = carried.getOrElse {
+            val b = canaryBw(); bestBw = math.min(bestBw, b); b
+          }
+          carried = None
+          canarySeries += ((sweepIdx, startPos, canarySpin(), bwStart))
+          if (gateEnabled && bwStart > bestBw * gateDrift &&
+              defers < gateTries - 1) {
+            // dirty start: defer the whole window before spending wall
+            gateLog += ((ctx, attempt, bwStart, "defer"))
+            gateDeferred += 1
+            defers += 1
+            Thread.sleep(gateSleepMs)
+          } else {
+            val buf = win.map { case ((name, fn), _) =>
+              name -> timeOne(name, fn) }
+            val bwEnd = canaryBw()
+            bestBw = math.min(bestBw, bwEnd)
+            canarySeries += ((sweepIdx, startPos + win.size,
+              canarySpin(), bwEnd))
+            if (gateEnabled && bwEnd > bestBw * gateDrift &&
+                redos < midTries) {
+              // a weather patch landed inside the window: the samples
+              // just taken are contaminated — discard and re-run them
+              // after the pause (the round-15 mid-sweep taint, acted on)
+              gateLog += ((ctx, attempt, bwEnd, "redo"))
+              gateRedo += 1
+              redos += 1
+              Thread.sleep(gateSleepMs)
+            } else {
+              val forced = gateEnabled && bwEnd > bestBw * gateDrift
+              if (forced) { gateLog += ((ctx, attempt, bwEnd, "forced"))
+                gateForced += 1 }
+              else if (defers + redos > 0)
+                gateLog += ((ctx, attempt, bwEnd, "ok"))
+              buf.foreach { case (name, sample) =>
+                into.getOrElseUpdate(name,
+                  scala.collection.mutable.ArrayBuffer.empty) += sample }
+              carried = Some(bwEnd)
+              committed = true
+            }
+          }
+        }
       }
     }
     // Interleaved trial rounds: full sweep once per trial, so a load
@@ -371,7 +438,7 @@ object Bench {
     // wall time for no additional bound.
     (1 to trials).foreach { t =>
       gateSweep(s"trial-$t")
-      sweep(names); System.gc()
+      sweep(names, context = s"trial-$t"); System.gc()
     }
     final case class Timing(name: String, median: Double, min: Double,
         max: Double, ok: Boolean, stallDropped: Int)
@@ -452,7 +519,8 @@ object Bench {
     while (repairs < maxRepairs && results.exists(isUnstable)) {
       val unstableNames = results.filter(isUnstable).map(_.name).toSet
       gateSweep(s"repair-${repairs + 1}")
-      sweep(names.filter { case (n, _) => unstableNames.contains(n) })
+      sweep(names.filter { case (n, _) => unstableNames.contains(n) },
+        context = s"repair-${repairs + 1}")
       results = aggregate()
       repairs += 1
     }
@@ -504,7 +572,7 @@ object Bench {
       System.gc()
       gateSweep(s"confirm-${confirms + 1}")
       sweep(names.filter { case (n, _) => flagged.contains(n) },
-        into = confirmSamples)
+        into = confirmSamples, context = s"confirm-${confirms + 1}")
       confirms += 1
     }
     // failed queries report -1 (never a fake wall time) and are listed
@@ -607,11 +675,23 @@ object Bench {
       .collect { case (n, ss) if ss.exists(!_._3) =>
         "\"" + n + "\":\"" + errMsgs.getOrElse(n, "unknown") + "\"" }
       .mkString("{", ",", "}")
-    val detail = s"""{"format":4,"metric":"total","value":$total,"floor":$floor,"unit":"sec","warmup":$warmedUp,"trials":$trials,"reran":$needRerun,"tainted":$tainted,"queries":${qmap(engine, f6)},"verification":${qmap(verif, f6)},"verification_total":$verifTotal,"spread":$spread,"unstable":$unstable,"errors":$errors,"baseline_n":${ratios.size},"baseline_ratios":$ratioJson,"regressions":$regJson,"regressions_raw":$regRawJson,"confirm_sweeps":$confirms,"confirm_min":$confirmMinJson,"confirm_errors":$confirmErrJson,"canary":$canaryJson,"canary_bw":$canaryBwJson,"canary_series":$canarySeriesJson,"stall_excluded":$stallExcluded,"gate":{"enabled":$gateEnabled,"drift":$gateDrift,"deferred":$gateDeferred,"forced":$gateForced},"gate_log":$gateLogJson,"sf":"$sfDir"}"""
-    try {
-      val w = new java.io.PrintWriter("BENCH_DETAIL.json", "UTF-8")
-      try w.println(detail) finally w.close()
-    } catch { case scala.util.control.NonFatal(_) => () }
+    val detail = s"""{"format":4,"metric":"total","value":$total,"floor":$floor,"unit":"sec","warmup":$warmedUp,"trials":$trials,"reran":$needRerun,"tainted":$tainted,"queries":${qmap(engine, f6)},"verification":${qmap(verif, f6)},"verification_total":$verifTotal,"spread":$spread,"unstable":$unstable,"errors":$errors,"baseline_n":${ratios.size},"baseline_ratios":$ratioJson,"regressions":$regJson,"regressions_raw":$regRawJson,"confirm_sweeps":$confirms,"confirm_min":$confirmMinJson,"confirm_errors":$confirmErrJson,"canary":$canaryJson,"canary_bw":$canaryBwJson,"canary_series":$canarySeriesJson,"stall_excluded":$stallExcluded,"gate":{"enabled":$gateEnabled,"drift":$gateDrift,"deferred":$gateDeferred,"redo":$gateRedo,"forced":$gateForced},"gate_log":$gateLogJson,"sf":"$sfDir"}"""
+    // Two detail files per run (round-15 lesson, encoded): the
+    // canonical BENCH_DETAIL.json (what make_baseline.py and the
+    // round tooling read — latest run wins) PLUS a mode-keyed copy
+    // whose name derives from the query order, so a sorted closing
+    // run and a permuted one launched from the same cwd can never
+    // clobber each other's evidence.
+    val runMode = orderSeed match {
+      case None => "sorted"
+      case Some(s) => s"perm$s"
+    }
+    Seq("BENCH_DETAIL.json", s"BENCH_DETAIL_$runMode.json").foreach { p =>
+      try {
+        val w = new java.io.PrintWriter(p, "UTF-8")
+        try w.println(detail) finally w.close()
+      } catch { case scala.util.control.NonFatal(_) => () }
+    }
     // "warmup" records whether the untimed warm-up pass ran, so
     // cross-round deltas stay attributable (warm vs cold JIT numbers
     // are not comparable).
@@ -622,7 +702,7 @@ object Bench {
     // mid-line). A final totals-only line — printed last, so the tail
     // capture always retains it whole — keeps the official artifact
     // self-contained however many queries the compact line carries.
-    println(s"""{"format":4,"metric":"total","value":${f3(total)},"floor":${f3(floor)},"unit":"sec","trials":$trials,"reran":$needRerun,"tainted":$tainted,"unstable_n":$unstableCount,"nqueries":${engine.size},"baseline_n":${ratios.size},"regressions_n":${regressions.size},"regressions_raw_n":${regressionsRaw.size},"confirm_sweeps":$confirms,"regressions_top":$regJsonTop,"canary":$canaryJson,"canary_bw":$canaryBwJson,"stall_excluded":$stallExcluded,"gate":{"enabled":$gateEnabled,"deferred":$gateDeferred,"forced":$gateForced},"sf":"$sfDir"}""")
+    println(s"""{"format":4,"metric":"total","value":${f3(total)},"floor":${f3(floor)},"unit":"sec","trials":$trials,"reran":$needRerun,"tainted":$tainted,"unstable_n":$unstableCount,"nqueries":${engine.size},"baseline_n":${ratios.size},"regressions_n":${regressions.size},"regressions_raw_n":${regressionsRaw.size},"confirm_sweeps":$confirms,"regressions_top":$regJsonTop,"canary":$canaryJson,"canary_bw":$canaryBwJson,"stall_excluded":$stallExcluded,"gate":{"enabled":$gateEnabled,"deferred":$gateDeferred,"redo":$gateRedo,"forced":$gateForced},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
