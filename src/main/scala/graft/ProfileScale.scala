@@ -878,6 +878,21 @@ object ProfileScale {
         scaledVecs(spark, sfDir, 10), bench, threshold = 0.9)
     }
 
+    def blocklistBigPlan(m: Int): DataFrame = {
+      val s2 = spark
+      import s2.implicits._
+      // 250k distinct phrases, 8 tokens / ~100 chars each — the first
+      // token carries the distinguishing id so every phrase is a
+      // guaranteed corpus miss; the hot hits come from the small list
+      val big = spark.range(250000L).select(concat(lit("blk"),
+        col("id"), lit(" alphabravo charliedelta echofoxtrot golfhotel" +
+          " indiajuliett kilolima mikenovember")).as("phrase"))
+      val hot = Seq("spark", "table table", "slow slow", "fast key scan",
+        "data window the").toDF("phrase")
+      Corpus.blocklistFilter(scaledDocs(spark, sfDir, m),
+        big.unionByName(hot))
+    }
+
     // Every (op, scale) cell plus the extended rows as one flat sweep;
     // trials INTERLEAVE at sweep granularity (see profiled's scaladoc —
     // back-to-back trials both land inside a multi-second host stall,
@@ -946,6 +961,18 @@ object ProfileScale {
         // decides whether the distinct+self-join pipeline is genuinely
         // superlinear or the small-scale points are AQE/partition
         // granularity noise.
+        // (9) blocklist at adversarial LIST scale (round-15 verdict
+        // stretch): 250k distinct 8-token phrases (~25 MB of strings —
+        // decisively past the 10 MB broadcast threshold) plus the 5
+        // hot corpus phrases, at 5× and 10× corpus. Proves the
+        // documented degradation claim: when the phrase side outgrows
+        // a broadcast, the per-length n-gram joins become plain
+        // shuffle equi-joins — corpus-side shuffle must stay ~linear
+        // between the two points (the 250k misses add join-build cost,
+        // never candidate fan-out) and task skew bounded (the hot
+        // single-token phrases still ride AQE skew handling).
+        "blocklist_250k_x5#ext" -> (() => blocklistBigPlan(5)),
+        "blocklist_250k_x10#ext" -> (() => blocklistBigPlan(10)),
         "assoc_rules_x50#ext" -> (() => {
           val base = Tables.read(spark, sfDir, "events")
             .select(col("user_id"), col("ts"), col("event_type"))
