@@ -771,6 +771,20 @@ private[graft] object CorpusEntries {
       val te = d.filter(col("doc_id") % 4 === 3).select("doc_id", "text")
       graft.pipeline.Classifier.nbScore(spread(te),
         graft.pipeline.Classifier.nbTrain(tr)).orderBy("doc_id")
+    },
+
+    // NB evaluation: confusion matrix + marginals of the source
+    // classifier on the held-out 25% — precision/recall are exact
+    // rationals off each row, no float metrics.
+    "q_classifier_eval" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val tr = d.filter(col("doc_id") % 4 =!= 3)
+        .select(col("doc_id"), col("text"), col("source").as("label"))
+      val te = d.filter(col("doc_id") % 4 === 3)
+        .select(col("doc_id"), col("text"), col("source").as("label"))
+      graft.pipeline.Classifier.nbEval(spread(te),
+          graft.pipeline.Classifier.nbTrain(tr))
+        .orderBy("label", "label_pred")
     }
   )
 
@@ -1105,6 +1119,34 @@ FROM vfinal ORDER BY rank"""
         |SELECT doc_id, label AS label_pred, score_fx,
         |score_fx - COALESCE(nxt, score_fx) AS margin_fx
         |FROM rk WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    "q_classifier_eval" ->
+      s"""WITH $nbModelCtes,
+        |te AS (SELECT doc_id, source AS label, text FROM documents
+        |WHERE doc_id % 4 = 3),
+        |ttok AS (SELECT doc_id,
+        |unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+        |x -> x <> '')) AS token FROM te),
+        |contrib AS (SELECT doc_id, label, CAST(SUM(w_fx) AS BIGINT) AS sw
+        |FROM ttok JOIN model USING (token) GROUP BY 1, 2),
+        |sc AS (SELECT te.doc_id, l.label,
+        |COALESCE(c.sw, 0) + l.prior_fx AS score_fx
+        |FROM te CROSS JOIN (SELECT DISTINCT label, prior_fx FROM model) l
+        |LEFT JOIN contrib c ON c.doc_id = te.doc_id AND c.label = l.label),
+        |rk AS (SELECT doc_id, label AS label_pred, score_fx,
+        |ROW_NUMBER() OVER (PARTITION BY doc_id
+        |ORDER BY score_fx DESC, label) AS rn FROM sc),
+        |pr AS (SELECT doc_id, label_pred FROM rk WHERE rn = 1),
+        |conf AS (SELECT te.label, pr.label_pred,
+        |CAST(COUNT(*) AS BIGINT) AS n
+        |FROM pr JOIN te USING (doc_id) GROUP BY 1, 2),
+        |tm AS (SELECT label, CAST(SUM(n) AS BIGINT) AS n_true FROM conf
+        |GROUP BY 1),
+        |pm AS (SELECT label_pred, CAST(SUM(n) AS BIGINT) AS n_pred
+        |FROM conf GROUP BY 1)
+        |SELECT conf.label, conf.label_pred, conf.n, tm.n_true, pm.n_pred
+        |FROM conf JOIN tm USING (label) JOIN pm USING (label_pred)
+        |ORDER BY label, label_pred""".stripMargin,
 
     "q_bpe_merges" -> bpeMergesOracle(4),
     "q_bpe_encode" -> bpeEncodeOracle(4),

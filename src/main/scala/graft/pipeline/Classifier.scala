@@ -197,4 +197,32 @@ object Classifier {
         (col("score_fx") - coalesce(col("__nxt"), col("score_fx")))
           .as("margin_fx"))
   }
+
+  /**
+   * Evaluate: confusion matrix of a [[nbTrain]] model on a LABELED
+   * held-out set — the per-class quality readout a classifier stage
+   * ships with. One row per observed (true label, predicted label)
+   * pair with its count plus both marginals, so precision
+   * (`n/n_pred` on diagonal rows) and recall (`n/n_true`) are exact
+   * rationals read directly off the row — no float metrics stored.
+   *
+   * Scale: the scoring pass is [[nbScore]]; everything after operates
+   * on the C²-bounded confusion table (map-side-combinable count,
+   * then two C-row marginal joins).
+   */
+  def nbEval(docs: DataFrame, model: DataFrame, labelCol: String = "label",
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val scored = nbScore(docs, model, textCol, idCol)
+      .join(docs.select(col(idCol),
+        col(labelCol).cast("string").as("label")), Seq(idCol))
+    val conf = scored.groupBy("label", "label_pred")
+      .agg(count(lit(1)).cast("long").as("n"))
+    val truth = conf.groupBy("label")
+      .agg(sum("n").cast("long").as("n_true"))
+    val pred = conf.groupBy("label_pred")
+      .agg(sum("n").cast("long").as("n_pred"))
+    conf.join(truth, Seq("label")).join(pred, Seq("label_pred"))
+      .select(col("label"), col("label_pred"), col("n"), col("n_true"),
+        col("n_pred"))
+  }
 }

@@ -2539,6 +2539,18 @@ class PipelineSpec extends SparkTestBase {
     val again = Classifier.nbScore(test, Classifier.nbTrain(train))
       .orderBy("doc_id").as[(Long, String, Long, Long)].collect().toSeq
     assert(again == scored)
+    // eval: confusion matrix + exact marginals on a labeled held-out
+    // set (2 true-A docs split A/B, 1 true-B doc predicted B)
+    val held = Seq((20L, "a a", "A"), (21L, "b b c", "A"), (22L, "c c", "B"))
+      .toDF("doc_id", "text", "label")
+    val conf = Classifier.nbEval(held, model)
+      .orderBy("label", "label_pred")
+      .as[(String, String, Long, Long, Long)].collect().toSeq
+    val predB = conf.filter(_._2 == "B").map(_._3).sum
+    assert(conf.map(_._3).sum == 3L)
+    assert(conf.forall { case (l, _, _, nTrue, _) =>
+      nTrue == (if (l == "A") 2L else 1L) })
+    assert(conf.filter(_._2 == "B").forall(_._5 == predB))
   }
 
   test("dup attribution: non-keepers charge (own source → keeper source)") {
