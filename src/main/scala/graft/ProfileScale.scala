@@ -806,6 +806,20 @@ object ProfileScale {
       // PageRank rounds; explode is the only corpus-linear pass
       "textrank" -> (m =>
         Corpus.textRankKeywords(scaledDocs(spark, sfDir, m), iters = 2, k = 25)),
+      // NB classifier train+score: per-copy token suffixes grow the
+      // VOCABULARY with m (worst case for the weight matrix — it is
+      // |V|·C rows and must stay broadcast-shaped), while the scoring
+      // pass must stay one corpus-linear explode + broadcast join +
+      // map-side (doc,label) rollup.
+      "classifier" -> { m =>
+        val d = scaledDocs(spark, sfDir, m)
+        val tr = d.filter(col("doc_id") % 4 =!= 3)
+          .select(col("doc_id"), col("text"),
+            concat(lit("s"), pmod(col("doc_id"), lit(20))).as("label"))
+        val te = d.filter(col("doc_id") % 4 === 3).select("doc_id", "text")
+        graft.pipeline.Classifier.nbScore(te,
+          graft.pipeline.Classifier.nbTrain(tr))
+      },
       // level-2 FD lattice on doc_id-derived integer columns (the
       // composite-key shape); C(4,2) pair scans by design
       "fd_discover2" -> { m =>
