@@ -777,15 +777,21 @@ private[graft] object SqlSeriesEntries {
         |AND l_shipdate >= TIMESTAMP '2001-01-01')
         |ORDER BY p_partkey""".stripMargin,
 
+    // DuckDB's native ASOF JOIN, not a per-probe correlated subquery:
+    // the subquery form re-scanned the quote table once per probe
+    // (~9B row-ops at sf1 — the round-16 full-board sf1 sweep sat on
+    // it for 45+ minutes at 100 GB RSS before it was killed), while
+    // ASOF LEFT JOIN is the same "greatest q.ts <= p.ts per key"
+    // semantics (verified row-identical at sf0.01 and sf1) at O(n log n).
     "q_asof" ->
       """WITH q AS (SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS ts,
         |max(value) AS v FROM events GROUP BY 1, 2),
         |p AS (SELECT event_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS ts
         |FROM events WHERE event_id % 97 = 0)
-        |SELECT p.event_id, p.event_type, p.ts AS ts_epoch,
-        |(SELECT q.v FROM q WHERE q.event_type = p.event_type AND q.ts <= p.ts
-        | ORDER BY q.ts DESC LIMIT 1) AS asof_value
-        |FROM p ORDER BY event_id""".stripMargin,
+        |SELECT p.event_id, p.event_type, p.ts AS ts_epoch, q.v AS asof_value
+        |FROM p ASOF LEFT JOIN q
+        |ON p.event_type = q.event_type AND p.ts >= q.ts
+        |ORDER BY event_id""".stripMargin,
 
     "q_sessions" ->
       """WITH e AS (SELECT user_id, event_id,
@@ -823,10 +829,17 @@ private[graft] object SqlSeriesEntries {
         |true AS p50_in_band, true AS p95_in_band
         |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
 
+    // Window order is FULL-microsecond epoch + event_id tiebreak —
+    // the operator orders by the raw timestamp column, and a
+    // second-truncated oracle order silently diverges as soon as two
+    // same-second events' id order disagrees with their microsecond
+    // order (latent at sf0.1 where ids are minted in ts order; caught
+    // by the round-16 full-board sf1 sweep, whose per-copy 37 s shifts
+    // create exactly such collisions).
     "q_anomaly" ->
       """WITH e AS (SELECT event_id, event_type,
         |CAST(floor(value * 100) AS BIGINT) AS x,
-        |CAST(floor(epoch(ts)) AS BIGINT) AS ts FROM events),
+        |CAST(epoch_us(ts) AS BIGINT) AS ts FROM events),
         |w AS (SELECT event_id, event_type, x,
         |COUNT(*) OVER win AS n_hist,
         |SUM(x) OVER win AS s, SUM(x*x) OVER win AS sq
