@@ -894,12 +894,19 @@ private[graft] object SqlSeriesEntries {
         |COUNT(value) AS n_points
         |FROM events GROUP BY 1, 2 ORDER BY series, day""".stripMargin,
 
+    // Window ordered by FULL-microsecond epoch (the operator orders by
+    // the raw timestamp column); delta arithmetic stays whole-second.
+    // Second-truncated ordering diverges on same-second events whose
+    // id order disagrees with their microsecond order — latent at
+    // sf0.1, caught by the round-16 sf1 sweep (same class as q_anomaly).
     "q_rate" ->
       """WITH e AS (SELECT event_id, event_type, value,
-        |CAST(floor(epoch(ts)) AS BIGINT) AS t FROM events WHERE event_id % 11 = 0),
+        |CAST(floor(epoch(ts)) AS BIGINT) AS t,
+        |CAST(epoch_us(ts) AS BIGINT) AS tus
+        |FROM events WHERE event_id % 11 = 0),
         |l AS (SELECT event_id, event_type, value, t,
         |lag(value) OVER w AS pv, lag(t) OVER w AS pt FROM e
-        |WINDOW w AS (PARTITION BY event_type ORDER BY t, event_id))
+        |WINDOW w AS (PARTITION BY event_type ORDER BY tus, event_id))
         |SELECT event_id, event_type, (value - pv) / (t - pt) AS rate_per_sec
         |FROM l WHERE pt IS NOT NULL AND t - pt > 0
         |ORDER BY event_id""".stripMargin,
@@ -907,12 +914,13 @@ private[graft] object SqlSeriesEntries {
     "q_twa" ->
       """WITH e AS (SELECT event_type, event_id,
         |CAST(floor(epoch(ts)) AS BIGINT) AS t,
+        |CAST(epoch_us(ts) AS BIGINT) AS tus,
         |CAST(floor(value * 100) AS BIGINT) AS cents FROM events),
-        |d AS (SELECT event_type, event_id, t, cents,
+        |d AS (SELECT event_type, event_id, t, tus, cents,
         |CAST(floor(t/86400)*86400 AS BIGINT) AS day FROM e),
         |l AS (SELECT event_type, day, cents,
         |lead(t) OVER w AS nt, lead(day) OVER w AS nday, t FROM d
-        |WINDOW w AS (PARTITION BY event_type ORDER BY t, event_id)),
+        |WINDOW w AS (PARTITION BY event_type ORDER BY tus, event_id)),
         |g AS (SELECT event_type AS series, day, cents,
         |CASE WHEN nday = day THEN nt - t ELSE 0 END AS wt FROM l)
         |SELECT series, day, CAST(SUM(cents * wt) AS BIGINT) AS twa_num,
