@@ -820,6 +820,29 @@ object ProfileScale {
         graft.pipeline.Classifier.nbScore(te,
           graft.pipeline.Classifier.nbTrain(tr))
       },
+      // SemDeDup with the documented scale discipline: the quantizer
+      // k grows with the corpus (k ∝ N), so per-cell population — and
+      // with it the within-cell pair volume — stays CONSTANT while
+      // total pair work grows linearly. A fixed-k run would go
+      // quadratic per cell by construction; this cell measures the
+      // claim that sizing k is what keeps the operator linear.
+      "semdedup" -> { m =>
+        val vecs = scaledVecs(spark, sfDir, m)
+        val init = Similarity.centroids(vecs.withColumn("label",
+          col("label") * lit(8 * m) + pmod(col("vec_id"), lit(8 * m))))
+        Similarity.semDedup(vecs, init, tau = 0.95)
+      },
+      // C4 line cleaning: map-only narrow pass — line-ify the corpus
+      // into ~5-word terminal-punctuated lines so every rule fires,
+      // then verify elapsed/shuffle stay flat-to-linear (any shuffle
+      // growth at all would be a plan regression: the operator has no
+      // exchange).
+      "c4_clean" -> { m =>
+        val lined = scaledDocs(spark, sfDir, m).select(col("doc_id"),
+          regexp_replace(col("text"),
+            "(\\w+ \\w+ \\w+ \\w+ \\w+) ", "$1.\n").as("text"))
+        Corpus.c4LineClean(lined)
+      },
       // level-2 FD lattice on doc_id-derived integer columns (the
       // composite-key shape); C(4,2) pair scans by design
       "fd_discover2" -> { m =>

@@ -785,6 +785,42 @@ private[graft] object CorpusEntries {
       graft.pipeline.Classifier.nbEval(spread(te),
           graft.pipeline.Classifier.nbTrain(tr))
         .orderBy("label", "label_pred")
+    },
+
+    // C4 line-level structural cleaning over a lined fixture (docs
+    // have no newlines or punctuation, so compose each fixture doc
+    // from 4 base docs as 4-5 lines exercising every rule: l0 carries
+    // two sentences in one line — sentence floor ≠ kept-line count —
+    // l1 never ends in terminal punct, l2 is a 2-word line for
+    // d % 7 == 0, l3 mentions javascript for d % 11 == 0, and a 5th
+    // line injects the lorem-ipsum / curly-brace doc killers for
+    // d % 13 / d % 17). Both sides build the identical fixture.
+    "q_c4_clean" -> { (s, dir) =>
+      val base = docs(s, dir).select(col("doc_id"), col("text"))
+      val slots = base.select(expr("doc_id div 4").as("d"),
+        pmod(col("doc_id"), lit(4)).as("slot"), col("text"))
+      val g = slots.groupBy("d").agg(
+        max(when(col("slot") === 0, col("text"))).as("t0"),
+        max(when(col("slot") === 1, col("text"))).as("t1"),
+        max(when(col("slot") === 2, col("text"))).as("t2"),
+        max(when(col("slot") === 3, col("text"))).as("t3"),
+        count(lit(1)).as("n")).filter(col("n") === 4)
+      val l0 = concat(lit("A tiny preamble. "), col("t0"), lit("."))
+      val l1 = col("t1")
+      val l2 = when(pmod(col("d"), lit(7)) === 0, lit("Too short."))
+        .otherwise(concat(col("t2"), lit("!")))
+      val l3 = when(pmod(col("d"), lit(11)) === 0,
+          concat(col("t3"), lit(" please enable javascript now.")))
+        .otherwise(concat(col("t3"), lit("?")))
+      val l4 = when(pmod(col("d"), lit(13)) === 0,
+          lit("Curabitur lorem ipsum dolor sit amet."))
+        .when(pmod(col("d"), lit(17)) === 0,
+          lit("Include config { x: 1 } block."))
+      val fixture = g.select(col("d").as("doc_id"),
+        concat_ws("\n", l0, l1, l2, l3, l4).as("text"))
+      graft.pipeline.Corpus.c4LineClean(spread(fixture),
+          minWordsPerLine = 3, minSentences = 4)
+        .orderBy("doc_id")
     }
   )
 
@@ -2336,6 +2372,48 @@ FROM vfinal ORDER BY rank"""
         |SELECT h.source AS dup_source, k.ksrc AS keeper_source,
         |CAST(COUNT(*) AS BIGINT) AS n_dups
         |FROM h JOIN k ON h.ch = k.ch WHERE h.doc_id <> k.kid
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // Independent replay of the C4 line rules: DuckDB builds the same
+    // lined fixture, then list_filter with the same three line gates
+    // (right-trimmed terminal punct, >=3 whitespace words, no
+    // javascript) and the same doc gates on the ORIGINAL text.
+    "q_c4_clean" ->
+      """WITH base AS (SELECT doc_id, text FROM documents),
+        |slots AS (SELECT doc_id // 4 AS d, doc_id % 4 AS slot, text FROM base),
+        |g AS (SELECT d, max(CASE WHEN slot = 0 THEN text END) AS t0,
+        |max(CASE WHEN slot = 1 THEN text END) AS t1,
+        |max(CASE WHEN slot = 2 THEN text END) AS t2,
+        |max(CASE WHEN slot = 3 THEN text END) AS t3, count(*) AS n
+        |FROM slots GROUP BY d),
+        |fixture AS (SELECT d AS doc_id, concat_ws(chr(10),
+        |'A tiny preamble. ' || t0 || '.',
+        |t1,
+        |CASE WHEN d % 7 = 0 THEN 'Too short.' ELSE t2 || '!' END,
+        |CASE WHEN d % 11 = 0 THEN t3 || ' please enable javascript now.'
+        |ELSE t3 || '?' END,
+        |CASE WHEN d % 13 = 0 THEN 'Curabitur lorem ipsum dolor sit amet.'
+        |WHEN d % 17 = 0 THEN 'Include config { x: 1 } block.' END) AS text
+        |FROM g WHERE n = 4),
+        |k AS (SELECT doc_id, text, string_split(text, chr(10)) AS lines,
+        |list_filter(string_split(text, chr(10)), l ->
+        |right(rtrim(l), 1) IN ('.', '!', '?', '"')
+        |AND len(regexp_split_to_array(trim(l), '\s+')) >= 3
+        |AND NOT contains(lower(l), 'javascript')) AS kept FROM fixture),
+        |c AS (SELECT doc_id, text, len(lines) AS n_lines,
+        |len(kept) AS n_kept_lines,
+        |array_to_string(kept, chr(10)) AS clean_text FROM k),
+        |r AS (SELECT doc_id, n_lines, n_kept_lines,
+        |length(regexp_replace(clean_text, '[^.!?]', '', 'g')) AS n_sentences,
+        |contains(lower(text), 'lorem ipsum') AS lorem,
+        |contains(text, '{') AS curly, clean_text FROM c)
+        |SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines,
+        |CAST(n_kept_lines AS BIGINT) AS n_kept_lines,
+        |CAST(n_sentences AS BIGINT) AS n_sentences,
+        |(NOT lorem AND NOT curly AND n_sentences >= 4) AS keep,
+        |CASE WHEN lorem THEN 'lorem_ipsum' WHEN curly THEN 'curly_brace'
+        |WHEN n_sentences < 4 THEN 'too_few_sentences' END AS drop_reason,
+        |clean_text
+        |FROM r ORDER BY doc_id""".stripMargin
   )
 }

@@ -153,6 +153,23 @@ private[graft] object VectorEntries {
         .orderBy("vec_id")
     },
 
+    // SemDeDup semantic dedup: ~64-cell quantizer from a composite
+    // label×id init (production sizes k ∝ N — the per-cell pair
+    // bound), tau=0.95. Exact-copy injections (vec_id + 10000) must
+    // drop while their lower-id originals survive (equal centroid-sim
+    // → id tie-break), so both the near-dup and the priority path
+    // provably fire.
+    "q_semdedup" -> { (s, dir) =>
+      val e = spread(Tables.read(s, dir, "embeddings"))
+      val corpus = e.unionByName(e.filter(col("vec_id") < 10)
+        .withColumn("vec_id", col("vec_id") + 10000))
+      val init = Similarity.centroids(e.withColumn("label",
+        col("label") * 8 + pmod(col("vec_id"), lit(8))))
+      Similarity.semDedup(corpus, init, tau = 0.95)
+        .select(col("vec_id"), col("cell").cast("long").as("cell"))
+        .orderBy("vec_id")
+    },
+
     // Semantic decontamination: drop corpus vectors whose embedding is
     // SRP-band-candidate AND cosine-near a benchmark vector — the
     // paraphrase-robust complement to the n-gram q_decontaminate.
@@ -571,6 +588,37 @@ private[graft] object VectorEntries {
         |ORDER BY sim DESC, cell) AS r FROM s2) WHERE r = 1)
         |SELECT vec_id, CAST(cell AS INTEGER) AS cluster FROM a2
         |ORDER BY vec_id""".stripMargin,
+
+    // SemDeDup replay: same composite-label quantizer (decimal-exact
+    // means), same nearest-cell argmax tie order, same hoisted-norm
+    // pair predicate and keep-the-outlier priority (lower centroid
+    // sim wins, tie -> lower id).
+    "q_semdedup" ->
+      s"""WITH corp AS (SELECT vec_id, embedding FROM embeddings
+         |UNION ALL SELECT vec_id + 10000 AS vec_id, embedding
+         |FROM embeddings WHERE vec_id < 10),
+         |cent AS (SELECT cell0, pos,
+         |CAST(SUM(CAST(v AS DECIMAL(28,8))) AS DOUBLE)/COUNT(*) AS c
+         |FROM (SELECT label * 8 + vec_id % 8 AS cell0, unnest(embedding) AS v,
+         |generate_subscripts(embedding, 1) AS pos FROM embeddings)
+         |GROUP BY 1, 2),
+         |cvec AS (SELECT cell0 AS cell, array_agg(c ORDER BY pos) AS centroid
+         |FROM cent GROUP BY 1),
+         |s1 AS (SELECT e.vec_id, e.embedding, cv.cell,
+         |${cosineSql("e.embedding", "cv.centroid")} AS sim
+         |FROM corp e, cvec cv),
+         |a1 AS (SELECT vec_id, embedding, cell, sim AS csim,
+         |${dotSql("embedding", "embedding")} AS n2 FROM
+         |(SELECT *, row_number() OVER (PARTITION BY vec_id
+         |ORDER BY sim DESC, cell) AS r FROM s1) WHERE r = 1),
+         |dr AS (SELECT DISTINCT a.vec_id FROM a1 a JOIN a1 b ON a.cell = b.cell
+         |AND (b.csim < a.csim OR (b.csim = a.csim AND b.vec_id < a.vec_id))
+         |AND sqrt(a.n2) * sqrt(b.n2) > 0
+         |AND ${dotSql("a.embedding", "b.embedding")} /
+         |(sqrt(a.n2) * sqrt(b.n2)) >= 0.95)
+         |SELECT vec_id, CAST(cell AS BIGINT) AS cell FROM a1
+         |WHERE vec_id NOT IN (SELECT vec_id FROM dr)
+         |ORDER BY vec_id""".stripMargin,
 
     "q_semantic_decon" ->
       s"""WITH bench AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),

@@ -2221,4 +2221,67 @@ object Corpus {
         col("__ksrc").as("keeper_source"))
       .agg(sum("__n").cast("long").as("n_dups"))
   }
+
+  /**
+   * C4-style line-level structural cleaning (Raffel et al. 2020,
+   * "Exploring the Limits of Transfer Learning…", §2.2 — the public
+   * C4 cleaning recipe; complements [[blocklistFilter]], which covers
+   * the same paper's bad-words gate). Per LINE, keep only lines that
+   *   - end in a terminal punctuation mark (`.` `!` `?` `"`, checked
+   *     on the right-trimmed line),
+   *   - contain at least `minWordsPerLine` whitespace-separated words,
+   *   - do not mention "javascript" (case-insensitive — the classic
+   *     "enable javascript" boilerplate),
+   * then drop the whole DOCUMENT when the ORIGINAL text contains
+   * "lorem ipsum" (case-insensitive) or a curly brace `{` (code), or
+   * when the cleaned text retains fewer than `minSentences` sentences
+   * (counted as terminal-mark characters `.!?` in the cleaned text —
+   * a line can hold several sentences, so this is NOT a kept-line
+   * count; the quote mark ends a line but is not a sentence terminal,
+   * matching the paper's sentence-based page floor).
+   *
+   * Every rule is a narrow per-row expression over the doc's own line
+   * array — no shuffle, no join, no state; at 100 TB this is a
+   * map-only pass that whole-stage-codegens around the scan (the
+   * line-array lambdas are CodegenFallback like every higher-order
+   * function, but there is one array traversal per rule, all
+   * vocabulary-free). Emits per-doc audit counts alongside the
+   * decision so threshold policies and drop-reason dashboards read
+   * off the same pass:
+   * (idCol, n_lines, n_kept_lines, n_sentences, keep, drop_reason,
+   * clean_text) — clean_text is always the kept-lines join, defined
+   * for dropped docs too (drop reasons are doc-level, the line pass
+   * is still well-defined).
+   */
+  def c4LineClean(docs: DataFrame, minWordsPerLine: Int = 3,
+      minSentences: Int = 5, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val lines = split(col(textCol), "\n")
+    val keepLine = (l: Column) =>
+      substring(rtrim(l), -1, 1).isin(".", "!", "?", "\"") &&
+        size(split(trim(l), "\\s+")) >= minWordsPerLine &&
+        !lower(l).contains("javascript")
+    val kept = filter(lines, l => keepLine(l))
+    val clean = array_join(kept, "\n")
+    val nSent = length(regexp_replace(clean, "[^.!?]", ""))
+    val lorem = lower(col(textCol)).contains("lorem ipsum")
+    val curly = col(textCol).contains("{")
+    docs.select(
+        col(idCol),
+        size(lines).cast("long").as("n_lines"),
+        size(kept).cast("long").as("n_kept_lines"),
+        nSent.cast("long").as("n_sentences"),
+        lorem.as("__lorem"), curly.as("__curly"),
+        clean.as("clean_text"))
+      .withColumn("keep",
+        !col("__lorem") && !col("__curly") &&
+          col("n_sentences") >= minSentences)
+      .withColumn("drop_reason",
+        when(col("__lorem"), "lorem_ipsum")
+          .when(col("__curly"), "curly_brace")
+          .when(col("n_sentences") < minSentences, "too_few_sentences"))
+      .select(col(idCol), col("n_lines"), col("n_kept_lines"),
+        col("n_sentences"), col("keep"), col("drop_reason"),
+        col("clean_text"))
+  }
 }

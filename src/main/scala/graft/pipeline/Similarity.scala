@@ -646,6 +646,71 @@ object Similarity {
    * top-k results: k·|queries| rows, broadcastable at any corpus
    * scale because the CORPUS never enters this operator.
    */
+  /**
+   * SemDeDup-style semantic deduplication (Abbas et al. 2023,
+   * "SemDeDup: Data-efficient learning at web-scale through semantic
+   * deduplication" — public arXiv:2303.09540): assign every embedding
+   * to its nearest centroid cell, then WITHIN each cell drop every
+   * vector that has a near-duplicate neighbor (cosine ≥ `tau`) of
+   * higher keep priority. Cross-cell pairs are never compared — the
+   * paper's own approximation, and exactly what makes the operator
+   * viable at 100 TB: the only data-sized movement is one shuffle on
+   * `cell`, and candidate pairs are bounded per cell (the quantizer's
+   * k is the scale knob — production sizes k ∝ N so cells stay
+   * roughly constant; a hot cell rides AQE skew handling because the
+   * pair generator is a plain cell-keyed equi-join).
+   *
+   * Keep priority follows the paper: within a duplicate pair the
+   * vector LESS similar to its cell centroid survives (keeping the
+   * outlier preserves diversity); ties break to the lower id. The
+   * greedy clique-removal of a sequential implementation is relaxed
+   * to "drop iff SOME higher-priority near-dup neighbor exists" —
+   * deterministic, one anti-join, and identical on pairwise-disjoint
+   * dup groups (a chain a~b~c without a~c can drop both followers
+   * where the sequential greedy would keep c; documented deviation,
+   * pinned in the spec).
+   *
+   * Determinism/replayability: centroids come from the decimal-exact
+   * [[centroids]]/[[kmeans]] path, per-vector squared norms are
+   * computed ONCE before the pair join, and the pair predicate is
+   * `dot/(sqrt(n2a)·sqrt(n2b)) ≥ tau` — bit-identical to evaluating
+   * cosine inline (same fold), at a third of the flops.
+   *
+   * @param vecs  corpus (idCol, vecCol, …)
+   * @param cents quantizer (labelCol, centroid) — from [[centroids]]
+   *              or [[kmeans]]+[[centroids]]
+   * @return kept rows (idCol, cell) — the deduplicated corpus ids
+   *         with their cell assignment (lake-table shaped, like
+   *         [[ivfAssign]])
+   */
+  def semDedup(vecs: DataFrame, cents: DataFrame, tau: Double,
+      vecCol: String = "embedding", idCol: String = "vec_id",
+      labelCol: String = "label"): DataFrame = {
+    val c = cents.select(col(labelCol).as("cell"), col("centroid"))
+    val assigned = ivfAssign(vecs, cents, vecCol, idCol, labelCol)
+      .join(broadcast(c), Seq("cell"))
+      .withColumn("__csim", VectorFns.cosine(col(vecCol), col("centroid")))
+      .withColumn("__n2", VectorFns.dot(col(vecCol), col(vecCol)))
+      .select(col(idCol), col(vecCol), col("cell"), col("__csim"), col("__n2"))
+    // fresh aliases on every column (incl. the join key) — the rival
+    // side is the same lineage, and reusing an attribute makes the
+    // self-join condition ambiguous
+    val rival = assigned.select(col("cell").as("__bcell"),
+      col(idCol).as("__bid"), col(vecCol).as("__bv"),
+      col("__csim").as("__bcsim"), col("__n2").as("__bn2"))
+    // bit-identical to cosine(v, bv) >= tau: same dot fold, same
+    // norm-product divide — n2 is just hoisted out of the pair loop
+    val near = VectorFns.dot(col(vecCol), col("__bv")) /
+      (sqrt(col("__n2")) * sqrt(col("__bn2"))) >= lit(tau)
+    val beats = col("__bcsim") < col("__csim") ||
+      (col("__bcsim") === col("__csim") && col("__bid") < col(idCol))
+    assigned.join(rival,
+        col("cell") === col("__bcell") && beats &&
+          sqrt(col("__n2")) * sqrt(col("__bn2")) > 0 && near,
+        "left_anti")
+      .select(col(idCol), col("cell"))
+  }
+
   def recallAtK(approx: DataFrame, exact: DataFrame,
       queryCol: String = "query_id", neighborCol: String = "neighbor_id")
       : DataFrame = {

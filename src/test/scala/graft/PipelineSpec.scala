@@ -2564,4 +2564,85 @@ class PipelineSpec extends SparkTestBase {
       .as[(String, String, Long)].collect().toSet
     assert(got == Set(("s2", "s1", 1L), ("s3", "s1", 1L), ("s1", "s3", 1L)))
   }
+
+  test("semDedup: outlier-keep priority, id tie-break, cell isolation") {
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f)),    // cell 0, csim 1.0
+      (2L, Seq(1.0f, 0.0f)),    // exact copy of 1 — tie → lower id wins
+      (3L, Seq(0.9f, 0.1f)),    // cell 0, cos(1,3)≈.994 ≥ τ, csim < 1.0
+      (4L, Seq(0.0f, 1.0f)),    // cell 1, alone
+      (5L, Seq(0.6f, 0.8f)))    // cell 1, cos(4,5)=.8 < τ — kept
+      .toDF("vec_id", "embedding")
+    val cents = Seq((0, Seq(1.0, 0.0)), (1, Seq(0.0, 1.0)))
+      .toDF("label", "centroid")
+    val kept = graft.pipeline.Similarity.semDedup(vecs, cents, tau = 0.95)
+      .select("vec_id").as[Long].collect().toSet
+    // {1,2,3} are one dup group; 3 is LEAST centroid-similar (the
+    // paper keeps the outlier) so it dominates both 1 and 2; 1's tie
+    // with 2 never matters because both are dominated by 3. Cell 1's
+    // pair is below τ — cross-cell and sub-τ pairs never drop.
+    assert(kept == Set(3L, 4L, 5L))
+  }
+
+  test("semDedup: exact copy drops to the lower id on a csim tie") {
+    val vecs = Seq(
+      (7L, Seq(0.5f, 0.5f)), (9L, Seq(0.5f, 0.5f)),
+      (8L, Seq(-1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val cents = Seq((0, Seq(1.0, 1.0))).toDF("label", "centroid")
+    val kept = graft.pipeline.Similarity.semDedup(vecs, cents, tau = 0.99)
+      .select("vec_id").as[Long].collect().toSet
+    // equal csim (identical vectors) → lower id 7 survives; 8 shares
+    // the only cell but sits below τ against both
+    assert(kept == Set(7L, 8L))
+  }
+
+  test("semDedup: chain relaxation pinned — a~b~c without a~c drops both followers") {
+    // angles from the centroid axis: a=24°, b=12°, c=0°; τ=0.95 ≈ 18.2°
+    // so cos(a,b)=cos(b,c)=cos12°≈.978 ≥ τ but cos(a,c)=cos24°≈.914 < τ.
+    // Priority (keep-the-outlier): csim a < b < c → a survives, b is
+    // dominated by a, and c is dominated by b — the documented
+    // deviation from sequential greedy clique removal (which would
+    // re-admit c after removing b).
+    val vecs = Seq(
+      (1L, Seq(0.9135454f, 0.40673664f)),
+      (2L, Seq(0.9781476f, 0.20791169f)),
+      (3L, Seq(1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val cents = Seq((0, Seq(1.0, 0.0))).toDF("label", "centroid")
+    val kept = graft.pipeline.Similarity.semDedup(vecs, cents, tau = 0.95)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept == Set(1L))
+  }
+
+  test("c4LineClean: line gates, sentence-vs-line floor, doc killers") {
+    val d = Seq(
+      (1L, "Good line one. It continues fine.\nno terminal here\n" +
+        "JavaScript required.\nToo short.\nHe said \"stop it now\"\n" +
+        "Another proper line!"),
+      (2L, "Lorem Ipsum dolor sit amet.\nSecond good line here."),
+      (3L, "Code sample { int x; } inline.\nGood line follows here."),
+      (4L, "Ends with period then spaces.   \nshort one"))
+      .toDF("doc_id", "text")
+    val out = graft.pipeline.Corpus.c4LineClean(d, minWordsPerLine = 3,
+        minSentences = 3).orderBy("doc_id")
+      .select("doc_id", "n_lines", "n_kept_lines", "n_sentences", "keep",
+        "drop_reason", "clean_text")
+      .as[(Long, Long, Long, Long, Boolean, String, String)].collect()
+    // doc 1: no-terminal, javascript (case-insensitive), and 2-word
+    // lines all drop; the quote-terminated line is KEPT but adds no
+    // sentence (quote ends a line, not a sentence); 3 sentences ≥ 3
+    assert(out(0) == ((1L, 6L, 3L, 3L, true, null,
+      "Good line one. It continues fine.\nHe said \"stop it now\"\n" +
+        "Another proper line!")))
+    // docs 2/3: doc-level kills fire on the ORIGINAL text even though
+    // every line individually survives
+    assert(out(1)._5 == false && out(1)._6 == "lorem_ipsum"
+      && out(1)._3 == 2L)
+    assert(out(2)._5 == false && out(2)._6 == "curly_brace")
+    // doc 4: trailing spaces right-trim before the terminal check;
+    // one sentence < 3 → sentence floor, with the clean text intact
+    assert(out(3) == ((4L, 2L, 1L, 1L, false, "too_few_sentences",
+      "Ends with period then spaces.   ")))
+  }
 }
