@@ -209,6 +209,28 @@ object ProfileScale {
         Similarity.ivfTopK(vecs, vecs.filter(col("vec_id") < 10),
           Similarity.centroids(vecs), k = 5, nprobe = 3)
       },
+      // bitext mining at scale: BOTH sides grow with the corpus, so
+      // the retriever is the LSH path (banded equi-join candidates,
+      // never corpus x corpus) and the margin stage is k-bounded aggs
+      // + id equi-joins over the neighbor lists. Band-key width grows
+      // with log2(N) — the production LSH sizing rule: per-bucket
+      // occupancy (hence per-bucket pair volume) stays constant, so
+      // candidates scale linearly; a FIXED key width makes the bucket
+      // pair count quadratic once buckets saturate (measured: 8-bit
+      // keys read 3.4x shuffle for 2x data at x5->x10). Same "index
+      // grows with N" principle as semDedup's k ∝ N quantizer.
+      "bitext_mine" -> { m =>
+        val vecs = scaledVecs(spark, sfDir, m)
+        val src = vecs.filter(col("vec_id") % 2 === 0)
+        val tgt = vecs.filter(col("vec_id") % 2 === 1)
+        val keyBits = 10 + (math.log(m.toDouble) / math.log(2)).ceil.toInt
+        Similarity.marginMine(
+          Similarity.lshTopK(tgt, src, k = 5, bits = 4 * keyBits, bands = 4,
+            broadcastQueries = false),
+          Similarity.lshTopK(src, tgt, k = 5, bits = 4 * keyBits, bands = 4,
+            broadcastQueries = false),
+          k = 5, minMarginFp = 0L)
+      },
       "packing" -> (m => Packing.streamPacks(scaledDocs(spark, sfDir, m), 2048L)),
       // worst-case anti-domination: ONE source holds half the corpus.
       // The two-phase cap must keep task skew bounded (pre-cap fans the

@@ -314,6 +314,15 @@ private[graft] object CorpusEntries {
       graft.pipeline.Corpus.lmDocScore(spread(d), d).orderBy("doc_id")
     },
 
+    // CCNet-style per-language perplexity bucketing: langId + a
+    // lang-keyed self-trained bigram LM + exact per-language tercile
+    // rank (head/middle/tail). Doc-count terciles and the
+    // no-known-bigram drop are the pinned deviations (scaladoc).
+    "q_ccnet_buckets" -> { (s, dir) =>
+      val d = docs(s, dir)
+      graft.pipeline.Corpus.ccnetBuckets(spread(d), d).orderBy("doc_id")
+    },
+
     // Label-propagation communities on 8 disjoint 9-rings (doc_id
     // mod 72 spans all (g, m) cells): 3 synchronous rounds with the
     // min-label tie-break, community sizes from the final labels.
@@ -601,6 +610,26 @@ private[graft] object CorpusEntries {
       graft.pipeline.Bpe.encode(spread(d), m).orderBy("doc_id")
     },
 
+    // WordPiece tokenizer training (the third family): 4 merges by
+    // the likelihood-ratio argmax — pair_cnt/(cnt(a)·cnt(b)) in 2^40
+    // fixed point, DECIMAL(38,0) products — the oracle replays it.
+    "q_wordpiece_merges" -> { (s, dir) =>
+      graft.pipeline.Wordpiece.learnMerges(spread(docs(s, dir)), numMerges = 4)
+        .orderBy("rank")
+    },
+
+    // WordPiece encode: greedy longest-match-first against the
+    // learned piece vocabulary (position classes + alphabet
+    // guarantee), whole-word UNK for >16-char words and unseen chars.
+    "q_wordpiece_encode" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val m = graft.pipeline.Wordpiece.learnMerges(d, numMerges = 4)
+        .orderBy("rank").select("p1", "p2").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSeq
+      val pieces = graft.pipeline.Wordpiece.pieceVocab(d, m)
+      graft.pipeline.Wordpiece.encode(spread(d), pieces).orderBy("doc_id")
+    },
+
     // Unigram-LM tokenizer training (SentencePiece family, hard-EM,
     // integer-exact): 2 EM rounds, 300-piece vocab target.
     "q_unigram_train" -> { (s, dir) =>
@@ -760,6 +789,21 @@ private[graft] object CorpusEntries {
       graft.pipeline.Classifier.nbTrain(tr).orderBy("label", "token")
     },
 
+    // Incremental NB maintenance: train on even doc_ids, fold in the
+    // odd half via nbUpdate — sufficient statistics are counts, so
+    // the result is bit-identical to training on everything, which is
+    // exactly what the oracle computes.
+    "q_classifier_incr" -> { (s, dir) =>
+      val d = docs(s, dir)
+      def half(m: Long) = d.filter(col("doc_id") % 2 === m)
+        .select(col("doc_id"), col("text"), col("source").as("label"))
+      val m0 = graft.pipeline.Classifier.nbTrain(half(0))
+      val cc = half(0).groupBy("label")
+        .agg(count(lit(1)).cast("long").as("n_docs"))
+      graft.pipeline.Classifier.nbUpdate(m0, cc, spread(half(1)))
+        .orderBy("label", "token")
+    },
+
     // NB scoring of the held-out 25%: per-doc argmax class under the
     // deterministic (score desc, label asc) order, with runner-up
     // margin; the weight matrix rides a broadcast, the corpus side
@@ -844,6 +888,81 @@ private[graft] object CorpusEntries {
     }
     (prefix +: iters).mkString(",\n")
   }
+  /** WordPiece training replay: [[bpeCtes]]'s state representation
+    * with the likelihood-ratio argmax — per round unit counts (uc),
+    * pair counts (pc), HUGEINT fixed-point scores (sc; `//` preserves
+    * HUGEINT, matching Spark's DECIMAL(38,0) div), single-row argmax
+    * ordered (score_fp DESC, p1, p2). */
+  private def wordpieceCtes(k: Int): String = {
+    val prefix =
+      s"""WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS w FROM documents),
+         |wd AS (SELECT unnest(w) AS word FROM w),
+         |v AS MATERIALIZED (SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM wd WHERE NOT contains(word, $bpeS) GROUP BY 1),
+         |st0 AS MATERIALIZED (SELECT word, cnt, $bpeS || array_to_string(string_split(word, ''), $bpeS||$bpeS) || $bpeS AS seq FROM v)""".stripMargin
+    val iters = (0 until k).map { i =>
+      s"""uc$i AS (SELECT u, CAST(SUM(cnt) AS BIGINT) AS ucnt FROM (
+         |SELECT cnt, unnest(string_split(seq[2:len(seq)-1], $bpeS||$bpeS)) AS u FROM st$i) GROUP BY 1),
+         |pc$i AS (SELECT u.p1 AS p1, u.p2 AS p2, SUM(cnt) AS pair_cnt FROM (
+         |SELECT cnt, unnest(list_transform(range(1, len(us)), i -> {'p1': us[i], 'p2': us[i+1]})) AS u FROM (
+         |SELECT cnt, string_split(seq[2:len(seq)-1], $bpeS||$bpeS) AS us FROM st$i)) GROUP BY 1, 2),
+         |sc$i AS (SELECT p.p1, p.p2, p.pair_cnt,
+         |(CAST(p.pair_cnt AS HUGEINT) * 1099511627776) // (CAST(a.ucnt AS HUGEINT) * CAST(b.ucnt AS HUGEINT)) AS score_fp
+         |FROM pc$i p JOIN uc$i a ON a.u = p.p1 JOIN uc$i b ON b.u = p.p2),
+         |m${i + 1} AS (SELECT p1, p2, pair_cnt, score_fp FROM sc$i ORDER BY score_fp DESC, p1, p2 LIMIT 1),
+         |st${i + 1} AS MATERIALIZED (SELECT word, cnt, replace(seq, $bpeS||p1||$bpeS||$bpeS||p2||$bpeS, $bpeS||p1||p2||$bpeS) AS seq FROM st$i CROSS JOIN m${i + 1})""".stripMargin
+    }
+    (prefix +: iters).mkString(",\n")
+  }
+  private def wordpieceMergesOracle(k: Int): String =
+    wordpieceCtes(k) + "\n" +
+      (1 to k).map(i => s"SELECT CAST($i AS INTEGER) AS rank, p1, p2, " +
+          s"CAST(pair_cnt AS BIGINT) AS pair_cnt, CAST(score_fp AS BIGINT) AS score_fp FROM m$i")
+        .mkString(" UNION ALL ") + " ORDER BY rank"
+
+  /** Greedy longest-match WordPiece encode replay: the piece vocab
+    * (final-state units with position classes + the per-char alphabet
+    * in both classes) and `w` unrolled cursor steps, each picking
+    * MAX(piece length) among matches at the cursor — b{i} is the
+    * argmax, s{i} the advanced state; dead cursors (no match) freeze
+    * as whole-word UNK exactly like the Spark loop. */
+  private def wordpieceEncodeOracle(k: Int, w: Int = 16, pl: Int = 8): String = {
+    val steps = (1 to w).map { i =>
+      s"""b$i AS (SELECT s.word, MAX(p.plen) AS best FROM s${i - 1} s
+         |JOIN pv p ON NOT s.unk AND s.pos < s.wl
+         |AND p.plen <= least($pl, s.wl - s.pos)
+         |AND p.piece = substr(s.word, s.pos + 1, p.plen)
+         |AND p.is_initial = (s.pos = 0)
+         |GROUP BY 1),
+         |s$i AS MATERIALIZED (SELECT s.word, s.wl,
+         |CASE WHEN s.unk OR s.pos >= s.wl THEN s.pos ELSE s.pos + COALESCE(b.best, 0) END AS pos,
+         |CASE WHEN s.unk OR s.pos >= s.wl THEN s.n ELSE s.n + 1 END AS n,
+         |CASE WHEN s.unk THEN true WHEN s.pos < s.wl AND b.best IS NULL THEN true ELSE false END AS unk
+         |FROM s${i - 1} s LEFT JOIN b$i b USING (word))""".stripMargin
+    }.mkString(",\n")
+    wordpieceCtes(k) +
+      s""",
+         |pv0 AS (SELECT us[i] AS piece, (i = 1) AS is_initial FROM (
+         |SELECT string_split(seq[2:len(seq)-1], $bpeS||$bpeS) AS us FROM st$k),
+         |LATERAL (SELECT unnest(range(1, len(us) + 1)) AS i) ix),
+         |pva AS (SELECT piece, is_initial FROM pv0
+         |UNION ALL SELECT unnest(string_split(word, '')) AS piece, b AS is_initial
+         |FROM v CROSS JOIN (SELECT unnest([true, false]) AS b) bb),
+         |pv AS MATERIALIZED (SELECT DISTINCT piece, is_initial, len(piece) AS plen FROM pva),
+         |s0 AS MATERIALIZED (SELECT word, length(word) AS wl, 0 AS pos, 0 AS n, length(word) > $w AS unk FROM v),
+         |$steps,
+         |wu AS (SELECT word, CASE WHEN unk THEN 1 ELSE n END AS units,
+         |CASE WHEN unk THEN 1 ELSE 0 END AS unkw FROM s$w),
+         |occ AS (SELECT doc_id, unnest(w) AS word FROM w),
+         |u AS (SELECT doc_id, units, unkw FROM occ JOIN wu USING (word)),
+         |g AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+         |CAST(SUM(units) AS BIGINT) AS n_pieces,
+         |CAST(SUM(unkw) AS BIGINT) AS n_unk_words FROM u GROUP BY 1)
+         |SELECT d.doc_id, coalesce(n_words, 0) AS n_words,
+         |coalesce(n_pieces, 0) AS n_pieces,
+         |coalesce(n_unk_words, 0) AS n_unk_words
+         |FROM documents d LEFT JOIN g USING (doc_id) ORDER BY doc_id""".stripMargin
+  }
+
   private def bpeMergesOracle(k: Int): String =
     bpeCtes(k) + "\n" +
       (1 to k).map(i => s"SELECT CAST($i AS INTEGER) AS rank, p1, p2, CAST(pair_cnt AS BIGINT) AS pair_cnt FROM m$i")
@@ -1095,9 +1214,10 @@ FROM vfinal ORDER BY rank"""
     * split labeled by source, Laplace-smoothed (label, token) counts,
     * one ilog chain over the union of every log argument, then the
     * full vocab x labels weight matrix `model`. */
-  private def nbModelCtes: String =
+  private def nbModelCtes: String = nbModelCtesWhere("doc_id % 4 <> 3")
+  private def nbModelCtesWhere(where: String): String =
     s"""tr AS (SELECT doc_id, source AS label, text FROM documents
-      |WHERE doc_id % 4 <> 3),
+      |WHERE $where),
       |tw AS (SELECT doc_id, label,
       |list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS w
       |FROM tr),
@@ -1132,6 +1252,13 @@ FROM vfinal ORDER BY rank"""
   def oracles: Map[String, String] = Map(
     "q_classifier_train" ->
       s"""WITH $nbModelCtes
+        |SELECT label, token, cnt, w_fx, prior_fx FROM model
+        |ORDER BY label, token""".stripMargin,
+
+    // the incremental update's contract IS "equals the full retrain":
+    // the oracle trains on the union corpus (all documents) outright
+    "q_classifier_incr" ->
+      s"""WITH ${nbModelCtesWhere("TRUE")}
         |SELECT label, token, cnt, w_fx, prior_fx FROM model
         |ORDER BY label, token""".stripMargin,
 
@@ -1186,6 +1313,8 @@ FROM vfinal ORDER BY rank"""
 
     "q_bpe_merges" -> bpeMergesOracle(4),
     "q_bpe_encode" -> bpeEncodeOracle(4),
+    "q_wordpiece_merges" -> wordpieceMergesOracle(4),
+    "q_wordpiece_encode" -> wordpieceEncodeOracle(4),
     "q_fertility" -> bpeFertilityOracle(4),
     "q_unigram_train" -> unigramTrainOracle(300),
     "q_unigram_encode" -> unigramEncodeOracle(300),
@@ -1460,6 +1589,55 @@ FROM vfinal ORDER BY rank"""
         |SELECT doc_id, n_bigrams, sum_p_ppm,
         |CAST(sum_p_ppm // n_bigrams AS BIGINT) AS avg_p_ppm
         |FROM a ORDER BY doc_id""".stripMargin,
+
+    // q_lang_id's CASE + q_lm_score's CTE chain keyed by lang + plain
+    // rank/count windows for the tercile (the oracle needs no
+    // two-phase trick — it replays semantics, not the plan)
+    "q_ccnet_buckets" ->
+      """WITH t AS (SELECT doc_id, text,
+        |list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w,
+        |list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS lw
+        |FROM documents),
+        |c AS (SELECT doc_id, text, w,
+        |len(list_filter(lw, x -> list_contains(['the','a','of','and','is'], x))) AS en,
+        |len(list_filter(lw, x -> list_contains(['le','la','les','et','des'], x))) AS fr,
+        |len(list_filter(lw, x -> list_contains(['der','die','und','das','ist'], x))) AS de,
+        |len(list_filter(lw, x -> list_contains(['el','los','las','y','es'], x))) AS es
+        |FROM t),
+        |l AS (SELECT doc_id, w, CASE
+        |WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
+        |WHEN greatest(en, fr, de, es) = 0 THEN 'und'
+        |WHEN en = greatest(en, fr, de, es) THEN 'en'
+        |WHEN fr = greatest(en, fr, de, es) THEN 'fr'
+        |WHEN de = greatest(en, fr, de, es) THEN 'de' ELSE 'es' END AS lang
+        |FROM c),
+        |bg AS (SELECT doc_id, lang, w[i] || ' ' || w[i+1] AS bigram
+        |FROM l, LATERAL (SELECT unnest(range(1, len(w))) AS i)
+        |WHERE len(w) >= 2),
+        |lm AS (SELECT lang, bigram, CAST(count(*) AS BIGINT) AS bc
+        |FROM bg GROUP BY 1, 2),
+        |pf AS (SELECT lang, split_part(bigram, ' ', 1) AS w1,
+        |CAST(SUM(bc) AS BIGINT) AS pc FROM lm GROUP BY 1, 2),
+        |db AS (SELECT doc_id, lang, bigram, CAST(count(*) AS BIGINT) AS n
+        |FROM bg GROUP BY 1, 2, 3),
+        |j AS (SELECT db.doc_id, db.lang, db.n, (1000000 * lm.bc) // pf.pc AS p_ppm
+        |FROM db JOIN lm ON lm.lang = db.lang AND lm.bigram = db.bigram
+        |JOIN pf ON pf.lang = db.lang AND pf.w1 = split_part(db.bigram, ' ', 1)),
+        |a AS (SELECT doc_id, lang, CAST(SUM(n) AS BIGINT) AS n_bigrams,
+        |CAST(SUM(n * p_ppm) AS BIGINT) AS sum_p FROM j GROUP BY 1, 2),
+        |s AS (SELECT doc_id, lang, n_bigrams,
+        |CAST(sum_p // n_bigrams AS BIGINT) AS avg_p_ppm FROM a),
+        |r AS (SELECT *,
+        |row_number() OVER (PARTITION BY lang ORDER BY avg_p_ppm DESC, doc_id) AS rk,
+        |count(*) OVER (PARTITION BY lang) AS n FROM s),
+        |p AS (SELECT doc_id, lang, n_bigrams, avg_p_ppm,
+        |CAST(rk AS BIGINT) AS rank,
+        |CAST(CASE WHEN n > 1 THEN ((rk - 1) * 10000) // (n - 1)
+        |ELSE 0 END AS BIGINT) AS permyriad FROM r)
+        |SELECT doc_id, lang, n_bigrams, avg_p_ppm, rank, permyriad,
+        |CASE WHEN permyriad <= 3333 THEN 'head'
+        |WHEN permyriad <= 6666 THEN 'middle' ELSE 'tail' END AS bucket
+        |FROM p ORDER BY doc_id""".stripMargin,
 
     // same CTE chain as q_lm_score + the unigram MLE term; the 700/300
     // permille split mirrors the Spark integer interpolation exactly

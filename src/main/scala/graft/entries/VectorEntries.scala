@@ -244,6 +244,24 @@ private[graft] object VectorEntries {
     "q_media_meta" -> { (s, dir) =>
       Multimodal.headerMeta(Multimodal.syntheticMedia(spread(docs(s, dir))))
         .orderBy("media_id")
+    },
+
+    // Margin-based bitext mining (Artetxe-Schwenk "max" strategy):
+    // even vec_ids play the source language, odd the target; top-5
+    // retrieval both directions, fixed-point margin, mutual-best
+    // pairs over margin >= 1.0. Sides bounded to vec_id < 1000 so the
+    // oracle's all-pairs cosine replay stays tractable a decade up —
+    // the scale path swaps in ivfTopK/lshTopK lists (profiled in the
+    // ProfileScale bitext cell), margin arithmetic unchanged.
+    "q_bitext_mine" -> { (s, dir) =>
+      val e = spread(Tables.read(s, dir, "embeddings"))
+        .filter(col("vec_id") < 1000)
+      val src = e.filter(col("vec_id") % 2 === 0)
+      val tgt = e.filter(col("vec_id") % 2 === 1)
+      Similarity.marginMine(
+          Similarity.bruteForceTopK(tgt, src, k = 5),
+          Similarity.bruteForceTopK(src, tgt, k = 5), k = 5)
+        .orderBy("src_id", "tgt_id")
     }
   )
 
@@ -267,6 +285,41 @@ private[graft] object VectorEntries {
         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank FROM s)
         SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank FROM r WHERE rank <= 5
         ORDER BY query_id, rank""",
+
+    // Full margin-mining replay: ordered-fold cosines (bit-identical
+    // doubles), fixed-point floor, per-direction top-5 rank windows,
+    // exact integer neighborhood sums, BIGINT margin division, mutual
+    // best. s2t0 holds every src×tgt cosine once — symmetry makes the
+    // reverse direction a re-rank of the same rows, exactly as the
+    // engine's two bruteForceTopK calls see them.
+    "q_bitext_mine" ->
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 1000),
+         |s2t0 AS MATERIALIZED (SELECT s.vec_id AS src_id, t.vec_id AS tgt_id,
+         |${cosineSql("s.embedding", "t.embedding")} AS sim
+         |FROM e s JOIN e t ON s.vec_id % 2 = 0 AND t.vec_id % 2 = 1),
+         |ranked AS MATERIALIZED (SELECT src_id, tgt_id,
+         |CAST(floor(1048576 * sim) AS BIGINT) AS cos_fp,
+         |row_number() OVER (PARTITION BY src_id ORDER BY sim DESC, tgt_id) AS rk_s,
+         |row_number() OVER (PARTITION BY tgt_id ORDER BY sim DESC, src_id) AS rk_t
+         |FROM s2t0),
+         |sum_s AS (SELECT src_id, SUM(cos_fp) AS sum_s FROM ranked
+         |WHERE rk_s <= 5 GROUP BY src_id),
+         |sum_t AS (SELECT tgt_id, SUM(cos_fp) AS sum_t FROM ranked
+         |WHERE rk_t <= 5 GROUP BY tgt_id),
+         |cands AS (SELECT DISTINCT src_id, tgt_id, cos_fp FROM ranked
+         |WHERE rk_s <= 5 OR rk_t <= 5),
+         |m AS MATERIALIZED (SELECT c.src_id, c.tgt_id, c.cos_fp,
+         |(c.cos_fp * 10 * 1048576) // (s.sum_s + t.sum_t) AS margin_fp
+         |FROM cands c JOIN sum_s s ON s.src_id = c.src_id
+         |JOIN sum_t t ON t.tgt_id = c.tgt_id
+         |WHERE c.cos_fp >= 0 AND s.sum_s + t.sum_t > 0),
+         |best AS (SELECT *,
+         |row_number() OVER (PARTITION BY src_id ORDER BY margin_fp DESC, tgt_id) AS rs,
+         |row_number() OVER (PARTITION BY tgt_id ORDER BY margin_fp DESC, src_id) AS rt
+         |FROM m)
+         |SELECT src_id, tgt_id, cos_fp, CAST(margin_fp AS BIGINT) AS margin_fp
+         |FROM best WHERE rs = 1 AND rt = 1 AND margin_fp >= 1048576
+         |ORDER BY src_id, tgt_id""".stripMargin,
 
     // unrolled greedy rounds, all CTEs MATERIALIZED; coalesce(ms, 0)
     // mirrors the Spark round-1 no-selection case

@@ -127,12 +127,66 @@ object Classifier {
       tokens(col(textCol)).as("token"))
     val tc = tok.groupBy("label", "token")
       .agg(count(lit(1)).cast("long").as("cnt"))
-    val vocab = tok.select("token").distinct()
+    val dc = docs.groupBy(col(labelCol).cast("string").as("label"))
+      .agg(count(lit(1)).cast("long").as("n_docs"))
+    fromCounts(tc, dc)
+  }
+
+  /**
+   * Incremental model maintenance — the `*_incr` member of the
+   * classifier family (next to dedup/PageRank/IVF/unigram-vocab
+   * maintenance): fold a NEW labeled batch into a trained model
+   * WITHOUT re-reading the original corpus. Multinomial NB's
+   * sufficient statistics are plain counts, so the update is exact:
+   * summed token counts + summed per-class doc counts re-enter the
+   * same weight derivation, and the result is BIT-IDENTICAL to
+   * [[nbTrain]] over the union corpus (asserted by the spec and the
+   * oracle, which IS the full retrain). New tokens and entirely new
+   * classes in the batch enter the vocabulary/label set naturally.
+   *
+   * @param model          a [[nbTrain]]/[[nbUpdate]] weight matrix
+   *                       (its `cnt` column carries the sparse token
+   *                       counts — zero rows are smoothing artifacts
+   *                       and are dropped before summing)
+   * @param classDocCounts (label, n_docs) for the corpus the model
+   *                       was trained on — the one statistic the
+   *                       matrix doesn't carry (priors are already
+   *                       log-rendered); any production setup persists
+   *                       this C-row table alongside the model
+   * @param newDocs        the new labeled batch
+   */
+  def nbUpdate(model: DataFrame, classDocCounts: DataFrame,
+      newDocs: DataFrame, labelCol: String = "label",
+      textCol: String = "text"): DataFrame = {
+    graft.plans.NativeFns.register(newDocs.sparkSession)
+    val newTc = newDocs.select(col(labelCol).cast("string").as("label"),
+        tokens(col(textCol)).as("token"))
+      .groupBy("label", "token").agg(count(lit(1)).cast("long").as("cnt"))
+    val tc = model.select(col("label"), col("token"), col("cnt"))
+      .filter(col("cnt") > 0)
+      .unionByName(newTc)
+      .groupBy("label", "token").agg(sum("cnt").cast("long").as("cnt"))
+    val newDc = newDocs.groupBy(col(labelCol).cast("string").as("label"))
+      .agg(count(lit(1)).cast("long").as("n_docs"))
+    val dc = classDocCounts.select(col("label").cast("string").as("label"),
+        col("n_docs").cast("long").as("n_docs"))
+      .unionByName(newDc)
+      .groupBy("label").agg(sum("n_docs").cast("long").as("n_docs"))
+    fromCounts(tc, dc)
+  }
+
+  /** The weight derivation from NB's sufficient statistics: `tc` the
+    * sparse observed (label, token, cnt) token counts, `dc` the
+    * per-class (label, n_docs) document counts. Vocabulary = distinct
+    * tokens of `tc`, total docs = Σ `dc` — identical to deriving both
+    * from the corpus, so [[nbTrain]] and [[nbUpdate]] share one code
+    * path bit-exactly. */
+  private def fromCounts(tc: DataFrame, dc0: DataFrame): DataFrame = {
+    val vocab = tc.select("token").distinct()
     val vn = vocab.agg(count(lit(1)).cast("long").as("__v"))
     val tt = tc.groupBy("label").agg(sum("cnt").cast("long").as("__tc"))
-    val dc = docs.groupBy(col(labelCol).cast("string").as("label"))
-      .agg(count(lit(1)).cast("long").as("__dc"))
-    val nd = docs.agg(count(lit(1)).cast("long").as("__nd"))
+    val dc = dc0.select(col("label"), col("n_docs").as("__dc"))
+    val nd = dc.agg(sum("__dc").cast("long").as("__nd"))
     // one ilog chain over the union of every log argument — all
     // vocabulary-bounded rows (|V|·C token counts, C denominators,
     // C prior numerators, 1 prior denominator)

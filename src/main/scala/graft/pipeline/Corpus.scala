@@ -2284,4 +2284,67 @@ object Corpus {
         col("n_sentences"), col("keep"), col("drop_reason"),
         col("clean_text"))
   }
+
+  /**
+   * CCNet-style per-language perplexity bucketing (Wenzek et al.
+   * 2020): language-ID every document, train a per-language bigram LM
+   * on the same-language slice of the REFERENCE corpus, score each
+   * document's average conditional probability, and split every
+   * language into head/middle/tail terciles by exact per-language
+   * rank — the standard "keep the head for pretraining" recipe knob.
+   *
+   * Distribution: the LM is [[lmDocScore]]'s pipeline with `lang` as
+   * an extra key everywhere — ONE pass over reference and corpus for
+   * all languages (never a per-language job loop, never a re-read of
+   * the reference per language), counts map-side combinable, every
+   * join a (lang, gram) equi-join. The tercile is
+   * [[groupPercentile]]'s two-phase exact rank (score-prefix buckets,
+   * no corpus-wide or language-wide sort), so the bucketing holds at
+   * any per-language row count.
+   *
+   * Pinned deviations, both documented semantics: terciles cut by
+   * DOCUMENT COUNT (permyriad ≤ 3333 / ≤ 6666), not CCNet's byte
+   * share; and documents with zero reference-known bigrams (or < 2
+   * tokens) are absent from the output — no LM evidence means no
+   * perplexity rank, the caller routes them separately. Integer ppm
+   * scores end to end; ranks tie-break on id — hash-exact in any
+   * engine.
+   *
+   * @return (idCol, lang, n_bigrams, avg_p_ppm, rank, permyriad,
+   *         bucket) with bucket ∈ head|middle|tail per language
+   */
+  def ccnetBuckets(docs: DataFrame, reference: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    graft.plans.NativeFns.register(docs.sparkSession)
+    import graft.functions.TextFns
+    val dl = docs.select(col(idCol), col(textCol),
+      TextFns.langId(col(textCol)).as("lang"))
+    val rl = reference.select(TextFns.langId(col(textCol)).as("lang"),
+      col(textCol))
+    val lm = rl.select(col("lang"), explode(
+        graft.plans.WordShingles.shingles(col(textCol), 2)).as("bigram"))
+      .groupBy("lang", "bigram").agg(count(lit(1)).as("__bc"))
+    val prefix = lm.groupBy(col("lang"),
+        expr("element_at(split(bigram, ' ', 2), 1)").as("__w1"))
+      .agg(sum("__bc").as("__pc"))
+    val docBigrams = dl.select(col(idCol), col("lang"),
+        explode(graft.plans.WordShingles.shingles(col(textCol), 2)).as("bigram"))
+      .groupBy(idCol, "lang", "bigram").agg(count(lit(1)).as("__n"))
+    val scored = docBigrams
+      .join(lm, Seq("lang", "bigram"))
+      .withColumn("__w1", expr("element_at(split(bigram, ' ', 2), 1)"))
+      .join(prefix, Seq("lang", "__w1"))
+      .withColumn("__p_ppm", expr("(1000000L * __bc) div __pc"))
+      .groupBy(col(idCol), col("lang"))
+      .agg(sum("__n").cast("long").as("n_bigrams"),
+        sum(col("__n") * col("__p_ppm")).cast("long").as("sum_p_ppm"))
+      .withColumn("avg_p_ppm", expr("sum_p_ppm div n_bigrams").cast("long"))
+    groupPercentile(scored, "lang", "avg_p_ppm", idCol)
+      .withColumn("bucket",
+        when(col("permyriad") <= 3333, "head")
+          .when(col("permyriad") <= 6666, "middle")
+          .otherwise("tail"))
+      .select(col(idCol), col("lang"), col("n_bigrams"), col("avg_p_ppm"),
+        col("rank"), col("permyriad"), col("bucket"))
+  }
 }

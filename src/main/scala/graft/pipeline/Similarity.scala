@@ -44,7 +44,8 @@ object Similarity {
     * the query; exact cosine re-ranks candidates. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       vecCol: String = "embedding", idCol: String = "vec_id",
-      bits: Int = 16, bands: Int = 8): DataFrame = {
+      bits: Int = 16, bands: Int = 8,
+      broadcastQueries: Boolean = true): DataFrame = {
     graft.plans.NativeFns.register(corpus.sparkSession)
     def banded(df: DataFrame, id: String, v: String) =
       df.select(col(idCol).as(id), col(vecCol).as(v),
@@ -55,8 +56,14 @@ object Similarity {
     // so a cache would pin corpus×bands rows (with vectors) in
     // executor memory for zero recomputation saved
     val c = banded(corpus, "neighbor_id", "v_c")
-    val q = banded(queries, "query_id", "v_q")
-    val candidates = c.join(broadcast(q), Seq("band", "band_key"))
+    // broadcastQueries = the probe-batch shape (queries tiny, corpus
+    // never shuffles). When the "query" side is itself a corpus — e.g.
+    // both languages of a bitext-mining run — pass false: the band
+    // join becomes a plain shuffle equi-join on the band keys, AQE
+    // picks the strategy, and neither side must fit an executor.
+    val qb = banded(queries, "query_id", "v_q")
+    val q = if (broadcastQueries) broadcast(qb) else qb
+    val candidates = c.join(q, Seq("band", "band_key"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select("query_id", "neighbor_id", "v_q", "v_c").distinct()
     rank(candidates.withColumn("cosine", VectorFns.cosine(col("v_q"), col("v_c"))), k)
@@ -709,6 +716,82 @@ object Similarity {
           sqrt(col("__n2")) * sqrt(col("__bn2")) > 0 && near,
         "left_anti")
       .select(col(idCol), col("cell"))
+  }
+
+  /**
+   * Margin-based bitext mining (Artetxe & Schwenk, ACL 2019) — the
+   * standard parallel-corpus curation stage for multilingual training
+   * data: a candidate pair (x, y) is scored by its cosine RELATIVE to
+   * what x and y score against their own k-nearest neighborhoods,
+   * margin(x,y) = cos(x,y) / ((avgNNₖ(x) + avgNNₖ(y)) / 2), which
+   * suppresses hub vectors that sit "close to everything" and would
+   * flood a raw-cosine threshold with false pairs. Pairs are mined by
+   * the paper's "max" strategy: y must be x's best candidate BY MARGIN
+   * and x must be y's best (mutual best), and the margin must clear
+   * `minMarginFp`.
+   *
+   * Consumes top-k neighbor lists in BOTH directions from ANY
+   * retriever — [[bruteForceTopK]] for the oracle-checked board query,
+   * [[ivfTopK]]/[[lshTopK]] for the 100 TB regime; the margin
+   * arithmetic composes unchanged. That decomposition IS the scale
+   * design: the expensive step (k-NN) is the already-profiled ANN
+   * path, and the mining itself is two k-bounded map-side-combinable
+   * aggregations plus id equi-joins over neighbor-list-sized inputs —
+   * never corpus × corpus, and the rank windows partition by id, so no
+   * global sort exists at any scale.
+   *
+   * Integer-exact end to end, so an external engine replays it
+   * bit-identically: cosines land as fixed-point floor(2²⁰·cos)
+   * BIGINTs (the same doubles in both engines — the ordered-fold
+   * [[VectorFns.cosine]] contract), neighborhood sums are exact
+   * integer sums, and margin_fp = (2k·2²⁰·cos_fp) div (sumₓ + sumᵧ) is
+   * the margin in 2²⁰ fixed point (numerator ≤ 2·k·2²⁰·2²⁰ ≈ 1.8e13
+   * for k ≤ 8 — inside int64). Ranking on the truncated margin is a
+   * documented deviation from the paper's real-valued scores: rationals
+   * within 2⁻²⁰ of each other tie and break to the lower id,
+   * deterministically in both engines.
+   *
+   * Pairs with a non-positive cosine or neighborhood sum are dropped
+   * (a margin is meaningless without a positive similarity scale, and
+   * the guard keeps every integer division in truncation==floor
+   * territory). cos(x,y) is direction-symmetric bit-exactly (per-index
+   * products and the norm product commute), so a pair retrieved from
+   * both directions folds to one candidate row under `distinct`.
+   *
+   * @param srcToTgt top-k list (query_id = src, neighbor_id = tgt,
+   *                 cosine, rank) over the TARGET corpus
+   * @param tgtToSrc top-k list (query_id = tgt, neighbor_id = src,
+   *                 cosine, rank) over the SOURCE corpus
+   * @param k        the k both lists were retrieved with
+   * @param minMarginFp mined-pair threshold in 2²⁰ fixed point
+   *                 (1048576 = margin 1.0; the paper operates ~1.06)
+   * @return (src_id, tgt_id, cos_fp, margin_fp) mutual-best pairs
+   */
+  def marginMine(srcToTgt: DataFrame, tgtToSrc: DataFrame, k: Int,
+      minMarginFp: Long = 1048576L): DataFrame = {
+    require(k > 0 && k <= 8, "k must be in [1, 8] (margin numerator int64 bound)")
+    def fp(df: DataFrame, q: String, n: String) =
+      df.select(col("query_id").as(q), col("neighbor_id").as(n),
+        floor(col("cosine") * lit(1048576d)).cast("long").as("cos_fp"))
+    val s2t = fp(srcToTgt, "src_id", "tgt_id")
+    val t2s = fp(tgtToSrc, "tgt_id", "src_id")
+    val sumS = s2t.groupBy("src_id").agg(sum("cos_fp").as("sum_s"))
+    val sumT = t2s.groupBy("tgt_id").agg(sum("cos_fp").as("sum_t"))
+    val cands = s2t.select("src_id", "tgt_id", "cos_fp")
+      .unionByName(t2s.select("src_id", "tgt_id", "cos_fp")).distinct()
+    val m = cands.join(sumS, "src_id").join(sumT, "tgt_id")
+      .filter(col("cos_fp") >= 0 && col("sum_s") + col("sum_t") > 0)
+      .withColumn("margin_fp",
+        expr(s"(cos_fp * ${2L * k} * 1048576L) div (sum_s + sum_t)"))
+    val bestT = Window.partitionBy("src_id")
+      .orderBy(col("margin_fp").desc, col("tgt_id"))
+    val bestS = Window.partitionBy("tgt_id")
+      .orderBy(col("margin_fp").desc, col("src_id"))
+    m.withColumn("__rs", row_number().over(bestT))
+      .withColumn("__rt", row_number().over(bestS))
+      .filter(col("__rs") === 1 && col("__rt") === 1 &&
+        col("margin_fp") >= minMarginFp)
+      .select("src_id", "tgt_id", "cos_fp", "margin_fp")
   }
 
   def recallAtK(approx: DataFrame, exact: DataFrame,

@@ -2553,6 +2553,26 @@ class PipelineSpec extends SparkTestBase {
     assert(conf.filter(_._2 == "B").forall(_._5 == predB))
   }
 
+  test("nbUpdate: incremental fold-in is bit-identical to the full retrain") {
+    import graft.pipeline.Classifier
+    val a = Seq((1L, "a a b", "A"), (2L, "a a", "A"), (3L, "b b c", "B"))
+      .toDF("doc_id", "text", "label")
+    // batch introduces a new token (d) AND an entirely new class (C)
+    val b = Seq((4L, "a d", "B"), (5L, "d d", "C"))
+      .toDF("doc_id", "text", "label")
+    val cc = a.groupBy("label").agg(count(lit(1)).cast("long").as("n_docs"))
+    val updated = Classifier.nbUpdate(Classifier.nbTrain(a), cc, b)
+      .orderBy("label", "token")
+      .as[(String, String, Long, Long, Long)].collect().toSeq
+    val full = Classifier.nbTrain(a.unionByName(b))
+      .orderBy("label", "token")
+      .as[(String, String, Long, Long, Long)].collect().toSeq
+    assert(updated == full)
+    // the new class and token are present: 4 vocab tokens x 3 labels
+    assert(updated.size == 12)
+    assert(updated.exists(r => r._1 == "C" && r._2 == "d" && r._3 == 2L))
+  }
+
   test("dup attribution: non-keepers charge (own source → keeper source)") {
     val d = Seq(
       (1L, "s1", "t1"), (2L, "s2", "t1"), (4L, "s3", "t1"), // keeper 1 (s1)
@@ -2644,5 +2664,144 @@ class PipelineSpec extends SparkTestBase {
     // one sentence < 3 → sentence floor, with the clean text intact
     assert(out(3) == ((4L, 2L, 1L, 1L, false, "too_few_sentences",
       "Ends with period then spaces.   ")))
+  }
+
+  test("marginMine: mutual-best fixed-point margins match a sequential reference") {
+    // even ids = source side, odd ids = target side; tgt 1 is a hub
+    // (high cosine to every src), tgt 9 is src 6's exact duplicate
+    val srcs = Seq(0L -> Array(1.0f, 0.0f), 2L -> Array(0.8f, 0.6f),
+      4L -> Array(0.0f, 1.0f), 6L -> Array(0.5f, 0.5f))
+    val tgts = Seq(1L -> Array(0.9f, 0.3f), 3L -> Array(0.79f, 0.62f),
+      5L -> Array(0.05f, 1.0f), 7L -> Array(0.7f, 0.72f),
+      9L -> Array(0.5f, 0.5f))
+    val e = (srcs ++ tgts).toDF("vec_id", "embedding")
+    val src = e.filter(col("vec_id") % 2 === 0)
+    val tgt = e.filter(col("vec_id") % 2 === 1)
+    val k = 2
+    val got = graft.pipeline.Similarity.marginMine(
+        graft.pipeline.Similarity.bruteForceTopK(tgt, src, k),
+        graft.pipeline.Similarity.bruteForceTopK(src, tgt, k),
+        k, minMarginFp = 0L)
+      .orderBy("src_id")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+
+    // sequential reference: same arithmetic, plain loops
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      def dot(x: Array[Float], y: Array[Float]) =
+        x.indices.foldLeft(0.0)((acc, i) => acc + x(i).toDouble * y(i).toDouble)
+      val n = math.sqrt(dot(a, a)) * math.sqrt(dot(b, b))
+      dot(a, b) / n
+    }
+    def fp(c: Double): Long = math.floor(c * 1048576d).toLong
+    def topK(qs: Seq[(Long, Array[Float])], cs: Seq[(Long, Array[Float])]) =
+      qs.map { case (qid, qv) =>
+        qid -> cs.map { case (nid, nv) => (nid, cos(qv, nv)) }
+          .sortBy { case (nid, c) => (-c, nid) }.take(k)
+      }.toMap
+    val s2t = topK(srcs, tgts)
+    val t2s = topK(tgts, srcs)
+    val sumS = s2t.map { case (q, l) => q -> l.map(p => fp(p._2)).sum }
+    val sumT = t2s.map { case (q, l) => q -> l.map(p => fp(p._2)).sum }
+    val cands = (s2t.toSeq.flatMap { case (s, l) => l.map(p => (s, p._1, fp(p._2))) } ++
+      t2s.toSeq.flatMap { case (t, l) => l.map(p => (p._1, t, fp(p._2))) }).distinct
+    val margins = cands.collect { case (s, t, cfp)
+        if cfp >= 0 && sumS(s) + sumT(t) > 0 =>
+      (s, t, cfp, cfp * (2L * k) * 1048576L / (sumS(s) + sumT(t)))
+    }
+    val expected = margins.filter { case (s, t, _, m) =>
+      margins.filter(_._1 == s).maxBy(x => (x._4, -x._2))._2 == t &&
+        margins.filter(_._2 == t).maxBy(x => (x._4, -x._1))._1 == s
+    }.sortBy(_._1)
+    assert(got == expected, s"got $got expected $expected")
+    // mined set is a partial matching: each side appears at most once
+    assert(got.map(_._1).distinct.size == got.size)
+    assert(got.map(_._2).distinct.size == got.size)
+    // hub suppression is live: tgt 9 (src 6's exact duplicate) holds
+    // 6's TOP RAW COSINE, but its own neighborhood is so dense that
+    // the margin prefers tgt 7 — raw-cosine order is provably not
+    // margin order on this fixture
+    assert(got.exists { case (s, t, _, _) => s == 6L && t == 7L })
+    assert(!got.exists { case (_, t, _, _) => t == 9L })
+    // the default threshold (margin >= 1.0) only ever shrinks the set
+    val gated = graft.pipeline.Similarity.marginMine(
+        graft.pipeline.Similarity.bruteForceTopK(tgt, src, k),
+        graft.pipeline.Similarity.bruteForceTopK(src, tgt, k), k)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(gated.toSet.subsetOf(got.toSet) &&
+      gated.forall(_._4 >= 1048576L))
+  }
+
+  test("Wordpiece: likelihood argmax diverges from BPE count argmax; greedy encode + UNK") {
+    // pair (a,b): cnt 3, units a=3 b=3 → score 3/9; pair (c,d): cnt 1,
+    // units 1·1 → score 1.0 — WordPiece merges (c,d) FIRST where BPE
+    // (count argmax) merges (a,b)
+    val d = Seq((1L, "ab ab ab cd")).toDF("doc_id", "text")
+    val wp = graft.pipeline.Wordpiece.learnMerges(d, numMerges = 2)
+      .orderBy("rank").as[(Int, String, String, Long, Long)].collect().toSeq
+    assert(wp == Seq(
+      (1, "c", "d", 1L, 1099511627776L),
+      (2, "a", "b", 3L, 3L * 1099511627776L / 9L)))
+    val bpeFirst = graft.pipeline.Bpe.learnMerges(d, numMerges = 1)
+      .select("p1", "p2").as[(String, String)].collect().head
+    assert(bpeFirst == (("a", "b")))
+
+    // encode: position classes ("ab" is INITIAL-only — continuation
+    // coverage comes from the single-char alphabet), greedy longest
+    // match, whole-word UNK for unseen chars and >16-char words
+    val merges = wp.map(m => (m._2, m._3))
+    val pieces = graft.pipeline.Wordpiece.pieceVocab(d, merges)
+    val pieceSet = pieces.as[(String, Boolean)].collect().toSet
+    assert(pieceSet.contains(("ab", true)) && !pieceSet.contains(("ab", false)))
+    assert(Seq("a", "b", "c", "d").forall(ch =>
+      pieceSet.contains((ch, true)) && pieceSet.contains((ch, false))))
+    val enc = Seq(
+      (1L, "ab ab ab cd"),              // 4 words, 1 piece each
+      (2L, "abab cda"),                 // ab+a+b = 3; cd+a = 2
+      (3L, "abq zz abababababababababab")) // unseen chars ×2 + >16 chars
+      .toDF("doc_id", "text")
+    val out = graft.pipeline.Wordpiece.encode(enc, pieces)
+      .orderBy("doc_id").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 4L, 4L, 0L), (2L, 2L, 5L, 0L), (3L, 3L, 3L, 3L)))
+  }
+
+  test("ccnetBuckets: exact tercile cut on a hand LM") {
+    // one language (und — no marker tokens anywhere), 4 docs,
+    // hand-computed MLE ppm scores:
+    // LM bc: "x x"=6 "x w"=2 "w w"=1 "w x"=1 "x v"=1; pc(x)=9 pc(w)=2
+    // a=666666 b=518518 c=361111 d=305555 → pm 0/3333/6666/10000
+    val d = Seq((1L, "x x x x x"), (2L, "x x x w"), (3L, "x w w"),
+      (4L, "w x v")).toDF("doc_id", "text")
+    val out = graft.pipeline.Corpus.ccnetBuckets(d, d).orderBy("doc_id")
+      .select("doc_id", "lang", "n_bigrams", "avg_p_ppm", "permyriad", "bucket")
+      .as[(Long, String, Long, Long, Long, String)].collect().toSeq
+    assert(out == Seq(
+      (1L, "und", 4L, 666666L, 0L, "head"),
+      (2L, "und", 3L, 518518L, 3333L, "head"),
+      (3L, "und", 2L, 361111L, 6666L, "middle"),
+      (4L, "und", 2L, 305555L, 10000L, "tail")))
+  }
+
+  test("ccnetBuckets equals the per-language lmDocScore composition") {
+    val docs = Tables.read(spark, sf0001, "documents").select("doc_id", "text")
+    val got = graft.pipeline.Corpus.ccnetBuckets(docs, docs)
+      .select("doc_id", "lang", "n_bigrams", "avg_p_ppm", "rank", "permyriad")
+      .as[(Long, String, Long, Long, Long, Long)].collect().toSeq.sorted
+    // naive composition: loop langs, score each slice against itself,
+    // rank sequentially
+    val dl = docs.withColumn("lang", TextFns.langId(col("text")))
+    val langs = dl.select("lang").distinct().as[String].collect().toSeq
+    val expected = langs.flatMap { lg =>
+      val slice = dl.filter(col("lang") === lg).select("doc_id", "text")
+      val scored = graft.pipeline.Corpus.lmDocScore(slice, slice)
+        .select("doc_id", "n_bigrams", "avg_p_ppm")
+        .as[(Long, Long, Long)].collect().toSeq
+      val n = scored.size
+      scored.sortBy { case (id, _, p) => (-p, id) }.zipWithIndex.map {
+        case ((id, nb, p), i) =>
+          val pm = if (n > 1) (i.toLong * 10000L) / (n - 1) else 0L
+          (id, lg, nb, p, i + 1L, pm)
+      }
+    }.sorted
+    assert(got == expected)
   }
 }
