@@ -59,6 +59,28 @@ private[graft] object LakeEntries {
         .orderBy("event_id")
     },
 
+    // Ingestion manifest + diff: per-o_orderstatus row counts and
+    // order-free 48-bit-md5 content checksums of a stable column
+    // rendering, verified against a deliberately corrupted copy (the
+    // o_orderkey=1 row dropped, order 4's priority mutated) — the
+    // partitions holding those orders must fail verification (one
+    // with rows_delta -1, one via checksum at equal count), the rest
+    // must verify. Corruption is id-pinned → deterministic at any sf.
+    "q_manifest" -> { (s, dir) =>
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderpriority")
+      val orders = Tables.read(s, dir, "orders")
+      val corrupt = orders.filter(col("o_orderkey") =!= 1L)
+        .withColumn("o_orderpriority", when(col("o_orderkey") === 4L,
+          lit("9-CORRUPTED")).otherwise(col("o_orderpriority")))
+      graft.operators.Profiling.manifestDiff(
+          graft.operators.Profiling.ingestionManifest(
+            orders, Seq("o_orderstatus"), cols),
+          graft.operators.Profiling.ingestionManifest(
+            corrupt, Seq("o_orderstatus"), cols),
+          Seq("o_orderstatus"))
+        .orderBy("o_orderstatus")
+    },
+
     // O-27: idempotent ADD PARTITION + multi-catalog loop, end to end.
     // Parquet files land for THREE partitions but only TWO are
     // registered (the reference's Firehose writes files, not catalog
@@ -131,6 +153,36 @@ private[graft] object LakeEntries {
   )
 
   def oracles: Map[String, String] = Map(
+    // replicates the 48-bit md5 rendering exactly: 'm:' prefix,
+    // chr(1) separators, chr(0) null sentinels, first 12 hex digits
+    // as a BIGINT, HUGEINT-exact sums compared per partition
+    "q_manifest" ->
+      """WITH base AS (SELECT o_orderstatus, o_orderkey, o_custkey, o_orderpriority FROM orders),
+        |rend AS (SELECT o_orderstatus,
+        |('0x' || substr(md5('m:' || concat_ws(chr(1),
+        |coalesce(CAST(o_orderkey AS VARCHAR), chr(0)),
+        |coalesce(CAST(o_custkey AS VARCHAR), chr(0)),
+        |coalesce(o_orderpriority, chr(0)))), 1, 12))::BIGINT AS h FROM base),
+        |exp AS (SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_rows_exp,
+        |SUM(CAST(h AS HUGEINT)) AS sum_exp FROM rend GROUP BY 1),
+        |cor AS (SELECT o_orderstatus, o_orderkey, o_custkey,
+        |CASE WHEN o_orderkey = 4 THEN '9-CORRUPTED' ELSE o_orderpriority END AS o_orderpriority
+        |FROM base WHERE o_orderkey <> 1),
+        |rend2 AS (SELECT o_orderstatus,
+        |('0x' || substr(md5('m:' || concat_ws(chr(1),
+        |coalesce(CAST(o_orderkey AS VARCHAR), chr(0)),
+        |coalesce(CAST(o_custkey AS VARCHAR), chr(0)),
+        |coalesce(o_orderpriority, chr(0)))), 1, 12))::BIGINT AS h FROM cor),
+        |act AS (SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_rows_act,
+        |SUM(CAST(h AS HUGEINT)) AS sum_act FROM rend2 GROUP BY 1)
+        |SELECT o_orderstatus,
+        |coalesce(n_rows_exp, 0) AS n_rows_exp,
+        |coalesce(n_rows_act, 0) AS n_rows_act,
+        |coalesce(n_rows_act, 0) - coalesce(n_rows_exp, 0) AS rows_delta,
+        |(n_rows_exp IS NOT NULL AND n_rows_act IS NOT NULL
+        |AND n_rows_exp = n_rows_act AND sum_exp = sum_act) AS verified
+        |FROM exp FULL OUTER JOIN act USING (o_orderstatus)
+        |ORDER BY o_orderstatus""".stripMargin,
     "q_partition_parse" ->
       """WITH k AS (SELECT 'metrics/' || event_type || '/r' || CAST(user_id % 3 AS VARCHAR)
         || '/' || strftime(ts, '%Y/%m/%d/%H') || '/part-000.parquet' AS key FROM events),

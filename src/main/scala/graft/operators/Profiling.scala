@@ -577,4 +577,67 @@ object Profiling {
           "viol_ppm", "holds")
     } else perPair.reduce(_ unionByName _)
   }
+
+  /**
+   * Per-partition ingestion manifest — the copy-integrity primitive
+   * of a dataset-ingestion framework: for each partition, the row
+   * count and an ORDER-FREE content checksum (exact DECIMAL(38,0)
+   * sum of a 48-bit md5 of each row's canonical rendering). Two
+   * routes that ingested the same MULTISET of rows — stream vs
+   * batch, two engines, pre/post compaction — produce identical
+   * manifests; a dropped, duplicated, or mutated row moves
+   * (n_rows, content_sum) in its partition. A SUM (not XOR) checksum
+   * is deliberate: XOR is blind to even-count duplication, the exact
+   * sum is multiset-faithful.
+   *
+   * Canonical rendering is `cast-to-string` joined on U+0001 with a
+   * U+0000 null sentinel — engine-portable for integers, strings,
+   * and dates; CALLERS PICK `hashCols` accordingly (float renderings
+   * differ across engines — hash a fixed-point derivation instead).
+   *
+   * Scale: one narrow projection + a map-side-combinable aggregate
+   * keyed by the partition columns — no shuffle beyond partition-count
+   * rows, the same pass shape as any ingest-side metric.
+   */
+  def ingestionManifest(df: DataFrame, partitionCols: Seq[String],
+      hashCols: Seq[String]): DataFrame = {
+    require(hashCols.nonEmpty, "hashCols must be non-empty")
+    val repr = concat_ws("\u0001",
+      hashCols.map(c => coalesce(col(c).cast("string"), lit("\u0000"))): _*)
+    val h = conv(substring(md5(concat(lit("m:"), repr)), 1, 12), 16, 10)
+      .cast("long")
+    val hashed = df.withColumn("__h", h.cast("decimal(38,0)"))
+    val grouped =
+      if (partitionCols.nonEmpty) hashed.groupBy(partitionCols.map(col): _*)
+      else hashed.groupBy()
+    grouped.agg(count(lit(1)).cast("long").as("n_rows"),
+      sum("__h").cast("decimal(38,0)").as("content_sum"))
+  }
+
+  /**
+   * Manifest comparison — the ingest-verification readout: full outer
+   * join of two [[ingestionManifest]] outputs on the partition
+   * columns, one row per partition present on EITHER side with both
+   * counts, the row delta, and whether the partition verifies
+   * (present on both sides with equal count AND checksum). A
+   * partition missing on one side reports its counts as 0/NULL and
+   * verifies false.
+   */
+  def manifestDiff(expected: DataFrame, actual: DataFrame,
+      partitionCols: Seq[String]): DataFrame = {
+    require(partitionCols.nonEmpty, "partitionCols must be non-empty")
+    val e = expected.select(partitionCols.map(col) :+
+      col("n_rows").as("n_rows_exp") :+ col("content_sum").as("sum_exp"): _*)
+    val a = actual.select(partitionCols.map(col) :+
+      col("n_rows").as("n_rows_act") :+ col("content_sum").as("sum_act"): _*)
+    e.join(a, partitionCols, "full_outer")
+      .select(partitionCols.map(col) ++ Seq(
+        coalesce(col("n_rows_exp"), lit(0L)).as("n_rows_exp"),
+        coalesce(col("n_rows_act"), lit(0L)).as("n_rows_act"),
+        (coalesce(col("n_rows_act"), lit(0L)) -
+          coalesce(col("n_rows_exp"), lit(0L))).as("rows_delta"),
+        (col("n_rows_exp").isNotNull && col("n_rows_act").isNotNull &&
+          col("n_rows_exp") === col("n_rows_act") &&
+          col("sum_exp") === col("sum_act")).as("verified")): _*)
+  }
 }

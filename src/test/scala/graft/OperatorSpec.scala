@@ -627,4 +627,36 @@ class OperatorSpec extends SparkTestBase {
       (3, 1L, 250000L)))
     assert(got.drop(3).forall { case (_, c, s) => c == 0L && s == 0L })
   }
+
+  test("ingestion manifest: order-free, multiset-faithful, diff verdicts") {
+    import spark.implicits._
+    import graft.operators.Profiling
+    val a = Seq(("p1", 1L, "x"), ("p1", 2L, "y"), ("p2", 3L, "z"))
+      .toDF("pt", "id", "v")
+    // same multiset, different row order → identical manifest
+    val sameShuffled = Seq(("p1", 2L, "y"), ("p2", 3L, "z"), ("p1", 1L, "x"))
+      .toDF("pt", "id", "v")
+    val m = Profiling.ingestionManifest(a, Seq("pt"), Seq("id", "v"))
+      .orderBy("pt").collect().toSeq
+    val m2 = Profiling.ingestionManifest(sameShuffled, Seq("pt"), Seq("id", "v"))
+      .orderBy("pt").collect().toSeq
+    assert(m == m2)
+    // duplicated row (XOR-blind case), mutated value, missing partition
+    val bad = Seq(("p1", 1L, "x"), ("p1", 1L, "x"), ("p1", 2L, "y"),
+      ("p1", 1L, "x"), ("p1", 2L, "y"))
+      .toDF("pt", "id", "v") // p1: rows duplicated (even AND odd), p2 gone
+    val diff = Profiling.manifestDiff(
+        Profiling.ingestionManifest(a, Seq("pt"), Seq("id", "v")),
+        Profiling.ingestionManifest(bad, Seq("pt"), Seq("id", "v")), Seq("pt"))
+      .orderBy("pt").as[(String, Long, Long, Long, Boolean)].collect().toSeq
+    assert(diff == Seq(("p1", 2L, 5L, 3L, false), ("p2", 1L, 0L, -1L, false)))
+    // equal count, one mutated cell → checksum catches it
+    val mut = Seq(("p1", 1L, "x"), ("p1", 2L, "Y"), ("p2", 3L, "z"))
+      .toDF("pt", "id", "v")
+    val diff2 = Profiling.manifestDiff(
+        Profiling.ingestionManifest(a, Seq("pt"), Seq("id", "v")),
+        Profiling.ingestionManifest(mut, Seq("pt"), Seq("id", "v")), Seq("pt"))
+      .orderBy("pt").as[(String, Long, Long, Long, Boolean)].collect().toSeq
+    assert(diff2 == Seq(("p1", 2L, 2L, 0L, false), ("p2", 1L, 1L, 0L, true)))
+  }
 }
