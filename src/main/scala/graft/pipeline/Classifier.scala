@@ -51,9 +51,26 @@ object Classifier {
 
   /**
    * Appends `outCol = ilog2_fx(greatest(xCol, 1))` — the fixed-point
-   * base-2 log — via staged projections (never one nested expression:
-   * each of the 31 steps reads its predecessor twice, and a single
-   * substituted tree would be 2³¹ nodes).
+   * base-2 log — as ONE native codegen'd expression
+   * ([[graft.plans.Ilog2Fx]]: the 31-iteration int64 loop runs inside
+   * whole-stage codegen). Bit-identical to [[withIlog2FxStaged]],
+   * which is kept as the independent staged-projection reference the
+   * parity spec pins against.
+   */
+  def withIlog2Fx(df: DataFrame, xCol: String, outCol: String): DataFrame = {
+    graft.plans.NativeFns.register(df.sparkSession)
+    df.withColumn(outCol, graft.plans.Ilog2Fx.ilog2(
+      greatest(col(xCol).cast("long"), lit(1L))))
+  }
+
+  /**
+   * Staged-projection rendition of the same iteration — one plan node
+   * per step (never one nested expression: each of the 31 steps reads
+   * its predecessor twice, and a single substituted tree would be 2³¹
+   * nodes). Superseded in the hot path by the native expression (the
+   * ~51 chained projections were the classifier family's dominant
+   * fixed planning/execution cost); retained as the independent
+   * reference implementation for the PipelineSpec parity pin.
    *
    * Algorithm, all int64 and branch-free per row: normalize
    * `x = m·2^e` with `m ∈ [2³⁰, 2³¹)` by constant-power-of-two
@@ -62,7 +79,7 @@ object Classifier {
    * (`m² ∈ [2⁶⁰, 2⁶²)` — inside int64). Result
    * `(30+e)·2²⁰ + frac ∈ [0, 62·2²⁰]`.
    */
-  def withIlog2Fx(df: DataFrame, xCol: String, outCol: String): DataFrame = {
+  def withIlog2FxStaged(df: DataFrame, xCol: String, outCol: String): DataFrame = {
     var cur = df
       .withColumn("__t", greatest(col(xCol).cast("long"), lit(1L)))
       .withColumn("__e", lit(0L))

@@ -57,6 +57,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         seed = FnArgs.longArg("vec_project_i64", "seed", exprs(3)),
         scale = FnArgs.longArg("vec_project_i64", "scale", exprs(4)))))
     ext.injectFunction((
+      new FunctionIdentifier("ilog2_fx"),
+      new ExpressionInfo(classOf[Ilog2Fx].getName, "ilog2_fx"),
+      (exprs: Seq[Expression]) => Ilog2Fx(exprs.head)))
+    ext.injectFunction((
       new FunctionIdentifier("srp_sig"),
       new ExpressionInfo(classOf[SrpSig].getName, "srp_sig"),
       (exprs: Seq[Expression]) => SrpSig(exprs.head,

@@ -27,5 +27,6 @@ object NativeFns {
       VecProject.register(spark)
       SrpSig.register(spark)
       LangMarkerCounts.register(spark)
+      Ilog2Fx.register(spark)
     }
 }

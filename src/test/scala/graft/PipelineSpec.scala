@@ -2496,6 +2496,12 @@ class PipelineSpec extends SparkTestBase {
       (30L + e) * (1L << Classifier.FracBits) + f
     }
     got.foreach { case (x, lg) => assert(lg == ref(x), s"x=$x") }
+    // parity pin: the native codegen'd expression (the hot path) is
+    // bit-identical to the staged-projection reference rendition
+    val staged = Classifier.withIlog2FxStaged(
+        xs.toDF("x"), "x", "lg")
+      .orderBy("x").as[(Long, Long)].collect().toSeq
+    assert(staged == got)
     // exact at powers of two; within 4 fx units of the real log2
     assert(got.find(_._1 == 1L).get._2 == 0L)
     assert(got.find(_._1 == 1024L).get._2 == 10L * (1L << 20))
