@@ -110,6 +110,18 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
   def main(args: Array[String]): Unit = {
+    val runStartNs = System.nanoTime()
+    def elapsedSec: Double = (System.nanoTime() - runStartNs) / 1e9
+    // Wall-budget instrument (round 17, after BENCH_r16 died rc=124
+    // with no artifact at all): the driver kills the bench process at
+    // a fixed wall timeout, and the board outgrowing that budget must
+    // be DETECTED (pre-flight, after trial 1) rather than discovered
+    // as a timeout with parsed:null. The budget default is the
+    // conservative bound recorded in ENGINE.md (r15's ~169 s/trial
+    // board completed, r16's ~253 s/trial died; the projection below
+    // flags while there is still time to read the warning).
+    val wallBudget =
+      sys.env.getOrElse("SPARK_GRAFT_WALL_BUDGET", "1800").toDouble
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
@@ -436,9 +448,26 @@ object Bench {
     // One GC per sweep bounds the accumulation to a single sweep's
     // worth of (small) per-round frames; per-query GC would cost real
     // wall time for no additional bound.
+    val trialWalls = scala.collection.mutable.ArrayBuffer.empty[Double]
+    var wallProjected = 0.0
     (1 to trials).foreach { t =>
       gateSweep(s"trial-$t")
+      val t0 = elapsedSec
       sweep(names, context = s"trial-$t"); System.gc()
+      trialWalls += elapsedSec - t0
+      if (t == 1) {
+        // Pre-flight budget check: project the full-run wall from the
+        // measured trial-1 sweep (remaining trials at trial-1 cost,
+        // +25% allowance for repair/confirmation sweeps and gating —
+        // the historical overhead band of clean runs). Printed to
+        // stderr IMMEDIATELY so a doomed run says so in its first
+        // minutes, and again in the artifact for the round record.
+        wallProjected = elapsedSec + (trials - 1) * trialWalls.head * 1.25
+        val verdict = if (wallProjected > wallBudget) "OVER" else "OK"
+        System.err.println(f"BENCH WALL BUDGET: trial1=${trialWalls.head}%.1fs " +
+          f"elapsed=${elapsedSec}%.1fs projected=${wallProjected}%.1fs " +
+          f"budget=${wallBudget}%.0fs verdict=$verdict")
+      }
     }
     final case class Timing(name: String, median: Double, min: Double,
         max: Double, ok: Boolean, stallDropped: Int)
@@ -675,7 +704,11 @@ object Bench {
       .collect { case (n, ss) if ss.exists(!_._3) =>
         "\"" + n + "\":\"" + errMsgs.getOrElse(n, "unknown") + "\"" }
       .mkString("{", ",", "}")
-    val detail = s"""{"format":4,"metric":"total","value":$total,"floor":$floor,"unit":"sec","warmup":$warmedUp,"trials":$trials,"reran":$needRerun,"tainted":$tainted,"queries":${qmap(engine, f6)},"verification":${qmap(verif, f6)},"verification_total":$verifTotal,"spread":$spread,"unstable":$unstable,"errors":$errors,"baseline_n":${ratios.size},"baseline_ratios":$ratioJson,"regressions":$regJson,"regressions_raw":$regRawJson,"confirm_sweeps":$confirms,"confirm_min":$confirmMinJson,"confirm_errors":$confirmErrJson,"canary":$canaryJson,"canary_bw":$canaryBwJson,"canary_series":$canarySeriesJson,"stall_excluded":$stallExcluded,"gate":{"enabled":$gateEnabled,"drift":$gateDrift,"deferred":$gateDeferred,"redo":$gateRedo,"forced":$gateForced},"gate_log":$gateLogJson,"sf":"$sfDir"}"""
+    // Wall instrument summary: elapsed so far (the artifact writes
+    // before spark.stop, so this is ~the full run), per-trial sweep
+    // walls, the trial-1 projection, and the budget verdict.
+    val wallJson = s"""{"elapsed":${f3(elapsedSec)},"per_trial":${trialWalls.map(f3).mkString("[", ",", "]")},"projected":${f3(wallProjected)},"budget":${f3(wallBudget)},"over":${wallProjected > wallBudget}}"""
+    val detail = s"""{"format":4,"metric":"total","value":$total,"floor":$floor,"unit":"sec","wall":$wallJson,"warmup":$warmedUp,"trials":$trials,"reran":$needRerun,"tainted":$tainted,"queries":${qmap(engine, f6)},"verification":${qmap(verif, f6)},"verification_total":$verifTotal,"spread":$spread,"unstable":$unstable,"errors":$errors,"baseline_n":${ratios.size},"baseline_ratios":$ratioJson,"regressions":$regJson,"regressions_raw":$regRawJson,"confirm_sweeps":$confirms,"confirm_min":$confirmMinJson,"confirm_errors":$confirmErrJson,"canary":$canaryJson,"canary_bw":$canaryBwJson,"canary_series":$canarySeriesJson,"stall_excluded":$stallExcluded,"gate":{"enabled":$gateEnabled,"drift":$gateDrift,"deferred":$gateDeferred,"redo":$gateRedo,"forced":$gateForced},"gate_log":$gateLogJson,"sf":"$sfDir"}"""
     // Two detail files per run (round-15 lesson, encoded): the
     // canonical BENCH_DETAIL.json (what make_baseline.py and the
     // round tooling read — latest run wins) PLUS a mode-keyed copy
@@ -702,7 +735,7 @@ object Bench {
     // mid-line). A final totals-only line — printed last, so the tail
     // capture always retains it whole — keeps the official artifact
     // self-contained however many queries the compact line carries.
-    println(s"""{"format":4,"metric":"total","value":${f3(total)},"floor":${f3(floor)},"unit":"sec","trials":$trials,"reran":$needRerun,"tainted":$tainted,"unstable_n":$unstableCount,"nqueries":${engine.size},"baseline_n":${ratios.size},"regressions_n":${regressions.size},"regressions_raw_n":${regressionsRaw.size},"confirm_sweeps":$confirms,"regressions_top":$regJsonTop,"canary":$canaryJson,"canary_bw":$canaryBwJson,"stall_excluded":$stallExcluded,"gate":{"enabled":$gateEnabled,"deferred":$gateDeferred,"redo":$gateRedo,"forced":$gateForced},"sf":"$sfDir"}""")
+    println(s"""{"format":4,"metric":"total","value":${f3(total)},"floor":${f3(floor)},"unit":"sec","wall":$wallJson,"trials":$trials,"reran":$needRerun,"tainted":$tainted,"unstable_n":$unstableCount,"nqueries":${engine.size},"baseline_n":${ratios.size},"regressions_n":${regressions.size},"regressions_raw_n":${regressionsRaw.size},"confirm_sweeps":$confirms,"regressions_top":$regJsonTop,"canary":$canaryJson,"canary_bw":$canaryBwJson,"stall_excluded":$stallExcluded,"gate":{"enabled":$gateEnabled,"deferred":$gateDeferred,"redo":$gateRedo,"forced":$gateForced},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
