@@ -62,15 +62,25 @@ private[graft] object LakeEntries {
     // Ingestion manifest + diff: per-o_orderstatus row counts and
     // order-free 48-bit-md5 content checksums of a stable column
     // rendering, verified against a deliberately corrupted copy (the
-    // o_orderkey=1 row dropped, order 4's priority mutated) — the
-    // partitions holding those orders must fail verification (one
-    // with rows_delta -1, one via checksum at equal count), the rest
-    // must verify. Corruption is id-pinned → deterministic at any sf.
+    // o_orderkey=1 row dropped; the priority of the SMALLEST orderkey
+    // in a DIFFERENT status partition mutated) — so the two failure
+    // modes always land in two distinct partitions: one fails with
+    // rows_delta -1, one via checksum at equal count, the rest must
+    // verify. The mutation target is derived (not id-pinned) because
+    // the generator assigns statuses differently per sf, and a fixed
+    // second id can collapse both corruptions into one partition
+    // (round-16 ADVICE: at sf0.01 orders 1 and 4 are both 'F',
+    // leaving the equal-count checksum path unexercised). Both
+    // lookups are single-row scalar reads (O-19 semantics).
     "q_manifest" -> { (s, dir) =>
       val cols = Seq("o_orderkey", "o_custkey", "o_orderpriority")
       val orders = Tables.read(s, dir, "orders")
+      val dropStatus = orders.filter(col("o_orderkey") === 1L)
+        .select("o_orderstatus").first().getString(0)
+      val mutKey = orders.filter(col("o_orderstatus") =!= dropStatus)
+        .agg(min("o_orderkey")).first().getLong(0)
       val corrupt = orders.filter(col("o_orderkey") =!= 1L)
-        .withColumn("o_orderpriority", when(col("o_orderkey") === 4L,
+        .withColumn("o_orderpriority", when(col("o_orderkey") === mutKey,
           lit("9-CORRUPTED")).otherwise(col("o_orderpriority")))
       graft.operators.Profiling.manifestDiff(
           graft.operators.Profiling.ingestionManifest(
@@ -165,8 +175,10 @@ private[graft] object LakeEntries {
         |coalesce(o_orderpriority, chr(0)))), 1, 12))::BIGINT AS h FROM base),
         |exp AS (SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_rows_exp,
         |SUM(CAST(h AS HUGEINT)) AS sum_exp FROM rend GROUP BY 1),
+        |mut AS (SELECT min(o_orderkey) AS k FROM base
+        |WHERE o_orderstatus <> (SELECT o_orderstatus FROM base WHERE o_orderkey = 1)),
         |cor AS (SELECT o_orderstatus, o_orderkey, o_custkey,
-        |CASE WHEN o_orderkey = 4 THEN '9-CORRUPTED' ELSE o_orderpriority END AS o_orderpriority
+        |CASE WHEN o_orderkey = (SELECT k FROM mut) THEN '9-CORRUPTED' ELSE o_orderpriority END AS o_orderpriority
         |FROM base WHERE o_orderkey <> 1),
         |rend2 AS (SELECT o_orderstatus,
         |('0x' || substr(md5('m:' || concat_ws(chr(1),

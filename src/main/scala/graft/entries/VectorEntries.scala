@@ -302,17 +302,18 @@ private[graft] object VectorEntries {
          |row_number() OVER (PARTITION BY src_id ORDER BY sim DESC, tgt_id) AS rk_s,
          |row_number() OVER (PARTITION BY tgt_id ORDER BY sim DESC, src_id) AS rk_t
          |FROM s2t0),
-         |sum_s AS (SELECT src_id, SUM(cos_fp) AS sum_s FROM ranked
-         |WHERE rk_s <= 5 GROUP BY src_id),
-         |sum_t AS (SELECT tgt_id, SUM(cos_fp) AS sum_t FROM ranked
-         |WHERE rk_t <= 5 GROUP BY tgt_id),
+         |sum_s AS (SELECT src_id, SUM(cos_fp) AS sum_s, COUNT(*) AS n_s
+         |FROM ranked WHERE rk_s <= 5 GROUP BY src_id),
+         |sum_t AS (SELECT tgt_id, SUM(cos_fp) AS sum_t, COUNT(*) AS n_t
+         |FROM ranked WHERE rk_t <= 5 GROUP BY tgt_id),
          |cands AS (SELECT DISTINCT src_id, tgt_id, cos_fp FROM ranked
          |WHERE rk_s <= 5 OR rk_t <= 5),
          |m AS MATERIALIZED (SELECT c.src_id, c.tgt_id, c.cos_fp,
-         |(c.cos_fp * 10 * 1048576) // (s.sum_s + t.sum_t) AS margin_fp
+         |(c.cos_fp * 2 * s.n_s * t.n_t * 1048576)
+         |// (t.n_t * s.sum_s + s.n_s * t.sum_t) AS margin_fp
          |FROM cands c JOIN sum_s s ON s.src_id = c.src_id
          |JOIN sum_t t ON t.tgt_id = c.tgt_id
-         |WHERE c.cos_fp >= 0 AND s.sum_s + t.sum_t > 0),
+         |WHERE c.cos_fp >= 0 AND t.n_t * s.sum_s + s.n_s * t.sum_t > 0),
          |best AS (SELECT *,
          |row_number() OVER (PARTITION BY src_id ORDER BY margin_fp DESC, tgt_id) AS rs,
          |row_number() OVER (PARTITION BY tgt_id ORDER BY margin_fp DESC, src_id) AS rt

@@ -744,11 +744,19 @@ object Similarity {
    * bit-identically: cosines land as fixed-point floor(2²⁰·cos)
    * BIGINTs (the same doubles in both engines — the ordered-fold
    * [[VectorFns.cosine]] contract), neighborhood sums are exact
-   * integer sums, and margin_fp = (2k·2²⁰·cos_fp) div (sumₓ + sumᵧ) is
-   * the margin in 2²⁰ fixed point (numerator ≤ 2·k·2²⁰·2²⁰ ≈ 1.8e13
-   * for k ≤ 8 — inside int64). Ranking on the truncated margin is a
-   * documented deviation from the paper's real-valued scores: rationals
-   * within 2⁻²⁰ of each other tie and break to the lower id,
+   * integer sums, and the margin renders the paper's
+   * cos / ((sumₓ/nₓ + sumᵧ/nᵧ) / 2) with PER-QUERY list sizes:
+   * margin_fp = (2·nₓ·nᵧ·2²⁰·cos_fp) div (nᵧ·sumₓ + nₓ·sumᵧ) in 2²⁰
+   * fixed point (numerator ≤ 2·k²·2²⁰·2²⁰ ≈ 2⁴⁷ for k ≤ 8 — inside
+   * int64). When both lists are full (nₓ = nᵧ = k) this is the same
+   * rational as the fixed-2k form, so the floor is bit-identical —
+   * but approximate retrievers ([[lshTopK]]) can return FEWER than k
+   * candidates, and a fixed 2k would deflate that query's
+   * neighborhood mean and inflate its margins (round-16 ADVICE); the
+   * per-count denominator is the paper's mean-over-what-was-retrieved
+   * either way. Ranking on the truncated margin is a documented
+   * deviation from the paper's real-valued scores: rationals within
+   * 2⁻²⁰ of each other tie and break to the lower id,
    * deterministically in both engines.
    *
    * Pairs with a non-positive cosine or neighborhood sum are dropped
@@ -775,14 +783,18 @@ object Similarity {
         floor(col("cosine") * lit(1048576d)).cast("long").as("cos_fp"))
     val s2t = fp(srcToTgt, "src_id", "tgt_id")
     val t2s = fp(tgtToSrc, "tgt_id", "src_id")
-    val sumS = s2t.groupBy("src_id").agg(sum("cos_fp").as("sum_s"))
-    val sumT = t2s.groupBy("tgt_id").agg(sum("cos_fp").as("sum_t"))
+    val sumS = s2t.groupBy("src_id").agg(sum("cos_fp").as("sum_s"),
+      count(lit(1)).cast("long").as("n_s"))
+    val sumT = t2s.groupBy("tgt_id").agg(sum("cos_fp").as("sum_t"),
+      count(lit(1)).cast("long").as("n_t"))
     val cands = s2t.select("src_id", "tgt_id", "cos_fp")
       .unionByName(t2s.select("src_id", "tgt_id", "cos_fp")).distinct()
     val m = cands.join(sumS, "src_id").join(sumT, "tgt_id")
-      .filter(col("cos_fp") >= 0 && col("sum_s") + col("sum_t") > 0)
+      .filter(col("cos_fp") >= 0 &&
+        col("n_t") * col("sum_s") + col("n_s") * col("sum_t") > 0)
       .withColumn("margin_fp",
-        expr(s"(cos_fp * ${2L * k} * 1048576L) div (sum_s + sum_t)"))
+        expr("(cos_fp * 2L * n_s * n_t * 1048576L) div " +
+          "(n_t * sum_s + n_s * sum_t)"))
     val bestT = Window.partitionBy("src_id")
       .orderBy(col("margin_fp").desc, col("tgt_id"))
     val bestS = Window.partitionBy("tgt_id")

@@ -122,8 +122,13 @@ object Wordpiece {
     val fromState = vocab.withColumn("__m", merged)
       .select(posexplode(us).as(Seq("pos", "piece")))
       .select(col("piece"), (col("pos") === 0).as("is_initial"))
+    // split(word, "") keeps a trailing empty string (Java split with
+    // limit -1); drop it or the vocabulary gains a spurious ("", *)
+    // piece — inert in encode (candidate lengths start at 1) but a
+    // contract violation in the public piece table.
     val alphabet = vocab
       .select(explode(split(col("word"), "")).as("piece"))
+      .filter(length(col("piece")) > 0)
       .crossJoin(broadcast(
         vocab.sparkSession.range(2).select((col("id") === 0).as("is_initial"))))
     fromState.unionByName(alphabet).distinct()

@@ -2545,6 +2545,12 @@ class PipelineSpec extends SparkTestBase {
     val again = Classifier.nbScore(test, Classifier.nbTrain(train))
       .orderBy("doc_id").as[(Long, String, Long, Long)].collect().toSeq
     assert(again == scored)
+    // broadcastModel=false (the beyond-broadcast-vocabulary escape
+    // hatch): the weight join degrades to a shuffle equi-join with
+    // bit-identical results
+    val shuffled = Classifier.nbScore(test, model, broadcastModel = false)
+      .orderBy("doc_id").as[(Long, String, Long, Long)].collect().toSeq
+    assert(shuffled == scored)
     // eval: confusion matrix + exact marginals on a labeled held-out
     // set (2 true-A docs split A/B, 1 true-B doc predicted B)
     val held = Seq((20L, "a a", "A"), (21L, "b b c", "A"), (22L, "c c", "B"))
@@ -2557,6 +2563,45 @@ class PipelineSpec extends SparkTestBase {
     assert(conf.forall { case (l, _, _, nTrue, _) =>
       nTrue == (if (l == "A") 2L else 1L) })
     assert(conf.filter(_._2 == "B").forall(_._5 == predB))
+  }
+
+  test("hashed-feature NB: fastText featurization, md5 buckets, train/score") {
+    import graft.pipeline.Classifier
+    // featurization order and bucketing: 'hello' → w:hello followed by
+    // the five char-3-grams of '<hello>', each md5-48-bit % buckets —
+    // pinned against an independent JVM MessageDigest rendition
+    val feats = Seq((1L, "hello")).toDF("doc_id", "text")
+      .select(explode(Classifier.hashedTokens(col("text"), buckets = 512))
+        .as("b"))
+      .as[String].collect().toSeq
+    def bucket(feat: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(feat.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(12), 16) % 512
+    }
+    val expected = (Seq("w:hello") ++
+      Seq("c:<he", "c:hel", "c:ell", "c:llo", "c:lo>"))
+      .map(b => bucket(b).toString)
+    assert(feats == expected)
+    // end-to-end: hashed train + hashed score classify like word NB
+    // when buckets are collision-free at this vocabulary size
+    val train = Seq((1L, "aa ab", "A"), (2L, "aa", "A"), (3L, "bb bc", "B"))
+      .toDF("doc_id", "text", "label")
+    val model = Classifier.nbTrainHashed(train, buckets = 4096)
+    // model tokens are bucket ids inside [0, buckets)
+    val toks = model.select("token").distinct()
+      .as[String].collect().toSeq
+    assert(toks.forall(t => t.toLong >= 0L && t.toLong < 4096L))
+    val te = Seq((10L, "aa aa"), (11L, "bb")).toDF("doc_id", "text")
+    val sc = Classifier.nbScoreHashed(te, model, buckets = 4096)
+      .orderBy("doc_id").as[(Long, String, Long, Long)].collect().toSeq
+    assert(sc.map(r => (r._1, r._2)) == Seq((10L, "A"), (11L, "B")))
+    // deterministic: re-train + re-score bit-identical
+    val again = Classifier.nbScoreHashed(te,
+        Classifier.nbTrainHashed(train, buckets = 4096), buckets = 4096)
+      .orderBy("doc_id").as[(Long, String, Long, Long)].collect().toSeq
+    assert(again == sc)
   }
 
   test("nbUpdate: incremental fold-in is bit-identical to the full retrain") {
@@ -2735,6 +2780,27 @@ class PipelineSpec extends SparkTestBase {
       .as[(Long, Long, Long, Long)].collect().toSeq
     assert(gated.toSet.subsetOf(got.toSet) &&
       gated.forall(_._4 >= 1048576L))
+    // per-query list sizes (round-16 ADVICE): an approximate
+    // retriever can return FEWER than k, and the margin must divide
+    // by the mean of what was actually retrieved, not a fixed 2k.
+    // src 100 retrieved ONE neighbor (n_s=1), tgt 201 two (n_t=2):
+    // margin = cos / ((sum_s/1 + sum_t/2) / 2)
+    //        = (cos·2·n_s·n_t·2²⁰) div (n_t·sum_s + n_s·sum_t)
+    val s2tShort = Seq((100L, 201L, 0.5, 1))
+      .toDF("query_id", "neighbor_id", "cosine", "rank")
+    val t2sShort = Seq((201L, 100L, 0.5, 1), (201L, 102L, 0.25, 2))
+      .toDF("query_id", "neighbor_id", "cosine", "rank")
+    val shortGot = graft.pipeline.Similarity.marginMine(
+        s2tShort, t2sShort, k = 2, minMarginFp = 0L)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val shortCfp = 524288L                      // floor(0.5 · 2²⁰)
+    val shortSumT = shortCfp + 262144L          // + floor(0.25 · 2²⁰)
+    val expShortM =
+      shortCfp * 2L * 1L * 2L * 1048576L / (2L * shortCfp + shortSumT)
+    // a fixed-2k denominator would read 1677721 here; per-count is
+    // the paper's mean-over-retrieved
+    assert(expShortM == 1198372L)
+    assert(shortGot == Seq((100L, 201L, shortCfp, expShortM)))
   }
 
   test("Wordpiece: likelihood argmax diverges from BPE count argmax; greedy encode + UNK") {
@@ -2757,6 +2823,8 @@ class PipelineSpec extends SparkTestBase {
     val merges = wp.map(m => (m._2, m._3))
     val pieces = graft.pipeline.Wordpiece.pieceVocab(d, merges)
     val pieceSet = pieces.as[(String, Boolean)].collect().toSet
+    // no spurious empty piece (split(word, "") keeps a trailing "")
+    assert(pieceSet.forall(_._1.nonEmpty))
     assert(pieceSet.contains(("ab", true)) && !pieceSet.contains(("ab", false)))
     assert(Seq("a", "b", "c", "d").forall(ch =>
       pieceSet.contains((ch, true)) && pieceSet.contains((ch, false))))
