@@ -842,6 +842,22 @@ object ProfileScale {
         graft.pipeline.Classifier.nbScore(te,
           graft.pipeline.Classifier.nbTrain(tr))
       },
+      // Hashed-feature NB: the weight matrix is BUCKET-bounded (fixed
+      // bucket count regardless of vocabulary growth — the fastText
+      // open-vocabulary story), so the broadcast side must stay FLAT
+      // with m while scoring stays one corpus-linear explode +
+      // broadcast join + map-side rollup. Featurization multiplies
+      // the explode by ~(1 + avg word len), a constant.
+      "classifier_hashed" -> { m =>
+        val d = scaledDocs(spark, sfDir, m)
+        val tr = d.filter(col("doc_id") % 4 =!= 3)
+          .select(col("doc_id"), col("text"),
+            concat(lit("s"), pmod(col("doc_id"), lit(20))).as("label"))
+        val te = d.filter(col("doc_id") % 4 === 3).select("doc_id", "text")
+        graft.pipeline.Classifier.nbScoreHashed(te,
+          graft.pipeline.Classifier.nbTrainHashed(tr, buckets = 4096),
+          buckets = 4096)
+      },
       // SemDeDup with the documented scale discipline: the quantizer
       // k grows with the corpus (k ∝ N), so per-cell population — and
       // with it the within-cell pair volume — stays CONSTANT while

@@ -831,6 +831,24 @@ private[graft] object CorpusEntries {
         .orderBy("label", "label_pred")
     },
 
+    // Hashed-feature NB (fastText/CCNet feature fidelity): word +
+    // char-3-gram features md5-bucketed into 512 buckets — the model
+    // stays BUCKET-bounded however large the corpus vocabulary grows,
+    // which is the open-vocabulary 100 TB story. Same train split /
+    // held-out scoring as q_classifier_score; collisions pool counts
+    // exactly as in fastText, and the oracle replays the identical
+    // featurization + bucketing.
+    "q_classifier_hashed" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val tr = d.filter(col("doc_id") % 4 =!= 3)
+        .select(col("doc_id"), col("text"), col("source").as("label"))
+      val te = d.filter(col("doc_id") % 4 === 3).select("doc_id", "text")
+      graft.pipeline.Classifier.nbScoreHashed(spread(te),
+          graft.pipeline.Classifier.nbTrainHashed(tr, buckets = 512),
+          buckets = 512)
+        .orderBy("doc_id")
+    },
+
     // C4 line-level structural cleaning over a lined fixture (docs
     // have no newlines or punctuation, so compose each fixture doc
     // from 4 base docs as 4-5 lines exercising every rule: l0 carries
@@ -1222,7 +1240,47 @@ FROM vfinal ORDER BY rank"""
       |list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS w
       |FROM tr),
       |tok AS MATERIALIZED (SELECT label, unnest(w) AS token FROM tw),
-      |tc AS MATERIALIZED (SELECT label, token,
+      |$nbModelTail""".stripMargin
+
+  /** fastText-style hashed-feature featurization as a CTE chain: per
+    * word one `w:word` feature plus `c:gram` char n-grams of the
+    * boundary-padded `<word>`, each bucketed by the 48-bit md5 prefix
+    * mod `buckets` — replays [[graft.pipeline.Classifier.hashedTokens]]
+    * bit-exactly ((positive) % == pmod; same md5 prefix rendering as
+    * the dedup/sampling oracles). `src` must provide (doc_id, word);
+    * emits `$out` (doc_id, token). */
+  private def hashedTokCtes(src: String, out: String, buckets: Int,
+      n: Int): String =
+    s"""${out}_p AS (SELECT doc_id, word, '<' || word || '>' AS p FROM $src),
+      |${out}_f AS (SELECT doc_id, unnest(['w:' || word] ||
+      |['c:' || substring(p, CAST(i AS INTEGER), $n)
+      |for i in range(1, length(p) - ${n - 2})]) AS f FROM ${out}_p),
+      |$out AS MATERIALIZED (SELECT doc_id,
+      |CAST(('0x' || substr(md5(f), 1, 12))::BIGINT % $buckets AS VARCHAR)
+      |AS token FROM ${out}_f)""".stripMargin
+
+  /** [[nbModelCtesWhere]] with [[hashedTokCtes]] features in place of
+    * raw word tokens — the oracle for the nbTrainHashed/nbScoreHashed
+    * path. The model tail (counts, ilog chain, weight matrix) is the
+    * SAME CTE chain; only the token derivation differs. */
+  private def nbModelHashedCtes(where: String, buckets: Int,
+      n: Int): String =
+    s"""tr AS (SELECT doc_id, source AS label, text FROM documents
+      |WHERE $where),
+      |trw AS (SELECT doc_id, unnest(
+      |list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))
+      |AS word FROM tr),
+      |${hashedTokCtes("trw", "trtok", buckets, n)},
+      |tok AS MATERIALIZED (SELECT label, token
+      |FROM trtok JOIN tr USING (doc_id)),
+      |$nbModelTail""".stripMargin
+
+  /** The shared NB model tail: Laplace-smoothed (label, token)
+    * counts, one ilog chain over the union of every log argument,
+    * then the full vocab x labels weight matrix `model`. Consumes
+    * `tr` (doc_id, label, text) and `tok` (label, token). */
+  private def nbModelTail: String =
+    s"""tc AS MATERIALIZED (SELECT label, token,
       |CAST(COUNT(*) AS BIGINT) AS cnt FROM tok GROUP BY 1, 2),
       |vocab AS MATERIALIZED (SELECT DISTINCT token FROM tok),
       |vn AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM vocab),
@@ -1268,6 +1326,30 @@ FROM vfinal ORDER BY rank"""
         |ttok AS (SELECT doc_id,
         |unnest(list_filter(regexp_split_to_array(text, '\\s+'),
         |x -> x <> '')) AS token FROM te),
+        |contrib AS (SELECT doc_id, label, CAST(SUM(w_fx) AS BIGINT) AS sw
+        |FROM ttok JOIN model USING (token) GROUP BY 1, 2),
+        |sc AS (SELECT te.doc_id, l.label,
+        |COALESCE(c.sw, 0) + l.prior_fx AS score_fx
+        |FROM te CROSS JOIN (SELECT DISTINCT label, prior_fx FROM model) l
+        |LEFT JOIN contrib c ON c.doc_id = te.doc_id AND c.label = l.label),
+        |rk AS (SELECT doc_id, label, score_fx,
+        |ROW_NUMBER() OVER (PARTITION BY doc_id
+        |ORDER BY score_fx DESC, label) AS rn,
+        |LEAD(score_fx) OVER (PARTITION BY doc_id
+        |ORDER BY score_fx DESC, label) AS nxt FROM sc)
+        |SELECT doc_id, label AS label_pred, score_fx,
+        |score_fx - COALESCE(nxt, score_fx) AS margin_fx
+        |FROM rk WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    // hashed-feature replay: same model tail, token = md5 bucket of
+    // each word/char-3-gram feature, on both the train and test side
+    "q_classifier_hashed" ->
+      s"""WITH ${nbModelHashedCtes("doc_id % 4 <> 3", 512, 3)},
+        |te AS (SELECT doc_id, text FROM documents WHERE doc_id % 4 = 3),
+        |tew AS (SELECT doc_id, unnest(
+        |list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))
+        |AS word FROM te),
+        |${hashedTokCtes("tew", "ttok", 512, 3)},
         |contrib AS (SELECT doc_id, label, CAST(SUM(w_fx) AS BIGINT) AS sw
         |FROM ttok JOIN model USING (token) GROUP BY 1, 2),
         |sc AS (SELECT te.doc_id, l.label,

@@ -126,6 +126,45 @@ object Classifier {
     explode(graft.plans.WordShingles.shingles(textCol, 1))
 
   /**
+   * Hashed-feature tokens — the fastText/CCNet feature scheme (Joulin
+   * et al. 2017 hash word and character n-grams into a fixed bucket
+   * space): per whitespace word `w`, one word feature `w:w` plus one
+   * `c:g` feature per character n-gram `g` of the boundary-padded
+   * `<w>`; every feature lands in `pmod(md5_48(feature), buckets)`
+   * and the BUCKET ID (as a string) is the NB token. Deterministic
+   * and engine-replayable: the 48-bit-md5-prefix bucket is the same
+   * integer in DuckDB (`('0x' || substr(md5(f),1,12))::BIGINT %
+   * buckets`), and counts stay integer-exact, so the whole trained
+   * model remains oracle-checkable. Collisions are the scheme's
+   * standard tradeoff (features sharing a bucket pool their counts),
+   * bounded by `buckets` exactly as in fastText.
+   *
+   * Scale shape: the feature space is BUCKET-bounded regardless of
+   * corpus vocabulary — the weight matrix is ≤ buckets·C rows even on
+   * an open-vocabulary 100 TB crawl, which is the reason fastText
+   * hashes in the first place (and why [[nbScore]]'s broadcast
+   * default stays safe under growth).
+   *
+   * n is capped at 3 because the padded word `<w>` is at least 3
+   * chars, keeping `sequence(1, len-n+1)` ascending for every word.
+   */
+  def hashedTokens(textCol: Column, buckets: Int, n: Int = 3): Column = {
+    require(buckets > 0, "buckets must be positive")
+    require(n >= 1 && n <= 3, "char n-gram order must be in [1, 3]")
+    val words = graft.plans.WordShingles.shingles(textCol, 1)
+    val feats = flatten(transform(words, w => {
+      val padded = concat(lit("<"), w, lit(">"))
+      val grams = transform(
+        sequence(lit(1), length(padded) - lit(n - 1)),
+        i => concat(lit("c:"), padded.substr(i, lit(n))))
+      concat(array(concat(lit("w:"), w)), grams)
+    }))
+    transform(feats, f =>
+      pmod(graft.operators.Sampling.hash48(f), lit(buckets.toLong))
+        .cast("string"))
+  }
+
+  /**
    * Train: fit the add-one-smoothed per-class token model on labeled
    * documents. Returns the FULL weight matrix — one row per
    * (label, vocabulary token), vocabulary-bounded — which is the
@@ -138,10 +177,24 @@ object Classifier {
    * table, not the training lineage.
    */
   def nbTrain(docs: DataFrame, labelCol: String = "label",
-      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    trainTok(docs, tokens(col(textCol)), labelCol)
+
+  /** [[nbTrain]] over [[hashedTokens]] features instead of raw word
+    * tokens — the fastText/CCNet-fidelity variant: the model's
+    * `token` column holds bucket ids, everything downstream
+    * (weights, priors, [[nbUpdate]], scoring) is unchanged. Score
+    * with [[nbScoreHashed]] at the SAME (buckets, n). */
+  def nbTrainHashed(docs: DataFrame, buckets: Int, n: Int = 3,
+      labelCol: String = "label", textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
+    trainTok(docs, explode(hashedTokens(col(textCol), buckets, n)), labelCol)
+
+  private def trainTok(docs: DataFrame, tokenOf: Column,
+      labelCol: String): DataFrame = {
     graft.plans.NativeFns.register(docs.sparkSession)
     val tok = docs.select(col(labelCol).cast("string").as("label"),
-      tokens(col(textCol)).as("token"))
+      tokenOf.as("token"))
     val tc = tok.groupBy("label", "token")
       .agg(count(lit(1)).cast("long").as("cnt"))
     val dc = docs.groupBy(col(labelCol).cast("string").as("label"))
@@ -243,13 +296,38 @@ object Classifier {
    * has a single class). The corpus side never shuffles before the
    * map-side-combinable (doc, label) rollup; the weight matrix rides
    * a broadcast.
+   *
+   * Sizing (`broadcastModel`): the default broadcasts the |V|·C
+   * weight matrix — right whenever the model fits executor memory
+   * (a 1M-token × 10-class matrix is ~3 long columns × 10M rows ≈
+   * a few hundred MB; fine). At fastText-scale vocabularies
+   * (millions of hashed n-gram features × many classes) the matrix
+   * can exceed broadcast limits — pass `broadcastModel = false` and
+   * the weight join degrades to a token-keyed shuffle equi-join
+   * (same results; the corpus pays one shuffle on `token`). The
+   * C-row prior table broadcasts unconditionally either way.
    */
   def nbScore(docs: DataFrame, model: DataFrame,
-      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+      textCol: String = "text", idCol: String = "doc_id",
+      broadcastModel: Boolean = true): DataFrame =
+    scoreTok(docs, tokens(col(textCol)), model, idCol, broadcastModel)
+
+  /** [[nbScore]] under a [[nbTrainHashed]] model: documents are
+    * featurized with the SAME (buckets, n) so feature buckets line up
+    * with the model's token ids. */
+  def nbScoreHashed(docs: DataFrame, model: DataFrame, buckets: Int,
+      n: Int = 3, textCol: String = "text", idCol: String = "doc_id",
+      broadcastModel: Boolean = true): DataFrame =
+    scoreTok(docs, explode(hashedTokens(col(textCol), buckets, n)),
+      model, idCol, broadcastModel)
+
+  private def scoreTok(docs: DataFrame, tokenOf: Column, model: DataFrame,
+      idCol: String, broadcastModel: Boolean): DataFrame = {
     graft.plans.NativeFns.register(docs.sparkSession)
     val labels = model.select("label", "prior_fx").distinct()
-    val contrib = docs.select(col(idCol), tokens(col(textCol)).as("token"))
-      .join(broadcast(model.select("token", "label", "w_fx")), Seq("token"))
+    val weights = model.select("token", "label", "w_fx")
+    val contrib = docs.select(col(idCol), tokenOf.as("token"))
+      .join(if (broadcastModel) broadcast(weights) else weights, Seq("token"))
       .groupBy(col(idCol), col("label"))
       .agg(sum("w_fx").cast("long").as("__sw"))
     val scores = docs.select(col(idCol))

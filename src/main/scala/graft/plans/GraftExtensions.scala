@@ -57,6 +57,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         seed = FnArgs.longArg("vec_project_i64", "seed", exprs(3)),
         scale = FnArgs.longArg("vec_project_i64", "scale", exprs(4)))))
     ext.injectFunction((
+      new FunctionIdentifier("lang_marker_counts"),
+      new ExpressionInfo(classOf[LangMarkerCounts].getName, "lang_marker_counts"),
+      (exprs: Seq[Expression]) => LangMarkerCounts(exprs.head)))
+    ext.injectFunction((
       new FunctionIdentifier("ilog2_fx"),
       new ExpressionInfo(classOf[Ilog2Fx].getName, "ilog2_fx"),
       (exprs: Seq[Expression]) => Ilog2Fx(exprs.head)))

@@ -187,6 +187,10 @@ class OperatorSpec extends SparkTestBase {
     val out = s2.sql("SELECT xx_minhash(array('a','b'), 4, 42) AS sig")
       .collect().head.getSeq[Long](0)
     assert(out.size == 4)
+    // ilog2_fx resolves in SQL and is exact at powers of two
+    graft.plans.NativeFns.register(s2)
+    assert(s2.sql("SELECT ilog2_fx(1024L) AS lg")
+      .collect().head.getLong(0) == 10L * (1L << 20))
   }
 
   test("multi-account definitions resolve independently (accounts config)") {
