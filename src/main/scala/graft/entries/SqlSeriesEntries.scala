@@ -1114,6 +1114,12 @@ private[graft] object SqlSeriesEntries {
         |CAST((1000000 * a.orphan_rows) // greatest(t.child_rows, 1) AS BIGINT) AS orphan_ppm
         |FROM t CROSS JOIN a LEFT JOIN top ON true""".stripMargin,
 
+    // TRY_CAST on the split_part reads: DuckDB's split_part maps NULL
+    // input to '' (not NULL), and CAST('' AS BIGINT) is an error — a
+    // conversion whose user has NO preceding touch at all (first event
+    // is the purchase) made the whole oracle throw. Latent until sf1:
+    // the small boards happen to give every purchasing user an earlier
+    // view/click. TRY_CAST('') is NULL, which the CASE guard absorbs.
     "q_attribution" ->
       """WITH r AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS t,
         |CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS conv
@@ -1125,9 +1131,9 @@ private[graft] object SqlSeriesEntries {
         |ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lastk FROM r),
         |c AS (SELECT event_id AS conversion_id, user_id, lastk, t FROM wk WHERE conv = 1),
         |d AS (SELECT conversion_id, user_id,
-        |CASE WHEN lastk IS NOT NULL AND t - CAST(split_part(lastk, ':', 1) AS BIGINT) <= 7200000000
-        |THEN CAST(split_part(lastk, ':', 2) AS BIGINT) END AS touch_id,
-        |CASE WHEN lastk IS NOT NULL AND t - CAST(split_part(lastk, ':', 1) AS BIGINT) <= 7200000000
+        |CASE WHEN lastk IS NOT NULL AND t - TRY_CAST(split_part(lastk, ':', 1) AS BIGINT) <= 7200000000
+        |THEN TRY_CAST(split_part(lastk, ':', 2) AS BIGINT) END AS touch_id,
+        |CASE WHEN lastk IS NOT NULL AND t - TRY_CAST(split_part(lastk, ':', 1) AS BIGINT) <= 7200000000
         |THEN split_part(lastk, ':', 3) END AS touch_type FROM c)
         |SELECT conversion_id, user_id, touch_id, touch_type FROM d
         |ORDER BY conversion_id""".stripMargin,
