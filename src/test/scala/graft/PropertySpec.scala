@@ -165,4 +165,44 @@ class PropertySpec extends AnyFunSuite {
         s"syms=$syms pair=($p1,$p2): $viaReplace vs ${refMerge(syms, p1, p2)}")
     }
   }
+  test("ilog2fx: randomized int64 sweep — reference parity, error bound, monotone on sorted samples") {
+    // the PipelineSpec pin covers 300+ curated values through the
+    // SPARK expression; this drives the same static evaluator over
+    // randomized magnitudes across the full positive int64 range
+    // (uniform-in-exponent so high bits get as much coverage as low)
+    def ref(x0: Long): Long = {
+      var t = math.max(x0, 1L); var e = 0L
+      for (sh <- Seq(32, 16, 8, 4, 2, 1))
+        if (t >= (1L << (30 + sh))) { t >>= sh; e += sh }
+      for (sh <- Seq(16, 8, 4, 2, 1))
+        if (t < (1L << (31 - sh))) { t <<= sh; e -= sh }
+      var f = 0L
+      for (_ <- 1 to 20) {
+        val sq = t * t
+        if (sq >= (1L << 61)) { t = sq >> 31; f = f * 2 + 1 }
+        else { t = sq >> 30; f = f * 2 }
+      }
+      (30L + e) * (1L << 20) + f
+    }
+    val magGen = for {
+      bits <- Gen.chooseNum(0, 62)
+      base <- Gen.chooseNum(0L, Long.MaxValue)
+    } yield (base % (1L << bits)) + (1L << bits) // uniform exponent, random mantissa
+    val samples = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    forAll(magGen, n = 5000) { x =>
+      val got = graft.plans.Ilog2Fx.ilog2fx(x)
+      assert(got == ref(x), s"x=$x")
+      val real = math.log(x.toDouble) / math.log(2.0) * (1L << 20)
+      assert(got <= real + 1e-6 && got >= real - 64.0, s"x=$x got=$got real=$real")
+      samples += ((x, got))
+    }
+    // monotone non-decreasing over the sorted sample set
+    samples.sortBy(_._1).sliding(2).foreach {
+      case scala.collection.mutable.ArrayBuffer((_, a), (_, b)) => assert(a <= b)
+      case _ => ()
+    }
+    // clamp contract: everything below 1 maps to ilog(1) = 0
+    Seq(Long.MinValue, -5L, 0L, 1L).foreach(x =>
+      assert(graft.plans.Ilog2Fx.ilog2fx(x) == (if (x < 1L) 0L else 0L)))
+  }
 }
