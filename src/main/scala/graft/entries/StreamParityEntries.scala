@@ -94,7 +94,15 @@ private[graft] object StreamParityEntries {
     // delivered in 3 chronological micro-batches so state crosses
     // batch boundaries; each series' final streaming summary must
     // equal the batch fold bit-exactly (the oracle IS q_cusum's
-    // recursive CTE).
+    // recursive CTE). The final filter mirrors the batch operator's
+    // `size(ps) > warmup` emission gate: the streaming operator
+    // reports warmup progress per micro-batch (its update-mode
+    // contract), but the PARITY comparison is over series that have
+    // a batch row at all — a series shorter than warmup has none
+    // (latent sf0.001-only mismatch found and fixed in round 17:
+    // 'view' has 166 < 168 hourly points there, so the replay emitted
+    // a warmup-progress row the batch fold never produces; no-op at
+    // sf0.01+ where every series exceeds warmup).
     "q_cusum_stream_parity" -> { (s, dir) =>
       import s.implicits._
       val hourly = ev(s, dir).groupBy(col("event_type").as("series"),
@@ -112,6 +120,7 @@ private[graft] object StreamParityEntries {
       PipelineReplay.replayCusum(s, fx, batches = 3, warmup = 168,
           slack = 25000L, threshold = 200000L)
         .toDF("series", "n_points", "mu", "max_cusum", "first_shift_idx")
+        .filter(col("n_points") > 168)
         .orderBy("series")
     },
 

@@ -147,8 +147,29 @@ object Classifier {
    *
    * n is capped at 3 because the padded word `<w>` is at least 3
    * chars, keeping `sequence(1, len-n+1)` ascending for every word.
+   *
+   * Round-17 optimization: rendered as ONE native codegen'd
+   * expression ([[graft.plans.HashedFeats]] — one pass over the
+   * document bytes, a reused MessageDigest, no intermediate hex/conv
+   * strings), replacing the composed higher-order-function chain
+   * ([[hashedTokensComposed]], kept as the parity reference the spec
+   * pins both renditions against): transform/flatten/sequence are
+   * CodegenFallback, and the hashed family md5-hashes every char
+   * 3-gram of the corpus — the board's heaviest remaining
+   * featurization.
    */
   def hashedTokens(textCol: Column, buckets: Int, n: Int = 3): Column = {
+    require(buckets > 0, "buckets must be positive")
+    require(n >= 1 && n <= 3, "char n-gram order must be in [1, 3]")
+    graft.plans.HashedFeats.feats(textCol, buckets.toLong, n)
+  }
+
+  /** The composed Column-API rendition of [[hashedTokens]] —
+    * superseded in the hot path by the native expression; retained as
+    * the independent reference for the PipelineSpec parity pin (the
+    * [[withIlog2FxStaged]] discipline). */
+  private[graft] def hashedTokensComposed(textCol: Column, buckets: Int,
+      n: Int = 3): Column = {
     require(buckets > 0, "buckets must be positive")
     require(n >= 1 && n <= 3, "char n-gram order must be in [1, 3]")
     val words = graft.plans.WordShingles.shingles(textCol, 1)

@@ -55,9 +55,17 @@ object Corpus {
 
   /** The un-modded fold — for callers whose modulus is data-dependent
     * (a column, not a literal), e.g. [[UnigramLm.sample]]'s draw over
-    * a per-word alternative count. Non-negative and < 31⁴, so `%`
-    * equals `pmod` on it. */
-  def hashFold(c: Column): Column = {
+    * a per-word alternative count. Non-negative (≤ 102·(31³+31²+31+1);
+    * hex-digit ascii max is 'f' = 102), so `%` equals `pmod` on it. */
+  def hashFold(c: Column): Column = graft.plans.Md5Fold31.fold(c)
+
+  /** The composed built-in-function rendition of [[hashFold]] —
+    * superseded in the hot path by the native expression (round 17:
+    * [[graft.plans.Md5Fold31]] computes the fold straight off the
+    * digest bytes — no 32-char hex string, no four substring/ascii
+    * passes); retained as the independent reference for the
+    * PipelineSpec parity pin. */
+  private[graft] def hashFoldComposed(c: Column): Column = {
     val h = md5(c)
     ascii(substring(h, 1, 1)) * 31 * 31 * 31 +
       ascii(substring(h, 2, 1)) * 31 * 31 +

@@ -378,8 +378,19 @@ object Similarity {
 
   /** Sequential squared-L2 fold — the shared distance kernel of the
     * L2 retriever and the PQ encode/ADC paths (left-to-right double
-    * accumulation, so engines agree bit-for-bit). */
+    * accumulation, so engines agree bit-for-bit). Round 17: rendered
+    * by the native codegen'd [[graft.plans.VecDist2]] (the [[VecDot]]
+    * hot-path treatment applied to the distance kernel — the composed
+    * zip_with/aggregate form below is interpreted per element and PQ
+    * encode calls it once per (vector, subspace, code) triple);
+    * bit-identical, parity-pinned in PipelineSpec. */
   private def dist2Fold(a: Column, b: Column): Column =
+    graft.plans.VecDist2.dist2(a, b)
+
+  /** The composed higher-order-function rendition — superseded in the
+    * hot path; retained as the independent reference for the
+    * PipelineSpec parity pin. */
+  private[graft] def dist2FoldComposed(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => (x.cast("double") - y.cast("double")) *
         (x.cast("double") - y.cast("double"))),

@@ -32,17 +32,15 @@ import org.apache.spark.sql.functions._
  * never touches the corpus after ONE tokenize+count pass — the
  * word-vocabulary table is vocabulary-bounded, the seed inventory is
  * bounded by vocab × word-length × `maxPieceLen`, and every E-step
- * is a sequence of `maxWordLen` equi-joins between the per-prefix DP
- * state table and the piece table (both vocabulary-bounded; the
- * piece lookup is an equi-join on the substring, NEVER a broadcast
- * of the unpruned seed inventory, which at corpus scale exceeds
- * broadcast limits). The DP advances one prefix length per step, so
- * its depth is `maxWordLen`, independent of corpus size; each step's
- * best-state frame is localCheckpoint-ed (vocabulary-bounded) so no
- * step re-executes its predecessors. Words longer than `maxWordLen`
- * are excluded from TRAINING (rare giants contribute little to the
- * inventory) and fall back to character segmentation in
- * [[encode]] — a coverage policy, not a crash.
+ * is ONE equi-join between the per-word substring-candidate
+ * explosion (≤ maxWordLen·maxPieceLen rows per distinct word) and
+ * the piece table, followed by the per-word codegen'd DP
+ * ([[graft.plans.ViterbiSeg]]; the piece lookup is an equi-join on
+ * the substring, NEVER a broadcast of the unpruned seed inventory,
+ * which at corpus scale exceeds broadcast limits). Words longer than
+ * `maxWordLen` are excluded from TRAINING (rare giants contribute
+ * little to the inventory) and fall back to character segmentation
+ * in [[encode]] — a coverage policy, not a crash.
  *
  * Ranking (usage rank, final vocab rank) runs on the
  * vocabulary-bounded piece table, never the corpus — and since round
@@ -61,25 +59,74 @@ object UnigramLm {
   /**
    * Deterministic Viterbi segmentation of every word in `words`
    * (word, cnt) under piece inventory `pieces` (piece, w).
-   * DP over prefix lengths: state j holds the unique best
-   * segmentation of word[1..j] (the top `nBest` when `nBest` > 1);
-   * step j joins states j-maxPieceLen..j-1 with the piece table on
-   * the connecting substring. Single characters are always
-   * admissible (weight 0 when absent from the inventory) so the DP
-   * never strands.
+   * Single characters are always admissible (weight 0 when absent
+   * from the inventory) so the DP never strands.
    *
-   * The returned frame is localCheckpoint-ed and every per-step DP
-   * frame's block storage is released before returning (round-15
-   * ADVICE: maxWordLen+1 dead checkpoint RDDs per call otherwise sit
-   * in the block manager until driver GC). Callers release the
-   * returned frame via [[Lineage.release]] once its consumer
-   * materializes.
+   * Round-17 optimization (the Ilog2Fx lesson applied to the
+   * next-heaviest staged chain): the per-prefix-length staged join
+   * chain ([[viterbiStaged]], `maxWordLen` sequential union + join +
+   * struct-min + eager localCheckpoint steps — ~13 Spark jobs per
+   * call, and the unigram family runs ELEVEN calls per board sweep)
+   * is replaced by ONE substring equi-join that materializes each
+   * word's admissible candidate set `(s, k, w)` and ONE codegen'd
+   * per-word DP expression ([[graft.plans.ViterbiSeg]], parity-pinned
+   * against the staged form in PipelineSpec). The piece lookup stays
+   * an equi-join — never a broadcast of the inventory, which at
+   * corpus scale exceeds broadcast limits — so the 100 TB shape is
+   * unchanged: everything here is vocabulary-bounded, and the
+   * candidate explosion is ≤ maxWordLen·maxPieceLen rows per
+   * DISTINCT word.
+   *
+   * The returned frame is localCheckpoint-ed when `checkpoint` (the
+   * default — callers that consume it twice need one materialization);
+   * single-consumer callers pass `checkpoint = false` and save the
+   * materializing job. Callers release a checkpointed frame via
+   * [[Lineage.release]] once its consumer materializes (a no-op on
+   * un-checkpointed frames).
    *
    * @return (word, cnt, np, ws, seg) — piece count, weight sum, and
    *         the segmentation as pieces joined by [[Sep]]; one row per
    *         word when `nBest` = 1, up to `nBest` otherwise
    */
-  private[pipeline] def viterbi(words: DataFrame, pieces: DataFrame,
+  private[graft] def viterbi(words: DataFrame, pieces: DataFrame,
+      maxWordLen: Int, maxPieceLen: Int, nBest: Int = 1,
+      checkpoint: Boolean = true): DataFrame = {
+    require(nBest >= 1, "nBest must be positive")
+    graft.plans.NativeFns.register(words.sparkSession)
+    val pc = pieces.select(col("piece"), col("w").cast("long").as("__w"))
+    val cands = words
+      .filter(length(col("word")).between(1, maxWordLen))
+      .select(col("word"), col("cnt"),
+        explode(sequence(lit(1), length(col("word")))).as("s"))
+      .select(col("word"), col("cnt"), col("s"),
+        explode(sequence(lit(1),
+          least(lit(maxPieceLen), length(col("word")) - col("s") + 1))).as("k"))
+      .withColumn("piece", expr("substring(word, s, k)"))
+      .join(pc, Seq("piece"), "left")
+      .filter(col("k") === 1 || col("__w").isNotNull)
+      .groupBy("word", "cnt")
+      .agg(collect_list(struct(col("s"), col("k"),
+        coalesce(col("__w"), lit(0L)).as("w"))).as("cands"))
+    val out = cands
+      .select(col("word"), col("cnt"),
+        explode(graft.plans.ViterbiSeg.seg(col("word"), col("cands"),
+          nBest)).as("st"))
+      .select(col("word"), col("cnt"), col("st.np").as("np"),
+        col("st.ws").as("ws"), col("st.seg").as("seg"))
+    if (checkpoint) out.localCheckpoint() else out
+  }
+
+  /**
+   * The staged-join rendition of [[viterbi]] — state j is a
+   * DataFrame, step j joins states j-maxPieceLen..j-1 with the piece
+   * table on the connecting substring, the per-step best is a
+   * struct-min aggregation (top-nBest window when `nBest` > 1).
+   * Superseded in the hot path by the native-DP form; retained as the
+   * independent reference implementation for the PipelineSpec parity
+   * pin (the [[graft.pipeline.Classifier.withIlog2FxStaged]]
+   * discipline).
+   */
+  private[graft] def viterbiStaged(words: DataFrame, pieces: DataFrame,
       maxWordLen: Int, maxPieceLen: Int, nBest: Int = 1): DataFrame = {
     require(nBest >= 1, "nBest must be positive")
     val pc = pieces.select(col("piece"), col("w").cast("long").as("__w"))
@@ -159,7 +206,14 @@ object UnigramLm {
    *
    * @return the input plus `rk` (long, 1-based)
    */
-  private[graft] def usageRank(df: DataFrame): DataFrame = {
+  private[graft] def usageRank(df: DataFrame): DataFrame =
+    usageRankWithCount(df)._1
+
+  /** [[usageRank]] plus the table's ROW COUNT, read off the phase-1
+    * per-partition counts that the rank computes anyway — callers that
+    * need both (the shrink schedule counts the table it ranks) save
+    * one counting job per round (round-17). */
+  private[graft] def usageRankWithCount(df: DataFrame): (DataFrame, Long) = {
     val spark = df.sparkSession
     import spark.implicits._
     val parts = math.max(2, spark.sparkContext.defaultParallelism)
@@ -187,7 +241,7 @@ object UnigramLm {
       .drop("__pid", "__offset")
       .localCheckpoint()
     part.unpersist(blocking = false)
-    out
+    (out, offsets(parts))
   }
 
   /**
@@ -226,17 +280,19 @@ object UnigramLm {
     val multiTarget = math.max(0L, vocabSize.toLong - nChars)
     var pieces = seeds
     for (_ <- 1 to rounds) {
-      val segs = viterbi(words, pieces, maxWordLen, maxPieceLen)
+      val segs = viterbi(words, pieces, maxWordLen, maxPieceLen,
+        checkpoint = false)
       val usage = segs
         .select(col("cnt"), explode(split(col("seg"), Sep)).as("piece"))
         .groupBy("piece").agg(sum("cnt").cast("long").as("w"))
         .localCheckpoint()
       Lineage.release(segs)
       // shrink schedule on the vocabulary-bounded usage table: the
-      // count and the two-phase rank never touch the corpus
-      val multiCount = usage.filter(length(col("piece")) > 1).count()
+      // rank pass's per-partition counts also yield the multi-piece
+      // count, so the schedule costs no extra job (round-17)
+      val (rankedMulti, multiCount) =
+        usageRankWithCount(usage.filter(length(col("piece")) > 1))
       val keep = math.max(multiTarget, multiCount * shrinkPermille / 1000L)
-      val rankedMulti = usageRank(usage.filter(length(col("piece")) > 1))
       val keptMulti = rankedMulti.filter(col("rk") <= keep)
         .select("piece", "w")
       val next = chars.join(usage, Seq("piece"), "left")
@@ -288,7 +344,7 @@ object UnigramLm {
       .localCheckpoint()
     val pieces = vocab.select(col("piece"), col("usage").as("w"))
     val short = viterbi(distinctW.filter(length(col("word")) <= dpMaxLen),
-        pieces, dpMaxLen, maxPieceLen)
+        pieces, dpMaxLen, maxPieceLen, checkpoint = false)
       .select(col("word"), col("np"))
     val long = distinctW.filter(length(col("word")) > dpMaxLen)
       .select(col("word"), length(col("word")).cast("long").as("np"))
@@ -396,7 +452,8 @@ object UnigramLm {
       .filter(length(col("word")) <= maxWordLen)
       .groupBy("word").agg(count(lit(1)).cast("long").as("cnt"))
     val pieces = vocab.select(col("piece"), col("usage").as("w"))
-    val segs = viterbi(words, pieces, maxWordLen, maxPieceLen)
+    val segs = viterbi(words, pieces, maxWordLen, maxPieceLen,
+      checkpoint = false)
     val sliceUsage = segs
       .select(col("cnt"), explode(split(col("seg"), Sep)).as("piece"))
       .groupBy("piece").agg(sum("cnt").cast("long").as("__wn"))

@@ -143,17 +143,79 @@ object Wordpiece {
    * (counted as one unit), exactly BERT's max_input_chars_per_word
    * policy.
    *
-   * Driver loop of ≤ maxWordLen rounds over the DISTINCT-WORD cursor
-   * state (vocabulary-bounded, localCheckpoint-cycled like
-   * [[UnigramLm.viterbi]]); each round explodes candidate lengths
-   * 1..maxPieceLen and equi-joins the piece table on the substring —
-   * the corpus never enters the loop.
+   * Round-17 optimization (the [[graft.plans.ViterbiSeg]] treatment
+   * applied to the greedy tokenizer): the former driver loop of
+   * ≤ maxWordLen rounds (each an explode + piece equi-join + argmax
+   * aggregation + checkpoint cycle + a counting ACTION — ~2 fixed-cost
+   * Spark jobs per round) is replaced by ONE substring equi-join that
+   * materializes each distinct word's class-filtered piece matches
+   * `(pos, l)` and ONE codegen'd cursor walk
+   * ([[graft.plans.WpGreedy]], parity-pinned against the loop in
+   * PipelineSpec). The piece lookup stays an equi-join — never a
+   * broadcast of the vocabulary — and the match explosion is
+   * ≤ maxWordLen·maxPieceLen rows per DISTINCT word, so the 100 TB
+   * shape is unchanged: the corpus is touched once to build word
+   * counts and once to join the per-word result back.
    *
    * @return (idCol, n_words, n_pieces, n_unk_words) per document;
    *         UNK words contribute 1 to n_pieces
    */
   def encode(docs: DataFrame, pieces: DataFrame, maxWordLen: Int = 16,
       maxPieceLen: Int = 8, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(maxWordLen >= 1 && maxPieceLen >= 1, "positive length caps")
+    graft.plans.NativeFns.register(docs.sparkSession)
+    val p = pieces.select(col("piece").as("__pc"), col("is_initial").as("__pi"))
+    val occurrences = docs.select(col(idCol), explode(
+        graft.plans.WordShingles.shingles(col(textCol), 1)).as("word"))
+      .filter(!col("word").contains(Sep))
+    val words0 = occurrences.select("word").distinct()
+      .withColumn("__len", length(col("word")))
+    // one candidate explosion + class-filtered equi-join; words over
+    // maxWordLen never enter (BERT's max_input_chars_per_word policy:
+    // they walk with no matches and come out UNK)
+    val matches = words0.filter(col("__len") <= maxWordLen)
+      .select(col("word"), col("__len"),
+        explode(sequence(lit(0), col("__len") - 1)).as("__pos"))
+      .select(col("word"), col("__pos"),
+        explode(sequence(lit(1),
+          least(lit(maxPieceLen), col("__len") - col("__pos")))).as("__l"))
+      .withColumn("__sub", expr("substring(word, __pos + 1, __l)"))
+      .join(p, col("__sub") === col("__pc") &&
+        col("__pi") === (col("__pos") === 0))
+      .groupBy("word")
+      .agg(collect_list(struct(col("__pos").as("pos"),
+        col("__l").as("l"))).as("__ms"))
+    // the (-1, 0) sentinel stands in for "no matches at all" (match-
+    // less words drop out of the inner join): pos -1 is ignored by the
+    // walk, which then finds no match at cursor 0 — UNK, exactly the
+    // loop's verdict
+    val walked = words0.join(matches, Seq("word"), "left")
+      .withColumn("__st", graft.plans.WpGreedy.walk(col("__len"),
+        coalesce(col("__ms"),
+          array(struct(lit(-1).as("pos"), lit(0).as("l"))))))
+      .select(col("word"),
+        when(col("__st.unk"), 1L).otherwise(col("__st.np")).as("__units"),
+        col("__st.unk").cast("long").as("__u"))
+    val counted = occurrences.join(walked, Seq("word"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).cast("long").as("n_words"),
+        sum("__units").cast("long").as("n_pieces"),
+        sum("__u").cast("long").as("n_unk_words"))
+    docs.select(col(idCol)).join(counted, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_pieces"), lit(0L)).as("n_pieces"),
+        coalesce(col("n_unk_words"), lit(0L)).as("n_unk_words"))
+  }
+
+  /** The driver-loop rendition of [[encode]] — cursor state advanced
+    * one greedy match per round over the settled/live split.
+    * Superseded in the hot path by the native walk; retained as the
+    * independent reference implementation for the PipelineSpec parity
+    * pin (the [[UnigramLm.viterbiStaged]] discipline). */
+  private[graft] def encodeLooped(docs: DataFrame, pieces: DataFrame,
+      maxWordLen: Int = 16, maxPieceLen: Int = 8, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
     require(maxWordLen >= 1 && maxPieceLen >= 1, "positive length caps")
     graft.plans.NativeFns.register(docs.sparkSession)

@@ -65,6 +65,29 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[Ilog2Fx].getName, "ilog2_fx"),
       (exprs: Seq[Expression]) => Ilog2Fx(exprs.head)))
     ext.injectFunction((
+      new FunctionIdentifier("viterbi_seg"),
+      new ExpressionInfo(classOf[ViterbiSeg].getName, "viterbi_seg"),
+      (exprs: Seq[Expression]) => ViterbiSeg(exprs.head, exprs(1),
+        nBest = FnArgs.intArg("viterbi_seg", "nBest", exprs(2)))))
+    ext.injectFunction((
+      new FunctionIdentifier("wp_greedy"),
+      new ExpressionInfo(classOf[WpGreedy].getName, "wp_greedy"),
+      (exprs: Seq[Expression]) => WpGreedy(exprs.head, exprs(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("hashed_feats"),
+      new ExpressionInfo(classOf[HashedFeats].getName, "hashed_feats"),
+      (exprs: Seq[Expression]) => HashedFeats(exprs.head,
+        buckets = FnArgs.longArg("hashed_feats", "buckets", exprs(1)),
+        n = FnArgs.intArg("hashed_feats", "n", exprs(2)))))
+    ext.injectFunction((
+      new FunctionIdentifier("vec_dist2"),
+      new ExpressionInfo(classOf[VecDist2].getName, "vec_dist2"),
+      (exprs: Seq[Expression]) => VecDist2(exprs.head, exprs(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("md5_fold31"),
+      new ExpressionInfo(classOf[Md5Fold31].getName, "md5_fold31"),
+      (exprs: Seq[Expression]) => Md5Fold31(exprs.head)))
+    ext.injectFunction((
       new FunctionIdentifier("srp_sig"),
       new ExpressionInfo(classOf[SrpSig].getName, "srp_sig"),
       (exprs: Seq[Expression]) => SrpSig(exprs.head,

@@ -28,5 +28,10 @@ object NativeFns {
       SrpSig.register(spark)
       LangMarkerCounts.register(spark)
       Ilog2Fx.register(spark)
+      ViterbiSeg.register(spark)
+      WpGreedy.register(spark)
+      HashedFeats.register(spark)
+      VecDist2.register(spark)
+      Md5Fold31.register(spark)
     }
 }

@@ -690,6 +690,102 @@ class PipelineSpec extends SparkTestBase {
     assert(enc == enc2)
   }
 
+  test("unigramLm: native viterbi DP is row-identical to the staged join chain") {
+    // parity pin for the round-17 ViterbiSeg rewrite (the
+    // withIlog2FxStaged discipline): same words, same inventory, both
+    // renditions, full-row equality — nBest=1 AND nBest=3, ASCII and
+    // multi-byte words (the native DP maps char positions to byte
+    // offsets; a slip would shear multi-byte pieces), tie-heavy
+    // weights (equal-ws segmentations exercise the k-desc and
+    // seg-asc tie-breaks)
+    val words = Seq(("abc", 5L), ("abcd", 3L), ("ééx", 2L), ("a", 7L),
+      ("xyzxyzxyzxyz", 1L), ("日本語", 2L), ("banana", 4L))
+      .toDF("word", "cnt")
+    val pieces = Seq(("a", 2L), ("b", 2L), ("c", 2L), ("ab", 2L),
+      ("bc", 2L), ("abc", 6L), ("cd", 4L), ("é", 1L), ("éx", 1L),
+      ("日本", 9L), ("本語", 9L), ("an", 3L), ("na", 3L), ("ban", 5L),
+      ("nan", 5L), ("xyz", 8L), ("zx", 1L)).toDF("piece", "w")
+    for (nBest <- Seq(1, 3)) {
+      val fast = graft.pipeline.UnigramLm
+        .viterbi(words, pieces, maxWordLen = 12, maxPieceLen = 4, nBest)
+        .orderBy("word", "np", "ws", "seg")
+        .as[(String, Long, Long, Long, String)].collect().toSeq
+      val staged = graft.pipeline.UnigramLm
+        .viterbiStaged(words, pieces, maxWordLen = 12, maxPieceLen = 4, nBest)
+        .orderBy("word", "np", "ws", "seg")
+        .as[(String, Long, Long, Long, String)].collect().toSeq
+      assert(fast == staged, s"nBest=$nBest:\n$fast\nvs staged\n$staged")
+      assert(fast.nonEmpty && fast.map(_._1).distinct.size == words.count(),
+        s"every word segments: $fast")
+    }
+  }
+
+  test("wordpiece: native greedy walk is row-identical to the driver loop") {
+    // parity pin for the round-17 WpGreedy rewrite: same corpus, same
+    // piece vocabulary, both renditions. Exercises: multi-piece walks,
+    // longest-match preference, position classes (un/##-style initial
+    // vs continuation), whole-word UNK (unseen char, no-initial-match,
+    // >16-char word), multi-byte chars, empty doc
+    val d = Seq((1L, "unhappy banana ab"), (2L, "qqq ééé"),
+      (3L, "averyveryverylongword xyz"), (4L, "")).toDF("doc_id", "text")
+    val pieces = Seq(("un", true), ("happy", false), ("ha", false),
+      ("p", false), ("py", false), ("ban", true), ("ana", false),
+      ("a", true), ("a", false), ("b", false), ("é", true), ("é", false),
+      ("x", true), ("y", false), ("z", false)).toDF("piece", "is_initial")
+    val fast = graft.pipeline.Wordpiece.encode(d, pieces).orderBy("doc_id")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val looped = graft.pipeline.Wordpiece.encodeLooped(d, pieces)
+      .orderBy("doc_id").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(fast == looped, s"native $fast vs looped $looped")
+    // spot-check the hand-derivable rows: unhappy = un+happy (2),
+    // banana = ban+ana (2), ab = a+b (2); qqq -> UNK (1 unit),
+    // ééé = é+é+é (3); long word -> UNK, xyz = x+y+z (3); empty = 0s
+    assert(fast == Seq((1L, 3L, 6L, 0L), (2L, 2L, 4L, 1L),
+      (3L, 2L, 4L, 1L), (4L, 0L, 0L, 0L)), s"$fast")
+  }
+
+  test("vec_dist2: native squared-L2 fold is bit-identical to the composed form") {
+    // parity pin for the round-17 VecDist2 rewrite of the PQ/L2
+    // distance kernel: same pairs, both renditions, full equality
+    // incl. the null contract (length mismatch -> null, null element
+    // -> null) and float/double mixes
+    val d = Seq(
+      (1L, Seq(1.0f, 2.0f, 3.0f), Seq(1.5, 2.5, 0.25)),
+      (2L, Seq(0.1f, -0.2f, 0.3f), Seq(-0.4, 0.5, -0.6)),
+      (3L, Seq(1.0f, 2.0f), Seq(1.0, 2.0, 3.0)),          // mismatch -> null
+      (4L, Seq.empty[Float], Seq.empty[Double]))           // empty -> 0.0
+      .toDF("id", "a", "b")
+    val native = d.select(col("id"),
+        graft.plans.VecDist2.dist2(col("a"), col("b")).as("d2"))
+      .orderBy("id").as[(Long, Option[Double])].collect().toSeq
+    val composed = d.select(col("id"),
+        graft.pipeline.Similarity.dist2FoldComposed(col("a"), col("b")).as("d2"))
+      .orderBy("id").as[(Long, Option[Double])].collect().toSeq
+    assert(native == composed, s"$native vs $composed")
+    assert(native(2)._2.isEmpty && native(3)._2.contains(0.0))
+  }
+
+  test("md5_fold31: native fold is value- and type-identical to the composed form") {
+    // parity pin for the round-17 Md5Fold31 rewrite of hashFold: the
+    // engine's ubiquitous deterministic sampler hash. Values AND the
+    // IntegerType schema must match (hashes feed schema-checked
+    // outputs). Mixed content incl. multi-byte and empty strings.
+    val d = Seq("", "a", "hello world", "héllo", "日本語テキスト",
+      "cap:doc-42", "dsir:new york", "x" * 500).toDF("s")
+    val native = d.select(col("s"),
+      graft.pipeline.Corpus.hashFold(col("s")).as("h"))
+    val composed = d.select(col("s"),
+      graft.pipeline.Corpus.hashFoldComposed(col("s")).as("h"))
+    assert(native.schema("h").dataType == composed.schema("h").dataType,
+      s"${native.schema("h").dataType} vs ${composed.schema("h").dataType}")
+    val nv = native.orderBy("s").as[(String, Int)].collect().toSeq
+    val cv = composed.orderBy("s").as[(String, Int)].collect().toSeq
+    assert(nv == cv, s"$nv vs $cv")
+    // bound: four ascii codes of hex digits (max 'f' = 102) in the
+    // base-31 fold -> max 102·(31³+31²+31+1) = 3,139,968
+    assert(nv.forall { case (_, h) => h >= 0 && h <= 3139968 })
+  }
+
   test("blocklistFilter: occurrence/distinct counts, exemplar, clean docs, length guard") {
     val d = Seq((1L, "a b a b c"), (2L, "x y z z"), (3L, "")).toDF("doc_id", "text")
     val phrases = Seq("a b", "c", "q").toDF("phrase")
@@ -2602,6 +2698,28 @@ class PipelineSpec extends SparkTestBase {
         Classifier.nbTrainHashed(train, buckets = 4096), buckets = 4096)
       .orderBy("doc_id").as[(Long, String, Long, Long)].collect().toSeq
     assert(again == sc)
+  }
+
+  test("hashed-feature NB: native featurization is element-identical to the composed form") {
+    import graft.pipeline.Classifier
+    // parity pin for the round-17 HashedFeats rewrite: same texts,
+    // both renditions, ORDERED element equality (the flattened
+    // per-word feature sequence is part of the contract). Multi-byte
+    // words exercise the codepoint-boundary gram slicing; the 1-char
+    // word exercises the min-padded-length path; the empty and
+    // whitespace-only docs the empty-array path.
+    val d = Seq((1L, "hello world"), (2L, "a"), (3L, "héllo 日本語 test"),
+      (4L, ""), (5L, "   "), (6L, "x\ty\nz")).toDF("doc_id", "text")
+    for ((buckets, n) <- Seq((512, 3), (4096, 3), (64, 1), (1000, 2))) {
+      val native = d.select(col("doc_id"),
+          Classifier.hashedTokens(col("text"), buckets, n).as("f"))
+        .orderBy("doc_id").as[(Long, Seq[String])].collect().toSeq
+      val composed = d.select(col("doc_id"),
+          Classifier.hashedTokensComposed(col("text"), buckets, n).as("f"))
+        .orderBy("doc_id").as[(Long, Seq[String])].collect().toSeq
+      assert(native == composed,
+        s"buckets=$buckets n=$n:\n$native\nvs composed\n$composed")
+    }
   }
 
   test("nbUpdate: incremental fold-in is bit-identical to the full retrain") {
