@@ -349,6 +349,23 @@ object Similarity {
       .select(queryCol, idCol, "rrf_ppm", "rank")
   }
 
+  /** One-pass subspace slicing shared by the PQ family (round 17):
+    * the previous rendition built each subspace as its own projection
+    * of the source and unioned the `m` branches — `m` FULL SCANS of
+    * the vector table per PQ stage (at 100 TB: m× corpus I/O in
+    * pqEncode alone). One `explode(sequence(0, m-1))` + a
+    * position-derived `slice` produces the identical (keys…,
+    * subspace, sv) rows in a single pass; downstream aggregations and
+    * joins are order-insensitive, so results are unchanged (oracle-
+    * checked). Returns `keyCols :+ subspace :+ sv`. */
+  private def subspaceSlices(vecs: DataFrame, m: Int, subDim: Int,
+      vecCol: String, keyCols: Column*): DataFrame =
+    vecs.select(keyCols :+ col(vecCol) :+
+        explode(sequence(lit(0), lit(m - 1))).as("subspace"): _*)
+      .withColumn("sv",
+        expr(s"slice(`$vecCol`, subspace * $subDim + 1, $subDim)"))
+      .drop(vecCol)
+
   /**
    * Product-quantization codebooks (Jégou et al. 2011): split the
    * vector into `m` contiguous subspaces of `subDim` dims; per
@@ -362,10 +379,9 @@ object Similarity {
    */
   def pqCodebooks(vecs: DataFrame, m: Int, subDim: Int,
       vecCol: String = "embedding", labelCol: String = "label"): DataFrame = {
-    val subs = (0 until m).map { s =>
-      vecs.select(lit(s).as("subspace"), col(labelCol).as("code"),
-        slice(col(vecCol), s * subDim + 1, subDim).as("sv"))
-    }.reduce(_ unionByName _)
+    val subs = subspaceSlices(vecs, m, subDim, vecCol,
+        col(labelCol).as("code"))
+      .select(col("subspace"), col("code"), col("sv"))
     subs.select(col("subspace"), col("code"), posexplode(col("sv")))
       .groupBy("subspace", "code", "pos")
       .agg((sum(col("col").cast("decimal(28,8)")).cast("double") /
@@ -410,10 +426,7 @@ object Similarity {
    */
   def pqEncode(vecs: DataFrame, books: DataFrame, m: Int, subDim: Int,
       vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
-    val subs = (0 until m).map { s =>
-      vecs.select(col(idCol), lit(s).as("subspace"),
-        slice(col(vecCol), s * subDim + 1, subDim).as("sv"))
-    }.reduce(_ unionByName _)
+    val subs = subspaceSlices(vecs, m, subDim, vecCol, col(idCol))
     subs.join(broadcast(books), Seq("subspace"))
       .withColumn("__d2", dist2Fold(col("sv"), col("centroid")))
       .groupBy(col(idCol), col("subspace"))
@@ -445,10 +458,9 @@ object Similarity {
   def pqAdcTopK(codes: DataFrame, queries: DataFrame, books: DataFrame,
       k: Int, m: Int, subDim: Int, vecCol: String = "embedding",
       idCol: String = "vec_id"): DataFrame = {
-    val qsubs = (0 until m).map { s =>
-      queries.select(col(idCol).as("query_id"), lit(s).as("subspace"),
-        slice(col(vecCol), s * subDim + 1, subDim).as("qv"))
-    }.reduce(_ unionByName _)
+    val qsubs = subspaceSlices(queries, m, subDim, vecCol,
+        col(idCol).as("query_id"))
+      .withColumnRenamed("sv", "qv")
     val dtab = qsubs.join(broadcast(books), Seq("subspace"))
       .select(col("query_id"), col("subspace"), col("code"),
         floor(dist2Fold(col("qv"), col("centroid")) * lit(1048576.0))
