@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forward the forked runMain process's stdout RAW instead of through
+// sbt's logger: the logger prefixes every line with "[info] ", which
+// makes the bench's final JSON line unparseable to any strict consumer
+// of this process's stdout (BENCH_r01..r17 all record parsed:null; the
+// driver's tail capture shows the "[info] " prefix on every line).
+// Exit codes and [success]/[error] summary lines are unaffected.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -182,8 +182,44 @@ object Bench {
       .map(n => new java.io.File(new java.io.File(sfDir).getParentFile, n))
       .find(d => d.isDirectory && d.getPath != new java.io.File(sfDir).getPath)
       .getOrElse(new java.io.File("/nonexistent"))
-    val warmupWanted = sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") != "0"
-    val warmedUp = warmupWanted && warmDir.isDirectory
+    // Warmup mode (round-18, r17 VERDICT #3a): the full-board warmup
+    // pass cost ~340 s of untimed wall on the round-17 driver host —
+    // enough by itself to push the budget-adaptive trial loop from 3
+    // trials down to 1. JIT/codegen warmup does not need all 206
+    // queries: it must touch (a) every native graft expression family
+    // (each has its own codegen path through janino) and (b) each
+    // heavyweight machinery class — parquet scan, shuffle exchange,
+    // window, broadcast join, object-hash/sort aggregate, streaming
+    // state store + replay — which the subset below covers. Default is
+    // the subset; SPARK_GRAFT_WARMUP=full (or legacy "1") restores the
+    // full-board pass, "0" disables. The artifact's "warmup" field
+    // records the mode ("subset" / "full" / false) so cross-round
+    // deltas stay attributable.
+    val warmupMode = sys.env.getOrElse("SPARK_GRAFT_WARMUP", "subset") match {
+      case "0" => "off"
+      case "1" | "full" => "full"
+      case _ => "subset"
+    }
+    val warmedUp = warmupMode != "off" && warmDir.isDirectory
+    val warmupJson = if (!warmedUp) "false" else "\"" + warmupMode + "\""
+    // one query per native-expression family + one per machinery class
+    val warmupSubset: Set[String] = Set(
+      "q_unigram_encode",      // viterbi_seg + unigram train chain
+      "q_wordpiece_encode",    // wp_greedy
+      "q_classifier_hashed",   // hashed_feats
+      "q_classifier_train",    // ilog2_fx + broadcast weights
+      "q_ann_pq",              // vec_dist2 + subspace slices
+      "q_ann_lsh",             // srp_sig / vec_project / vec_dot
+      "q_dsir",                // md5_fold31 + word shingles
+      "q_dedup_simhash",       // simhash64
+      "q_dedup_minhash",       // minhash expressions
+      "q_decon_bloom",         // bloom might_contain
+      "q_zorder",              // sortable_bits
+      "q_lang_id",             // lang marker counts
+      "q_top_ngram",           // top-k aggregator
+      "q_rollup_revenue",      // join+agg+window SQL machinery
+      "q_pagerank",            // iterative localCheckpoint machinery
+      "q_cusum_stream_parity") // streaming state store + replay
     // Queries that start Structured Streaming work: run last within
     // each sweep and tear down their JVM residue so batch timings
     // never inherit it. All current streaming queries are also
@@ -242,7 +278,10 @@ object Bench {
       catch { case scala.util.control.NonFatal(_) => () }
     }
     if (warmedUp) {
-      names.foreach { case (name, fn) =>
+      val warmNames =
+        if (warmupMode == "full") names
+        else names.filter { case (n, _) => warmupSubset(n) }
+      warmNames.foreach { case (name, fn) =>
         try fn(spark, warmDir.getPath).queryExecution.toRdd.count()
         catch { case scala.util.control.NonFatal(_) => () }
         spark.catalog.clearCache()
@@ -798,7 +837,7 @@ object Bench {
     // before spark.stop, so this is ~the full run), per-trial sweep
     // walls, the trial-1 projection, and the budget verdict.
     val wallJson = s"""{"elapsed":${f3(elapsedSec)},"per_trial":${trialWalls.map(f3).mkString("[", ",", "]")},"projected":${f3(wallProjected)},"budget":${f3(wallBudget)},"over":${wallProjected > wallBudget},"planned":$trials,"adapted":$budgetAdapted}"""
-    val detail = s"""{"format":4,"metric":"total","value":$total,"floor":$floor,"unit":"sec","wall":$wallJson,"warmup":$warmedUp,"trials":$trialsRun,"reran":$needRerun,"tainted":$tainted,"queries":${qmap(engine, f6)},"verification":${qmap(verif, f6)},"verification_total":$verifTotal,"spread":$spread,"unstable":$unstable,"errors":$errors,"baseline_n":${ratios.size},"baseline_ratios":$ratioJson,"regressions":$regJson,"regressions_raw":$regRawJson,"confirm_sweeps":$confirms,"confirm_min":$confirmMinJson,"confirm_errors":$confirmErrJson,"canary":$canaryJson,"canary_bw":$canaryBwJson,"canary_series":$canarySeriesJson,"stall_excluded":$stallExcluded,"gate":{"enabled":$gateEnabled,"drift":$gateDrift,"deferred":$gateDeferred,"redo":$gateRedo,"forced":$gateForced,"slept_sec":${f3(gateSleptSec)},"sleep_cap":${f3(gateWallCap)}},"gate_log":$gateLogJson,"sf":"$sfDir"}"""
+    val detail = s"""{"format":4,"metric":"total","value":$total,"floor":$floor,"unit":"sec","wall":$wallJson,"warmup":$warmupJson,"trials":$trialsRun,"reran":$needRerun,"tainted":$tainted,"queries":${qmap(engine, f6)},"verification":${qmap(verif, f6)},"verification_total":$verifTotal,"spread":$spread,"unstable":$unstable,"errors":$errors,"baseline_n":${ratios.size},"baseline_ratios":$ratioJson,"regressions":$regJson,"regressions_raw":$regRawJson,"confirm_sweeps":$confirms,"confirm_min":$confirmMinJson,"confirm_errors":$confirmErrJson,"canary":$canaryJson,"canary_bw":$canaryBwJson,"canary_series":$canarySeriesJson,"stall_excluded":$stallExcluded,"gate":{"enabled":$gateEnabled,"drift":$gateDrift,"deferred":$gateDeferred,"redo":$gateRedo,"forced":$gateForced,"slept_sec":${f3(gateSleptSec)},"sleep_cap":${f3(gateWallCap)}},"gate_log":$gateLogJson,"sf":"$sfDir"}"""
     // Two detail files per run (round-15 lesson, encoded): the
     // canonical BENCH_DETAIL.json (what make_baseline.py and the
     // round tooling read — latest run wins) PLUS a mode-keyed copy
@@ -818,7 +857,7 @@ object Bench {
     // "warmup" records whether the untimed warm-up pass ran, so
     // cross-round deltas stay attributable (warm vs cold JIT numbers
     // are not comparable).
-    println(s"""{"format":4,"metric":"total","value":${f3(total)},"floor":${f3(floor)},"unit":"sec","warmup":$warmedUp,"trials":$trialsRun,"reran":$needRerun,"tainted":$tainted,"queries":${qmap(engine, f3)},"verification":${qmap(verif, f3)},"verification_total":${f3(verifTotal)},"sf":"$sfDir"}""")
+    println(s"""{"format":4,"metric":"total","value":${f3(total)},"floor":${f3(floor)},"unit":"sec","warmup":$warmupJson,"trials":$trialsRun,"reran":$needRerun,"tainted":$tainted,"queries":${qmap(engine, f3)},"verification":${qmap(verif, f3)},"verification_total":${f3(verifTotal)},"sf":"$sfDir"}""")
     // The driver's artifact keeps only the last ~2000 characters of
     // stdout; round 9's compact line outgrew that window and the
     // capture clipped value/floor off the FRONT (BENCH_r09.json starts
@@ -826,6 +865,20 @@ object Bench {
     // capture always retains it whole — keeps the official artifact
     // self-contained however many queries the compact line carries.
     println(s"""{"format":4,"metric":"total","value":${f3(total)},"floor":${f3(floor)},"unit":"sec","wall":$wallJson,"trials":$trialsRun,"reran":$needRerun,"tainted":$tainted,"unstable_n":$unstableCount,"nqueries":${engine.size},"baseline_n":${ratios.size},"regressions_n":${regressions.size},"regressions_raw_n":${regressionsRaw.size},"confirm_sweeps":$confirms,"regressions_top":$regJsonTop,"canary":$canaryJson,"canary_bw":$canaryBwJson,"stall_excluded":$stallExcluded,"gate":{"enabled":$gateEnabled,"deferred":$gateDeferred,"redo":$gateRedo,"forced":$gateForced,"slept_sec":${f3(gateSleptSec)}},"sf":"$sfDir"}""")
+    // THE driver-contract line, printed LAST (round-17 VERDICT #2):
+    // one JSON object in exactly the documented shape — {"metric",
+    // "value", "unit", "queries", "sf"} — whose "queries" map carries
+    // the per-query seconds (3-decimal medians) for EVERY declared
+    // query, verification harnesses included (an addition to the map,
+    // never a removal: engine-only numbers are unchanged and the
+    // engine/verification split stays recorded in the two lines
+    // above and in BENCH_DETAIL.json). Printed after the totals-only
+    // line so that a tail cut that clips this line's front still
+    // retains the totals line whole in the line before it. The exact
+    // format is documented in ENGINE.md for the judge.
+    val allQ = engine ++ verif
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":${qmap(allQ, f3)},"sf":"$sfDir"}""")
+    System.out.flush()
     spark.stop()
   }
 }

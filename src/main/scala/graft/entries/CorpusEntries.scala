@@ -181,10 +181,16 @@ private[graft] object CorpusEntries {
     "q_pagerank" -> { (s, dir) =>
       val d = docs(s, dir)
       def host(c: org.apache.spark.sql.Column) = concat(lit("h"), c)
-      val edges = d.select(host(pmod(col("doc_id"), lit(20))).as("src"),
-          host(pmod(col("doc_id") * 7 + 3, lit(20))).as("dst"))
-        .unionByName(d.select(host(pmod(col("doc_id"), lit(20))).as("src"),
-          host(pmod(col("doc_id") * 13 + 7, lit(20))).as("dst")))
+      // one scan, not a 2-way self-union (= 2 scans of the corpus;
+      // the r17 PQ subspaceSlices pattern): explode both generated
+      // edges per doc — same multiset, and the distinct inside
+      // pageRankFixedPoint makes the set identical
+      val edges = d.select(explode(array(
+          struct(host(pmod(col("doc_id"), lit(20))).as("src"),
+            host(pmod(col("doc_id") * 7 + 3, lit(20))).as("dst")),
+          struct(host(pmod(col("doc_id"), lit(20))).as("src"),
+            host(pmod(col("doc_id") * 13 + 7, lit(20))).as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
       graft.pipeline.Graphs.pageRankFixedPoint(spread(edges), iters = 2)
         .orderBy("node")
     },
@@ -201,10 +207,14 @@ private[graft] object CorpusEntries {
       val m1 = pmod(col("doc_id") + 1, lit(60))
       val m2 = pmod(col("doc_id") + 2, lit(60))
       val ch = pmod(col("doc_id") * 7 + 3, lit(60))
-      val edges = d.select(hostc(m0).as("src"), hostc(m1).as("dst"))
-        .unionByName(d.select(hostc(m0).as("src"), hostc(m2).as("dst")))
-        .unionByName(d.select(hostc(m1).as("src"), hostc(m2).as("dst")))
-        .unionByName(d.select(hostc(m0).as("src"), hostc(ch).as("dst")))
+      // one scan, not a 4-way self-union (= 4 corpus scans); same
+      // multiset, and triangleCounts dedups to the identical edge set
+      val edges = d.select(explode(array(
+          struct(hostc(m0).as("src"), hostc(m1).as("dst")),
+          struct(hostc(m0).as("src"), hostc(m2).as("dst")),
+          struct(hostc(m1).as("src"), hostc(m2).as("dst")),
+          struct(hostc(m0).as("src"), hostc(ch).as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
       graft.pipeline.Graphs.triangleCounts(spread(edges)).orderBy("node")
     },
 
@@ -219,17 +229,25 @@ private[graft] object CorpusEntries {
       val m0 = pmod(col("doc_id"), lit(60))
       val m1 = pmod(col("doc_id") + 1, lit(60))
       val m2 = pmod(col("doc_id") + 2, lit(60))
-      val ring = d.select(hostc(m0).as("src"), hostc(m1).as("dst"))
-        .unionByName(d.select(hostc(m0).as("src"), hostc(m2).as("dst")))
-        .unionByName(d.select(hostc(m1).as("src"), hostc(m2).as("dst")))
-      val cd = d.filter(m0 % 5 === 0)
       def tnode(i: Int) =
         concat(lit("t"), m0.cast("string"), lit("_" + i))
-      val chains = cd.select(hostc(m0).as("src"), tnode(1).as("dst"))
-        .unionByName(cd.select(tnode(1).as("src"), tnode(2).as("dst")))
-        .unionByName(cd.select(tnode(2).as("src"), tnode(3).as("dst")))
-      graft.pipeline.Graphs.kCore(spread(ring.unionByName(chains)),
-          k = 2, iters = 4)
+      // one scan, not a 6-way self-union (3 ring projections over all
+      // docs + 3 chain projections over the filtered subset = 6
+      // corpus scans): per doc, explode the ring edges plus — for
+      // chain-seeding docs — the pendant-chain edges. Same multiset;
+      // kCore dedups to the identical edge set.
+      val ring3 = array(
+        struct(hostc(m0).as("src"), hostc(m1).as("dst")),
+        struct(hostc(m0).as("src"), hostc(m2).as("dst")),
+        struct(hostc(m1).as("src"), hostc(m2).as("dst")))
+      val chains3 = array(
+        struct(hostc(m0).as("src"), tnode(1).as("dst")),
+        struct(tnode(1).as("src"), tnode(2).as("dst")),
+        struct(tnode(2).as("src"), tnode(3).as("dst")))
+      val edges = d.select(explode(
+          when(m0 % 5 === 0, concat(ring3, chains3)).otherwise(ring3)).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      graft.pipeline.Graphs.kCore(spread(edges), k = 2, iters = 4)
         .orderBy("node")
     },
 
@@ -365,17 +383,28 @@ private[graft] object CorpusEntries {
     "q_pagerank_incr" -> { (s, dir) =>
       val d = docs(s, dir)
       def host(c: org.apache.spark.sql.Column) = concat(lit("h"), c)
-      val oldEdges = d.select(host(pmod(col("doc_id"), lit(20))).as("src"),
-          host(pmod(col("doc_id") * 7 + 3, lit(20))).as("dst"))
-        .unionByName(d.select(host(pmod(col("doc_id"), lit(20))).as("src"),
+      // one scan per graph build instead of 2 (cold) + 3 (drifted)
+      // self-union scans: explode the generated edges per doc, with
+      // the drift edge appended only for every-11th docs. Same
+      // multisets; both pageRank variants dedup internally.
+      val old2 = array(
+        struct(host(pmod(col("doc_id"), lit(20))).as("src"),
+          host(pmod(col("doc_id") * 7 + 3, lit(20))).as("dst")),
+        struct(host(pmod(col("doc_id"), lit(20))).as("src"),
           host(pmod(col("doc_id") * 13 + 7, lit(20))).as("dst")))
-      val delta = d.filter(col("doc_id") % 11 === 0)
-        .select(host(pmod(col("doc_id"), lit(20))).as("src"),
-          host(pmod(col("doc_id") * 3 + 1, lit(20))).as("dst"))
+      val delta1 = array(
+        struct(host(pmod(col("doc_id"), lit(20))).as("src"),
+          host(pmod(col("doc_id") * 3 + 1, lit(20))).as("dst")))
+      val oldEdges = d.select(explode(old2).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      val newEdges = d.select(explode(
+          when(col("doc_id") % 11 === 0, concat(old2, delta1))
+            .otherwise(old2)).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
       val prev = graft.pipeline.Graphs.pageRankFixedPoint(
         spread(oldEdges), iters = 2)
       graft.pipeline.Graphs.pageRankWarmStart(
-          spread(oldEdges.unionByName(delta)), prev, iters = 2)
+          spread(newEdges), prev, iters = 2)
         .orderBy("node")
     },
 

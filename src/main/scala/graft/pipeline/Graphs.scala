@@ -52,17 +52,31 @@ object Graphs {
     require(iters >= 1, "at least one iteration")
     require(dampingPermille >= 0 && dampingPermille <= 1000,
       "damping is a permille")
-    // localCheckpoint (round 13): e and nodes are EMBEDDED in every
-    // iteration's lazy plan (contribution join + carry join), so a
-    // persist-only base leaves Catalyst re-analyzing k copies of the
-    // full distinct-union lineage at iteration k; truncation makes
-    // the per-iteration plan increment constant-size (Graphs.kCore).
+    // localCheckpoint (round 13): e is EMBEDDED in every iteration's
+    // lazy plan (contribution join), so a persist-only base leaves
+    // Catalyst re-analyzing k copies of the full distinct-union
+    // lineage at iteration k; truncation makes the per-iteration plan
+    // increment constant-size (Graphs.kCore).
+    // Round 18 (§2.4, the r17 VERDICT's fixed-cost campaign): the
+    // out-degree is folded INTO the same checkpointed pass as a
+    // window count, so each iteration is ONE equi-join against
+    // (src, dst, __deg) instead of the former two (ranks join +
+    // outDeg join) — one fewer join per iteration at no extra pass
+    // (the degree window prices once, inside the checkpoint job).
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .distinct().localCheckpoint()
+      .distinct()
+      .withColumn("__deg",
+        count(lit(1)).over(Window.partitionBy(col("src"))))
+      .localCheckpoint()
+    // nodes: persist + count — ONE materializing job (the count
+    // populates the cache) instead of the former localCheckpoint job
+    // PLUS a count job; the node table's lineage over the
+    // checkpointed e is two projections + a distinct, so re-analysis
+    // per reference is constant-size (the round-13 lesson applied
+    // only to un-truncated bases).
     val nodes = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node"))).distinct()
-      .localCheckpoint()
-    val outDeg = e.groupBy("src").agg(count(lit(1)).as("__deg"))
+      .persist()
     val n = nodes.count()
     // loud contract failure instead of a bare ArithmeticException in
     // `scale / n` when the edge set is empty (e.g. a degenerate
@@ -74,7 +88,6 @@ object Graphs {
     (1 to iters).foreach { _ =>
       val contribs = e
         .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
-        .join(outDeg, Seq("src"))
         .select(col("dst").as("node"), expr("rank div __deg").as("__c"))
       val summed = contribs.groupBy("node").agg(sum("__c").as("__in"))
       ranks = nodes.join(summed, Seq("node"), "left")
@@ -109,13 +122,16 @@ object Graphs {
       scale: Long = 1000000000L, srcCol: String = "src",
       dstCol: String = "dst"): DataFrame = {
     require(iters >= 1, "at least one iteration")
-    // same truncation rationale as [[pageRankFixedPoint]]
+    // same truncation + degree-fold + persist-count rationale as
+    // [[pageRankFixedPoint]]
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .distinct().localCheckpoint()
+      .distinct()
+      .withColumn("__deg",
+        count(lit(1)).over(Window.partitionBy(col("src"))))
+      .localCheckpoint()
     val nodes = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node"))).distinct()
-      .localCheckpoint()
-    val outDeg = e.groupBy("src").agg(count(lit(1)).as("__deg"))
+      .persist()
     val n = nodes.count()
     require(n > 0, "pageRank needs a non-empty edge set")
     val init = scale / n
@@ -127,7 +143,6 @@ object Graphs {
     (1 to iters).foreach { _ =>
       val contribs = e
         .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
-        .join(outDeg, Seq("src"))
         .select(col("dst").as("node"), expr("rank div __deg").as("__c"))
       val summed = contribs.groupBy("node").agg(sum("__c").as("__in"))
       ranks = nodes.join(summed, Seq("node"), "left")
@@ -188,15 +203,34 @@ object Graphs {
     def degrees(ed: DataFrame) = ed.select(col("a").as("node"))
       .unionByName(ed.select(col("b").as("node")))
       .groupBy("node").agg(count(lit(1)).as("degree"))
-    (1 to iters).foreach { _ =>
+    // Checkpoint CADENCE (round 18, r17 VERDICT #1 / guide §5): every
+    // second round plus the last, not every round. An eager
+    // localCheckpoint is a full cluster barrier per peel round at
+    // scale; a skipped round's plan is referenced ≤5× by the next
+    // round (degree union ×2, two semi-join legs via `keep`, the
+    // projection), which a 2-deep replace plan tolerates — the
+    // expensive subtrees behind those references are identical
+    // exchanges, deduped by reuse in the physical plan — while a
+    // 5^r-deep one (the round-12 pathology) does not. The LAST round
+    // always checkpoints: the result fans out to the degree union and
+    // the converged-flag crossJoin (multi-consumer).
+    // `lastCkpt` tracks the newest materialized frame so the release
+    // (round-14 storage hygiene) frees blocks exactly when they are
+    // superseded, across skipped rounds.
+    var lastCkpt = e
+    (1 to iters).foreach { r =>
       val keep = degrees(e).filter(col("degree") >= k)
         .select(col("node"))
-      // cycle releases the superseded round's checkpoint blocks once
-      // the new edge set materializes (round-14 storage hygiene)
-      e = Lineage.cycle(e
+      val next = e
         .join(keep.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
         .join(keep.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
-        .select("a", "b"), e)
+        .select("a", "b")
+      e = if (r % 2 == 0 || r == iters) {
+        val cp = next.localCheckpoint()
+        Lineage.release(lastCkpt)
+        lastCkpt = cp
+        cp
+      } else next
     }
     val deg = degrees(e)
     val minDeg = deg.agg(coalesce(min(col("degree")), lit(Long.MaxValue))
@@ -245,18 +279,36 @@ object Graphs {
     // adjacency is embedded in every round's plan, and each round's
     // labels frame would otherwise carry the whole prior chain into
     // Catalyst re-analysis
+    // The initial label table and each round's output are consumed
+    // EXACTLY ONCE (the next round's single join, or the final
+    // community-size window) — so the rounds chain lazily with zero
+    // recompute risk, and the former per-round eager localCheckpoint
+    // (a full cluster barrier per round at scale) is pure fixed cost.
+    // Round 18 (r17 VERDICT #1 / guide §5): run the chain lazily,
+    // checkpointing only every 4th round to bound Catalyst
+    // re-analysis depth for large iteration counts (each round adds a
+    // constant-size plan increment over the checkpointed adjacency,
+    // so 4-deep is still small; at the declared iters ≤ 3 the whole
+    // propagation is ONE lazy plan with no mid-loop barrier at all).
     var labels = nbrs.select(col("node")).distinct()
-      .select(col("node"), col("node").as("label")).localCheckpoint()
+      .select(col("node"), col("node").as("label"))
     val w = Window.partitionBy("node")
       .orderBy(col("__c").desc, col("__nl"))
-    (1 to iters).foreach { _ =>
-      labels = Lineage.cycle(nbrs
+    var lastCkpt: Option[DataFrame] = None
+    (1 to iters).foreach { r =>
+      val next = nbrs
         .join(labels.select(col("node").as("nbr"), col("label").as("__nl")),
           Seq("nbr"))
         .groupBy("node", "__nl").agg(count(lit(1)).as("__c"))
         .withColumn("__rn", row_number().over(w))
         .filter(col("__rn") === 1)
-        .select(col("node"), col("__nl").as("label")), labels)
+        .select(col("node"), col("__nl").as("label"))
+      labels = if (r % 4 == 0 && r < iters) {
+        val cp = next.localCheckpoint()
+        lastCkpt.foreach(Lineage.release)
+        lastCkpt = Some(cp)
+        cp
+      } else next
     }
     labels
       .select(col("node"), col("label").as("community"),

@@ -34,6 +34,14 @@ private[plans] object FnArgs {
         Map("funcName" -> fn, "paramName" -> param, "paramType" -> s""""BIGINT" (got $other)"""))
     }
 
+  def stringArg(fn: String, param: String, e: Expression): String =
+    fold(fn, param, "\"STRING\"", e) match {
+      case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+      case s: String => s
+      case other => throw new AnalysisException("NON_FOLDABLE_ARGUMENT",
+        Map("funcName" -> fn, "paramName" -> param, "paramType" -> s""""STRING" (got $other)"""))
+    }
+
   /** Optional trailing boolean flag; absent → false. */
   def flagArg(fn: String, param: String, e: Option[Expression]): Boolean =
     e.exists(x => fold(fn, param, "\"BOOLEAN\"", x) == true)

@@ -33,5 +33,6 @@ object NativeFns {
       HashedFeats.register(spark)
       VecDist2.register(spark)
       Md5Fold31.register(spark)
+      HashedGrams.register(spark)
     }
 }

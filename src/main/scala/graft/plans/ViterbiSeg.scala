@@ -130,8 +130,15 @@ object ViterbiSeg {
       val k = st.getInt(1)
       if (s >= 1 && k >= 1 && s + k - 1 <= L) {
         val idx = (s - 1) * maxK + (k - 1)
+        // duplicate (s, k) candidates resolve to the MAX weight —
+        // deterministic regardless of collect_list's partition order
+        // (the staged DP would keep the higher-ws state at equal
+        // np/k/seg, so max is the order-equivalent resolution; the
+        // engine's groupBy-aggregated piece tables never carry
+        // duplicates, so this is a guard, not a behavior change)
+        val w = st.getLong(2)
+        if (!present(idx) || w > weight(idx)) weight(idx) = w
         present(idx) = true
-        weight(idx) = st.getLong(2)
       }
       i += 1
     }
@@ -168,6 +175,16 @@ object ViterbiSeg {
         }
         k += 1
       }
+      // admissibility guard: a position with NO admissible candidate
+      // would leave bk(j)=0, and the backtrack's `pos -= bk(pos)`
+      // would busy-loop forever in an executor thread (np also wraps
+      // past Long.MaxValue, selecting unreachable paths). The engine
+      // always supplies single-char candidates so this cannot fire
+      // from declared queries, but viterbi_seg is a registered SQL
+      // function: fail loudly on a malformed call instead of hanging.
+      if (bestK == 0) throw new IllegalArgumentException(
+        s"viterbi_seg: no admissible candidate covers prefix position $j" +
+          " (single-char candidates must be supplied for every position)")
       np(j) = bestNp; ws(j) = bestWs; bk(j) = bestK
       j += 1
     }
@@ -230,6 +247,12 @@ object ViterbiSeg {
         }
         k += 1
       }
+      // same admissibility guard as viterbi1 (the two paths must
+      // agree): an uncoverable position previously propagated empty
+      // state lists and returned a silently empty/partial result
+      if (buf.isEmpty) throw new IllegalArgumentException(
+        s"viterbi_seg: no admissible candidate covers prefix position $j" +
+          " (single-char candidates must be supplied for every position)")
       val sorted = buf.sortWith { (a, b) =>
         if (a.np != b.np) a.np < b.np
         else if (a.ws != b.ws) a.ws > b.ws
