@@ -891,6 +891,40 @@ object ProfileScale {
           expr("doc_id % 3").cast("long").as("noise"))
         graft.operators.Profiling.fdDiscoverL2(d,
           Seq("c1", "c2", "c12", "noise"))
+      },
+      // round-18 cells (r17 VERDICT #6): the ViterbiSeg-rewritten
+      // unigram trainer and the WpGreedy-rewritten wordpiece encoder.
+      // Both candidate explosions are per-DISTINCT-word bounded (≤48
+      // and ≤128 rows respectively), so shuffle bytes must track the
+      // distinct-word table — near-flat here, because the _c<k> word
+      // suffixing multiplies word VARIANTS, not text volume per word —
+      // and never go super-linear in the corpus.
+      "unigram_train" -> (m =>
+        graft.pipeline.UnigramLm.train(scaledDocs(spark, sfDir, m),
+          vocabSize = 300, rounds = 2)),
+      "wordpiece_encode" -> { m =>
+        val d = scaledDocs(spark, sfDir, m)
+        val merges = graft.pipeline.Wordpiece.learnMerges(d, numMerges = 4)
+          .orderBy("rank").select("p1", "p2").collect()
+          .map(r => (r.getString(0), r.getString(1))).toSeq
+        val pieces = graft.pipeline.Wordpiece.pieceVocab(d, merges)
+        graft.pipeline.Wordpiece.encode(d, pieces)
+      },
+      // 2-D skyline over a scaled lineitem projection — the r17
+      // "inherent volume" claim under test: the bucket-prefix
+      // structure must keep dominance work and shuffle linear
+      "skyline" -> { m =>
+        val base = Tables.read(spark, sfDir, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"),
+            (col("l_extendedprice") * 100).cast("long").as("price_c"),
+            (-col("l_quantity")).cast("long").as("neg_qty"))
+        val scaled = (0 until m).map { k =>
+          base.select((col("l_orderkey") + lit(k * 100000000L))
+              .as("l_orderkey"),
+            col("l_linenumber"), col("price_c"), col("neg_qty"))
+        }.reduce(_ unionByName _)
+          .repartition(spark.sparkContext.defaultParallelism)
+        graft.operators.Skyline.pareto2D(scaled, "price_c", "neg_qty")
       })
 
     // warm-up: every op once at 1× so the 1×-vs-10× comparison is

@@ -76,6 +76,17 @@ object Corpus {
   /** Deterministic content-hash bucket in [0, 100). */
   def hashBucket(c: Column): Column = hashBucketN(c, 100)
 
+  /** The composed rendition of the fused [[graft.plans.HashedGrams]]
+    * gram hashing [[dsirScore]] uses (round 18): per word bigram, the
+    * salted md5-ascii fold mod `buckets` — built from WordShingles +
+    * concat + the fully composed fold so the reference shares no code
+    * with the native expression's digest path. Retained for the
+    * PipelineSpec parity pin. */
+  private[graft] def dsirGramBucketsComposed(text: Column,
+      buckets: Int): Column =
+    transform(graft.plans.WordShingles.shingles(text, 2),
+      g => hashFoldComposed(concat(lit("dsir:"), g)) % buckets)
+
   /**
    * Stratified sampling for data mixing: per-stratum keep-percentages
    * (e.g. lang → %), decided by the content-hash bucket so the sample

@@ -401,7 +401,15 @@ object Similarity {
     * encode calls it once per (vector, subspace, code) triple);
     * bit-identical, parity-pinned in PipelineSpec. */
   private def dist2Fold(a: Column, b: Column): Column =
-    graft.plans.VecDist2.dist2(a, b)
+    // SPARK_GRAFT_DIST2_COMPOSED=1 swaps in the composed rendition for
+    // ProfileScale A/B cells ONLY (r17 VERDICT #7: confirm the native
+    // kernel at 1×/10× before banking it). The two forms are
+    // bit-identical (parity-pinned below), so the toggle can never
+    // change a query result — it is a measurement instrument, not a
+    // semantics switch; no declared query depends on it.
+    if (sys.env.get("SPARK_GRAFT_DIST2_COMPOSED").contains("1"))
+      dist2FoldComposed(a, b)
+    else graft.plans.VecDist2.dist2(a, b)
 
   /** The composed higher-order-function rendition — superseded in the
     * hot path; retained as the independent reference for the

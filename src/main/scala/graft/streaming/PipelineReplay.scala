@@ -258,22 +258,33 @@ object PipelineReplay {
         beforeSec, afterSec, watermarkSec, joinType)
       .select("l_key", "l_id", "r_id")
     runToMemory(sess, out, "append") { q =>
-      lMem.addData(lefts: _*)
-      rMem.addData(rights: _*)
-      q.processAllAvailable()
-      if (joinType != "inner") {
+      if (joinType == "inner") {
+        lMem.addData(lefts: _*)
+        rMem.addData(rights: _*)
+        q.processAllAvailable()
+      } else {
         // outer nulls emit only once the GLOBAL watermark (min over
         // both streams) clears every left row's match window: one
         // sentinel per stream on a never-matching key, far enough
-        // that T_max + afterSec + watermarkSec is strictly passed
+        // that T_max + afterSec + watermarkSec is strictly passed.
+        // The sentinels ride the DATA batch (round 18): a batch's
+        // watermark is computed from its max event time but applies
+        // only from the NEXT batch, so batch 1 (data + horizon
+        // sentinels) still joins everything under the initial
+        // watermark — inner matches are unaffected — and the flush
+        // batch then evicts under the horizon watermark, emitting
+        // every unmatched left row. Two processAllAvailable rounds
+        // instead of three (each round is multiple state-store
+        // commit cycles across both join sides).
         val tMax = (lefts.iterator ++ rights.iterator)
           .map(_._2.getTime).max
         val horizon = new Timestamp(
           tMax + (afterSec + watermarkSec + 10L) * 1000L)
-        lMem.addData((-1L, horizon, -1L))
-        rMem.addData((-1L, horizon, -1L))
+        lMem.addData(lefts :+ ((-1L, horizon, -1L)): _*)
+        rMem.addData(rights :+ ((-1L, horizon, -1L)): _*)
         q.processAllAvailable()
-        // a second empty advance lets the state store flush evictions
+        // the advance batch makes the horizon watermark take effect,
+        // flushing evictions (outer-null emission)
         lMem.addData((-1L, new Timestamp(horizon.getTime + 1000L), -2L))
         rMem.addData((-1L, new Timestamp(horizon.getTime + 1000L), -2L))
         q.processAllAvailable()

@@ -786,6 +786,112 @@ class PipelineSpec extends SparkTestBase {
     assert(nv.forall { case (_, h) => h >= 0 && h <= 3139968 })
   }
 
+  test("hashed_grams: fused DSIR gram hashing is element-identical to the composed form") {
+    // parity pin for the round-18 HashedGrams fusion: salt + bigram
+    // streamed into one digest must equal md5(concat(salt, gram))
+    // fold mod buckets, per gram IN ORDER. Mixed content: multi-space
+    // and tab separators (the shingle join normalizes to one ' '),
+    // multi-byte words, short docs below the gram width, empty.
+    val d = Seq("", "one", "new york city", "a  b\tc", "héllo wörld",
+      "日本語 テキスト 行", "x y x y x", "  lead trail  ").toDF("s")
+    graft.plans.NativeFns.register(spark)
+    val native = d.select(col("s"),
+      graft.plans.HashedGrams.grams(col("s"), 2, "dsir:", 10000).as("b"))
+    val composed = d.select(col("s"),
+      graft.pipeline.Corpus.dsirGramBucketsComposed(col("s"), 10000).as("b"))
+    assert(native.schema("b").dataType.asInstanceOf[
+        org.apache.spark.sql.types.ArrayType].elementType ==
+      org.apache.spark.sql.types.IntegerType)
+    val nv = native.orderBy("s").as[(String, Seq[Int])].collect().toSeq
+    val cv = composed.orderBy("s").as[(String, Seq[Int])].collect().toSeq
+    assert(nv == cv, s"$nv vs $cv")
+    assert(nv.forall { case (_, bs) => bs.forall(b => b >= 0 && b < 10000) })
+  }
+
+  test("viterbi_seg: uncoverable prefix position fails loudly in both nBest paths") {
+    // round-18 hardening: a candidate set that leaves some prefix
+    // position uncoverable used to busy-loop the nBest=1 backtrack
+    // forever (bk stays 0) and silently return an empty array on the
+    // nBest>1 path; both now throw the same contract error.
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    def cands(rows: (Int, Int, Long)*) = new GenericArrayData(
+      rows.map { case (s, k, w) =>
+        new GenericInternalRow(Array[Any](s, k, w)) }.toArray[Any])
+    // only position 1 covered: positions 2..3 have no candidate
+    val bad = cands((1, 1, 5L))
+    val word = UTF8String.fromString("abc")
+    val e1 = intercept[IllegalArgumentException] {
+      graft.plans.ViterbiSeg.viterbi(word, bad, 1)
+    }
+    assert(e1.getMessage.contains("no admissible candidate"))
+    val eN = intercept[IllegalArgumentException] {
+      graft.plans.ViterbiSeg.viterbi(word, bad, 3)
+    }
+    assert(eN.getMessage.contains("no admissible candidate"))
+    // a fully covered word still segments (sanity that the guard
+    // does not fire on well-formed input)
+    val ok = cands((1, 1, 1L), (2, 1, 1L), (3, 1, 1L), (1, 3, 9L))
+    val r = graft.plans.ViterbiSeg.viterbi(word, ok, 1)
+    assert(r.numElements() == 1)
+  }
+
+  test("viterbi_seg: duplicate (s,k) candidates resolve to max weight, order-free") {
+    // round-18 determinism guard (advice item): duplicates were
+    // last-write-wins, exposing collect_list partition order. Now the
+    // max weight wins regardless of array order, matching the staged
+    // DP's (ws desc) preference at equal np/k/seg.
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    def cands(rows: (Int, Int, Long)*) = new GenericArrayData(
+      rows.map { case (s, k, w) =>
+        new GenericInternalRow(Array[Any](s, k, w)) }.toArray[Any])
+    val word = UTF8String.fromString("ab")
+    val base = Seq((1, 1, 1L), (2, 1, 1L))
+    def run(extra: Seq[(Int, Int, Long)]): (Long, Long, String) = {
+      val r = graft.plans.ViterbiSeg.viterbi(word,
+        cands(base ++ extra: _*), 1)
+      val st = r.getStruct(0, 3)
+      (st.getLong(0), st.getLong(1), st.getUTF8String(2).toString)
+    }
+    val aThenB = run(Seq((1, 2, 5L), (1, 2, 9L)))
+    val bThenA = run(Seq((1, 2, 9L), (1, 2, 5L)))
+    val single = run(Seq((1, 2, 9L)))
+    assert(aThenB == single && bThenA == single,
+      s"$aThenB / $bThenA vs $single")
+  }
+
+  test("labelPropagation: lazy round chain crosses the checkpoint cadence unchanged") {
+    // round-18 lazification pin: iters=5 crosses the every-4th-round
+    // checkpoint boundary; the result must equal an exact in-memory
+    // synchronous LPA (min-label tie-break) on the same graph.
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"),
+      ("e", "f"), ("f", "a"), ("g", "h")).toDF("src", "dst")
+    val iters = 5
+    // reference: exact synchronous LPA with smallest-label tie-break
+    val adj = Seq("a" -> "b", "b" -> "c", "c" -> "d", "d" -> "e",
+      "e" -> "f", "f" -> "a", "g" -> "h")
+      .flatMap { case (x, y) => Seq(x -> y, y -> x) }
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSeq }
+    var lab: Map[String, String] = adj.keys.map(k => k -> k).toMap
+    (1 to iters).foreach { _ =>
+      lab = adj.map { case (node, nbrs) =>
+        val freq = nbrs.groupBy(lab).map { case (l, xs) => l -> xs.size }
+        val best = freq.toSeq.sortBy { case (l, c) => (-c, l) }.head._1
+        node -> best
+      }
+    }
+    val sizes = lab.values.groupBy(identity).map { case (l, xs) => l -> xs.size }
+    val expected = lab.toSeq.map { case (n, l) =>
+      (n, l, sizes(l).toLong) }.sortBy(_._1)
+    val out = graft.pipeline.Graphs.labelPropagation(edges, iters = iters)
+      .orderBy("node")
+      .as[(String, String, Long)].collect().toSeq
+    assert(out == expected, s"$out vs $expected")
+  }
+
   test("blocklistFilter: occurrence/distinct counts, exemplar, clean docs, length guard") {
     val d = Seq((1L, "a b a b c"), (2L, "x y z z"), (3L, "")).toDF("doc_id", "text")
     val phrases = Seq("a b", "c", "q").toDF("phrase")
